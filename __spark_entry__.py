@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke check; ``queries()[name]`` run at sf=0.01 and
+compared against ``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash).
+
+Float determinism: every distance formula here is bit-exact between Spark
+(`F.aggregate`/`F.zip_with`, double accumulation) and DuckDB
+(`list_sum(list_transform(list_zip(...)))`) — see vecgo_spark/oracles.py.
+Aggregate sums go through DECIMAL(38,10) so they are associative (exact)
+and engine-order-independent, then cast back to DOUBLE.
 """
 
 from __future__ import annotations
@@ -12,27 +16,226 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vecgo_spark.filters import FilterSet
+from vecgo_spark.operators import knn
+from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
+from vecgo_spark.sources.registry import load_table
+
+QUERY_VEC_ID = 0  # the query vector is embeddings[vec_id=0], fetched at runtime
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row[0]]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: filtered exact kNN."""
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return knn.search(
+        emb, q, k=10, metric="l2",
+        filter=FilterSet().gte("label", 0),
+        id_col="vec_id", vector_col="embedding",
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def _knn(metric: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = _query_vector(spark, sf_dir)
+        return knn.search(emb, q, k=10, metric=metric, id_col="vec_id", vector_col="embedding")
+    return run
+
+
+def _knn_l2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return knn.search(
+        emb, q, k=10, metric="l2",
+        filter=FilterSet().eq("label", 3),
+        id_col="vec_id", vector_col="embedding",
+    )
+
+
+def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector"))
+    )
+    return knn.batch_search(emb, queries, k=10, metric="l2", id_col="vec_id", vector_col="embedding")
+
+
+def _knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return knn.threshold_search(
+        emb, q, threshold=1.6, max_results=50, metric="l2",
+        id_col="vec_id", vector_col="embedding",
+    )
+
+
+def _point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.point_get(emb, 42, id_col="vec_id").select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    )
+
+
+def _scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fs = FilterSet().eq("lang", "en").gt("n_chars", 200).contains("text", "spark")
+    return docs.where(fs.to_column()).select("doc_id", "lang", "source", "n_chars")
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # All money/rate columns are exact 2-decimal values. Per-row double math
+    # is bit-identical across engines, but FLOAT SUM order is not — so sum in
+    # integer cents (exact, associative, order-independent), divide at the end.
+    cents = lambda name: F.round(F.col(name) * 100).cast("long")
+    qty_c, ext_c = cents("l_quantity"), cents("l_extendedprice")
+    disc_c, tax_c = cents("l_discount"), cents("l_tax")
+    disc_price_e4 = ext_c * (F.lit(100) - disc_c)
+    charge_e6 = disc_price_e4 * (F.lit(100) + tax_c)
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(ext_c).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_price_e4).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(charge_e6).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_l2": _knn("l2"),
+        "knn_dot": _knn("dot"),
+        "knn_cosine": _knn("cosine"),
+        "knn_l2_filtered": _knn_l2_filtered,
+        "knn_batch": _knn_batch,
+        "knn_threshold": _knn_threshold,
+        "point_get": _point_get,
+        "scan_filter": _scan_filter,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "topk_per_group": _topk_per_group,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ------------------------------------------------------------- oracle SQL
+
+_Q = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+
+
+def _knn_oracle(score: str, order: str) -> str:
+    return f"""
+    SELECT e.vec_id, {score} AS score
+    FROM embeddings e, {_Q} q
+    ORDER BY score {order}, e.vec_id ASC
+    LIMIT 10
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sq = sq_l2_sql("e.embedding", "q.qv")
+    dt = dot_sql("e.embedding", "q.qv")
+    cs = cosine_sql("e.embedding", "q.qv")
+    return {
+        "knn_l2": _knn_oracle(sq, "ASC"),
+        "knn_dot": _knn_oracle(dt, "DESC"),
+        "knn_cosine": _knn_oracle(cs, "DESC"),
+        "knn_l2_filtered": f"""
+            SELECT e.vec_id, {sq} AS score
+            FROM embeddings e, {_Q} q
+            WHERE e.label IS NOT NULL AND e.label = 3
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "knn_batch": f"""
+            WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.qid, e.vec_id, {sq_l2_sql("e.embedding", "q.qv")} AS score
+                FROM embeddings e, qs q
+            ),
+            ranked AS (
+                SELECT qid, vec_id, score,
+                       CAST(row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id ASC) AS INT) AS rank
+                FROM scored
+            )
+            SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "knn_threshold": f"""
+            WITH top AS (
+                SELECT e.vec_id, {sq} AS score
+                FROM embeddings e, {_Q} q
+                ORDER BY score ASC, e.vec_id ASC
+                LIMIT 50
+            )
+            SELECT vec_id, score FROM top WHERE score <= 1.6
+        """,
+        "point_get": """
+            SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim
+            FROM embeddings WHERE vec_id = 42
+        """,
+        "scan_filter": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang IS NOT NULL AND lang = 'en'
+              AND n_chars IS NOT NULL AND n_chars > 200
+              AND text IS NOT NULL AND contains(text, 'spark')
+        """,
+        "tpch_q1_pricing_summary": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+                FROM lineitem
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(SUM(ext_c) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(SUM(ext_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(SUM(ext_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
+                   COUNT(*) AS count_order,
+                   (CAST(SUM(qty_c) AS DOUBLE) / 100.0) / COUNT(*) AS avg_qty,
+                   (CAST(SUM(ext_c) AS DOUBLE) / 100.0) / COUNT(*) AS avg_price
+            FROM c
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+    }

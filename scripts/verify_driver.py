@@ -1,0 +1,54 @@
+"""Driver-mimic verification: exercises the public contract exactly as the
+external driver does — fresh SparkSession, entry() smoke, every queries()
+entry vs its oracle_sql() via DuckDB at the given sf dir.
+
+Usage: python scripts/verify_driver.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_harness import compare, duck_connection  # noqa: E402
+from vecgo_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("verify-driver")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_connection(sf_dir)
+    failed = []
+    for name, fn in queries.items():
+        try:
+            qdf = fn(spark, sf_dir)
+            if name in oracles:
+                ok, msg = compare(qdf, oracles[name], con)
+                status = "MATCH" if ok else f"MISMATCH: {msg}"
+                if not ok:
+                    failed.append(name)
+            else:
+                n = qdf.count()
+                status = f"rows-only ({n} rows)"
+        except Exception as e:  # noqa: BLE001
+            status = f"ERROR: {e}"
+            failed.append(name)
+        print(f"  {name}: {status}")
+
+    print(f"{len(queries) - len(failed)}/{len(queries)} queries OK at {sf_dir}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,20 @@
+"""vecgo_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the hupe1980/vecgo hybrid vector database.
+
+Architecture (see SURVEY.md):
+  - One logical collection = one DataFrame ``(id LONG, vector ARRAY<FLOAT>,
+    <typed metadata cols>, payload BINARY, text STRING)`` over immutable
+    parquet segments + a JSON versioned manifest (time travel, tombstones).
+  - Search = declarative DataFrame plans (scan → pushed filter → native
+    distance expression → deterministic top-k window), NOT a graph index:
+    Catalyst + Tungsten pick the physical strategy; IVF (KMeans cluster
+    pruning) is the approximate scale path, mirroring the reference's
+    flat-segment IVF design (internal/segment/flat/segment.go:727-745).
+  - All distance math is JVM-side (`F.aggregate`/`F.zip_with`) in the hot
+    path; numpy/pandas UDFs only for quantization codecs.
+"""
+
+from vecgo_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"
