@@ -20,11 +20,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vecgo_spark.filters import FilterSet
-from vecgo_spark.operators import knn
+from vecgo_spark.operators import bm25, hybrid, knn
 from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
 from vecgo_spark.sources.registry import load_table
 
 QUERY_VEC_ID = 0  # the query vector is embeddings[vec_id=0], fetched at runtime
+QUERY_TEXT = "spark join window merge"  # vocabulary words (documents table)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
@@ -132,6 +133,30 @@ def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25.bm25_search(docs, QUERY_TEXT, k=10, id_col="doc_id", text_col="text")
+
+
+def _hybrid_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One collection with both text and vector (reference data model):
+    documents ⋈ embeddings on id."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(
+        emb, docs["doc_id"] == emb["vec_id"], "inner"
+    ).select(docs["doc_id"].alias("id"), "text", "embedding")
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coll = _hybrid_collection(spark, sf_dir)
+    q = _query_vector(spark, sf_dir)
+    return hybrid.hybrid_search(
+        coll, q, QUERY_TEXT, k=10, metric="l2",
+        id_col="id", vector_col="embedding", text_col="text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_l2": _knn("l2"),
@@ -144,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_filter": _scan_filter,
         "tpch_q1_pricing_summary": _tpch_q1,
         "topk_per_group": _topk_per_group,
+        "bm25_search": _bm25_search,
+        "hybrid_rrf": _hybrid_rrf,
     }
 
 
@@ -229,6 +256,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        "bm25_search": bm25.bm25_oracle_sql(QUERY_TEXT, 10, docs_table="documents",
+                                            id_col="doc_id", text_col="text"),
+        "hybrid_rrf": hybrid.hybrid_oracle_sql(
+            sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),
         "topk_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
                 SELECT o_custkey, o_orderkey, o_totalprice,

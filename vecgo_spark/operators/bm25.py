@@ -1,0 +1,198 @@
+"""BM25 lexical search — distributed re-expression of the reference's
+in-memory DAAT index (lexical/bm25/bm25.go).
+
+Semantics pinned to the reference:
+  - Tokenizer: split on ASCII whitespace (c <= ' ') runs + lowercase; NO
+    punctuation stripping (bm25.go:92-178).
+  - Constants k1=1.2, b=0.75 (bm25.go:13-16).
+  - idf = ln(1 + (N - n + 0.5)/(n + 0.5)), n = docFreq (bm25.go:383-387).
+  - score(d, q) = Σ_t qtf·idf·tf·(k1+1) / (tf + k1(1-b) + (k1·b/avgDL)·dl)
+    (bm25.go:337-349). A query term repeated qtf times creates qtf
+    iterators in the reference — x+x == 2x in IEEE, so a qtf multiplier
+    is exact.
+  - Docs with score 0 are dropped; top-k desc with id-asc tiebreak.
+
+Architecture (100 TB posture): corpus statistics are classic distributed
+IR — explode(tokens) → partial-aggregated groupBys; they'd be materialized
+once per corpus version in production. Query-time work touches only the
+postings of the query's terms: the tiny term list broadcasts into a
+semi-join, so the full corpus is never rescanned per query.
+
+Determinism: per-doc term contributions are summed in sorted-term order
+via a sequential array fold (float addition is order-sensitive; a plain
+SUM() would be engine/partition-order dependent and break oracle parity).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def tokenize_expr(text_col: Column | str) -> Column:
+    """ARRAY<STRING> of lowercase whitespace-split tokens (bm25.go:92-129).
+
+    The reference's ASCII fast path treats every byte <= 0x20 as
+    whitespace; ``\\s`` covers [ \\t\\n\\x0b\\f\\r] — extended with the
+    remaining control range for parity.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(col), "[\\x00-\\x20]+"), lambda t: t != "")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Driver-side twin of tokenize_expr for query strings."""
+    return [t.lower() for t in re.split(r"[\x00-\x20]+", text) if t]
+
+
+def corpus_stats(
+    docs: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """(term_freq, doc_len, doc_count, total_len).
+
+    term_freq: (id, term, tf); doc_len: (id, dl). doc_count/total_len are
+    scalars (N and Σdl — bm25.go:29-53). Zero-token docs still count
+    toward N and avgdl, as in the reference's Add().
+    """
+    toks = docs.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks"))
+    doc_len = toks.select("id", F.size("toks").alias("dl"))
+    term_freq = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = doc_len.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).first()
+    return term_freq, doc_len, int(counts["n"]), int(counts["total"] or 0)
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_text: str,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, score) for every doc with score > 0 (bm25.go:282-387)."""
+    spark = docs.sparkSession
+    term_freq, doc_len, n_docs, total_len = corpus_stats(docs, id_col, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], "id long, score double")
+
+    qterms: dict[str, int] = {}
+    for t in tokenize_py(query_text):
+        qterms[t] = qterms.get(t, 0) + 1
+    if not qterms:
+        return spark.createDataFrame([], "id long, score double")
+    qdf = spark.createDataFrame(
+        [(t, float(c)) for t, c in qterms.items()], "term string, qtf double"
+    )
+
+    avg_dl = float(total_len) / float(n_docs)
+    df_per_term = (
+        term_freq.join(F.broadcast(qdf.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_lit = F.lit(float(n_docs))
+    idf = F.log(F.lit(1.0) + (n_lit - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    contrib = F.col("qtf") * (
+        F.col("idf")
+        * ((tf * F.lit(K1 + 1.0)) / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / avg_dl) * dl))
+    )
+
+    scored = (
+        term_freq.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_per_term.withColumn("idf", idf).select("term", "idf")), "term")
+        .join(doc_len, "id")
+        .select("id", "term", contrib.alias("contrib"))
+    )
+    # sequential sorted-term fold: order-deterministic double accumulation
+    per_doc = (
+        scored.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "id",
+            F.aggregate(
+                F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]
+            ).alias("score"),
+        )
+    )
+    return per_doc.where(F.col("score") > 0.0)
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 (lexical.Index.Search), score desc, id-asc tiebreak.
+
+    The reported score is rounded to 10 decimals: Spark (JVM Math.log) and
+    DuckDB (libm log) disagree in the last ulp of ln(), so the raw double
+    is not oracle-comparable. Ordering uses full precision.
+    """
+    return (
+        bm25_score(docs, query_text, id_col, text_col)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select("id", F.round(F.col("score"), 10).alias("score"))
+    )
+
+
+def bm25_oracle_sql(query_text: str, k: int, docs_table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of bm25_search, mirroring the float ops exactly."""
+    qterms: dict[str, int] = {}
+    for t in tokenize_py(query_text):
+        qterms[t] = qterms.get(t, 0) + 1
+    qvals = ", ".join(f"('{t}', {float(c)})" for t, c in qterms.items())
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id,
+               list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '') AS toks
+        FROM {docs_table}
+    ),
+    doc_len AS (SELECT id, CAST(len(toks) AS INT) AS dl FROM toks),
+    corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avg_dl FROM doc_len),
+    tf AS (
+        SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT id, unnest(toks) AS term FROM toks)
+        GROUP BY id, term
+    ),
+    q(term, qtf) AS (VALUES {qvals}),
+    dft AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    contribs AS (
+        SELECT tf.id, tf.term,
+               q.qtf * (ln(1.0 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5))
+                        * ((CAST(tf.tf AS DOUBLE) * {K1 + 1.0!r}) /
+                           (CAST(tf.tf AS DOUBLE) + {K1 * (1.0 - B)!r}
+                            + ({K1!r} * {B!r} / corpus.avg_dl) * CAST(doc_len.dl AS DOUBLE)))) AS contrib
+        FROM tf
+        JOIN q ON tf.term = q.term
+        JOIN dft ON tf.term = dft.term
+        JOIN doc_len ON tf.id = doc_len.id
+        CROSS JOIN corpus
+    ),
+    per_doc AS (
+        SELECT id,
+               list_sum(list_transform(array_agg(contrib ORDER BY term, contrib), x -> x)) AS score
+        FROM contribs GROUP BY id
+    )
+    SELECT id, round(score, 10) AS score FROM (
+        SELECT id, score FROM per_doc WHERE score > 0.0
+        ORDER BY score DESC, id ASC LIMIT {k}
+    )
+    """
