@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vecgo_spark.filters import FilterSet
-from vecgo_spark.operators import bm25, hybrid, knn
+from vecgo_spark.functions import text as textfn
+from vecgo_spark.operators import bm25, dedup, hybrid, knn
 from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
 from vecgo_spark.sources.registry import load_table
 
@@ -157,6 +158,40 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textfn.token_count("text").alias("n_tokens"),
+        textfn.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        textfn.stopword_ratio("text").alias("stop_ratio"),
+        textfn.mean_token_length("text").alias("mean_tok_len"),
+        textfn.alpha_ratio("text").alias("alpha_ratio"),
+        textfn.quality_score("text").alias("quality"),
+        textfn.langid_stopword("text").alias("lang_pred"),
+    )
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_l2": _knn("l2"),
@@ -171,6 +206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _topk_per_group,
         "bm25_search": _bm25_search,
         "hybrid_rrf": _hybrid_rrf,
+        "text_stats": _text_stats,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "embedding_neardup": _embedding_neardup,
     }
 
 
@@ -256,6 +297,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   {textfn.token_count_sql('text')} AS n_tokens,
+                   {textfn.bpe_ish_token_count_sql('text')} AS n_bpe_tokens,
+                   {textfn.stopword_ratio_sql('text')} AS stop_ratio,
+                   {textfn.mean_token_length_sql('text')} AS mean_tok_len,
+                   {textfn.alpha_ratio_sql('text')} AS alpha_ratio,
+                   {textfn.quality_score_sql('text')} AS quality,
+                   {textfn.langid_stopword_sql('text')} AS lang_pred
+            FROM documents
+        """,
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": dedup.simhash_pairs_sql(max_hamming=3),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.5),
+        "embedding_neardup": dedup.embedding_neardup_pairs_sql(threshold=0.4),
         "bm25_search": bm25.bm25_oracle_sql(QUERY_TEXT, 10, docs_table="documents",
                                             id_col="doc_id", text_col="text"),
         "hybrid_rrf": hybrid.hybrid_oracle_sql(

@@ -1,0 +1,138 @@
+"""Text-analysis columns for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side) so they vectorize over a 100 TB
+documents table; each has a DuckDB-SQL twin for the oracle gate.
+Tokenization reuses the BM25 tokenizer (whitespace + lowercase) so the
+whole text stack shares one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vecgo_spark.operators.bm25 import tokenize_expr
+
+# A compact English stopword set (order-free); used for both quality
+# scoring and the stopword-based language heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "are",
+    "was", "for", "with", "as", "by", "at", "it", "this", "that", "be",
+)
+
+# BPE-ish token pattern: letter runs, digit runs, or single punctuation.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BM25 tokenizer semantics)."""
+    return F.size(tokenize_expr(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Approximate subword count: regex token classes over lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokenize_expr(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks).cast("double"))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokenize_expr(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double"))
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Fraction of non-whitespace characters that are ASCII letters."""
+    c = F.col(text) if isinstance(text, str) else text
+    non_ws = F.length(F.regexp_replace(c, "[\\x00-\\x20]+", ""))
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]", ""))
+    return F.when(non_ws > 0, alpha.cast("double") / non_ws.cast("double"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blends length saturation,
+    stopword presence, and alphabetic density (the usual pretraining
+    quality signals). Deterministic double arithmetic → oracle-safe."""
+    toks = tokenize_expr(text)
+    n = F.size(toks).cast("double")
+    length_sat = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    stop_sig = F.least(stop / F.lit(0.3), F.lit(1.0))
+    alpha = F.coalesce(alpha_ratio(text), F.lit(0.0))
+    return (F.lit(0.4) * length_sat + F.lit(0.3) * stop_sig + F.lit(0.3) * alpha)
+
+
+def langid_stopword(text: Column | str, threshold: float = 0.08) -> Column:
+    """Stopword-density language heuristic: 'en' when the English stopword
+    ratio clears the threshold, else 'unk'. (A character-ngram profile
+    model needs trained profiles; the stopword heuristic is the standard
+    zero-dependency fallback and is fully oracle-checkable.)"""
+    ratio = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    return F.when(ratio >= F.lit(threshold), F.lit("en")).otherwise(F.lit("unk"))
+
+
+# ------------------------------------------------------------ SQL twins
+
+_TOKS = "list_filter(string_split_regex(lower({c}), '[\\x00-\\x20]+'), t -> t != '')"
+
+
+def toks_sql(col: str) -> str:
+    return _TOKS.format(c=col)
+
+
+def token_count_sql(col: str) -> str:
+    return f"CAST(len({toks_sql(col)}) AS INT)"
+
+
+def bpe_ish_token_count_sql(col: str) -> str:
+    return f"CAST(len(regexp_extract_all(lower({col}), '{BPE_ISH_PATTERN}')) AS INT)"
+
+
+def stopword_ratio_sql(col: str) -> str:
+    stopset = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = toks_sql(col)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(len(list_filter({toks}, t -> t IN ({stopset}))) AS DOUBLE)"
+        f" / CAST(len({toks}) AS DOUBLE) END)"
+    )
+
+
+def mean_token_length_sql(col: str) -> str:
+    toks = toks_sql(col)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)"
+        f" / CAST(len({toks}) AS DOUBLE) END)"
+    )
+
+
+def alpha_ratio_sql(col: str) -> str:
+    return (
+        f"(CASE WHEN length(regexp_replace({col}, '[\\x00-\\x20]+', '', 'g')) > 0 THEN "
+        f"CAST(length(regexp_replace(lower({col}), '[^a-z]', '', 'g')) AS DOUBLE)"
+        f" / CAST(length(regexp_replace({col}, '[\\x00-\\x20]+', '', 'g')) AS DOUBLE) END)"
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    toks = toks_sql(col)
+    n = f"CAST(len({toks}) AS DOUBLE)"
+    return (
+        f"(0.4 * least({n} / 100.0, 1.0)"
+        f" + 0.3 * least(COALESCE({stopword_ratio_sql(col)}, 0.0) / 0.3, 1.0)"
+        f" + 0.3 * COALESCE({alpha_ratio_sql(col)}, 0.0))"
+    )
+
+
+def langid_stopword_sql(col: str, threshold: float = 0.08) -> str:
+    return (
+        f"(CASE WHEN COALESCE({stopword_ratio_sql(col)}, 0.0) >= {threshold!r} "
+        f"THEN 'en' ELSE 'unk' END)"
+    )

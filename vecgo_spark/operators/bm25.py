@@ -60,11 +60,15 @@ def corpus_stats(
     toward N and avgdl, as in the reference's Add().
     """
     toks = docs.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks"))
-    doc_len = toks.select("id", F.size("toks").alias("dl"))
+    # persisted: doc_len feeds both the corpus-stats action and the scoring
+    # join, term_freq feeds df-per-term AND the contribution join — without
+    # this the tokenize+explode lineage re-runs per consumer
+    doc_len = toks.select("id", F.size("toks").alias("dl")).persist()
     term_freq = (
         toks.select("id", F.explode("toks").alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     counts = doc_len.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
