@@ -158,6 +158,36 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tombstone_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-then-scan semantics: tombstoned ids (vec_id % 10 == 0) never
+    surface (engine.go:1186-1302; reads anti-join the tombstone set)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tombs = emb.select("vec_id").where(F.col("vec_id") % 10 == 0)
+    return (
+        emb.join(F.broadcast(tombs), "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
+
+
+def _upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-on-read dedup: re-inserted ids (vec_id < 100, lsn=2, label+100)
+    shadow their lsn=1 originals via the latest-LSN window
+    (engine.go:993-1005 → row_number over (id, lsn desc))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v1 = emb.select("vec_id", "label", F.lit(1).alias("lsn"))
+    v2 = (
+        emb.where(F.col("vec_id") < 100)
+        .select("vec_id", (F.col("label") + 100).alias("label"), F.lit(2).alias("lsn"))
+    )
+    merged = v1.unionByName(v2)
+    w = Window.partitionBy("vec_id").orderBy(F.col("lsn").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "lsn")
+    )
+
+
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -206,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _topk_per_group,
         "bm25_search": _bm25_search,
         "hybrid_rrf": _hybrid_rrf,
+        "tombstone_antijoin": _tombstone_antijoin,
+        "upsert_latest_wins": _upsert_latest_wins,
         "text_stats": _text_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -296,6 +328,23 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "tombstone_antijoin": """
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0)
+        """,
+        "upsert_latest_wins": """
+            WITH merged AS (
+                SELECT vec_id, label, 1 AS lsn FROM embeddings
+                UNION ALL
+                SELECT vec_id, label + 100 AS label, 2 AS lsn FROM embeddings WHERE vec_id < 100
+            ),
+            ranked AS (
+                SELECT vec_id, label, lsn,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY lsn DESC) AS rn
+                FROM merged
+            )
+            SELECT vec_id, label, lsn FROM ranked WHERE rn = 1
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -1,0 +1,153 @@
+"""Lifecycle E2E — mirrors the reference's integration tests:
+crud_lifecycle_test.go (insert→commit→delete→compact→search),
+timetravel_test.go, isolation_test.go (deleted rows never surface),
+edge_case_test.go."""
+
+import pytest
+
+from vecgo_spark.filters import FilterSet
+from vecgo_spark.plans.manifest import load_manifest
+from vecgo_spark.plans.table import VectorTable
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk_rows(spark, ids, cat="A"):
+    rows = [(i, [float(i), float(i + 1)], cat, float(i) * 10.0) for i in ids]
+    return spark.createDataFrame(rows, "id long, vector array<float>, category string, price double")
+
+
+def test_create_insert_commit_search(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2, metric="l2")
+    t.insert(_mk_rows(spark, range(1, 11)))
+    assert t.count() == 0  # invisible before commit (no-WAL discipline)
+    v = t.commit()
+    assert v == 2 and t.count() == 10
+    res = t.search([3.0, 4.0], k=3).collect()
+    assert [r["id"] for r in res] == [3, 2, 4]  # exact L2 + id tiebreak
+
+
+def test_delete_then_search_never_surfaces(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_mk_rows(spark, range(1, 21)))
+    t.commit()
+    t.delete([1, 2, 3])
+    t.commit()
+    assert t.count() == 17
+    ids = {r["id"] for r in t.search([1.0, 2.0], k=20).collect()}
+    assert ids.isdisjoint({1, 2, 3})
+
+
+def test_upsert_latest_wins(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_mk_rows(spark, range(1, 6), cat="old"))
+    t.commit()
+    t.insert(_mk_rows(spark, [3], cat="new"))
+    t.commit()
+    rows = {r["id"]: r["category"] for r in t.df().collect()}
+    assert rows[3] == "new" and rows[1] == "old"
+    assert t.count() == 5
+
+
+def test_time_travel_and_versions(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_mk_rows(spark, range(1, 6)))
+    t.commit()  # v2
+    t.delete([1])
+    t.commit()  # v3
+    t.insert(_mk_rows(spark, range(6, 9)))
+    t.commit()  # v4
+    assert t.versions() == [1, 2, 3, 4]
+    old = VectorTable.open(spark, tdir, version=2)
+    assert old.count() == 5
+    assert {r["id"] for r in old.df().collect()} == {1, 2, 3, 4, 5}
+    assert not old.writable
+    with pytest.raises(RuntimeError):
+        old.delete([2])
+    assert VectorTable.open(spark, tdir).count() == 7
+
+
+def test_compact_drops_tombstones_and_dedups(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_mk_rows(spark, range(1, 11)))
+    t.commit()
+    t.insert(_mk_rows(spark, [5], cat="new"))
+    t.delete([1, 2])
+    t.commit()
+    before = {r["id"]: r["category"] for r in t.df().collect()}
+    t.compact()
+    m = t.manifest
+    assert len(m.segments) == 1 and not m.tombstone_files and not m.meta["has_upserts"]
+    after = {r["id"]: r["category"] for r in t.df().collect()}
+    assert after == before
+    assert after[5] == "new" and 1 not in after
+
+
+def test_vacuum_gc(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    for batch in (range(1, 4), range(4, 7), range(7, 10)):
+        t.insert(_mk_rows(spark, batch))
+        t.commit()
+    t.compact()
+    res = t.vacuum(keep_versions=1)
+    assert len(res["removed_manifests"]) >= 3
+    assert len(res["removed_files"]) == 3  # the three pre-compaction segments
+    assert t.count() == 9  # live snapshot untouched
+    with pytest.raises(ValueError):
+        VectorTable.open(spark, tdir, version=2)
+
+
+def test_segment_pruning_skips_files(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_mk_rows(spark, range(1, 11), cat="A"))     # price 10..100
+    t.insert(_mk_rows(spark, range(100, 111), cat="B"))  # price 1000..1100
+    t.commit()
+    fs = FilterSet().gt("price", 500.0)
+    from vecgo_spark.plans.pruning import prune_segments
+    kept = prune_segments(t.manifest.segments, fs)
+    assert len(t.manifest.segments) == 2 and len(kept) == 1
+    assert {r["id"] for r in t.df(fs).collect()} == set(range(100, 111))
+    # categorical pruning
+    kept_b = prune_segments(t.manifest.segments, FilterSet().eq("category", "B"))
+    assert len(kept_b) == 1
+
+
+def test_dim_validation_and_id_assignment(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, vector array<float>")
+    with pytest.raises(ValueError, match="dimension"):
+        t.insert(bad)
+    noid = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "vector array<float>")
+    t.insert(noid, assign_ids=True)
+    t.commit()
+    assert sorted(r["id"] for r in t.df().collect()) == [1, 2]
+    t.insert(noid, assign_ids=True)
+    t.commit()
+    assert sorted(r["id"] for r in t.df().collect()) == [1, 2, 3, 4]
+
+
+def test_time_travel_by_timestamp(spark, tdir):
+    import time as _time
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_mk_rows(spark, range(1, 4)))
+    t.commit()
+    ts_after_v2 = _time.time()
+    _time.sleep(0.01)
+    t.insert(_mk_rows(spark, range(4, 7)))
+    t.commit()
+    old = VectorTable.open(spark, tdir, timestamp=ts_after_v2)
+    assert old.manifest.version == 2 and old.count() == 3
+
+
+def test_commit_noop_and_stats(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2)
+    assert t.commit() == 1  # nothing staged → same version
+    t.insert(_mk_rows(spark, range(1, 4)))
+    t.commit()
+    s = t.stats()
+    assert s["segments"] == 1 and s["rows_upper_bound"] == 3 and s["version"] == 2
+    m = load_manifest(tdir)
+    assert m.segments[0].stats["price"]["min"] == 10.0

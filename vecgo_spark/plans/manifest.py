@@ -1,0 +1,121 @@
+"""Versioned JSON manifest — the engine's commit / time-travel root.
+
+Reference mapping (SURVEY §1.4): vecgo keeps one manifest per commit
+listing immutable segments + per-segment stats
+(internal/manifest/manifest.go:26-66); `WithVersion`/`WithTimestamp` open
+an old manifest (vecgo.go:422-448, manifest.go:90-145 LoadVersion,
+ListVersions:147); Vacuum GCs manifests + orphan segments per retention
+policy (internal/engine/engine.go:39-52,1979-2123).
+
+Here: `_manifest/v{N:08d}.json` under the table dir. Readers resolve a
+manifest → a file list → `spark.read.parquet(files)`; snapshot isolation
+falls out of immutability (a reader pinned to v7 never sees v8's files),
+and nothing is durable until the manifest is published — exactly the
+reference's no-WAL commit discipline (engine.go:873-875).
+
+Manifest ops are O(#segments), never O(rows) — the 100 TB invariant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+MANIFEST_DIR = "_manifest"
+
+
+@dataclass
+class SegmentMeta:
+    """Per-segment entry ≙ manifest.Segment + ShapeStats/FieldStats
+    (internal/manifest/stats.go:19-224, collected stats_collector.go)."""
+
+    path: str                      # relative to table root
+    rows: int
+    lsn: int                       # commit LSN that produced it
+    bytes: int = 0
+    # per-column stats for file pruning: {col: {"min":…, "max":…,
+    # "null_count":…, "distinct_approx":…}}
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Manifest:
+    version: int
+    lsn: int                       # high-water LSN at commit
+    next_id: int                   # auto-increment PK state (model/types.go:9)
+    created_at: float
+    segments: list[SegmentMeta] = field(default_factory=list)
+    tombstone_files: list[str] = field(default_factory=list)
+    meta: dict[str, Any] = field(default_factory=dict)  # dim, metric, schema…
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        d["segments"] = [SegmentMeta(**m) for m in d.get("segments", [])]
+        return Manifest(**d)
+
+
+def manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def list_versions(table_dir: str) -> list[int]:
+    mdir = os.path.join(table_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def load_manifest(table_dir: str, version: int | None = None,
+                  timestamp: float | None = None) -> Manifest:
+    """Load latest, a pinned version, or latest-at-timestamp
+    (LoadVersion / WithTimestamp semantics)."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no manifest under {table_dir}")
+    if version is None and timestamp is None:
+        version = versions[-1]
+    elif version is None:
+        candidates = []
+        for v in versions:
+            m = _read(table_dir, v)
+            if m.created_at <= timestamp:
+                candidates.append(v)
+        if not candidates:
+            raise ValueError(f"no version at or before timestamp {timestamp}")
+        version = candidates[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not found (have {versions})")
+    return _read(table_dir, version)
+
+
+def _read(table_dir: str, version: int) -> Manifest:
+    with open(manifest_path(table_dir, version)) as f:
+        return Manifest.from_json(f.read())
+
+
+def save_manifest(table_dir: str, m: Manifest) -> None:
+    """Atomic publish: write temp + rename (the commit point, ≙ the
+    reference's atomic manifest Put, engine.go:1942-1967)."""
+    path = manifest_path(table_dir, m.version)
+    if os.path.exists(path):
+        raise FileExistsError(f"manifest v{m.version} already exists (concurrent commit?)")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}.{time.time_ns()}"
+    with open(tmp, "w") as f:
+        f.write(m.to_json())
+    os.rename(tmp, path)

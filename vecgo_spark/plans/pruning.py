@@ -1,0 +1,94 @@
+"""Manifest-stats segment pruning — the reference's signature planner step.
+
+Port of CanPruneNumeric / CanPruneCategorical / missing-field pruning
+(internal/manifest/stats.go:234-287,449-483;
+internal/engine/segment_pruning.go:15-121): O(1) per segment against
+min/max/null stats collected at commit, running driver-side BEFORE the
+file list is handed to spark.read — so pruned segments are never opened
+(on 100 TB this is the difference between touching 3 files and 3000).
+Catalyst's parquet row-group pruning then handles the intra-file level.
+
+Conservative by construction: prune only when stats PROVE no row can
+match; unknown columns/operators → keep.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, NumericType, StringType
+
+from vecgo_spark.filters import Filter, FilterSet
+from vecgo_spark.plans.manifest import SegmentMeta
+
+
+def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any]:
+    """One agg pass per segment at commit time (≙ StatsCollector.Add/
+    Finalize, internal/manifest/stats_collector.go:110-615): per-column
+    min/max/null_count for pruning-friendly types."""
+    cols = [
+        f.name for f in df.schema.fields
+        if f.name not in exclude
+        and isinstance(f.dataType, (NumericType, StringType, BooleanType))
+    ]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+        ]
+    row = df.agg(*aggs).first()
+    total = None  # row count tracked separately in SegmentMeta
+    out: dict[str, Any] = {}
+    for c in cols:
+        out[c] = {
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+            "null_count": int(row[f"{c}__nulls"] or 0),
+        }
+    _ = total
+    return out
+
+
+def _can_prune(filter: Filter, stats: dict[str, Any], rows: int) -> bool:
+    """True iff NO row in the segment can satisfy `filter`."""
+    cs = stats.get(filter.key)
+    if cs is None:
+        return False  # no stats → conservative keep
+    lo, hi, nulls = cs.get("min"), cs.get("max"), cs.get("null_count", 0)
+    if lo is None and hi is None:
+        # column exists but all values NULL → no filter matches
+        # (missing-field semantics, metadata/filter.go:9-13)
+        return nulls >= rows and rows > 0
+    v = filter.value
+    try:
+        if filter.op == "eq":
+            return v < lo or v > hi
+        if filter.op == "gt":
+            return hi <= v
+        if filter.op == "gte":
+            return hi < v
+        if filter.op == "lt":
+            return lo >= v
+        if filter.op == "lte":
+            return lo > v
+        if filter.op == "in":
+            return all(x < lo or x > hi for x in v)
+    except TypeError:
+        return False  # incomparable types → keep
+    return False  # ne / contains: range stats can't prove absence
+
+
+def prune_segments(segments: list[SegmentMeta], fs: FilterSet) -> list[SegmentMeta]:
+    """Drop segments where any ANDed filter is provably unsatisfiable."""
+    out = []
+    for seg in segments:
+        if any(_can_prune(f, seg.stats, seg.rows) for f in fs.filters):
+            continue
+        out.append(seg)
+    return out

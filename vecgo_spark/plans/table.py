@@ -1,0 +1,351 @@
+"""VectorTable — the engine's collection abstraction over parquet segments
++ versioned manifests.
+
+Reference lifecycle mapping (SURVEY §2.1, §3.3):
+  create/open        Open(Local(path)) / Create(dim, metric)   vecgo.go:80-86,199-204
+  insert(df)         BatchInsertDeferred (columnar append, no graph build —
+                     the ~1000x-faster bulk path, engine.go:1036-1185);
+                     data staged as parquet, unreferenced until commit
+  commit()           Commit: stats collection + atomic manifest publish
+                     (engine.go:1700-1974); nothing durable before this
+  delete(ids)        tombstone file + MVCC-style anti-join at read
+                     (engine.go:1186-1302, tombstone.go)
+  upsert             same-id re-insert wins by LSN; read-side dedup via
+                     row_number (engine.go:993-1005)
+  scan/df()          snapshot read: manifest files → anti-join tombstones
+                     → latest-LSN dedup (engine.go:1378-1481)
+  open(version=…)    time travel WithVersion/WithTimestamp (vecgo.go:422-448)
+  compact()          merge segments, drop tombstones, re-stats, publish
+                     (internal/engine/compaction.go)
+  vacuum()           retention GC of manifests + orphan files
+                     (engine.go:1979-2123)
+
+Scale posture: the driver-side state is O(#segments) manifest JSON; reads
+are parquet scans with manifest-stats file pruning (plans/pruning.py) on
+top of Catalyst's row-group pruning; the upsert-dedup window only runs
+when the manifest says duplicate ids are possible.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vecgo_spark.filters import FilterSet, to_condition
+from vecgo_spark.operators import knn
+from vecgo_spark.plans.manifest import (
+    Manifest,
+    SegmentMeta,
+    list_versions,
+    load_manifest,
+    manifest_path,
+    save_manifest,
+)
+from vecgo_spark.plans.pruning import collect_stats, prune_segments
+
+SEG_DIR = "_segments"
+TOMB_DIR = "_tombstones"
+
+
+class VectorTable:
+    """A versioned vector collection. One instance == one pinned snapshot
+    plus (for the latest version) write ability."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: Manifest, writable: bool = True):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self.writable = writable
+        self._pending: list[SegmentMeta] = []
+        self._pending_tombs: list[str] = []
+
+    # ------------------------------------------------------------ lifecycle
+
+    @staticmethod
+    def create(
+        spark: SparkSession, path: str, dim: int | None = None,
+        metric: str = "l2", id_col: str = "id", vector_col: str = "vector",
+    ) -> "VectorTable":
+        if metric not in knn.METRICS:
+            raise ValueError(f"unknown metric {metric!r}")
+        if list_versions(path):
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(path, exist_ok=True)
+        m = Manifest(
+            version=1, lsn=0, next_id=1, created_at=time.time(),
+            meta={"dim": dim, "metric": metric, "id_col": id_col,
+                  "vector_col": vector_col, "has_upserts": False},
+        )
+        save_manifest(path, m)
+        return VectorTable(spark, path, m)
+
+    @staticmethod
+    def open(
+        spark: SparkSession, path: str, version: int | None = None,
+        timestamp: float | None = None,
+    ) -> "VectorTable":
+        m = load_manifest(path, version=version, timestamp=timestamp)
+        pinned = version is not None or timestamp is not None
+        return VectorTable(spark, path, m, writable=not pinned)
+
+    @property
+    def metric(self) -> str:
+        return self.manifest.meta["metric"]
+
+    @property
+    def id_col(self) -> str:
+        return self.manifest.meta["id_col"]
+
+    @property
+    def vector_col(self) -> str:
+        return self.manifest.meta["vector_col"]
+
+    def versions(self) -> list[int]:
+        return list_versions(self.path)
+
+    # --------------------------------------------------------------- write
+
+    def _check_writable(self):
+        if not self.writable:
+            raise RuntimeError("table opened at a pinned version is read-only")
+
+    def insert(self, df: DataFrame, assign_ids: bool = False) -> None:
+        """Stage a batch (deferred bulk load). Data is written now but is
+        invisible to readers until commit() publishes the manifest.
+
+        assign_ids=True adds an auto-increment id column (the reference's
+        nextID counter, engine.go:866) — computed distributed via
+        per-partition offsets, no global window.
+        """
+        self._check_writable()
+        dim = self.manifest.meta.get("dim")
+        lsn = self.manifest.lsn + len(self._pending) + 1
+        if not assign_ids and self.id_col not in df.columns:
+            raise ValueError(f"missing id column {self.id_col!r}; use assign_ids=True")
+        if dim is not None and self.vector_col in df.columns:
+            bad = df.where(F.size(F.col(self.vector_col)) != dim).limit(1).count()
+            if bad:
+                raise ValueError(f"vector dimension mismatch (expected {dim})")
+        if assign_ids:
+            df = self._assign_ids(df)
+        else:
+            # explicit ids may collide with existing rows → upsert semantics
+            self.manifest.meta["has_upserts"] = True
+        df = df.withColumn("_lsn", F.lit(lsn).cast("long"))
+        name = f"seg-{lsn:08d}-{uuid.uuid4().hex[:8]}"
+        rel = os.path.join(SEG_DIR, name)
+        full = os.path.join(self.path, rel)
+        df.write.mode("error").parquet(full)
+        written = self.spark.read.parquet(full)
+        rows = written.count()
+        stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(full) for f in fs
+        )
+        self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
+
+    def _assign_ids(self, df: DataFrame) -> DataFrame:
+        start = self.manifest.next_id
+        # materialize the partition id BEFORE any shuffle: the window below
+        # repartitions, after which spark_partition_id() would return the
+        # post-shuffle id and the offset lookup would miss
+        df = df.withColumn("_pid", F.spark_partition_id())
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in df.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        self.manifest.next_id = start + acc
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+        return df.withColumn(
+            self.id_col,
+            (F.lit(start) + omap[F.col("_pid")] + F.row_number().over(w) - F.lit(1)).cast("long"),
+        ).drop("_pid")
+
+    def delete(self, ids: Sequence[int]) -> None:
+        """Tombstone ids (idempotent; BatchDelete engine.go:1186-1302)."""
+        self._check_writable()
+        lsn = self.manifest.lsn + len(self._pending) + 1
+        name = f"tomb-{lsn:08d}-{uuid.uuid4().hex[:8]}"
+        rel = os.path.join(TOMB_DIR, name)
+        df = self.spark.createDataFrame(
+            [(int(i), lsn) for i in ids], f"{self.id_col} long, _lsn long"
+        )
+        df.write.mode("error").parquet(os.path.join(self.path, rel))
+        self._pending_tombs.append(rel)
+
+    def delete_where(self, filter: FilterSet | str) -> int:
+        """Delete by predicate: resolve matching ids, tombstone them."""
+        ids = [r[0] for r in self.df().where(to_condition(filter)).select(self.id_col).collect()]
+        if ids:
+            self.delete(ids)
+        return len(ids)
+
+    def commit(self) -> int:
+        """Publish staged segments/tombstones as version N+1 (atomic)."""
+        self._check_writable()
+        if not self._pending and not self._pending_tombs:
+            return self.manifest.version
+        m = self.manifest
+        new = Manifest(
+            version=m.version + 1,
+            lsn=m.lsn + len(self._pending) + len(self._pending_tombs),
+            next_id=m.next_id,
+            created_at=time.time(),
+            segments=m.segments + self._pending,
+            tombstone_files=m.tombstone_files + self._pending_tombs,
+            meta=dict(m.meta),
+        )
+        save_manifest(self.path, new)
+        self.manifest = new
+        self._pending, self._pending_tombs = [], []
+        return new.version
+
+    # --------------------------------------------------------------- read
+
+    def _segment_df(self, segments: list[SegmentMeta]) -> DataFrame | None:
+        if not segments:
+            return None
+        files = [os.path.join(self.path, s.path) for s in segments]
+        return self.spark.read.parquet(*files)
+
+    def _tombstones(self) -> DataFrame | None:
+        if not self.manifest.tombstone_files:
+            return None
+        files = [os.path.join(self.path, t) for t in self.manifest.tombstone_files]
+        return self.spark.read.parquet(*files)
+
+    def df(self, filter: FilterSet | str | None = None) -> DataFrame:
+        """The live snapshot as a DataFrame: manifest file list (pruned by
+        stats when a FilterSet is given) → tombstone anti-join →
+        latest-LSN upsert dedup (only if duplicates are possible)."""
+        segs = self.manifest.segments
+        if isinstance(filter, FilterSet):
+            segs = prune_segments(segs, filter)
+        base = self._segment_df(segs)
+        if base is None:
+            return self.spark.createDataFrame([], self._empty_schema())
+        tomb = self._tombstones()
+        if tomb is not None:
+            base = base.join(
+                F.broadcast(tomb.select(self.id_col).distinct()), self.id_col, "left_anti"
+            )
+        if self.manifest.meta.get("has_upserts"):
+            w = Window.partitionBy(self.id_col).orderBy(F.col("_lsn").desc())
+            base = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        cond = to_condition(filter)
+        if cond is not None:
+            base = base.where(cond)
+        return base.drop("_lsn")
+
+    def _empty_schema(self):
+        from pyspark.sql.types import LongType, StructField, StructType
+        return StructType([StructField(self.id_col, LongType())])
+
+    def scan(self, filter: FilterSet | str | None = None) -> DataFrame:
+        return self.df(filter)
+
+    def get(self, record_id: int) -> DataFrame:
+        return self.df().where(F.col(self.id_col) == F.lit(int(record_id)))
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def search(self, query: Sequence[float], k: int = 10, filter=None, **kw) -> DataFrame:
+        return knn.search(self.df(), query, k=k, metric=self.metric, filter=filter,
+                          id_col=self.id_col, vector_col=self.vector_col, **kw)
+
+    # --------------------------------------------------------- maintenance
+
+    def compact(self, target_segments: int = 1) -> int:
+        """Rewrite the live snapshot into target_segments sorted segments,
+        dropping tombstoned/stale rows; publish as a new version
+        (compaction.go:29-422 semantics — merge live rows, re-stats)."""
+        self._check_writable()
+        live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
+        lsn = self.manifest.lsn + 1
+        name = f"seg-{lsn:08d}-compact-{uuid.uuid4().hex[:8]}"
+        rel = os.path.join(SEG_DIR, name)
+        full = os.path.join(self.path, rel)
+        (
+            live.repartitionByRange(target_segments, F.col(self.id_col))
+            .sortWithinPartitions(self.id_col)
+            .write.mode("error").parquet(full)
+        )
+        written = self.spark.read.parquet(full)
+        rows = written.count()
+        stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(full) for f in fs
+        )
+        meta = dict(self.manifest.meta)
+        meta["has_upserts"] = False  # dedup materialized
+        new = Manifest(
+            version=self.manifest.version + 1, lsn=lsn,
+            next_id=self.manifest.next_id, created_at=time.time(),
+            segments=[SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats)],
+            tombstone_files=[], meta=meta,
+        )
+        save_manifest(self.path, new)
+        self.manifest = new
+        return new.version
+
+    def vacuum(self, keep_versions: int = 2, keep_duration: float | None = None) -> dict:
+        """GC old manifests + files unreferenced by the kept versions
+        (RetentionPolicy{KeepVersions, KeepDuration}, engine.go:39-52)."""
+        self._check_writable()
+        versions = self.versions()
+        keep = set(versions[-keep_versions:]) if keep_versions else set(versions)
+        if keep_duration is not None:
+            cutoff = time.time() - keep_duration
+            for v in versions:
+                if load_manifest(self.path, version=v).created_at >= cutoff:
+                    keep.add(v)
+        keep.add(self.manifest.version)
+        referenced: set[str] = set()
+        for v in keep:
+            m = load_manifest(self.path, version=v)
+            referenced.update(s.path for s in m.segments)
+            referenced.update(m.tombstone_files)
+        removed_manifests = []
+        for v in versions:
+            if v not in keep:
+                os.remove(manifest_path(self.path, v))
+                removed_manifests.append(v)
+        removed_files = []
+        for sub in (SEG_DIR, TOMB_DIR):
+            root = os.path.join(self.path, sub)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                rel = os.path.join(sub, name)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                    removed_files.append(rel)
+        return {"removed_manifests": removed_manifests, "removed_files": removed_files}
+
+    def stats(self) -> dict:
+        """Engine stats (engine.go:2124-2171): O(#segments), no data scan."""
+        m = self.manifest
+        return {
+            "version": m.version,
+            "lsn": m.lsn,
+            "segments": len(m.segments),
+            "rows_upper_bound": sum(s.rows for s in m.segments),
+            "bytes": sum(s.bytes for s in m.segments),
+            "tombstone_files": len(m.tombstone_files),
+            "has_upserts": m.meta.get("has_upserts", False),
+        }
