@@ -21,9 +21,15 @@ from pyspark.sql.window import Window
 
 from vecgo_spark.filters import FilterSet
 from vecgo_spark.functions import text as textfn
-from vecgo_spark.operators import bm25, dedup, hybrid, knn
+from vecgo_spark.functions import vector as vfn
+from vecgo_spark.operators import bm25, dedup, hybrid, ivf, knn
 from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
+from vecgo_spark.quantization import binary as bqz
+from vecgo_spark.quantization import pq as pqz
+from vecgo_spark.quantization import scalar as sqz
 from vecgo_spark.sources.registry import load_table
+
+EMB_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
 
 QUERY_VEC_ID = 0  # the query vector is embeddings[vec_id=0], fetched at runtime
 QUERY_TEXT = "spark join window merge"  # vocabulary words (documents table)
@@ -188,6 +194,105 @@ def _upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized scan: train per-dim bounds (one distributed agg),
+    encode to uint8 codes, rank by asymmetric decoded-L2
+    (quantizer.go:26-160)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    params = sqz.train_scalar(emb, "embedding", levels=255)
+    scored = emb.select(
+        "vec_id",
+        sqz.adc_sq_l2(params, q, sqz.encode(params, "embedding")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").asc(), F.col("vec_id").asc()).limit(10)
+
+
+def _knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two-stage quantized search: SQ8 ADC coarse top-40
+    → exact squared-L2 rerank → top-10 (WithRefineFactor vecgo.go:239-241,
+    rerank pass search.go:913-965)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    params = sqz.train_scalar(emb, "embedding", levels=255)
+    coarse = (
+        emb.select("vec_id", sqz.adc_sq_l2(params, q, sqz.encode(params, "embedding")).alias("score"))
+        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        .limit(40)
+    )
+    return knn.rerank(coarse, emb, q, k=10, metric="l2", id_col="vec_id", vector_col="embedding")
+
+
+def _knn_int4_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT4 (4-bit) quantized scan (int4.go:11-120)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    params = sqz.train_scalar(emb, "embedding", levels=15)
+    scored = emb.select(
+        "vec_id",
+        sqz.adc_sq_l2(params, q, sqz.encode(params, "embedding")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").asc(), F.col("vec_id").asc()).limit(10)
+
+
+def _knn_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization: sign bits packed 32/word, Hamming ranking
+    (binary.go:11-130; popcount-of-xor distance/distance.go:36-38)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    q_words = F.array(*[F.lit(w).cast("bigint") for w in bqz.pack_bits_py(q)])
+    scored = emb.select(
+        "vec_id",
+        bqz.hamming_words(bqz.pack_bits("embedding", EMB_DIM), q_words).alias("score"),
+    )
+    return scored.orderBy(F.col("score").asc(), F.col("vec_id").asc()).limit(10)
+
+
+def _knn_rabitq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RaBitQ: sign bits + stored norm; L2² estimated via
+    (||x||·||y||/D)(D−2H) (rabitq.go:13-28)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    q_words = F.array(*[F.lit(w).cast("bigint") for w in bqz.pack_bits_py(q)])
+    h = bqz.hamming_words(bqz.pack_bits("embedding", EMB_DIM), q_words)
+    q_norm = vfn.l2_norm(F.array(*[F.lit(float(x)) for x in q]))
+    scored = emb.select(
+        "vec_id",
+        bqz.rabitq_l2_estimate(h, vfn.l2_norm("embedding"), q_norm, EMB_DIM).alias("score"),
+    )
+    return scored.orderBy(F.col("score").asc(), F.col("vec_id").asc()).limit(10)
+
+
+def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ: 8 sub-codebooks × 256 centroids, ADC table scoring + exact
+    rerank (pq.go:20-500). KMeans codebooks are not SQL-expressible →
+    rows-only driver check; the recall floor (≥0.80) is asserted in
+    tests/test_quantization.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    pq = pqz.train_pq(emb, "embedding", m=8, k=256, iters=8, max_train_rows=20_000)
+    enc = pqz.encode(pq, emb, "embedding")
+    coarse = (
+        enc.select("vec_id", pqz.adc_score(pq, q, "pq_codes").alias("score"))
+        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        .limit(110)
+    )
+    return knn.rerank(coarse, emb, q, k=10, metric="l2", id_col="vec_id", vector_col="embedding")
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: KMeans partitions + nprobe cluster pruning + exact scoring
+    (flat/segment.go:447-753). KMeans state not SQL-expressible →
+    rows-only check; full-probe==exact equivalence + recall floors are in
+    tests/test_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    model = ivf.train_ivf(emb, "embedding", nlist=8)
+    assigned = ivf.assign(emb, model, "embedding")
+    return ivf.search(assigned, model, q, k=10, nprobe=3,
+                      id_col="vec_id", vector_col="embedding")
+
+
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -238,6 +343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _hybrid_rrf,
         "tombstone_antijoin": _tombstone_antijoin,
         "upsert_latest_wins": _upsert_latest_wins,
+        "knn_sq8_adc": _knn_sq8_adc,
+        "knn_sq8_rerank": _knn_sq8_rerank,
+        "knn_int4_adc": _knn_int4_adc,
+        "knn_bq_hamming": _knn_bq_hamming,
+        "knn_rabitq": _knn_rabitq,
+        "knn_pq_adc": _knn_pq_adc,
+        "ann_ivf": _ann_ivf,
         "text_stats": _text_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -250,6 +362,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracle SQL
 
 _Q = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+
+
+def _scalar_quant_oracle(levels: int) -> str:
+    """Self-contained train+encode+ADC-score+top-k in DuckDB SQL, mirroring
+    sqz.train_scalar/encode/adc_sq_l2 with identical double op order."""
+    return f"""
+    WITH {sqz.params_cte_sql("embeddings", "embedding", EMB_DIM, levels)},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {sqz.adc_sq_l2_sql("e.embedding", "q.qv", EMB_DIM, levels)} AS score
+    FROM embeddings e, q, p
+    ORDER BY score ASC, e.vec_id ASC
+    LIMIT 10
+    """
 
 
 def _knn_oracle(score: str, order: str) -> str:
@@ -345,6 +471,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM merged
             )
             SELECT vec_id, label, lsn FROM ranked WHERE rn = 1
+        """,
+        "knn_sq8_adc": _scalar_quant_oracle(255),
+        "knn_int4_adc": _scalar_quant_oracle(15),
+        "knn_sq8_rerank": f"""
+            WITH {sqz.params_cte_sql("embeddings", "embedding", EMB_DIM, 255)},
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            coarse AS (
+                SELECT e.vec_id,
+                       {sqz.adc_sq_l2_sql("e.embedding", "q.qv", EMB_DIM, 255)} AS score
+                FROM embeddings e, q, p
+                ORDER BY score ASC, e.vec_id ASC
+                LIMIT 40
+            )
+            SELECT e.vec_id, {sq_l2_sql("e.embedding", "q.qv")} AS score
+            FROM embeddings e, q, coarse c
+            WHERE e.vec_id = c.vec_id
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "knn_bq_hamming": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   {bqz.hamming_words_sql(bqz.pack_bits_sql("e.embedding", EMB_DIM), bqz.pack_bits_sql("q.qv", EMB_DIM))} AS score
+            FROM embeddings e, q
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "knn_rabitq": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            base AS (
+                SELECT e.vec_id,
+                       {bqz.hamming_words_sql(bqz.pack_bits_sql("e.embedding", EMB_DIM), bqz.pack_bits_sql("q.qv", EMB_DIM))} AS h,
+                       sqrt({dot_sql("e.embedding", "e.embedding")}) AS na,
+                       sqrt({dot_sql("q.qv", "q.qv")}) AS nb
+                FROM embeddings e, q
+            )
+            SELECT vec_id, {bqz.rabitq_l2_estimate_sql("h", "na", "nb", EMB_DIM)} AS score
+            FROM base
+            ORDER BY score ASC, vec_id ASC
+            LIMIT 10
         """,
         "text_stats": f"""
             SELECT doc_id,

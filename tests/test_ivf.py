@@ -1,0 +1,80 @@
+"""IVF acceptance.
+
+Strategy-equivalence (the reference's filtering_equivalence_test.go
+pattern): a full-probe IVF search must return EXACTLY the brute-force
+result; partial probe must clear a recall floor; filtered searches widen
+the probe set and must stay consistent with exact filtered search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.filters import FilterSet
+from vecgo_spark.operators import ivf, knn
+
+N, DIM, K = 600, 32, 10
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, DIM)) * 5.0
+    x = np.concatenate([centers[i % 6] + rng.standard_normal(DIM) * 0.5 for i in range(N)]).reshape(N, DIM)
+    rows = [(i, x[i].astype(float).tolist(), int(i % 3)) for i in range(N)]
+    df = spark.createDataFrame(rows, "id BIGINT, vector ARRAY<DOUBLE>, label INT").cache()
+    df.count()
+    model = ivf.train_ivf(df, "vector", nlist=6)
+    assigned = ivf.assign(df, model, "vector").cache()
+    assigned.count()
+    return df, assigned, model, x
+
+
+def test_default_nlist_heuristic():
+    assert ivf.default_nlist(8192 * 4) == 4
+    assert ivf.default_nlist(100) == 2  # clamp (compaction.go:136-143)
+
+
+def test_fullprobe_equals_exact(clustered):
+    df, assigned, model, x = clustered
+    q = x[0].tolist()
+    exact = knn.search(df, q, k=K, metric="l2").collect()
+    got = ivf.search(assigned, model, q, k=K, nprobe=model.k).collect()
+    assert [(r["id"], r["score"]) for r in got] == [(r["id"], r["score"]) for r in exact]
+
+
+def test_partial_probe_recall(clustered):
+    df, assigned, model, x = clustered
+    recalls = []
+    for qi in range(15):
+        q = x[qi].tolist()
+        truth = {r["id"] for r in knn.search(df, q, k=K, metric="l2").collect()}
+        got = {r["id"] for r in ivf.search(assigned, model, q, k=K, nprobe=2).collect()}
+        recalls.append(len(got & truth) / K)
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_filtered_probe_boost(clustered):
+    df, assigned, model, x = clustered
+    q = x[3].tolist()
+    filt = FilterSet().eq("label", 1)
+    exact = {r["id"] for r in knn.search(df, q, k=K, metric="l2", filter=filt).collect()}
+    got = {r["id"] for r in ivf.search(assigned, model, q, k=K, nprobe=2, filter=filt).collect()}
+    assert len(got & exact) / K >= 0.9
+    labels = {
+        r["label"]
+        for r in ivf.search(assigned, model, q, k=K, nprobe=model.k, filter=filt)
+        .join(df.select("id", "label"), "id")
+        .collect()
+    }
+    assert labels == {1}
+
+
+def test_assignment_is_argmin(clustered):
+    df, assigned, model, x = clustered
+    got = {r["id"]: r["cluster_id"] for r in assigned.select("id", "cluster_id").collect()}
+    d2 = ((x[:, None, :] - model.centroids[None, :, :]) ** 2).sum(axis=2)
+    expect = d2.argmin(axis=1)
+    mismatch = sum(1 for i in range(N) if got[i] != expect[i])
+    assert mismatch == 0

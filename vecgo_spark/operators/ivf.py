@@ -1,0 +1,127 @@
+"""IVF (inverted-file) approximate nearest neighbor — the scale path.
+
+Reference: flat segments optionally carry k-means partitions; search probes
+the NProbes nearest centroids instead of scanning everything
+(/root/reference/internal/segment/flat/segment.go:447-753, probe selection
+at 727-745; k = rows/8192 heuristic internal/engine/compaction.go:136-143;
+WithNProbes internal/engine/options.go:30-35).
+
+Spark design:
+  * TRAIN with MLlib KMeans (distributed — survives 100 TB; the model is
+    k×d doubles on the driver).
+  * ASSIGN with a pure Column expression: argmin over the centroid literal
+    array (k·d fused multiply-adds per row inside codegen — no UDT
+    round-trip, no Python). Materialize `cluster_id` once, ideally
+    partitionBy(cluster_id) at rest so probing prunes parquet files.
+  * SEARCH: nearest-nprobe centroids picked driver-side (numpy over k×d),
+    then `WHERE cluster_id IN probes` — partition pruning — and the exact
+    top-k machinery from operators.knn on the survivors.
+  * Filtered queries probe MORE clusters (boost), replacing the
+    reference's 0.30 selectivity-cutoff pre/post-filter switch
+    (internal/engine/search.go:295-302) — in an exact-scoring engine a
+    filter only *shrinks* candidates, so recall protection = wider probe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vecgo_spark.filters import FilterSet
+from vecgo_spark.operators import knn
+
+
+@dataclass
+class IVFModel:
+    centroids: np.ndarray  # k × d (float64)
+    metric: str = "l2"
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[0]
+
+
+def default_nlist(n_rows: int) -> int:
+    """k = rows/8192, min 2 (compaction.go:136-143)."""
+    return max(2, n_rows // 8192)
+
+
+def train_ivf(
+    df: DataFrame,
+    vector_col: str = "vector",
+    nlist: int | None = None,
+    metric: str = "l2",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFModel:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if nlist is None:
+        nlist = default_nlist(df.count())
+    feats = df.select(array_to_vector(F.col(vector_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return IVFModel(centroids=np.array(model.clusterCenters(), dtype=np.float64), metric=metric)
+
+
+def assign_expr(model: IVFModel, vector_col: Column | str) -> Column:
+    """cluster_id = argmin_c ||v - centroid_c||² as a native expression.
+
+    Ties break to the lowest cluster id (array_position finds the first
+    match) — deterministic, mirroring the reference's sequential argmin.
+    """
+    v = (F.col(vector_col) if isinstance(vector_col, str) else vector_col).cast("array<double>")
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def assign(df: DataFrame, model: IVFModel, vector_col: str = "vector",
+           cluster_col: str = "cluster_id") -> DataFrame:
+    return df.withColumn(cluster_col, assign_expr(model, vector_col))
+
+
+def probe_clusters(model: IVFModel, query: Sequence[float], nprobe: int) -> list[int]:
+    """nprobe nearest centroids to the query (driver-side numpy; the probe
+    list is O(k) — flat/segment.go:727-745). Ordered nearest-first, the
+    reference's early-termination segment ordering (stats.go:643-677)."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((model.centroids - q[None, :]) ** 2).sum(axis=1)
+    order = np.argsort(d2, kind="stable")
+    return [int(c) for c in order[: max(1, nprobe)]]
+
+
+def search(
+    df_assigned: DataFrame,
+    model: IVFModel,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 1,
+    filter: FilterSet | None = None,
+    filtered_probe_boost: int = 2,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Probe-then-exact-score top-k. With a filter the probe set widens by
+    `filtered_probe_boost` to protect recall (replaces search.go:295-302)."""
+    effective = nprobe * (filtered_probe_boost if filter is not None else 1)
+    probes = probe_clusters(model, query, effective)
+    pruned = df_assigned.where(F.col(cluster_col).isin(probes))
+    return knn.search(
+        pruned, list(query), k=k, metric=model.metric, filter=filter,
+        id_col=id_col, vector_col=vector_col,
+    )
