@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from vecgo_spark.filters import FilterSet
 from vecgo_spark.functions import text as textfn
 from vecgo_spark.functions import vector as vfn
-from vecgo_spark.operators import bm25, dedup, hybrid, ivf, knn
+from vecgo_spark.operators import bm25, dedup, hybrid, ivf, knn, stats
 from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
 from vecgo_spark.quantization import binary as bqz
 from vecgo_spark.quantization import pq as pqz
@@ -293,6 +293,53 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       id_col="vec_id", vector_col="embedding")
 
 
+def _stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-stats collection, numeric side (StatsCollector,
+    stats_collector.go:110-445): 4 pseudo-segments of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn("seg", F.col("l_orderkey") % 4)
+    return stats.numeric_profile(li, "seg", "l_extendedprice", cents=True)
+
+
+def _stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin per-bin-min/max histogram (stats_collector.go:446-529;
+    linear scale for cross-engine exactness — log variant is pytest-checked)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn("seg", F.col("l_orderkey") % 4)
+    return stats.histogram(li, "seg", "l_extendedprice", bins=16, scale="linear")
+
+
+def _stats_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical profile: ndv, dominant value/ratio, Shannon entropy
+    (stats_collector.go:288-553) over events.event_type."""
+    ev = load_table(spark, sf_dir, "events").withColumn("seg", F.col("user_id") % 4)
+    return stats.categorical_profile(ev, "seg", "event_type")
+
+
+def _stats_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector stats: per-segment centroid + norm stats
+    (stats_collector.go:554-614). Float means are order-dependent →
+    rows-only driver check; numpy parity in tests/test_stats.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("seg", F.col("vec_id") % 4)
+    prof = stats.vector_profile(emb, "seg", "embedding")
+    return prof.select("seg", "row_count", "mean_norm", "max_norm", F.size("centroid").alias("dim"))
+
+
+def _events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (Structured Streaming's
+    windowed-agg shape run in batch; reference has no event-time layer —
+    SURVEY §2.10 marks this beyond-reference)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+        .orderBy("ws", "event_type")
+    )
+
+
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -350,6 +397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rabitq": _knn_rabitq,
         "knn_pq_adc": _knn_pq_adc,
         "ann_ivf": _ann_ivf,
+        "stats_numeric_profile": _stats_numeric,
+        "stats_histogram": _stats_histogram,
+        "stats_categorical_profile": _stats_categorical,
+        "stats_vector_profile": _stats_vector,
+        "events_tumbling_1h": _events_tumbling_1h,
         "text_stats": _text_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -511,6 +563,20 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             ORDER BY score ASC, vec_id ASC
             LIMIT 10
+        """,
+        "stats_numeric_profile": stats.numeric_profile_sql(
+            "lineitem", "l_orderkey % 4", "l_extendedprice", cents=True),
+        "stats_histogram": stats.histogram_sql(
+            "lineitem", "l_orderkey % 4", "l_extendedprice", bins=16),
+        "stats_categorical_profile": stats.categorical_profile_sql(
+            "events", "user_id % 4", "event_type"),
+        "events_tumbling_1h": """
+            SELECT date_trunc('hour', ts) AS ws, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+            FROM events
+            GROUP BY ws, event_type
+            ORDER BY ws, event_type
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -1,0 +1,85 @@
+"""Stats collector parity checks that are not SQL-oracle-expressible:
+log-scale histogram (reference scale, stats_collector.go:446-529) and
+vector centroid/norm profile (stats_collector.go:554-614) vs numpy."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.operators import stats
+
+
+@pytest.fixture(scope="module")
+def seg_df(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, int(i % 3), float(rng.uniform(0, 1000)), rng.standard_normal(8).tolist())
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, seg INT, x DOUBLE, vector ARRAY<DOUBLE>").cache()
+    df.count()
+    return df, rows
+
+
+def test_log_histogram_matches_numpy(seg_df):
+    df, rows = seg_df
+    got = stats.histogram(df, "seg", "x", bins=16, scale="log").collect()
+    by_seg: dict[int, list[float]] = {}
+    for _, seg, x, _v in rows:
+        by_seg.setdefault(seg, []).append(x)
+    expect: dict[tuple[int, int], int] = {}
+    for seg, xs in by_seg.items():
+        lo, hi = min(xs), max(xs)
+        for x in xs:
+            pos = math.log(x - lo + 1.0) / math.log(hi - lo + 1.0)
+            b = min(15, max(0, int(math.floor(pos * 16.0))))
+            expect[(seg, b)] = expect.get((seg, b), 0) + 1
+    got_counts = {(r["seg"], r["bin"]): r["bin_count"] for r in got}
+    assert got_counts == expect
+
+
+def test_histogram_bin_minmax_within_bounds(seg_df):
+    df, _ = seg_df
+    for r in stats.histogram(df, "seg", "x", bins=16).collect():
+        assert r["bin_min"] <= r["bin_max"]
+        assert r["bin_count"] > 0
+
+
+def test_vector_profile_matches_numpy(seg_df):
+    df, rows = seg_df
+    got = {r["seg"]: r for r in stats.vector_profile(df, "seg", "vector").collect()}
+    for seg in (0, 1, 2):
+        vs = np.array([v for _, s, _, v in rows if s == seg])
+        np.testing.assert_allclose(got[seg]["centroid"], vs.mean(axis=0), rtol=1e-9)
+        norms = np.linalg.norm(vs, axis=1)
+        assert got[seg]["row_count"] == len(vs)
+        np.testing.assert_allclose(got[seg]["mean_norm"], norms.mean(), rtol=1e-9)
+        np.testing.assert_allclose(got[seg]["max_norm"], norms.max(), rtol=1e-12)
+
+
+def test_numeric_profile_values(seg_df):
+    df, rows = seg_df
+    got = {r["seg"]: r for r in stats.numeric_profile(df, "seg", "x").collect()}
+    for seg in (0, 1, 2):
+        xs = [x for _, s, x, _ in rows if s == seg]
+        assert got[seg]["row_count"] == len(xs)
+        assert got[seg]["min"] == min(xs)
+        assert got[seg]["max"] == max(xs)
+        np.testing.assert_allclose(got[seg]["mean"], float(np.mean(xs)), rtol=1e-12)
+
+
+def test_categorical_entropy_value(spark):
+    df = spark.createDataFrame(
+        [(0, "a")] * 50 + [(0, "b")] * 30 + [(0, "c")] * 20,
+        "seg INT, val STRING",
+    )
+    r = stats.categorical_profile(df, "seg", "val").first()
+    expect = -(0.5 * math.log(0.5) + 0.3 * math.log(0.3) + 0.2 * math.log(0.2))
+    assert abs(r["entropy"] - expect) < 1e-12
+    assert r["dominant_value"] == "a"
+    assert abs(r["dominant_ratio"] - 0.5) < 1e-12
+    assert r["n_distinct"] == 3

@@ -1,0 +1,129 @@
+"""Streaming: micro-batch ingest into VectorTable (each batch → one L0
+segment + manifest version, the memtable-flush analog engine.go:904-918)
+and event-time window helpers (batch/stream parity)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.plans.table import VectorTable
+from vecgo_spark.sources.registry import load_table
+from vecgo_spark.streaming import ingest_stream, session_agg, sliding_counts, tumbling_agg
+
+
+@pytest.fixture()
+def tmp_table_dir(tmp_path):
+    d = str(tmp_path / "tbl")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ingest_microbatches(spark, tmp_path, tmp_table_dir):
+    """Two source files → availableNow stream → table holds all rows,
+    version advanced, data searchable after the stream commits."""
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    rows1 = [(float(i), [float(i), 0.0]) for i in range(50)]
+    rows2 = [(float(i + 50), [0.0, float(i)]) for i in range(30)]
+    schema = "payload DOUBLE, vector ARRAY<DOUBLE>"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src_dir + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src_dir + "/b2")
+
+    table = VectorTable.create(spark, tmp_table_dir, dim=2, metric="l2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*/")
+    )
+    q = ingest_stream(stream, table, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert table.count() == 80
+    assert table.manifest.version > 1
+    assert len(table.manifest.segments) >= 1
+    top = table.search([1.0, 0.0], k=1).first()
+    assert top is not None
+
+    # restart with a new file → only the new rows are ingested (checkpoint)
+    spark.createDataFrame([(999.0, [9.0, 9.0])], schema).coalesce(1).write.parquet(src_dir + "/b3")
+    q2 = ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir + "/*/"),
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert table.count() == 81
+
+
+def test_stream_ingest_auto_compact(spark, tmp_path, tmp_table_dir):
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    schema = "payload DOUBLE, vector ARRAY<DOUBLE>"
+    for b in range(4):
+        spark.createDataFrame(
+            [(float(b * 10 + i), [float(b), float(i)]) for i in range(10)], schema
+        ).coalesce(1).write.parquet(f"{src_dir}/b{b}")
+    table = VectorTable.create(spark, tmp_table_dir, dim=2, metric="l2")
+    q = ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir + "/*/"),
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_at_segments=2,
+    )
+    q.awaitTermination(180)
+    assert table.count() == 40
+    assert len(table.manifest.segments) <= 3  # compaction kept it bounded
+
+
+def test_tumbling_agg_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The same tumbling query over events as a STREAM (availableNow +
+    watermark) and as a batch must agree — batch/stream parity."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    batch = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in tumbling_agg(ev, "ts", "1 hour", ["event_type"], aggs).collect()
+    }
+
+    src = str(tmp_path / "evsrc")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "2").parquet(src)
+    out = tumbling_agg(stream, "ts", "1 hour", ["event_type"], aggs, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    # append-mode only emits windows the watermark has closed; every emitted
+    # window must match batch exactly, and most windows must have closed
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert batch[k] == v
+    assert len(got) >= len(batch) * 0.8
+
+
+def test_sliding_and_session_windows_batch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    slid = sliding_counts(ev, "ts", "2 hours", "1 hour", ["event_type"])
+    total_rows = ev.count()
+    # every row lands in exactly duration/slide = 2 windows
+    assert slid.agg(F.sum("n")).first()[0] == 2 * total_rows
+    sess = session_agg(
+        ev, "ts", "5 minutes", ["user_id"], [F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")]
+    )
+    r = sess.agg(F.sum("n")).first()
+    assert r[0] == total_rows  # sessions partition the rows
+    one = sess.first()
+    assert one["we"] >= one["ws"]

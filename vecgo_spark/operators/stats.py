@@ -1,0 +1,242 @@
+"""Segment statistics collection — the reference's StatsCollector
+(/root/reference/internal/manifest/stats_collector.go:20-615; struct
+internal/manifest/stats.go:19-224): per-segment row counts, per-field
+numeric min/max/sum/count + 16-bin histogram, categorical distinct-count /
+top-k frequencies / dominant value+ratio / Shannon entropy, vector
+centroid + norm statistics. These stats drive manifest segment pruning
+(vecgo_spark.plans.pruning) and selectivity estimation.
+
+Spark design: each profile is ONE groupBy(segment).agg pass (map-side
+partial aggregation; result is O(#segments × #fields) — manifest-sized,
+never row-sized, which is what keeps it viable at 100 TB).
+
+Determinism notes (oracle parity):
+  * counts / min / max / distinct are order-independent → exact.
+  * money sums go through integer cents (exact, associative).
+  * entropy folds over the VALUE-SORTED (value,count) list sequentially —
+    same order in Spark and DuckDB → bit-exact doubles.
+  * histogram bins: `linear` mode uses only +,-,*,/ (IEEE-identical across
+    engines → oracle-exact); `log` mode (the reference's scale,
+    stats_collector.go:446-529) uses ln() whose last-ulp may differ between
+    libm implementations → verified in pytest against numpy instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ------------------------------------------------------------- numeric
+
+def numeric_profile(
+    df: DataFrame, seg_col: str, col: str, cents: bool = False
+) -> DataFrame:
+    """count / nulls / min / max / sum / mean per segment
+    (FieldStats numeric side, stats.go:19-120). With cents=True the sum
+    accumulates integer cents (exact for 2-decimal money columns)."""
+    x = F.col(col)
+    if cents:
+        s = F.sum(F.round(x * 100).cast("long"))
+        sum_expr = (s.cast("double") / F.lit(100.0)).alias("sum")
+        mean_expr = (s.cast("double") / F.lit(100.0) / F.count(x).cast("double")).alias("mean")
+    else:
+        sum_expr = F.sum(x).alias("sum")
+        mean_expr = F.avg(x).alias("mean")
+    return (
+        df.groupBy(seg_col)
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.when(x.isNull(), 1).otherwise(0)).cast("long").alias("null_count"),
+            F.min(x).alias("min"),
+            F.max(x).alias("max"),
+            sum_expr,
+            mean_expr,
+        )
+        .orderBy(seg_col)
+    )
+
+
+def numeric_profile_sql(table: str, seg_expr: str, col: str, cents: bool = False) -> str:
+    if cents:
+        s = f"SUM(CAST(round({col} * 100) AS BIGINT))"
+        sum_sql = f"CAST({s} AS DOUBLE) / 100.0 AS sum"
+        mean_sql = f"CAST({s} AS DOUBLE) / 100.0 / CAST(COUNT({col}) AS DOUBLE) AS mean"
+    else:
+        sum_sql = f"SUM({col}) AS sum"
+        mean_sql = f"AVG({col}) AS mean"
+    return f"""
+        SELECT {seg_expr} AS seg,
+               COUNT(*) AS row_count,
+               CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+               MIN({col}) AS min, MAX({col}) AS max,
+               {sum_sql}, {mean_sql}
+        FROM {table}
+        GROUP BY seg
+        ORDER BY seg
+    """
+
+
+# ------------------------------------------------------------ histogram
+
+def histogram(
+    df: DataFrame, seg_col: str, col: str, bins: int = 16, scale: str = "linear"
+) -> DataFrame:
+    """Per-(segment, bin): count + bin min/max (the reference's 16-bin
+    per-bin-min/max histogram, stats_collector.go:446-529; reference uses
+    log scale, `linear` provided for oracle-exact comparison).
+
+    Bin bounds come from the segment's own min/max (one window pass, no
+    second scan)."""
+    x = F.col(col).cast("double")
+    w = Window.partitionBy(seg_col)
+    lo, hi = F.min(x).over(w), F.max(x).over(w)
+    span = hi - lo
+    if scale == "log":
+        pos = F.ln(x - lo + F.lit(1.0)) / F.ln(span + F.lit(1.0))
+    else:
+        pos = (x - lo) / span
+    raw = F.floor(pos * F.lit(float(bins)))
+    bin_idx = (
+        F.when(span == 0.0, F.lit(0))
+        .otherwise(F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw.cast("int"))))
+        .cast("int")
+    )
+    return (
+        df.where(x.isNotNull())
+        .withColumn("bin", bin_idx)
+        .groupBy(seg_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("bin_count"),
+            F.min(x).alias("bin_min"),
+            F.max(x).alias("bin_max"),
+        )
+        .orderBy(seg_col, "bin")
+    )
+
+
+def histogram_sql(table: str, seg_expr: str, col: str, bins: int = 16) -> str:
+    """Linear-scale DuckDB mirror (identical +,-,*,/ op order)."""
+    x = f"{col}::DOUBLE"
+    return f"""
+        WITH bounds AS (
+            SELECT {seg_expr} AS seg, {x} AS x,
+                   MIN({x}) OVER (PARTITION BY {seg_expr}) AS lo,
+                   MAX({x}) OVER (PARTITION BY {seg_expr}) AS hi
+            FROM {table}
+            WHERE {col} IS NOT NULL
+        ),
+        binned AS (
+            SELECT seg, x,
+                   CASE WHEN hi - lo = 0.0 THEN 0
+                        ELSE least({bins - 1}, greatest(0,
+                             CAST(floor((x - lo) / (hi - lo) * {float(bins)!r}) AS INT)))
+                   END AS bin
+            FROM bounds
+        )
+        SELECT seg, CAST(bin AS INT) AS bin,
+               COUNT(*) AS bin_count, MIN(x) AS bin_min, MAX(x) AS bin_max
+        FROM binned
+        GROUP BY seg, bin
+        ORDER BY seg, bin
+    """
+
+
+# ---------------------------------------------------------- categorical
+
+def categorical_profile(
+    df: DataFrame, seg_col: str, col: str
+) -> DataFrame:
+    """distinct count, dominant value + ratio, Shannon entropy per segment
+    (stats_collector.go:288-553: ndv, top-16 freq, dominant ratio,
+    entropy). Entropy folds the value-sorted (value,count) list
+    sequentially → bit-reproducible."""
+    x = F.col(col)
+    counts = (
+        df.where(x.isNotNull())
+        .groupBy(seg_col, col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vc = F.sort_array(F.collect_list(F.struct(F.col(col).alias("val"), F.col("cnt").alias("cnt"))))
+    per_seg = counts.groupBy(seg_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max_by(F.struct(F.col("cnt").alias("cnt"), F.col(col).alias("val")),
+                 F.struct(F.col("cnt"), F.col(col).cast("string"))).alias("dom"),
+        vc.alias("vc"),
+    )
+    n = F.col("n_rows").cast("double")
+    entropy = -F.aggregate(
+        F.col("vc"),
+        F.lit(0.0),
+        lambda acc, s: acc + (s["cnt"].cast("double") / n) * F.ln(s["cnt"].cast("double") / n),
+    )
+    return per_seg.select(
+        seg_col,
+        "n_distinct",
+        "n_rows",
+        F.col("dom")["val"].alias("dominant_value"),
+        (F.col("dom")["cnt"].cast("double") / n).alias("dominant_ratio"),
+        entropy.alias("entropy"),
+    ).orderBy(seg_col)
+
+
+def categorical_profile_sql(table: str, seg_expr: str, col: str) -> str:
+    """DuckDB mirror. Dominant = (max count, then max value) — matches the
+    Spark max_by struct ordering. Entropy: list ordered by value, same
+    sequential fold. NOTE ln() here is evaluated on p=cnt/n doubles whose
+    inputs are integer-exact, and the fold order is pinned — verified
+    bit-equal on the test tables."""
+    return f"""
+        WITH counts AS (
+            SELECT {seg_expr} AS seg, {col} AS val, COUNT(*) AS cnt
+            FROM {table}
+            WHERE {col} IS NOT NULL
+            GROUP BY seg, val
+        ),
+        per_seg AS (
+            SELECT seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   (MAX(ROW(cnt, val::VARCHAR, val)))[3] AS dominant_value,
+                   (MAX(ROW(cnt, val::VARCHAR, val)))[1] AS dom_cnt,
+                   list((val, cnt) ORDER BY val) AS vc
+            FROM counts
+            GROUP BY seg
+        )
+        SELECT seg, n_distinct, n_rows, dominant_value,
+               CAST(dom_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS dominant_ratio,
+               -list_sum(list_transform(vc, s ->
+                   (s[2]::DOUBLE / n_rows::DOUBLE) * ln(s[2]::DOUBLE / n_rows::DOUBLE)
+               )) AS entropy
+        FROM per_seg
+        ORDER BY seg
+    """
+
+
+# -------------------------------------------------------------- vector
+
+def vector_profile(df: DataFrame, seg_col: str, vector_col: str) -> DataFrame:
+    """Per-segment centroid + norm stats (stats_collector.go:554-614:
+    vector norms, centroid, radius). One posexplode + two-level agg;
+    output is O(#segments × dim). Float mean is order-dependent →
+    validated in pytest vs numpy (no SQL oracle)."""
+    from vecgo_spark.functions.vector import l2_norm
+
+    dims = (
+        df.select(seg_col, F.posexplode(F.col(vector_col).cast("array<double>")).alias("dim", "x"))
+        .groupBy(seg_col, "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy(seg_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(seg_col, F.transform("dc", lambda s: s["c"]).alias("centroid"))
+    )
+    norms = df.select(seg_col, l2_norm(vector_col).alias("nrm")).groupBy(seg_col).agg(
+        F.avg("nrm").alias("mean_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+    return norms.join(dims, seg_col).orderBy(seg_col)

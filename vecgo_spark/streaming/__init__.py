@@ -1,0 +1,6 @@
+from vecgo_spark.streaming.ingest import ingest_stream  # noqa: F401
+from vecgo_spark.streaming.windows import (  # noqa: F401
+    session_agg,
+    sliding_counts,
+    tumbling_agg,
+)
