@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vecgo_spark.filters import FilterSet
+from vecgo_spark.functions import hashing
 from vecgo_spark.functions import text as textfn
 from vecgo_spark.functions import vector as vfn
 from vecgo_spark.operators import bm25, dedup, hybrid, ivf, knn, stats
@@ -293,6 +294,20 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       id_col="vec_id", vector_col="embedding")
 
 
+def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query IVF via native probe-selection + equi-join on cluster_id
+    (the 100 TB shape: corpus never cross-joins; small query sets
+    broadcast). Rows-only check; equivalence + recall in tests/test_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf.train_ivf(emb, "embedding", nlist=8)
+    assigned = ivf.assign(emb, model, "embedding")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector")
+    )
+    return ivf.batch_search(assigned, model, queries, k=10, nprobe=3,
+                            id_col="vec_id", vector_col="embedding")
+
+
 def _stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-stats collection, numeric side (StatsCollector,
     stats_collector.go:110-445): 4 pseudo-segments of lineitem."""
@@ -354,6 +369,19 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint per document (Rabin-Karp
+    over 16-char windows, min-hash winnow) — the text-analysis
+    fingerprinting op from the training-pipeline family."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = hashing.rolling_window_hashes("text", 16)
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.when(hashes.isNotNull(), F.size(hashes)).cast("int").alias("n_windows"),
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -397,12 +425,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rabitq": _knn_rabitq,
         "knn_pq_adc": _knn_pq_adc,
         "ann_ivf": _ann_ivf,
+        "ann_ivf_batch": _ann_ivf_batch,
         "stats_numeric_profile": _stats_numeric,
         "stats_histogram": _stats_histogram,
         "stats_categorical_profile": _stats_categorical,
         "stats_vector_profile": _stats_vector,
         "events_tumbling_1h": _events_tumbling_1h,
         "text_stats": _text_stats,
+        "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
@@ -587,6 +617,12 @@ def oracle_sql() -> dict[str, str]:
                    {textfn.alpha_ratio_sql('text')} AS alpha_ratio,
                    {textfn.quality_score_sql('text')} AS quality,
                    {textfn.langid_stopword_sql('text')} AS lang_pred
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   {hashing.doc_fingerprint_sql('text', 16)} AS fingerprint,
+                   len({hashing.rolling_window_hashes_sql('text', 16)})::INT AS n_windows
             FROM documents
         """,
         "dedup_exact": dedup.exact_dedup_sql(),

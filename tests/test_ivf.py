@@ -71,6 +71,48 @@ def test_filtered_probe_boost(clustered):
     assert labels == {1}
 
 
+def test_batch_search_fullprobe_equals_exact_batch(clustered):
+    df, assigned, model, x = clustered
+    queries = assigned.where(F.col("id") < 4).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvector")
+    )
+    got = {
+        (r["qid"], r["rank"]): r["id"]
+        for r in ivf.batch_search(assigned, model, queries, k=K, nprobe=model.k).collect()
+    }
+    exact = {
+        (r["qid"], r["rank"]): r["id"]
+        for r in knn.batch_search(df, queries, k=K, metric="l2").collect()
+    }
+    assert got == exact
+
+
+def test_batch_search_partial_probe_recall(clustered):
+    df, assigned, model, x = clustered
+    queries = assigned.where(F.col("id") < 20).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvector")
+    )
+    exact = knn.batch_search(df, queries, k=K, metric="l2").collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["id"])
+    got: dict[int, set[int]] = {}
+    for r in ivf.batch_search(assigned, model, queries, k=K, nprobe=2).collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [len(got.get(q, set()) & t) / K for q, t in truth.items()]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_probe_expr_matches_driver_probes(clustered):
+    df, assigned, model, x = clustered
+    row = (
+        assigned.where(F.col("id") == 5)
+        .select(ivf.probe_expr(model, "vector", 3).alias("p"))
+        .first()
+    )
+    assert row["p"] == ivf.probe_clusters(model, x[5].tolist(), 3)
+
+
 def test_assignment_is_argmin(clustered):
     df, assigned, model, x = clustered
     got = {r["id"]: r["cluster_id"] for r in assigned.select("id", "cluster_id").collect()}

@@ -1,0 +1,106 @@
+"""Physical-plan posture checks — the properties that make these operators
+survive a 100× scale-up. These assert on explain() output, so a regression
+that silently de-optimizes a plan (lost pushdown, global sort, broadcast →
+shuffle join, Python in the hot path) fails CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from vecgo_spark.explain import QueryStats, spark_plan
+from vecgo_spark.filters import FilterSet
+from vecgo_spark.operators import knn
+from vecgo_spark.sources.registry import load_table
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """eq/gt predicates must appear as PushedFilters in the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    fs = FilterSet().eq("lang", "en").gt("n_chars", 200)
+    plan = spark_plan(docs.where(fs.to_column()).select("doc_id"))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "lang" in pushed and "n_chars" in pushed
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    """A 2-column projection must not read the text column."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = spark_plan(docs.select("doc_id", "lang"))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """orderBy(score).limit(k) must compile to TakeOrderedAndProject —
+    O(k) per partition + O(k·parts) at the driver — never a full sort
+    shuffle (which at 100 TB would shuffle the whole corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [0.0] * 64
+    plan = spark_plan(knn.search(emb, q, k=10, id_col="vec_id", vector_col="embedding"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_knn_score_stays_jvm_side(spark, sf_dir):
+    """Distance scoring must never cross into Python (no BatchEvalPython /
+    ArrowEvalPython) — the JVM-side guarantee of functions/vector.py.
+    (Higher-order exprs like aggregate/zip_with are JVM-interpreted, not
+    whole-stage-codegen'd, so we assert absence of Python nodes rather
+    than presence of codegen.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = spark_plan(knn.search(emb, [0.0] * 64, k=10, id_col="vec_id", vector_col="embedding"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_antijoin_broadcasts_small_side(spark, sf_dir):
+    plan = spark_plan(entry._tombstone_antijoin(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_batch_search_broadcasts_queries(spark, sf_dir):
+    """batch kNN = broadcast(queries) × corpus — the corpus must never
+    shuffle for the join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector")
+    )
+    df = knn.batch_search(emb, queries, k=5, id_col="vec_id", vector_col="embedding")
+    plan = spark_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_query_stats_surface(spark, tmp_path):
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "t"), dim=2, metric="l2")
+    t.insert(
+        spark.createDataFrame([(1, [0.0, 0.0], 5), (2, [1.0, 1.0], 5)],
+                              "id LONG, vector ARRAY<DOUBLE>, price INT"))
+    t.commit()
+    t.insert(
+        spark.createDataFrame([(3, [2.0, 2.0], 50), (4, [3.0, 3.0], 50)],
+                              "id LONG, vector ARRAY<DOUBLE>, price INT"))
+    t.commit()
+
+    df, stats = t.search_with_stats([0.0, 0.0], k=2, filter=FilterSet().gt("price", 10))
+    assert df.count() == 2
+    assert stats.segments_total == 2
+    assert stats.segments_pruned == 1  # first segment max(price)=5 can't match
+    assert stats.segments_searched == 1
+    assert stats.rows_considered == 2 and stats.rows_filtered_out == 2
+    assert stats.estimated_cost() == 2 + 0.3 * 2
+    text = stats.explain()
+    assert "segments: total=2 searched=1 pruned=1" in text
+    assert "spark physical plan" in text and stats.elapsed_ms > 0
+
+
+def test_estimated_cost_formula():
+    s = QueryStats(rows_considered=100, rows_filtered_out=50)
+    assert s.estimated_cost() == 100 + 0.3 * 50  # model/types.go:212-221

@@ -48,3 +48,50 @@ def shingles_sql(tokens_expr: str, n: int = 3) -> str:
         f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) "
         f"ELSE [] END"
     )
+
+
+# ----------------------------------------------- rolling-hash fingerprint
+
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31-1: acc*31 + c stays far below 2^63
+
+
+def rolling_window_hashes(text: Column | str, window: int = 16) -> Column:
+    """Rabin-Karp polynomial hash of every `window`-char substring:
+    h = fold(acc*31 + codepoint(ch)) % (2^31-1). ARRAY<BIGINT>, one hash
+    per window position; NULL when the text is shorter than the window.
+    Pure integer Column arithmetic → engine-portable (bit-exact oracle)."""
+    s = F.col(text) if isinstance(text, str) else text
+    n = F.length(s)
+
+    def win_hash(i: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: (acc * F.lit(ROLL_BASE) + F.ascii(s.substr(i + j, F.lit(1)))) % F.lit(ROLL_MOD),
+        )
+
+    return F.when(
+        n >= window, F.transform(F.sequence(F.lit(1), n - window + 1), win_hash)
+    )
+
+
+def doc_fingerprint(text: Column | str, window: int = 16) -> Column:
+    """Winnowing-style document fingerprint: MIN over all rolling window
+    hashes (a robust content id stable under local edits elsewhere)."""
+    return F.array_min(rolling_window_hashes(text, window))
+
+
+def rolling_window_hashes_sql(expr: str, window: int = 16) -> str:
+    """DuckDB twin: list_reduce seeded with a prepended 0 == Spark's
+    aggregate with init 0 (identical integer op sequence)."""
+    chars = f"list_transform(range(0, {window}), j -> ascii(substr({expr}, i + j, 1))::BIGINT)"
+    fold = f"list_reduce(list_prepend(0::BIGINT, {chars}), (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
+    return (
+        f"CASE WHEN length({expr}) >= {window} THEN "
+        f"list_transform(range(1, length({expr}) - {window} + 2), i -> {fold}) END"
+    )
+
+
+def doc_fingerprint_sql(expr: str, window: int = 16) -> str:
+    return f"list_min({rolling_window_hashes_sql(expr, window)})"

@@ -13,9 +13,10 @@ Score polarity (internal/engine/search.go:188): L2 ascending
 (lower=better); dot/cosine descending (higher=better).
 
 These are pure Column expressions (``aggregate``/``zip_with``) so they run
-inside whole-stage codegen with no Python boundary — on a 100 TB scan this
-is the difference between a JVM-vectorized pipeline and a serialization
-bottleneck. All arithmetic is carried out in DOUBLE (arrays are cast first)
+JVM-side with no Python boundary (higher-order functions evaluate
+interpreted inside the JVM, not whole-stage-codegen'd, but never
+serialize to Python) — on a 100 TB scan this is the difference between a
+JVM pipeline and an Arrow/pickle serialization bottleneck. All arithmetic is carried out in DOUBLE (arrays are cast first)
 with strictly sequential accumulation, which makes results bit-reproducible
 and oracle-comparable against DuckDB.
 """

@@ -30,6 +30,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from vecgo_spark.filters import FilterSet
 from vecgo_spark.operators import knn
@@ -102,6 +103,75 @@ def probe_clusters(model: IVFModel, query: Sequence[float], nprobe: int) -> list
     d2 = ((model.centroids - q[None, :]) ** 2).sum(axis=1)
     order = np.argsort(d2, kind="stable")
     return [int(c) for c in order[: max(1, nprobe)]]
+
+
+def probe_expr(model: IVFModel, qvector_col: Column | str, nprobe: int) -> Column:
+    """ARRAY<INT> of the nprobe nearest cluster ids for a query VECTOR
+    COLUMN — fully native (distances to centroid literals → array_sort of
+    (dist, cid) structs → slice). Lets probe selection run for millions of
+    queries without a driver round-trip."""
+    v = (F.col(qvector_col) if isinstance(qvector_col, str) else qvector_col).cast("array<double>")
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids])
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, max(1, nprobe)), lambda s: s["cid"]
+    )
+
+
+def batch_search(
+    df_assigned: DataFrame,
+    model: IVFModel,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cluster_col: str = "cluster_id",
+    qid_col: str = "qid",
+    qvector_col: str = "qvector",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Many-query IVF: probe clusters per query natively, explode to
+    (qid, cluster_id), EQUI-join the assigned corpus on cluster_id, exact
+    score, per-query top-k window.
+
+    Scale shape: the corpus side never materializes a cross product — the
+    join key is cluster_id, so a small query set broadcasts (corpus never
+    shuffles) and a huge one co-partitions both sides by cluster. This is
+    the distributed analog of BatchSearch (engine.go:1305-1376) fused with
+    the flat-segment probe (flat/segment.go:727-745)."""
+    from vecgo_spark.operators.knn import score_expr, metric_ascending
+
+    probed = queries.select(
+        F.col(qid_col),
+        F.col(qvector_col),
+        F.explode(probe_expr(model, qvector_col, nprobe)).alias(cluster_col),
+    )
+    if broadcast_queries:
+        probed = F.broadcast(probed)
+    joined = df_assigned.join(probed, cluster_col)
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        score_expr(model.metric, vector_col, F.col(qvector_col)).alias("score"),
+    )
+    asc = metric_ascending(model.metric)
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(qid_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
 
 
 def search(

@@ -1,0 +1,223 @@
+"""Multimodal columns — image/audio/video as opaque BINARY + typed metadata.
+
+Beyond-reference (SURVEY §2 marks the reference text/vector-only): the
+operators a 100 TB training-data pipeline needs over media columns. The
+design keeps everything that matters at scale REAL — schema, partitioning,
+Arrow batch shape, UDF signatures — while the codec step itself is gated:
+real decoders (PIL/librosa/av) are not in this container, so decode falls
+back to a deterministic stub (documented per function) or raises
+NotImplementedError for operations that cannot be faked honestly.
+
+Plumbing rules:
+  * media rides as `data BINARY` + `media_type STRING` + typed `meta`
+    struct — never base64 strings (2× size) and never decoded at rest.
+  * per-batch work happens in mapInPandas (Arrow columnar exchange);
+    batches stay bounded via spark.sql.execution.arrow.maxRecordsPerBatch.
+  * byte-level features (histogram, entropy, magic-number sniffing) are
+    real implementations — they don't need a codec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("media_type", StringType()),  # image/audio/video MIME
+        StructField("data", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("channels", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = {
+    b"\xff\xd8\xff": "image/jpeg",
+    b"\x89PNG": "image/png",
+    b"GIF8": "image/gif",
+    b"RIFF": "audio/wav",
+    b"ID3": "audio/mp3",
+    b"\x00\x00\x00": "video/mp4",
+}
+
+
+def sniff_media_type(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Magic-number MIME sniffing — REAL (pure byte compares, JVM-side)."""
+    d = F.col(data_col)
+    expr = F.lit("application/octet-stream")
+    for magic, mime in reversed(_MAGIC.items()):
+        expr = F.when(
+            F.startswith(d, F.lit(bytearray(magic))), F.lit(mime)
+        ).otherwise(expr)
+    return df.withColumn("sniffed_type", expr)
+
+
+def byte_features(df: DataFrame, data_col: str = "data", n_bins: int = 16) -> DataFrame:
+    """REAL feature extraction that needs no codec: per-blob size, coarse
+    byte histogram (n_bins buckets of 256/n_bins values) and byte-level
+    Shannon entropy — Arrow-batched mapInPandas, schema preserved + 3 cols."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_bytes", IntegerType()),
+            StructField("byte_hist", ArrayType(DoubleType())),
+            StructField("byte_entropy", DoubleType()),
+        ]
+    )
+    width = 256 // n_bins
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists, ents, sizes = [], [], []
+            for blob in pdf[data_col]:
+                b = np.frombuffer(bytes(blob), dtype=np.uint8) if blob is not None else np.array([], np.uint8)
+                sizes.append(len(b))
+                counts = np.bincount(b // width, minlength=n_bins).astype(np.float64)
+                total = counts.sum()
+                if total > 0:
+                    p = counts / total
+                    nz = p[p > 0]
+                    ents.append(float(-(nz * np.log2(nz)).sum()))
+                    hists.append((p).tolist())
+                else:
+                    ents.append(0.0)
+                    hists.append([0.0] * n_bins)
+            pdf = pdf.copy()
+            pdf["n_bytes"] = pd.Series(sizes, index=pdf.index, dtype="int32")
+            pdf["byte_hist"] = pd.Series(hists, index=pdf.index)
+            pdf["byte_entropy"] = pd.Series(ents, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _try_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(
+    df: DataFrame, data_col: str = "data", allow_stub: bool = True
+) -> DataFrame:
+    """Decode image bytes → (height, width, channels, pixels ARRAY<INT>).
+
+    With PIL present this is a real decode. Without it (this container),
+    allow_stub=True substitutes a DETERMINISTIC FAKE — 4×4×3 pixels derived
+    from a byte-sum of the blob — keeping schema/batching real for
+    pipeline tests; allow_stub=False raises NotImplementedError."""
+    pil = _try_pil()
+    if pil is None and not allow_stub:
+        raise NotImplementedError("image decode requires PIL (not in this container)")
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("pixels", ArrayType(IntegerType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, w, c, px = [], [], [], []
+            for blob in pdf[data_col]:
+                raw = bytes(blob) if blob is not None else b""
+                if pil is not None:
+                    import io
+
+                    img = pil.open(io.BytesIO(raw))
+                    arr = np.asarray(img)
+                    hh, ww = arr.shape[:2]
+                    cc = 1 if arr.ndim == 2 else arr.shape[2]
+                else:
+                    # STUB: deterministic fake pixels from blob bytes
+                    hh = ww = 4
+                    cc = 3
+                    seed = np.frombuffer(raw[:64].ljust(64, b"\0"), dtype=np.uint8)
+                    arr = np.resize(seed, (hh, ww, cc)).astype(np.uint8)
+                h.append(hh)
+                w.append(ww)
+                c.append(cc)
+                px.append(arr.astype(np.int32).ravel().tolist())
+            pdf = pdf.copy()
+            pdf["height"] = pd.Series(h, index=pdf.index, dtype="int32")
+            pdf["width"] = pd.Series(w, index=pdf.index, dtype="int32")
+            pdf["channels"] = pd.Series(c, index=pdf.index, dtype="int32")
+            pdf["pixels"] = pd.Series(px, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def resize_pixels(
+    df: DataFrame, target_h: int, target_w: int,
+    pixels_col: str = "pixels", h_col: str = "height", w_col: str = "width",
+    channels_col: str = "channels",
+) -> DataFrame:
+    """Nearest-neighbor resize over decoded pixel arrays — REAL numpy math
+    (no codec needed once pixels exist)."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("resized", ArrayType(IntegerType()))]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for px, hh, ww, cc in zip(pdf[pixels_col], pdf[h_col], pdf[w_col], pdf[channels_col]):
+                arr = np.array(px, dtype=np.int32).reshape(int(hh), int(ww), int(cc))
+                ys = (np.arange(target_h) * hh // target_h).astype(int)
+                xs = (np.arange(target_w) * ww // target_w).astype(int)
+                out.append(arr[np.ix_(ys, xs)].ravel().tolist())
+            pdf = pdf.copy()
+            pdf["resized"] = pd.Series(out, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int, n_frames_col: str = "meta", allow_stub: bool = True
+) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame index
+    (posexplode of the frame-index sequence — REAL; the actual frame
+    decode would slot into decode_image per frame and is codec-gated)."""
+    if not allow_stub:
+        raise NotImplementedError("video frame decode requires av (not in this container)")
+    nf = F.col(f"{n_frames_col}.n_frames")
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(nf - 1, F.lit(0))),
+        lambda i: i % every_n == 0,
+    )
+    return (
+        df.where(nf.isNotNull() & (nf > 0))
+        .withColumn("frame_index", F.explode(idx))
+    )

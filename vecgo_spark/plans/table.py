@@ -267,6 +267,33 @@ class VectorTable:
         return knn.search(self.df(), query, k=k, metric=self.metric, filter=filter,
                           id_col=self.id_col, vector_col=self.vector_col, **kw)
 
+    def search_with_stats(
+        self, query: Sequence[float], k: int = 10, filter=None, **kw
+    ):
+        """search() plus a filled QueryStats (WithStats + Explain surface,
+        model/types.go:134-249): manifest-pruning counts from the planner,
+        physical plan from Spark. Returns (DataFrame, QueryStats)."""
+        from vecgo_spark.explain import QueryStats, spark_plan, timed
+
+        segs = self.manifest.segments
+        searched = prune_segments(segs, filter) if isinstance(filter, FilterSet) else segs
+        stats = QueryStats(
+            strategy="manifest-prune → exact scan → top-k",
+            metric=self.metric,
+            k=k,
+            segments_total=len(segs),
+            segments_searched=len(searched),
+            segments_pruned=len(segs) - len(searched),
+        )
+        with timed(stats):
+            df = self.search(query, k=k, filter=filter, **kw)
+            considered = sum(s.rows for s in searched)
+            total = sum(s.rows for s in segs)
+            stats.rows_considered = considered
+            stats.rows_filtered_out = total - considered
+            stats.plan = spark_plan(df)
+        return df, stats
+
     # --------------------------------------------------------- maintenance
 
     def compact(self, target_segments: int = 1) -> int:
