@@ -51,22 +51,35 @@ def tokenize_py(text: str) -> list[str]:
 
 
 def corpus_stats(
-    docs: DataFrame, id_col: str = "id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "id", text_col: str = "text",
+    terms: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, int, int]:
     """(term_freq, doc_len, doc_count, total_len).
 
     term_freq: (id, term, tf); doc_len: (id, dl). doc_count/total_len are
     scalars (N and Σdl — bm25.go:29-53). Zero-token docs still count
     toward N and avgdl, as in the reference's Add().
+
+    With `terms` given, the explode is filtered to those terms BEFORE the
+    groupBy — identical tf/df values for the query's terms, but the
+    shuffle carries |query terms| instead of |vocabulary| rows per doc
+    (at 100 TB this is the difference between a postings lookup and
+    re-indexing the corpus per query).
     """
-    toks = docs.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks"))
-    # persisted: doc_len feeds both the corpus-stats action and the scoring
-    # join, term_freq feeds df-per-term AND the contribution join — without
-    # this the tokenize+explode lineage re-runs per consumer
-    doc_len = toks.select("id", F.size("toks").alias("dl")).persist()
+    # the regex tokenizer is the CPU hot spot: spread a narrow source (a
+    # single small parquet file ⇒ one task) across the cluster first, and
+    # persist the token arrays so tokenize runs ONCE for doc_len + tf
+    src = docs
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    toks = src.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks")).persist()
+    doc_len = toks.select("id", F.size("toks").alias("dl"))
+    exploded = toks.select("id", F.explode("toks").alias("term"))
+    if terms is not None:
+        exploded = exploded.where(F.col("term").isin(list(terms)))
     term_freq = (
-        toks.select("id", F.explode("toks").alias("term"))
-        .groupBy("id", "term")
+        exploded.groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
@@ -82,54 +95,75 @@ def bm25_score(
     id_col: str = "id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, score) for every doc with score > 0 (bm25.go:282-387)."""
-    spark = docs.sparkSession
-    term_freq, doc_len, n_docs, total_len = corpus_stats(docs, id_col, text_col)
-    if n_docs == 0:
-        return spark.createDataFrame([], "id long, score double")
+    """(id, score) for every doc with score > 0 (bm25.go:282-387).
 
+    Scan-fused DAAT: the query has a handful of terms, so per-term tf is
+    computed INSIDE the scan as size(filter(tokens, =t)) — no explode, no
+    shuffle. One O(corpus) agg collects (N, \u03a3dl, df_t\u2026) as a single tiny
+    row; idf_t become literals; scoring is a second narrow pass over the
+    persisted (id, dl, tf\u2026) frame. Two jobs, zero wide shuffles — the
+    Spark analog of the reference's DAAT postings iterators (per-doc work
+    \u221d |query terms|).
+
+    Determinism: contributions are summed in sorted-term order as a fixed
+    left-to-right expression — the same order as the oracle's term-sorted
+    list fold, so the doubles match bit-for-bit.
+    """
+    import math
+
+    spark = docs.sparkSession
     qterms: dict[str, int] = {}
     for t in tokenize_py(query_text):
         qterms[t] = qterms.get(t, 0) + 1
     if not qterms:
         return spark.createDataFrame([], "id long, score double")
-    qdf = spark.createDataFrame(
-        [(t, float(c)) for t, c in qterms.items()], "term string, qtf double"
-    )
+    terms = sorted(qterms)
 
-    avg_dl = float(total_len) / float(n_docs)
-    df_per_term = (
-        term_freq.join(F.broadcast(qdf.select("term")), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    n_lit = F.lit(float(n_docs))
-    idf = F.log(F.lit(1.0) + (n_lit - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    src = docs
+    cores = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        # a narrow source (one small file => one task) serializes the
+        # regex tokenizer; spread it before the CPU-heavy pass
+        src = src.repartition(cores)
+    toks = src.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks"))
 
-    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
-    contrib = F.col("qtf") * (
-        F.col("idf")
-        * ((tf * F.lit(K1 + 1.0)) / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / avg_dl) * dl))
-    )
+    def _eq(term: str):
+        # NOTE: a `lambda x, t=t:` default-arg closure would make F.filter
+        # treat the lambda as its (element, index) two-arg form
+        return lambda x: x == F.lit(term)
 
-    scored = (
-        term_freq.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df_per_term.withColumn("idf", idf).select("term", "idf")), "term")
-        .join(doc_len, "id")
-        .select("id", "term", contrib.alias("contrib"))
-    )
-    # sequential sorted-term fold: order-deterministic double accumulation
-    per_doc = (
-        scored.groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
-        .select(
-            "id",
-            F.aggregate(
-                F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]
-            ).alias("score"),
+    per = toks.select(
+        "id",
+        F.size("toks").alias("dl"),
+        *[F.size(F.filter("toks", _eq(t))).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    ).persist()
+
+    row = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("total"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))],
+    ).first()
+    n_docs = int(row["n"])
+    if n_docs == 0:
+        per.unpersist()
+        return spark.createDataFrame([], "id long, score double")
+    avg_dl = float(row["total"] or 0) / float(n_docs)
+    n = float(n_docs)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = int(row[f"df_{i}"] or 0)
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = F.col(f"tf_{i}").cast("double")
+        dl = F.col("dl").cast("double")
+        contrib = F.lit(float(qterms[t])) * (
+            F.lit(idf)
+            * ((tf * F.lit(K1 + 1.0)) / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / avg_dl) * dl))
         )
-    )
-    return per_doc.where(F.col("score") > 0.0)
+        score = score + F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(F.lit(0.0))
+
+    return per.select("id", score.alias("score")).where(F.col("score") > 0.0)
 
 
 def bm25_search(
