@@ -271,7 +271,8 @@ def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quantization.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    pq = pqz.train_pq(emb, "embedding", m=8, k=256, iters=8, max_train_rows=20_000)
+    pq = pqz.train_pq(emb, "embedding", m=8, k=256, iters=8, max_train_rows=20_000,
+                      cache_key=f"{sf_dir}:embeddings:pq8x256")
     enc = pqz.encode(pq, emb, "embedding")
     coarse = (
         enc.select("vec_id", pqz.adc_score(pq, q, "pq_codes").alias("score"))
@@ -288,7 +289,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    model = ivf.train_ivf(emb, "embedding", nlist=8)
+    model = ivf.train_ivf(emb, "embedding", nlist=8, cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     return ivf.search(assigned, model, q, k=10, nprobe=3,
                       id_col="vec_id", vector_col="embedding")
@@ -299,7 +300,7 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB shape: corpus never cross-joins; small query sets
     broadcast). Rows-only check; equivalence + recall in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    model = ivf.train_ivf(emb, "embedding", nlist=8)
+    model = ivf.train_ivf(emb, "embedding", nlist=8, cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector")

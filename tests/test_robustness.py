@@ -1,0 +1,150 @@
+"""Robustness + property tests, mirroring the reference's fuzz intent
+(internal/engine/fuzz_test.go:45 — corrupt inputs must ERROR, never crash
+or silently succeed) and its property/equivalence style with hypothesis:
+filter semantics vs an independent Python reference model."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vecgo_spark.filters import Filter, FilterSet
+from vecgo_spark.operators import knn
+from vecgo_spark.plans.manifest import load_manifest, manifest_path
+from vecgo_spark.plans.table import VectorTable
+
+
+# ----------------------------------------------------------- fuzz-style
+
+def _mk_table(spark, path):
+    t = VectorTable.create(spark, str(path), dim=2, metric="l2")
+    t.insert(spark.createDataFrame([(1, [0.0, 1.0]), (2, [1.0, 0.0])],
+                                   "id LONG, vector ARRAY<DOUBLE>"))
+    t.commit()
+    return t
+
+
+def test_corrupt_manifest_errors_cleanly(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "t")
+    p = manifest_path(t.path, t.manifest.version)
+    with open(p, "w") as f:
+        f.write("{not valid json!!")
+    with pytest.raises((json.JSONDecodeError, ValueError)):
+        load_manifest(t.path)
+
+
+def test_truncated_manifest_errors_cleanly(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "t2")
+    p = manifest_path(t.path, t.manifest.version)
+    raw = open(p).read()
+    with open(p, "w") as f:
+        f.write(raw[: len(raw) // 2])
+    with pytest.raises((json.JSONDecodeError, ValueError, KeyError)):
+        load_manifest(t.path)
+
+
+def test_manifest_referencing_missing_segment_errors(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "t3")
+    seg = os.path.join(t.path, t.manifest.segments[0].path)
+    for dp, _, fs in os.walk(seg):
+        for f in fs:
+            os.remove(os.path.join(dp, f))
+    os.rmdir(seg) if not os.listdir(seg) else None
+    reopened = VectorTable.open(spark, t.path)
+    with pytest.raises(Exception):  # AnalysisException: path does not exist
+        reopened.count()
+
+
+def test_open_missing_table_errors(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        VectorTable.open(spark, str(tmp_path / "nope"))
+
+
+def test_dimension_mismatch_rejected(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "t4")
+    bad = spark.createDataFrame([(9, [1.0, 2.0, 3.0])], "id LONG, vector ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="dimension"):
+        t.insert(bad)
+
+
+def test_unknown_metric_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="metric"):
+        VectorTable.create(spark, str(tmp_path / "t5"), dim=2, metric="manhattan")
+    with pytest.raises(ValueError, match="unknown metric"):
+        knn.score_expr("manhattan", "v", [1.0])
+
+
+def test_custom_metric_registration(spark):
+    """The distance.Provider extension point (distance/distance.go:97-106)."""
+    from vecgo_spark.functions.vector import sq_l2
+
+    def l1(vector_col, query):
+        from pyspark.sql import functions as F
+        a = (F.col(vector_col) if isinstance(vector_col, str) else vector_col).cast("array<double>")
+        b = F.array(*[F.lit(float(x)) for x in query])
+        return F.aggregate(F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    knn.register_metric("l1", l1, ascending=True)
+    try:
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [1.0, 1.0])],
+            "id LONG, vector ARRAY<DOUBLE>")
+        got = knn.search(df, [0.0, 0.0], k=3, metric="l1").collect()
+        assert [r["id"] for r in got] == [1, 3, 2]
+        assert got[2]["score"] == 7.0
+    finally:
+        del knn.METRICS["l1"]
+
+
+# ------------------------------------------------- property-based filters
+
+_VALUES = st.one_of(
+    st.integers(min_value=-5, max_value=5),
+    st.floats(min_value=-5, max_value=5, allow_nan=False, width=64),
+    st.none(),
+)
+
+
+def _py_filter_model(row: dict, f: Filter) -> bool:
+    """Independent Python model of metadata/filter.go semantics:
+    missing/None field ⇒ no match, even for ne (filter.go:9-19);
+    numeric comparisons numeric-only."""
+    v = row.get(f.key)
+    if v is None:
+        return False
+    if f.op == "eq":
+        return v == f.value
+    if f.op == "ne":
+        return v != f.value
+    if f.op == "gt":
+        return v > f.value
+    if f.op == "gte":
+        return v >= f.value
+    if f.op == "lt":
+        return v < f.value
+    if f.op == "lte":
+        return v <= f.value
+    raise AssertionError(f.op)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 10 ** 6), _VALUES), min_size=1, max_size=25, unique_by=lambda t: t[0]
+    ),
+    op=st.sampled_from(["eq", "ne", "gt", "gte", "lt", "lte"]),
+    value=st.one_of(st.integers(-5, 5), st.floats(-5, 5, allow_nan=False)),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_filter_semantics_match_python_model(spark, data, op, value):
+    f = Filter(key="x", op=op, value=value)
+    expect = sorted(i for i, v in data if _py_filter_model({"x": v}, f))
+    df = spark.createDataFrame([(i, float(v) if v is not None else None) for i, v in data],
+                               "id LONG, x DOUBLE")
+    got = sorted(r["id"] for r in df.where(FilterSet([f]).to_column()).collect())
+    assert got == expect

@@ -51,6 +51,12 @@ def default_nlist(n_rows: int) -> int:
     return max(2, n_rows // 8192)
 
 
+# trained-index artifact cache: the reference trains IVF partitions at
+# segment build (compaction.go:102-152), NOT per query — a cache_key gives
+# query paths the same amortization (one model per corpus per session)
+_MODEL_CACHE: dict[str, "IVFModel"] = {}
+
+
 def train_ivf(
     df: DataFrame,
     vector_col: str = "vector",
@@ -58,15 +64,21 @@ def train_ivf(
     metric: str = "l2",
     seed: int = 42,
     max_iter: int = 20,
+    cache_key: str | None = None,
 ) -> IVFModel:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if cache_key is not None and cache_key in _MODEL_CACHE:
+        return _MODEL_CACHE[cache_key]
     if nlist is None:
         nlist = default_nlist(df.count())
     feats = df.select(array_to_vector(F.col(vector_col).cast("array<double>")).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    return IVFModel(centroids=np.array(model.clusterCenters(), dtype=np.float64), metric=metric)
+    out = IVFModel(centroids=np.array(model.clusterCenters(), dtype=np.float64), metric=metric)
+    if cache_key is not None:
+        _MODEL_CACHE[cache_key] = out
+    return out
 
 
 def assign_expr(model: IVFModel, vector_col: Column | str) -> Column:

@@ -37,26 +37,38 @@ from pyspark.sql.window import Window
 from vecgo_spark.filters import to_condition
 from vecgo_spark.functions.vector import cosine_similarity, dot, sq_l2
 
-METRICS = ("l2", "dot", "cosine")
+# Pluggable distance-provider registry (the reference's
+# distance.Provider(metric), distance/distance.go:97-106): name →
+# (score expression builder, ascending?). Ascending=True means
+# lower-is-better (L2); polarity per internal/engine/search.go:188.
+METRICS: dict[str, tuple] = {
+    "l2": (sq_l2, True),
+    "dot": (dot, False),
+    "cosine": (cosine_similarity, False),
+}
+
+
+def register_metric(name: str, score_fn, ascending: bool) -> None:
+    """Register a custom distance provider; score_fn(vector_col, query)
+    must return a Column (the UDF-surface analog of implementing
+    distance.Provider — SURVEY §2.11)."""
+    METRICS[name] = (score_fn, ascending)
 
 
 def score_expr(metric: str, vector_col: Column | str, query: Column | Sequence[float]) -> Column:
-    """Distance/similarity expression for one metric.
-
-    Polarity follows internal/engine/search.go:188 — l2 ascending,
-    dot/cosine descending.
-    """
-    if metric == "l2":
-        return sq_l2(vector_col, query)
-    if metric == "dot":
-        return dot(vector_col, query)
-    if metric == "cosine":
-        return cosine_similarity(vector_col, query)
-    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    """Distance/similarity expression for one metric."""
+    try:
+        fn, _ = METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRICS)}") from None
+    return fn(vector_col, query)
 
 
 def metric_ascending(metric: str) -> bool:
-    return metric == "l2"
+    try:
+        return METRICS[metric][1]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRICS)}") from None
 
 
 def _ordered(df: DataFrame, metric: str, id_col: str) -> DataFrame:

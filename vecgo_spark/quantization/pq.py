@@ -81,6 +81,11 @@ def _sample_vectors(df: DataFrame, vector_col: str, max_rows: int) -> np.ndarray
     return np.array([list(r[0]) for r in rows], dtype=np.float64)
 
 
+# codebook artifact cache — same amortization stance as ivf._MODEL_CACHE
+# (the reference trains PQ once per segment build, pq.go:68-145)
+_PQ_CACHE: dict[str, "PQCodebooks"] = {}
+
+
 def train_pq(
     df: DataFrame,
     vector_col: str,
@@ -89,8 +94,11 @@ def train_pq(
     iters: int = 10,
     max_train_rows: int = 50_000,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> PQCodebooks:
     """Train m sub-codebooks on a bounded sample (Train, pq.go:68-145)."""
+    if cache_key is not None and cache_key in _PQ_CACHE:
+        return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows)
     dim = x.shape[1]
     if dim % m != 0:
@@ -100,7 +108,10 @@ def train_pq(
     books = np.stack(
         [_lloyd(x[:, i * sub : (i + 1) * sub], k, iters, rng) for i in range(m)]
     )
-    return PQCodebooks(codebooks=books)
+    out = PQCodebooks(codebooks=books)
+    if cache_key is not None:
+        _PQ_CACHE[cache_key] = out
+    return out
 
 
 def train_opq(
