@@ -356,6 +356,46 @@ def _events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) with
+    lag + running-sum analytic windows — the batch twin of
+    streaming.windows.session_agg (and the lag/lead surface SURVEY §2.5
+    notes the reference lacks)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag(F.col("ts")).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > gap_us), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(wsum).cast("long"))
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("ws"),
+            F.max("ts").alias("we"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+def _tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets surface — absent in the
+    reference, free in Spark/DuckDB; SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("sum_qty"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -432,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_categorical_profile": _stats_categorical,
         "stats_vector_profile": _stats_vector,
         "events_tumbling_1h": _events_tumbling_1h,
+        "events_sessionization": _events_sessionization,
+        "tpch_rollup": _tpch_rollup,
         "text_stats": _text_stats,
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
@@ -608,6 +650,38 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ws, event_type
             ORDER BY ws, event_type
+        """,
+        "events_sessionization": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                               THEN 1 ELSE 0 END AS ns
+                FROM o
+            ),
+            s AS (
+                SELECT *, CAST(SUM(ns) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+                FROM f
+            )
+            SELECT user_id, sess_id, COUNT(*) AS n_events,
+                   MIN(ts) AS ws, MAX(ts) AS we,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+            FROM s
+            GROUP BY user_id, sess_id
+            ORDER BY user_id, sess_id
+        """,
+        "tpch_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """,
         "text_stats": f"""
             SELECT doc_id,

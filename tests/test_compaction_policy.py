@@ -1,0 +1,83 @@
+"""Policy-driven partial compaction (policy.go:25-230) + the MVCC
+delete-then-reinsert visibility rule the LSN-aware tombstone join gives."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.plans.policy import CompactionTask, SizeTieredPolicy, TieredPolicy
+from vecgo_spark.plans.table import VectorTable
+
+
+def _insert_batch(spark, t, ids):
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in ids], "id LONG, vector ARRAY<DOUBLE>"))
+    t.commit()
+
+
+def test_tiered_policy_triggers_at_threshold(spark, tmp_path):
+    t = VectorTable.create(spark, str(tmp_path / "t"), dim=2, metric="l2")
+    for b in range(3):
+        _insert_batch(spark, t, range(b * 10, b * 10 + 10))
+    assert t.maybe_compact(TieredPolicy(min_segments=4)) is None  # below threshold
+    _insert_batch(spark, t, range(30, 40))
+    v = t.maybe_compact(TieredPolicy(min_segments=4))
+    assert v is not None
+    assert len(t.manifest.segments) == 1  # 4 small segments merged
+    assert t.count() == 40
+
+
+def test_partial_compaction_preserves_visibility(spark, tmp_path):
+    """Merge only 2 of 3 segments while deletes + upserts are in flight;
+    the global read must be identical before and after."""
+    t = VectorTable.create(spark, str(tmp_path / "t2"), dim=2, metric="l2")
+    _insert_batch(spark, t, range(10))
+    _insert_batch(spark, t, range(10, 20))
+    t.delete([3, 13])
+    # upsert id 5 (new vector, higher LSN, lands in segment 3)
+    t.insert(spark.createDataFrame([(5, [99.0, 0.0])], "id LONG, vector ARRAY<DOUBLE>"))
+    t.commit()
+    before = sorted((r["id"], r["vector"][0]) for r in t.df().collect())
+
+    class PickFirstTwo:
+        def pick(self, segments):
+            return CompactionTask(segments=sorted(segments, key=lambda s: s.lsn)[:2])
+
+    v = t.maybe_compact(PickFirstTwo())
+    assert v is not None
+    assert len(t.manifest.segments) == 2  # merged + untouched third
+    after = sorted((r["id"], r["vector"][0]) for r in t.df().collect())
+    assert after == before
+    ids = {i for i, _ in after}
+    assert 3 not in ids and 13 not in ids
+    assert dict(after)[5] == 99.0  # upsert survived partial compaction
+
+
+def test_reinsert_after_delete_is_visible(spark, tmp_path):
+    """MVCC rule: tombstone kills LSN <= T only; a later re-insert
+    surfaces again (pk/mvcc.go:258 + engine re-insert path)."""
+    t = VectorTable.create(spark, str(tmp_path / "t3"), dim=2, metric="l2")
+    _insert_batch(spark, t, [1, 2, 3])
+    t.delete([2])
+    t.commit()
+    assert sorted(r["id"] for r in t.df().collect()) == [1, 3]
+    t.insert(spark.createDataFrame([(2, [7.0, 7.0])], "id LONG, vector ARRAY<DOUBLE>"))
+    t.commit()
+    rows = {r["id"]: r["vector"] for r in t.df().collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[2][0] == 7.0
+
+
+def test_size_tiered_policy_buckets():
+    def seg(path, size, lsn=1):
+        from vecgo_spark.plans.manifest import SegmentMeta
+        return SegmentMeta(path=path, rows=1, lsn=lsn, bytes=size)
+
+    pol = SizeTieredPolicy(min_tier=3, base_bytes=1024)
+    small = [seg(f"s{i}", 500, i) for i in range(3)]
+    big = [seg("b0", 1 << 30)]
+    task = pol.pick(small + big)
+    assert task is not None
+    assert {s.path for s in task.segments} == {"s0", "s1", "s2"}
+    assert pol.pick(small[:2] + big) is None  # tier below min_tier

@@ -36,22 +36,36 @@ def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any
     if not cols:
         return {}
     aggs = []
+    string_cols = [
+        f.name for f in df.schema.fields
+        if f.name in cols and isinstance(f.dataType, StringType)
+    ]
     for c in cols:
         aggs += [
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
         ]
+        if c in string_cols:
+            # categorical purity (CanPruneCategorical, stats.go:449-483):
+            # keep the exact distinct-value set while it's small — an eq/in
+            # probe against a value outside the set prunes the whole file.
+            # collect_set caps driver cost via slice; if truncated (>16
+            # distinct) the set is dropped as unusable.
+            aggs.append(F.slice(F.sort_array(F.collect_set(c)), 1, 17).alias(f"{c}__vals"))
     row = df.agg(*aggs).first()
-    total = None  # row count tracked separately in SegmentMeta
     out: dict[str, Any] = {}
     for c in cols:
-        out[c] = {
+        cs: dict[str, Any] = {
             "min": row[f"{c}__min"],
             "max": row[f"{c}__max"],
             "null_count": int(row[f"{c}__nulls"] or 0),
         }
-    _ = total
+        if c in string_cols:
+            vals = row[f"{c}__vals"] or []
+            if len(vals) <= 16:
+                cs["values"] = list(vals)
+        out[c] = cs
     return out
 
 
@@ -66,6 +80,16 @@ def _can_prune(filter: Filter, stats: dict[str, Any], rows: int) -> bool:
         # (missing-field semantics, metadata/filter.go:9-13)
         return nulls >= rows and rows > 0
     v = filter.value
+    vals = cs.get("values")
+    if vals is not None:
+        # exact distinct-value set (categorical purity): membership proof
+        if filter.op == "eq":
+            return v not in vals
+        if filter.op == "in":
+            try:
+                return all(x not in vals for x in v)
+            except TypeError:
+                return False
     try:
         if filter.op == "eq":
             return v < lo or v > hi

@@ -239,8 +239,15 @@ class VectorTable:
             return self.spark.createDataFrame([], self._empty_schema())
         tomb = self._tombstones()
         if tomb is not None:
-            base = base.join(
-                F.broadcast(tomb.select(self.id_col).distinct()), self.id_col, "left_anti"
+            # a tombstone at LSN T kills versions with LSN <= T; a
+            # re-insert AFTER the delete (row LSN > T) is visible again —
+            # MVCC delete semantics (internal/pk/mvcc.go:258, versioned
+            # tombstones tombstone.go:47-77)
+            tmax = tomb.groupBy(self.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+            base = (
+                base.join(F.broadcast(tmax), self.id_col, "left")
+                .where(F.col("_tomb_lsn").isNull() | (F.col("_lsn") > F.col("_tomb_lsn")))
+                .drop("_tomb_lsn")
             )
         if self.manifest.meta.get("has_upserts"):
             w = Window.partitionBy(self.id_col).orderBy(F.col("_lsn").desc())
@@ -325,6 +332,52 @@ class VectorTable:
             next_id=self.manifest.next_id, created_at=time.time(),
             segments=[SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats)],
             tombstone_files=[], meta=meta,
+        )
+        save_manifest(self.path, new)
+        self.manifest = new
+        return new.version
+
+    def maybe_compact(self, policy) -> int | None:
+        """Run one policy-driven PARTIAL compaction (CompactionPolicy.Pick,
+        internal/engine/policy.go:25-31): merge only the picked segments
+        into one, preserving per-row LSNs so global tombstone/upsert
+        visibility is untouched; unpicked segments and tombstone files
+        stay. Returns the new version, or None if the policy passed."""
+        self._check_writable()
+        task = policy.pick(self.manifest.segments)
+        if task is None:
+            return None
+        picked = {s.path for s in task.segments}
+        merged_src = self._segment_df(task.segments)
+        tomb = self._tombstones()
+        if tomb is not None:
+            tmax = tomb.groupBy(self.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+            merged_src = (
+                merged_src.join(F.broadcast(tmax), self.id_col, "left")
+                .where(F.col("_tomb_lsn").isNull() | (F.col("_lsn") > F.col("_tomb_lsn")))
+                .drop("_tomb_lsn")
+            )
+        max_lsn = max(s.lsn for s in task.segments)
+        name = f"seg-{max_lsn:08d}-tier-{uuid.uuid4().hex[:8]}"
+        rel = os.path.join(SEG_DIR, name)
+        full = os.path.join(self.path, rel)
+        merged_src.sortWithinPartitions(self.id_col).write.mode("error").parquet(full)
+        written = self.spark.read.parquet(full)
+        rows = written.count()
+        stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(full) for f in fs
+        )
+        keep = [s for s in self.manifest.segments if s.path not in picked]
+        new = Manifest(
+            version=self.manifest.version + 1,
+            lsn=self.manifest.lsn,
+            next_id=self.manifest.next_id,
+            created_at=time.time(),
+            segments=keep + [SegmentMeta(path=rel, rows=rows, lsn=max_lsn, bytes=size, stats=stats)],
+            tombstone_files=list(self.manifest.tombstone_files),
+            meta=dict(self.manifest.meta),
         )
         save_manifest(self.path, new)
         self.manifest = new
