@@ -289,7 +289,8 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    model = ivf.train_ivf(emb, "embedding", nlist=8, cache_key=f"{sf_dir}:embeddings:ivf8")
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=8,
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     return ivf.search(assigned, model, q, k=10, nprobe=3,
                       id_col="vec_id", vector_col="embedding")
@@ -300,7 +301,8 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB shape: corpus never cross-joins; small query sets
     broadcast). Rows-only check; equivalence + recall in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    model = ivf.train_ivf(emb, "embedding", nlist=8, cache_key=f"{sf_dir}:embeddings:ivf8")
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=8,
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector")

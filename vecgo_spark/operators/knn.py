@@ -178,12 +178,16 @@ def rerank(
     """Exact re-scoring of an approximate candidate set (the refine pass,
     internal/engine/search.go:913-965 + WithRefineFactor vecgo.go:239-241).
 
-    ``candidates`` holds ids (k·refine_factor of them); they're joined back
-    to the corpus (broadcast — candidate set is small), scored exactly,
-    and cut to k. Used by IVF and all quantized paths.
+    ``candidates`` holds ids (k·refine_factor of them — BOUNDED, the one
+    collect the architecture allows). Collecting the id list once and
+    pushing it into the scan as an IN filter beats a broadcast join two
+    ways: the parquet reader row-group-prunes on the ids, and the
+    (possibly expensive — e.g. a quantized-scoring plan with a pandas UDF)
+    candidate lineage is evaluated exactly once instead of once per
+    downstream consumer.
     """
-    cand_ids = F.broadcast(candidates.select(id_col).distinct())
-    survivors = df.join(cand_ids, id_col, "left_semi")
+    ids = [r[0] for r in candidates.select(id_col).distinct().collect()]
+    survivors = df.where(F.col(id_col).isin(ids))
     exact = survivors.select(
         F.col(id_col), score_expr(metric, vector_col, query).alias("score")
     )
