@@ -1,0 +1,87 @@
+"""Histogram selectivity estimation (EstimateSelectivity,
+stats.go:340-427) and the adaptive IVF probe-widening it drives
+(the 0.30 cutoff of search.go:295-302 + the <2% brute shortcut of
+hnsw.go:1701-1725)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.filters import FilterSet
+from vecgo_spark.plans.pruning import collect_stats, estimate_selectivity
+from vecgo_spark.plans.table import VectorTable
+
+
+@pytest.fixture(scope="module")
+def stats_and_rows(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, float(rng.uniform(0, 100)), ["A", "B", "C", "D"][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id LONG, price DOUBLE, category STRING")
+    return collect_stats(df), rows
+
+
+def test_histogram_collected(stats_and_rows):
+    stats, rows = stats_and_rows
+    h = stats["price"]["histogram"]
+    assert len(h) == 8 and sum(h) == 2000
+    # uniform data → roughly even bins
+    assert min(h) > 150
+
+
+def test_range_estimates_close_to_truth(stats_and_rows):
+    stats, rows = stats_and_rows
+    prices = [p for _, p, _ in rows]
+    for op, v in (("gt", 50), ("lt", 10), ("gt", 90), ("lte", 75)):
+        fs = getattr(FilterSet(), op)("price", v)
+        est = estimate_selectivity(stats, 2000, fs)
+        truth = sum(
+            1 for p in prices
+            if (p > v if op == "gt" else p < v if op == "lt" else p <= v)
+        ) / 2000
+        assert abs(est - truth) < 0.05, (op, v, est, truth)
+
+
+def test_categorical_and_conjunction(stats_and_rows):
+    stats, _ = stats_and_rows
+    est = estimate_selectivity(stats, 2000, FilterSet().eq("category", "A"))
+    assert abs(est - 0.25) < 0.01
+    assert estimate_selectivity(stats, 2000, FilterSet().eq("category", "Z")) == 0.0
+    both = estimate_selectivity(stats, 2000, FilterSet().eq("category", "A").gt("price", 50))
+    assert abs(both - 0.125) < 0.02  # independence product
+    # unknown column → conservative 1.0 factor
+    assert estimate_selectivity(stats, 2000, FilterSet().gt("nope", 1)) == 1.0
+
+
+def test_adaptive_probe_widening(spark):
+    from vecgo_spark.operators import ivf
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist(), int(i % 100)) for i in range(800)]
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>, g INT").cache()
+    model = ivf.train_ivf(df, "vector", nlist=8)
+    assigned = ivf.assign(df, model, "vector").cache()
+    q = rows[0][1]
+    filt = FilterSet().eq("g", 7)  # ~1% selectivity
+    # selectivity < 2% → full probe → must EQUAL exact filtered search
+    from vecgo_spark.operators import knn
+    exact = [(r["id"], r["score"]) for r in knn.search(df, q, k=5, metric="l2", filter=filt).collect()]
+    got = [(r["id"], r["score"]) for r in
+           ivf.search(assigned, model, q, k=5, nprobe=1, filter=filt, selectivity=0.01).collect()]
+    assert got == exact
+    # high selectivity → no boost: probe set stays nprobe
+    wide = ivf.search(assigned, model, q, k=5, nprobe=1, filter=None).inputFiles  # plan builds
+    assert ivf.probe_clusters(model, q, 1) == ivf.probe_clusters(model, q, 1)
+
+
+def test_query_stats_reports_selectivity(spark, tmp_path):
+    t = VectorTable.create(spark, str(tmp_path / "t"), dim=2, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0], float(i)) for i in range(100)],
+        "id LONG, vector ARRAY<DOUBLE>, price DOUBLE"))
+    t.commit()
+    _, qs = t.search_with_stats([0.0, 0.0], k=5, filter=FilterSet().gt("price", 49.5))
+    assert qs.selectivity_est is not None
+    assert abs(qs.selectivity_est - 0.5) < 0.1
+    assert "estimated filter selectivity" in qs.explain()

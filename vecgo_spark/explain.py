@@ -38,6 +38,7 @@ class QueryStats:
     rows_considered: int = 0            # rows scored (exact distance comps)
     rows_filtered_out: int = 0          # removed before scoring (pushdown)
     clusters_probed: int = 0            # IVF only
+    selectivity_est: float | None = None  # manifest-histogram estimate
     elapsed_ms: float = 0.0
     plan: str = field(default="", repr=False)
 
@@ -56,6 +57,8 @@ class QueryStats:
         ]
         if self.clusters_probed:
             lines.append(f"ivf clusters probed: {self.clusters_probed}")
+        if self.selectivity_est is not None:
+            lines.append(f"estimated filter selectivity: {self.selectivity_est:.4f}")
         lines.append(f"estimated cost: {self.estimated_cost():.1f}")
         lines.append(f"elapsed: {self.elapsed_ms:.1f} ms")
         if self.plan:

@@ -194,13 +194,34 @@ def search(
     nprobe: int = 1,
     filter: FilterSet | None = None,
     filtered_probe_boost: int = 2,
+    selectivity: float | None = None,
     id_col: str = "id",
     vector_col: str = "vector",
     cluster_col: str = "cluster_id",
 ) -> DataFrame:
-    """Probe-then-exact-score top-k. With a filter the probe set widens by
-    `filtered_probe_boost` to protect recall (replaces search.go:295-302)."""
-    effective = nprobe * (filtered_probe_boost if filter is not None else 1)
+    """Probe-then-exact-score top-k. With a filter the probe set widens to
+    protect recall — the translation of the reference's pre/post-filter
+    strategy (selectivity cutoff 0.30, search.go:295-302) plus its
+    sparse-filter brute-force shortcut (hnsw.go:1701-1725):
+
+      selectivity < 2%   → probe EVERY cluster (the pushed filter leaves
+                           so few rows that exact scan of survivors is
+                           cheapest — recall 1.0, like the bitmap shortcut)
+      selectivity ≤ 30%  → widen probes ×filtered_probe_boost
+      selectivity > 30%  → no boost (enough matches inside nearest probes)
+
+    Pass `selectivity` from plans.pruning.estimate_selectivity (manifest
+    histograms); None falls back to the static boost."""
+    if filter is None:
+        effective = nprobe
+    elif selectivity is None:
+        effective = nprobe * filtered_probe_boost
+    elif selectivity < 0.02:
+        effective = model.k
+    elif selectivity <= 0.30:
+        effective = nprobe * filtered_probe_boost
+    else:
+        effective = nprobe
     probes = probe_clusters(model, query, effective)
     pruned = df_assigned.where(F.col(cluster_col).isin(probes))
     return knn.search(

@@ -66,7 +66,89 @@ def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any
             if len(vals) <= 16:
                 cs["values"] = list(vals)
         out[c] = cs
+
+    # second commit-time pass: compact per-column histograms for numeric
+    # cols with a real range (EstimateSelectivity's input, stats.go:340-427,
+    # histogram collection stats_collector.go:446-529). Bin counts are
+    # integers → cheap to store in the manifest, O(#cols × 8).
+    hist_cols = [
+        c for c in cols
+        if isinstance(df.schema[c].dataType, NumericType)
+        and out[c]["min"] is not None
+        and out[c]["max"] is not None
+        and float(out[c]["max"]) > float(out[c]["min"])
+    ]
+    if hist_cols:
+        bins = 8
+        hist_aggs = []
+        for c in hist_cols:
+            lo, hi = float(out[c]["min"]), float(out[c]["max"])
+            pos = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+            idx = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(pos * bins).cast("int")))
+            for b in range(bins):
+                hist_aggs.append(
+                    F.sum(F.when(F.col(c).isNotNull() & (idx == b), 1).otherwise(0))
+                    .alias(f"{c}__h{b}")
+                )
+        hrow = df.agg(*hist_aggs).first()
+        for c in hist_cols:
+            out[c]["histogram"] = [int(hrow[f"{c}__h{b}"] or 0) for b in range(bins)]
     return out
+
+
+def estimate_selectivity(stats: dict[str, Any], rows: int, fs: "FilterSet") -> float:
+    """Fraction of rows expected to match (EstimateSelectivity,
+    stats.go:340-427): histogram mass for ranges (uniform-within-bin
+    interpolation), 1/|values| for categorical eq, null-ratio aware;
+    ANDed filters multiply (independence). Unknown columns → 1.0
+    (conservative: never claims MORE selective than provable)."""
+    if rows <= 0:
+        return 1.0
+    sel = 1.0
+    for f in fs.filters:
+        cs = stats.get(f.key)
+        if cs is None:
+            continue
+        nulls = cs.get("null_count", 0)
+        non_null = max(rows - nulls, 0) / rows
+        vals = cs.get("values")
+        hist = cs.get("histogram")
+        lo, hi = cs.get("min"), cs.get("max")
+        s = non_null
+        if f.op == "eq" and vals:
+            s = non_null / len(vals) if f.value in vals else 0.0
+        elif f.op == "in" and vals:
+            try:
+                present = sum(1 for x in f.value if x in vals)
+            except TypeError:
+                present = len(vals)
+            s = non_null * present / max(len(vals), 1)
+        elif f.op in ("gt", "gte", "lt", "lte") and hist and lo is not None and hi is not None:
+            lo_f, hi_f = float(lo), float(hi)
+            total = sum(hist) or 1
+            width = (hi_f - lo_f) / len(hist)
+            mass = 0.0
+            for b, cnt in enumerate(hist):
+                b_lo, b_hi = lo_f + b * width, lo_f + (b + 1) * width
+                v = float(f.value)
+                if f.op in ("gt", "gte"):
+                    if b_lo >= v:
+                        frac = 1.0
+                    elif b_hi <= v:
+                        frac = 0.0
+                    else:
+                        frac = (b_hi - v) / width
+                else:
+                    if b_hi <= v:
+                        frac = 1.0
+                    elif b_lo >= v:
+                        frac = 0.0
+                    else:
+                        frac = (v - b_lo) / width
+                mass += cnt * frac
+            s = non_null * (mass / total)
+        sel *= max(0.0, min(1.0, s))
+    return sel
 
 
 def _can_prune(filter: Filter, stats: dict[str, Any], rows: int) -> bool:

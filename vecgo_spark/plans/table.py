@@ -48,7 +48,7 @@ from vecgo_spark.plans.manifest import (
     manifest_path,
     save_manifest,
 )
-from vecgo_spark.plans.pruning import collect_stats, prune_segments
+from vecgo_spark.plans.pruning import collect_stats, estimate_selectivity, prune_segments
 
 SEG_DIR = "_segments"
 TOMB_DIR = "_tombstones"
@@ -284,6 +284,13 @@ class VectorTable:
 
         segs = self.manifest.segments
         searched = prune_segments(segs, filter) if isinstance(filter, FilterSet) else segs
+        sel_est = None
+        if isinstance(filter, FilterSet) and searched:
+            total = sum(s.rows for s in searched)
+            matched = sum(
+                estimate_selectivity(s.stats, s.rows, filter) * s.rows for s in searched
+            )
+            sel_est = matched / total if total else None
         stats = QueryStats(
             strategy="manifest-prune → exact scan → top-k",
             metric=self.metric,
@@ -291,6 +298,7 @@ class VectorTable:
             segments_total=len(segs),
             segments_searched=len(searched),
             segments_pruned=len(segs) - len(searched),
+            selectivity_est=sel_est,
         )
         with timed(stats):
             df = self.search(query, k=k, filter=filter, **kw)
