@@ -311,6 +311,47 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             id_col="vec_id", vector_col="embedding")
 
 
+def _ann_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full flat-segment search pipeline composed end to
+    end (flat/segment.go:447-753): IVF probe pruning → SQ8 ADC coarse
+    scoring on codes → exact rerank. KMeans state → rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=8,
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    params = sqz.train_scalar(emb, "embedding", levels=255)
+    pruned = ivf.assign(emb, model, "embedding").where(
+        F.col("cluster_id").isin(ivf.probe_clusters(model, q, 3))
+    )
+    coarse = (
+        pruned.select("vec_id", sqz.adc_sq_l2(params, q, sqz.encode(params, "embedding")).alias("score"))
+        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        .limit(40)
+    )
+    return knn.rerank(coarse, emb, q, k=10, metric="l2",
+                      id_col="vec_id", vector_col="embedding")
+
+
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style 3-way join: broadcast the filtered customer
+    dim, shuffle-join orders⋈lineitem, integer-cents revenue agg."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 def _stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-stats collection, numeric side (StatsCollector,
     stats_collector.go:110-445): 4 pseudo-segments of lineitem."""
@@ -469,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": _knn_pq_adc,
         "ann_ivf": _ann_ivf,
         "ann_ivf_batch": _ann_ivf_batch,
+        "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
+        "tpch_q3_shipping_priority": _tpch_q3,
         "stats_numeric_profile": _stats_numeric,
         "stats_histogram": _stats_histogram,
         "stats_categorical_profile": _stats_categorical,
@@ -652,6 +695,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ws, event_type
             ORDER BY ws, event_type
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "events_sessionization": """
             WITH o AS (

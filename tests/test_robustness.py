@@ -102,6 +102,23 @@ def test_custom_metric_registration(spark):
         del knn.METRICS["l1"]
 
 
+def test_manifest_io_over_uri(spark, tmp_path):
+    """Manifest IO goes through pyarrow.fs — a file:// URI exercises the
+    same code path an s3:// table root would (BlobStore analog)."""
+    import json as _json
+
+    from vecgo_spark.plans.manifest import Manifest, list_versions, save_manifest
+
+    uri = f"file://{tmp_path}/remote_tbl"
+    m = Manifest(version=1, lsn=0, next_id=1, created_at=1.0, meta={"metric": "l2"})
+    save_manifest(uri, m)
+    assert list_versions(uri) == [1]
+    got = load_manifest(uri)
+    assert got.version == 1 and got.meta["metric"] == "l2"
+    with pytest.raises(FileExistsError):
+        save_manifest(uri, m)  # concurrent-commit guard on the URI path
+
+
 # ------------------------------------------------- property-based filters
 
 _VALUES = st.one_of(

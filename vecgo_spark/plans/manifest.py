@@ -62,16 +62,33 @@ class Manifest:
         return Manifest(**d)
 
 
+def _fs_for(path: str):
+    """(FileSystem, fs-local path) via pyarrow.fs — file paths, file://,
+    s3://, gs://, hdfs:// all resolve without extra deps (BlobStore analog,
+    /root/reference/blobstore/store.go:33-67)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, MANIFEST_DIR, f"v{version:08d}.json")
 
 
 def list_versions(table_dir: str) -> list[int]:
-    mdir = os.path.join(table_dir, MANIFEST_DIR)
-    if not os.path.isdir(mdir):
+    from pyarrow import fs as pafs
+
+    filesystem, root = _fs_for(table_dir)
+    mdir = f"{root.rstrip('/')}/{MANIFEST_DIR}"
+    try:
+        infos = filesystem.get_file_info(pafs.FileSelector(mdir, allow_not_found=True))
+    except (OSError, FileNotFoundError):
         return []
     out = []
-    for f in os.listdir(mdir):
+    for info in infos:
+        f = info.base_name
         if f.startswith("v") and f.endswith(".json"):
             try:
                 out.append(int(f[1:-5]))
@@ -104,18 +121,32 @@ def load_manifest(table_dir: str, version: int | None = None,
 
 
 def _read(table_dir: str, version: int) -> Manifest:
-    with open(manifest_path(table_dir, version)) as f:
-        return Manifest.from_json(f.read())
+    filesystem, root = _fs_for(table_dir)
+    path = f"{root.rstrip('/')}/{MANIFEST_DIR}/v{version:08d}.json"
+    with filesystem.open_input_stream(path) as f:
+        return Manifest.from_json(f.read().decode())
 
 
 def save_manifest(table_dir: str, m: Manifest) -> None:
-    """Atomic publish: write temp + rename (the commit point, ≙ the
-    reference's atomic manifest Put, engine.go:1942-1967)."""
-    path = manifest_path(table_dir, m.version)
-    if os.path.exists(path):
+    """Atomic publish (the commit point, ≙ the reference's atomic manifest
+    Put, engine.go:1942-1967). Local filesystems get true write-temp+rename
+    atomicity; object stores rely on the existence pre-check plus
+    single-writer discipline (same stance as the reference's BlobStore
+    conditional Put)."""
+    from pyarrow import fs as pafs
+
+    filesystem, root = _fs_for(table_dir)
+    mdir = f"{root.rstrip('/')}/{MANIFEST_DIR}"
+    path = f"{mdir}/v{m.version:08d}.json"
+    if filesystem.get_file_info(path).type != pafs.FileType.NotFound:
         raise FileExistsError(f"manifest v{m.version} already exists (concurrent commit?)")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{time.time_ns()}"
-    with open(tmp, "w") as f:
-        f.write(m.to_json())
-    os.rename(tmp, path)
+    filesystem.create_dir(mdir, recursive=True)
+    data = m.to_json().encode()
+    if isinstance(filesystem, pafs.LocalFileSystem):
+        tmp = f"{path}.tmp.{os.getpid()}.{time.time_ns()}"
+        with filesystem.open_output_stream(tmp) as f:
+            f.write(data)
+        filesystem.move(tmp, path)
+    else:
+        with filesystem.open_output_stream(path) as f:
+            f.write(data)
