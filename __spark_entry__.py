@@ -289,7 +289,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=8,
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     return ivf.search(assigned, model, q, k=10, nprobe=3,
@@ -301,7 +301,7 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB shape: corpus never cross-joins; small query sets
     broadcast). Rows-only check; equivalence + recall in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=8,
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -317,7 +317,7 @@ def _ann_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring on codes → exact rerank. KMeans state → rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=8,
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
     params = sqz.train_scalar(emb, "embedding", levels=255)
     pruned = ivf.assign(emb, model, "embedding").where(

@@ -65,17 +65,31 @@ def train_ivf(
     seed: int = 42,
     max_iter: int = 20,
     cache_key: str | None = None,
+    trainer: str = "mllib",
+    max_train_rows: int = 100_000,
 ) -> IVFModel:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    """trainer="mllib": distributed KMeans over the full corpus (the
+    100 TB path). trainer="driver": numpy Lloyd's on a bounded sample in
+    the driver — the reference's own stance (kmeans.go runs in-process on
+    the segment being built); one collect job instead of ~max_iter
+    distributed rounds, right when the corpus or sample is small."""
     if cache_key is not None and cache_key in _MODEL_CACHE:
         return _MODEL_CACHE[cache_key]
     if nlist is None:
         nlist = default_nlist(df.count())
-    feats = df.select(array_to_vector(F.col(vector_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    out = IVFModel(centroids=np.array(model.clusterCenters(), dtype=np.float64), metric=metric)
+    if trainer == "driver":
+        from vecgo_spark.quantization.pq import _lloyd, _sample_vectors
+
+        x = _sample_vectors(df, vector_col, max_train_rows)
+        cents = _lloyd(x, nlist, iters=max_iter, rng=np.random.default_rng(seed))
+        out = IVFModel(centroids=cents, metric=metric)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.select(array_to_vector(F.col(vector_col).cast("array<double>")).alias("features"))
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+        out = IVFModel(centroids=np.array(model.clusterCenters(), dtype=np.float64), metric=metric)
     if cache_key is not None:
         _MODEL_CACHE[cache_key] = out
     return out

@@ -66,10 +66,11 @@ def _lloyd(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.nd
         # memory instead of the O(n·k·d) broadcast tensor
         d2 = (centroids**2).sum(axis=1)[None, :] - 2.0 * x @ centroids.T
         assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = x[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, x)
+        live = counts > 0
+        centroids[live] = sums[live] / counts[live, None]
     return centroids
 
 
