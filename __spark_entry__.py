@@ -282,6 +282,28 @@ def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.rerank(coarse, emb, q, k=10, metric="l2", id_col="vec_id", vector_col="embedding")
 
 
+def _knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ: learned rotation + PQ, ADC scoring + exact rerank
+    (opq.go:15-305). Rows-only (SVD/KMeans state); distortion-vs-PQ
+    contract in tests/test_quantization.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    cache = f"{sf_dir}:embeddings:opq8x256"
+    if cache in pqz._PQ_CACHE:
+        opq = pqz._PQ_CACHE[cache]
+    else:
+        opq = pqz.train_opq(emb, "embedding", m=8, k=256, iters=6, opq_iters=3,
+                            max_train_rows=20_000)
+        pqz._PQ_CACHE[cache] = opq
+    enc = pqz.encode(opq, emb, "embedding")
+    coarse = (
+        enc.select("vec_id", pqz.adc_score(opq, q, "pq_codes").alias("score"))
+        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        .limit(110)
+    )
+    return knn.rerank(coarse, emb, q, k=10, metric="l2", id_col="vec_id", vector_col="embedding")
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: KMeans partitions + nprobe cluster pruning + exact scoring
     (flat/segment.go:447-753). KMeans state not SQL-expressible →
@@ -508,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bq_hamming": _knn_bq_hamming,
         "knn_rabitq": _knn_rabitq,
         "knn_pq_adc": _knn_pq_adc,
+        "knn_opq_adc": _knn_opq_adc,
         "ann_ivf": _ann_ivf,
         "ann_ivf_batch": _ann_ivf_batch,
         "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,

@@ -114,6 +114,41 @@ def test_tumbling_agg_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) >= len(batch) * 0.8
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState keyed dedup: a key seen in batch 1 must be
+    dropped when it reappears in batch 2 (state outlives the batch)."""
+    from vecgo_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "key STRING, doc_id BIGINT"
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [("a", 4), ("c", 5), ("b", 6), ("c", 7)], schema
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*/")
+    )
+    out = streaming_exact_dedup(stream, "key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    keys = sorted(r["key"] for r in rows)
+    assert keys == ["a", "b", "c"]  # exactly one row per key, ever
+
+
 def test_sliding_and_session_windows_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").limit(2000)
     slid = sliding_counts(ev, "ts", "2 hours", "1 hour", ["event_type"])
