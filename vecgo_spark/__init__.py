@@ -16,5 +16,23 @@ Architecture (see SURVEY.md):
 
 from vecgo_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy re-exports so `import vecgo_spark` stays cheap
+    if name == "VectorTable":
+        from vecgo_spark.plans.table import VectorTable
+
+        return VectorTable
+    if name == "FilterSet":
+        from vecgo_spark.filters import FilterSet
+
+        return FilterSet
+    if name == "QueryStats":
+        from vecgo_spark.explain import QueryStats
+
+        return QueryStats
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "VectorTable", "FilterSet", "QueryStats"]
 __version__ = "0.1.0"
