@@ -23,7 +23,7 @@ from vecgo_spark.filters import FilterSet
 from vecgo_spark.functions import hashing
 from vecgo_spark.functions import text as textfn
 from vecgo_spark.functions import vector as vfn
-from vecgo_spark.operators import bm25, dedup, hybrid, ivf, knn, stats
+from vecgo_spark.operators import bm25, dedup, hybrid, ivf, knn, lsh, stats
 from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
 from vecgo_spark.quantization import binary as bqz
 from vecgo_spark.quantization import pq as pqz
@@ -72,6 +72,16 @@ def _knn_l2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter=FilterSet().eq("label", 3),
         id_col="vec_id", vector_col="embedding",
     )
+
+
+def _knn_l2_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result projection options (WithMetadata analog, vecgo.go:279-292 /
+    options.go:37-57): top-k materializes requested columns, not just
+    (id, score)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return knn.search(emb, q, k=10, metric="l2", id_col="vec_id",
+                      vector_col="embedding", projection=["label"])
 
 
 def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +314,18 @@ def _knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.rerank(coarse, emb, q, k=10, metric="l2", id_col="vec_id", vector_col="embedding")
 
 
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH buckets + multiprobe (the data-independent
+    ANN scale path; no training job at all). Rows-only; bucket parity +
+    recall floors in tests/test_lsh.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    model = lsh.make_planes(EMB_DIM, n_planes=10, metric="cosine")
+    assigned = lsh.assign(emb, model, "embedding")
+    return lsh.search(assigned, model, q, k=10, multiprobe=2,
+                      id_col="vec_id", vector_col="embedding")
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: KMeans partitions + nprobe cluster pruning + exact scoring
     (flat/segment.go:447-753). KMeans state not SQL-expressible →
@@ -514,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),
         "knn_l2_filtered": _knn_l2_filtered,
+        "knn_l2_projected": _knn_l2_projected,
         "knn_batch": _knn_batch,
         "knn_threshold": _knn_threshold,
         "point_get": _point_get,
@@ -532,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": _knn_pq_adc,
         "knn_opq_adc": _knn_opq_adc,
         "ann_ivf": _ann_ivf,
+        "ann_lsh": _ann_lsh,
         "ann_ivf_batch": _ann_ivf_batch,
         "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
         "tpch_q3_shipping_priority": _tpch_q3,
@@ -592,6 +616,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, {sq} AS score
             FROM embeddings e, {_Q} q
             WHERE e.label IS NOT NULL AND e.label = 3
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "knn_l2_projected": f"""
+            SELECT e.vec_id, e.label, {sq} AS score
+            FROM embeddings e, {_Q} q
             ORDER BY score ASC, e.vec_id ASC
             LIMIT 10
         """,
