@@ -114,6 +114,26 @@ def test_tumbling_agg_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) >= len(batch) * 0.8
 
 
+def test_session_window_matches_gaps_and_islands(spark, sf_dir):
+    """Two independent sessionization implementations must agree:
+    F.session_window (streaming/windows.py) vs the lag+running-sum
+    gaps-and-islands query (__spark_entry__._events_sessionization)."""
+    import __spark_entry__ as entry
+
+    gi = entry._events_sessionization(spark, sf_dir)
+    gi_sessions = sorted(
+        (r["user_id"], r["ws"], r["we"], r["n_events"]) for r in gi.collect()
+    )
+    sw = session_agg(
+        load_table(spark, sf_dir, "events"), "ts", "30 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("mn"), F.max("ts").alias("mx")],
+    )
+    sw_sessions = sorted(
+        (r["user_id"], r["mn"], r["mx"], r["n_events"]) for r in sw.collect()
+    )
+    assert gi_sessions == sw_sessions
+
+
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState keyed dedup: a key seen in batch 1 must be
     dropped when it reappears in batch 2 (state outlives the batch)."""

@@ -75,10 +75,15 @@ def _lloyd(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.nd
 
 
 def _sample_vectors(df: DataFrame, vector_col: str, max_rows: int) -> np.ndarray:
-    n = df.count()
-    frac = min(1.0, max_rows / max(n, 1))
-    sample = df.select(vector_col) if frac >= 1.0 else df.select(vector_col).sample(frac, seed=42)
-    rows = sample.limit(max_rows).collect()
+    # optimistic single job: limit+collect. Only if the corpus is larger
+    # than the budget (limit hit) pay for a proper seeded random sample —
+    # avoids an up-front count() job in the common small/sampled case.
+    rows = df.select(vector_col).limit(max_rows).collect()
+    if len(rows) == max_rows:
+        n = df.count()
+        if n > max_rows:
+            frac = min(1.0, max_rows / n)
+            rows = df.select(vector_col).sample(frac, seed=42).limit(max_rows).collect()
     return np.array([list(r[0]) for r in rows], dtype=np.float64)
 
 
