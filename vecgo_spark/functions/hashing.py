@@ -50,6 +50,24 @@ def shingles_sql(tokens_expr: str, n: int = 3) -> str:
     )
 
 
+# --------------------------------------------------- minhash permutations
+
+MINHASH_P = 2_147_483_647  # 2^31-1 (prime): a*(h%P) stays < 2^62 in BIGINT
+
+
+def minhash_perm_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """(A, B) for the universal-hash permutation family
+    perm_i(h) = (A_i*(h mod P) + B_i) mod P — ONE base md5 per shingle
+    plus num_hashes integer ops, instead of num_hashes md5 calls (64×
+    less hashing; integer-exact so Spark/DuckDB/Python agree)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=num_hashes)
+    b = rng.integers(0, MINHASH_P, size=num_hashes)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 # ----------------------------------------------- rolling-hash fingerprint
 
 ROLL_BASE = 31

@@ -108,12 +108,24 @@ def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(id, m0..m{H-1}): per-doc minimum of H portable hash fns over its
+    """(id, m0..m{H-1}): per-doc minimum of H permuted hashes over its
     shingle set. Docs with no shingles (< n tokens) are dropped.
+
+    Hash family: ONE base md5 per shingle, then H universal-hash
+    permutations perm_i(h) = (A_i·(h mod P) + B_i) mod P — H× less
+    hashing than seeded-md5-per-permutation, vectorized with numpy across
+    a doc's shingle set. Integer-exact → identical in the DuckDB oracle.
 
     One mapInPandas pass, no shuffle: each doc's signature only needs its
     own text (embarrassingly parallel — scales linearly with executors)."""
+    import numpy as np
     import pandas as pd
+
+    from vecgo_spark.functions.hashing import MINHASH_P, minhash_perm_params
+
+    a_params, b_params = minhash_perm_params(num_hashes)
+    a_np = np.array(a_params, dtype=np.int64)[:, None]
+    b_np = np.array(b_params, dtype=np.int64)[:, None]
 
     def sig(batches):
         for pdf in batches:
@@ -124,9 +136,11 @@ def minhash_signatures(
                 sh = _py_shingles(t or "", n)
                 if not sh:
                     continue
+                base = np.array([_py_hash64(s) % MINHASH_P for s in sh], dtype=np.int64)
+                mins = ((a_np * base[None, :] + b_np) % MINHASH_P).min(axis=1)
                 out["id"].append(i)
                 for h in range(num_hashes):
-                    out[f"m{h}"].append(min(_py_hash64(s, seed=h) for s in sh))
+                    out[f"m{h}"].append(int(mins[h]))
             yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
     schema = "id long, " + ", ".join(f"m{i} long" for i in range(num_hashes))
@@ -183,10 +197,14 @@ def minhash_lsh_pairs_sql(
     n: int = 3, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
     min_matches: int = 8,
 ) -> str:
+    from vecgo_spark.functions.hashing import MINHASH_P, minhash_perm_params
+
+    a_params, b_params = minhash_perm_params(num_hashes)
     toks = f"list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '')"
     sh_list = shingles_sql(f"({toks})", n)
     mins = ",\n           ".join(
-        f"min({stable_hash64_sql('shingle', seed=i)}) AS m{i}" for i in range(num_hashes)
+        f"min(({a_params[i]} * h + {b_params[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(num_hashes)
     )
     rows_per_band = num_hashes // num_bands
     band_selects = []
@@ -199,8 +217,11 @@ def minhash_lsh_pairs_sql(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT DISTINCT {id_col} AS id, unnest({sh_list}) AS shingle FROM {docs_table}
+    ),
+    sh AS (
+        SELECT id, {stable_hash64_sql('shingle')} % {MINHASH_P} AS h FROM sh0
     ),
     sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
     banded AS ({banded}),
