@@ -108,6 +108,23 @@ def test_rabitq_recall_floor(corpus):
     assert np.mean(recalls) >= 0.75, recalls
 
 
+def test_pq_adc_udf_matches_expr(corpus):
+    """The Arrow-batched ADC UDF and the pure-Column inlined-table form
+    must score identically (same table, same gather)."""
+    df, x = corpus
+    pq = pqm.train_pq(df, "vector", m=16, k=256, iters=4)
+    enc = pqm.encode(pq, df, "vector")
+    q = x[3].tolist()
+    rows = enc.select(
+        "id",
+        pqm.adc_score(pq, q, "pq_codes").alias("udf"),
+        pqm.adc_score_expr(pq, q, "pq_codes").alias("expr"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["udf"] - r["expr"]) < 1e-9
+
+
 def test_sq8_encode_matches_numpy(corpus):
     df, x = corpus
     params = sq.train_scalar(df, "vector", levels=255)

@@ -196,8 +196,30 @@ def adc_table(pq: PQCodebooks, query: list[float]) -> list[list[float]]:
 
 
 def adc_score(pq: PQCodebooks, query: list[float], codes_col: Column | str) -> Column:
-    """dist = Σ_m table[m][code_m] (AdcDistance, pq.go:495-500) as a pure
-    Column expression — the literal table rides into codegen."""
+    """dist = Σ_m table[m][code_m] (AdcDistance, pq.go:495-500).
+
+    Arrow-batched pandas UDF: the per-query m×k table is a numpy closure
+    and the per-batch score is one fancy-indexed gather + row sum. This
+    beats inlining the table as an m·k-literal Column expression (8×256 =
+    2048 Column objects) whose analysis/codegen cost dominates — the UDF
+    moves only m ints per row over Arrow and scales linearly with
+    executors. `adc_score_expr` keeps the pure-expression form."""
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    tbl = np.asarray(adc_table(pq, query), dtype=np.float64)
+    col_idx = np.arange(tbl.shape[0])[None, :]
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        cm = np.array(codes.tolist(), dtype=np.int64)
+        return pd.Series(tbl[col_idx, cm].sum(axis=1))
+
+    return _adc(c)
+
+
+def adc_score_expr(pq: PQCodebooks, query: list[float], codes_col: Column | str) -> Column:
+    """ADC as a pure Column expression (table inlined as a literal array) —
+    JVM-only path, no Python workers; pays O(m·k) analyzer/codegen cost per
+    query so only worth it when Python workers are unavailable."""
     c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     table = adc_table(pq, query)
     lit_table = F.array(*[F.array(*[F.lit(v) for v in row]) for row in table])
