@@ -23,7 +23,7 @@ from vecgo_spark.filters import FilterSet
 from vecgo_spark.functions import hashing
 from vecgo_spark.functions import text as textfn
 from vecgo_spark.functions import vector as vfn
-from vecgo_spark.operators import bm25, dedup, hybrid, ivf, knn, lsh, stats
+from vecgo_spark.operators import asof, bm25, dedup, hybrid, ivf, knn, lsh, stats
 from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
 from vecgo_spark.quantization import binary as bqz
 from vecgo_spark.quantization import pq as pqz
@@ -469,6 +469,85 @@ def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: pure filter+agg — every predicate
+    reaches the parquet scan as a PushedFilter (shipdate range prunes
+    row groups via min/max stats). Revenue accumulates as exact cents²
+    integers (price¢ × discount¢) so the double matches DuckDB bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents2 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents2).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event ⋈ the most recent strictly-prior
+    view by the same user (operators/asof.py — single shuffle on user_id,
+    union+window, no O(|L|·|R|) blow-up). Deterministic tiebreak:
+    greatest (ts, event_id) among candidate views."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    out = asof.asof_join(
+        purchases, views, key_cols=["user_id"], ts_col="ts",
+        payload_cols=["view_id", "value"], inclusive=False,
+        tiebreak_cols=["view_id"], prefix="prior_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "prior_view_id", "prior_value"
+    ).orderBy("event_id")
+
+
+def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel (WithVersion/ListVersions,
+    vecgo.go:422-448): 2 commits + a delete-commit into a scratch table,
+    then per-version live-row counts read back through pinned manifests.
+    Counts are materialized eagerly so the scratch dir can be removed."""
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    tmp = tempfile.mkdtemp(prefix="vecgo_tt_")
+    try:
+        path = f"{tmp}/tbl"
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        )
+        tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
+        tbl.insert(emb.where(F.col("id") < 40))
+        tbl.commit()  # v2: first 40 rows
+        tbl.insert(emb.where((F.col("id") >= 40) & (F.col("id") < 60)))
+        tbl.delete(list(range(10)))
+        tbl.commit()  # v3: +20 inserted, 10 tombstoned → 50 live
+        rows = [
+            (int(v), int(VectorTable.open(spark, path, version=v).count()))
+            for v in VectorTable.open(spark, path).versions()
+            if v > 1  # v1 is the empty created table
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "version int, n_rows long").orderBy("version")
+
+
 def _tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets surface — absent in the
     reference, free in Spark/DuckDB; SURVEY §2.4)."""
@@ -566,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_1h": _events_tumbling_1h,
         "events_sessionization": _events_sessionization,
         "tpch_rollup": _tpch_rollup,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "events_asof_join": _events_asof_join,
+        "time_travel_versions": _time_travel,
         "text_stats": _text_stats,
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
@@ -793,6 +875,40 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                     / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+              AND l_quantity < 24
+        """,
+        "events_asof_join": """
+            WITH u AS (
+                SELECT user_id, ts, event_id, NULL::BIGINT AS view_id,
+                       NULL::DOUBLE AS view_value, 1 AS side
+                FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT user_id, ts, NULL, event_id, value, 0
+                FROM events WHERE event_type = 'view'
+            ),
+            w AS (
+                SELECT user_id, ts, event_id, side,
+                       last_value(CASE WHEN side = 0 THEN
+                           struct_pack(view_id := view_id, view_value := view_value)
+                       END IGNORE NULLS) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, side DESC, view_id ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS m
+                FROM u
+            )
+            SELECT event_id, user_id, ts,
+                   m.view_id AS prior_view_id, m.view_value AS prior_value
+            FROM w WHERE side = 1 ORDER BY event_id
         """,
         "text_stats": f"""
             SELECT doc_id,
