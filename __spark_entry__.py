@@ -163,7 +163,7 @@ def _hybrid_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return docs.join(
         emb, docs["doc_id"] == emb["vec_id"], "inner"
-    ).select(docs["doc_id"].alias("id"), "text", "embedding")
+    ).select(docs["doc_id"].alias("id"), "text", "lang", "embedding")
 
 
 def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,6 +171,19 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir)
     return hybrid.hybrid_search(
         coll, q, QUERY_TEXT, k=10, metric="l2",
+        id_col="id", vector_col="embedding", text_col="text",
+    )
+
+
+def _hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered hybrid search: the metadata predicate applies to the
+    vector leg (SearchOptions filters flow into SearchIter, engine.go:1549);
+    the lexical index stays filter-agnostic (engine.go:1555)."""
+    coll = _hybrid_collection(spark, sf_dir)
+    q = _query_vector(spark, sf_dir)
+    return hybrid.hybrid_search(
+        coll, q, QUERY_TEXT, k=10, metric="l2",
+        filter=FilterSet().eq("lang", "en"),
         id_col="id", vector_col="embedding", text_col="text",
     )
 
@@ -624,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _topk_per_group,
         "bm25_search": _bm25_search,
         "hybrid_rrf": _hybrid_rrf,
+        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
         "tombstone_antijoin": _tombstone_antijoin,
         "upsert_latest_wins": _upsert_latest_wins,
         "knn_sq8_adc": _knn_sq8_adc,
@@ -936,6 +950,9 @@ def oracle_sql() -> dict[str, str]:
                                             id_col="doc_id", text_col="text"),
         "hybrid_rrf": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),
+        "hybrid_rrf_filtered": hybrid.hybrid_oracle_sql(
+            sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC",
+            vec_where="c.lang IS NOT NULL AND c.lang = 'en'"),
         "topk_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
                 SELECT o_custkey, o_orderkey, o_totalprice,

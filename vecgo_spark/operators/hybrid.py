@@ -90,21 +90,26 @@ def hybrid_oracle_sql(
     k: int,
     rrf_k: int = DEFAULT_RRF_K,
     vec_order: str = "ASC",
+    vec_where: str = "",
 ) -> str:
     """DuckDB twin of hybrid_search over the joined documents×embeddings
     collection. ``knn_score_sql`` scores e.embedding vs the query vector
-    subquery ``q`` (see __spark_entry__)."""
+    subquery ``q`` (see __spark_entry__). ``vec_where`` filters the vector
+    leg only — the lexical index is filter-agnostic, mirroring the
+    reference (engine.go:1555)."""
     vector_k = max(2 * k, 50)
     bm25_inner = bm25_mod.bm25_oracle_sql(query_text, vector_k, docs_table="coll",
                                           id_col="id", text_col="text")
+    where = f"WHERE {vec_where}" if vec_where else ""
     return f"""
     WITH coll AS (
-        SELECT d.doc_id AS id, d.text AS text, e.embedding AS embedding
+        SELECT d.doc_id AS id, d.text AS text, d.lang AS lang, e.embedding AS embedding
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     ),
     vec AS (
         SELECT c.id, {knn_score_sql} AS score
         FROM coll c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        {where}
         ORDER BY score {vec_order}, c.id ASC
         LIMIT {vector_k}
     ),
