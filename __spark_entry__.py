@@ -602,6 +602,35 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_MAGICS = [
+    ("image/png", b"\x89PNG"),
+    ("image/gif", b"GIF8"),
+    ("audio/wav", b"RIFF"),
+    ("audio/mp3", b"ID3"),
+    ("video/mp4", b"\x00\x00\x00"),
+]
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns end-to-end: synthesize a media blob per
+    document (magic prefix by doc_id%5 + utf-8 text payload — testdata has
+    no real media), then exercise the REAL Spark plumbing: magic-number
+    MIME sniffing (JVM byte compares) + mapInPandas byte features
+    (operators/multimodal.py). Oracle = the embedded ground truth."""
+    from vecgo_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    magic = F.lit(bytearray(_MM_MAGICS[0][1]))
+    for i, (_, prefix) in list(enumerate(_MM_MAGICS))[1:]:
+        magic = F.when(F.col("doc_id") % 5 == i, F.lit(bytearray(prefix))).otherwise(magic)
+    blobs = docs.select(
+        "doc_id",
+        F.concat(magic, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")).alias("data"),
+    )
+    feats = mm.byte_features(mm.sniff_media_type(blobs, "data"), "data")
+    return feats.select("doc_id", "sniffed_type", "n_bytes").orderBy("doc_id")
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -664,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_versions": _time_travel,
         "text_stats": _text_stats,
         "doc_fingerprint": _doc_fingerprint,
+        "multimodal_features": _multimodal_features,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
@@ -940,6 +970,16 @@ def oracle_sql() -> dict[str, str]:
                    {hashing.doc_fingerprint_sql('text', 16)} AS fingerprint,
                    len({hashing.rolling_window_hashes_sql('text', 16)})::INT AS n_windows
             FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                        WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'audio/mp3'
+                        ELSE 'video/mp4' END AS sniffed_type,
+                   CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 3 ELSE 4 END
+                        + octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
+            FROM documents ORDER BY doc_id
         """,
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
