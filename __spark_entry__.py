@@ -151,6 +151,21 @@ def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of topk_per_group (operators/skew.py): local top-k
+    per (key, salt) then global top-k — same rows, but a zipfian-hot
+    custkey can never serialize one window task. Same oracle as the
+    single-window plan."""
+    from vecgo_spark.operators import skew
+
+    orders = load_table(spark, sf_dir, "orders")
+    return skew.salted_topk(
+        orders, ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3, n_salts=8,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
 def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25.bm25_search(docs, QUERY_TEXT, k=10, id_col="doc_id", text_col="text")
@@ -664,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_filter": _scan_filter,
         "tpch_q1_pricing_summary": _tpch_q1,
         "topk_per_group": _topk_per_group,
+        "topk_per_group_salted": _topk_per_group_salted,
         "bm25_search": _bm25_search,
         "hybrid_rrf": _hybrid_rrf,
         "hybrid_rrf_filtered": _hybrid_rrf_filtered,
@@ -994,6 +1010,15 @@ def oracle_sql() -> dict[str, str]:
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC",
             vec_where="c.lang IS NOT NULL AND c.lang = 'en'"),
         "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "topk_per_group_salted": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
                 SELECT o_custkey, o_orderkey, o_totalprice,
                        CAST(row_number() OVER (
