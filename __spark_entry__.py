@@ -666,6 +666,10 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_l2": _knn("l2"),
@@ -715,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "embedding_neardup": _embedding_neardup,
+        "dedup_clusters": _dedup_clusters,
     }
 
 
@@ -1002,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_pairs_sql(max_hamming=3),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.5),
         "embedding_neardup": dedup.embedding_neardup_pairs_sql(threshold=0.4),
+        "dedup_clusters": dedup.dedup_clusters_sql(threshold=0.5),
         "bm25_search": bm25.bm25_oracle_sql(QUERY_TEXT, 10, docs_table="documents",
                                             id_col="doc_id", text_col="text"),
         "hybrid_rrf": hybrid.hybrid_oracle_sql(

@@ -59,3 +59,48 @@ def test_embedding_neardup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              dedup.embedding_neardup_pairs(emb, threshold=0.9).collect()}
     assert pairs == {(1, 2)}
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id per component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4-5 plus pair 10-11 plus singleton-free grid: worst case
+    # for plain propagation (diameter 4) — pointer jumping must converge.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (7, 6), (8, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    nodes = sorted({x for e in edges for x in e})
+    want = _union_find_components(edges, nodes)
+    assert got == want
+
+
+def test_dedup_clusters_matches_union_find(spark, docs):
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.dedup_clusters(docs, threshold=0.5).collect()}
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()]
+    nodes = [r["doc_id"] for r in docs.collect()]
+    uf = _union_find_components(pairs, nodes)
+    assert out == uf
+    # 1,2,3 cluster together under canonical 1; 4 and 5 are singletons
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4 and out[5] == 5

@@ -463,3 +463,107 @@ def embedding_neardup_pairs_sql(
     FROM {emb_table} a JOIN {emb_table} b ON a.{id_col} < b.{id_col}
     WHERE {cos} >= {threshold!r}
     """
+
+
+# --------------------------------------------- connected-component clusters
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, comp): comp = MIN node id in the node's connected component.
+
+    Min-label propagation with pointer jumping, pure DataFrame ops:
+    each round (a) takes the min label over direct neighbors, then
+    (b) path-halves by re-resolving each label through the label of the
+    label. Pointer jumping makes convergence O(log diameter) rounds, not
+    O(diameter) — the near-dup graphs this feeds on are chain-y (A~B~C
+    where A!~C), which is the worst case for plain propagation.
+
+    Scale posture: the working set is (node, label) pairs — O(V) rows, two
+    shuffles per round, never the O(V²) transitive closure. Each round
+    `localCheckpoint`s to truncate lineage (iterative plans otherwise grow
+    an exponential optimizer tree) and the loop exits on a fixpoint count
+    of 0 changed labels, itself a cheap agg on the already-materialized
+    checkpoint.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+        )
+        parent = labels.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        jumped = (
+            stepped.join(parent, stepped["comp"] == parent["pid"], "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp"))).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, canonical_id): every document mapped to the canonical
+    (minimum) doc id of its near-duplicate cluster; singletons map to
+    themselves. Clusters = connected components of the exact n-gram
+    Jaccard graph at `threshold` — the standard "keep one per cluster"
+    step after pair finding in a training-data dedup pipeline."""
+    pairs = ngram_jaccard_pairs(docs, id_col, text_col, n=n, threshold=threshold)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("canonical_id"))
+    )
+
+
+def dedup_clusters_sql(
+    docs_table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle: recursive-CTE reachability (exact transitive closure —
+    fine at oracle scale, the Spark side uses log-round propagation)."""
+    pairs_sql = ngram_jaccard_pairs_sql(docs_table, id_col, text_col, n, threshold)
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({pairs_sql})
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk (id, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comps AS (SELECT id, MIN(reach) AS comp FROM walk GROUP BY id)
+    SELECT d.{id_col} AS doc_id, COALESCE(c.comp, d.{id_col}) AS canonical_id
+    FROM {docs_table} d LEFT JOIN comps c ON d.{id_col} = c.id
+    """
