@@ -404,6 +404,32 @@ def _ann_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       id_col="vec_id", vector_col="embedding")
 
 
+def _ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF-PQ composed from the same primitives the reference
+    layers in its flat segments (flat/segment.go:447-753 probe pruning +
+    pq.go:468-500 ADC): IVF probe pruning cuts the scan to nprobe/nlist of
+    the corpus, PQ ADC scores only the surviving codes, exact rerank
+    restores full-precision ordering. KMeans state → rows-only check;
+    recall floor in tests/test_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    pq = pqz.train_pq(emb, "embedding", m=8, k=256, iters=8, max_train_rows=20_000,
+                      cache_key=f"{sf_dir}:embeddings:pq8x256")
+    pruned = ivf.assign(emb, model, "embedding").where(
+        F.col("cluster_id").isin(ivf.probe_clusters(model, q, 3))
+    )
+    enc = pqz.encode(pq, pruned, "embedding")
+    coarse = (
+        enc.select("vec_id", pqz.adc_score(pq, q, "pq_codes").alias("score"))
+        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        .limit(110)
+    )
+    return knn.rerank(coarse, emb, q, k=10, metric="l2",
+                      id_col="vec_id", vector_col="embedding")
+
+
 def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority style 3-way join: broadcast the filtered customer
     dim, shuffle-join orders⋈lineitem, integer-cents revenue agg."""
@@ -604,6 +630,10 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint per document (Rabin-Karp
     over 16-char windows, min-hash winnow) — the text-analysis
@@ -700,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _ann_lsh,
         "ann_ivf_batch": _ann_ivf_batch,
         "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
+        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
         "tpch_q3_shipping_priority": _tpch_q3,
         "stats_numeric_profile": _stats_numeric,
         "stats_histogram": _stats_histogram,
@@ -712,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _events_asof_join,
         "time_travel_versions": _time_travel,
         "text_stats": _text_stats,
+        "docs_quality_filter": _docs_quality_filter,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_features": _multimodal_features,
         "dedup_exact": _dedup_exact,
@@ -986,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
                    {textfn.langid_stopword_sql('text')} AS lang_pred
             FROM documents
         """,
+        "docs_quality_filter": textfn.quality_filter_sql(),
         "doc_fingerprint": f"""
             SELECT doc_id,
                    {hashing.doc_fingerprint_sql('text', 16)} AS fingerprint,

@@ -120,3 +120,34 @@ def test_assignment_is_argmin(clustered):
     expect = d2.argmin(axis=1)
     mismatch = sum(1 for i in range(N) if got[i] != expect[i])
     assert mismatch == 0
+
+
+def test_ivf_pq_rerank_recall(clustered):
+    """Composed IVF-PQ pipeline (probe prune -> PQ ADC coarse -> exact
+    rerank) must clear a recall floor vs brute force, and the reported
+    scores must be the exact rerank distances."""
+    from vecgo_spark.quantization import pq as pqz
+
+    df, assigned, model, x = clustered
+    pq = pqz.train_pq(df, "vector", m=4, k=16, iters=5, max_train_rows=600)
+    recalls = []
+    for qi in range(5):
+        q = x[qi].tolist()
+        truth = knn.search(df, q, k=K, metric="l2").collect()
+        truth_ids = {r["id"] for r in truth}
+        pruned = assigned.where(
+            F.col("cluster_id").isin(ivf.probe_clusters(model, q, 3))
+        )
+        enc = pqz.encode(pq, pruned, "vector")
+        coarse = (
+            enc.select("id", pqz.adc_score(pq, q, "pq_codes").alias("score"))
+            .orderBy(F.col("score").asc(), F.col("id").asc())
+            .limit(K * 5)
+        )
+        got = knn.rerank(coarse, df, q, k=K, metric="l2").collect()
+        recalls.append(len({r["id"] for r in got} & truth_ids) / K)
+        exact_by_id = {r["id"]: r["score"] for r in truth}
+        for r in got:
+            if r["id"] in exact_by_id:
+                assert r["score"] == exact_by_id[r["id"]]
+    assert np.mean(recalls) >= 0.7, recalls

@@ -77,6 +77,36 @@ def langid_stopword(text: Column | str, threshold: float = 0.08) -> Column:
     return F.when(ratio >= F.lit(threshold), F.lit("en")).otherwise(F.lit("unk"))
 
 
+def quality_filter(
+    docs, text_col: str = "text", id_col: str = "doc_id",
+    min_quality: float = 0.55, min_tokens: int = 20, max_tokens: int = 100_000,
+    lang: str = "en",
+):
+    """C4-style pretraining quality gate: keep documents that pass the
+    language heuristic, clear a quality-score floor, and fall inside a
+    token-count band; emit the signal columns alongside the id so the
+    decision is auditable.
+
+    Scale posture: one parquet scan, zero shuffles — every signal is a
+    JVM Column expression evaluated inside WholeStageCodegen, and the
+    predicate is ordinary Filter logic Catalyst can reorder. On 100 TB
+    this is embarrassingly parallel map work.
+    """
+    c = F.col(text_col)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        langid_stopword(c).alias("langid"),
+        quality_score(c).alias("quality"),
+        token_count(c).alias("n_tokens"),
+    )
+    return out.where(
+        (F.col("langid") == lang)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    )
+
+
 # ------------------------------------------------------------ SQL twins
 
 _TOKS = "list_filter(string_split_regex(lower({c}), '[\\x00-\\x20]+'), t -> t != '')"
@@ -136,3 +166,21 @@ def langid_stopword_sql(col: str, threshold: float = 0.08) -> str:
         f"(CASE WHEN COALESCE({stopword_ratio_sql(col)}, 0.0) >= {threshold!r} "
         f"THEN 'en' ELSE 'unk' END)"
     )
+
+
+def quality_filter_sql(
+    docs_table: str = "documents", text_col: str = "text", id_col: str = "doc_id",
+    min_quality: float = 0.55, min_tokens: int = 20, max_tokens: int = 100_000,
+    lang: str = "en",
+) -> str:
+    return f"""
+    SELECT * FROM (
+        SELECT {id_col} AS doc_id,
+               {langid_stopword_sql(text_col)} AS langid,
+               {quality_score_sql(text_col)} AS quality,
+               {token_count_sql(text_col)} AS n_tokens
+        FROM {docs_table}
+    )
+    WHERE langid = '{lang}' AND quality >= {min_quality!r}
+      AND n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}
+    """
