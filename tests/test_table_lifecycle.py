@@ -151,3 +151,42 @@ def test_commit_noop_and_stats(spark, tdir):
     assert s["segments"] == 1 and s["rows_upper_bound"] == 3 and s["version"] == 2
     m = load_manifest(tdir)
     assert m.segments[0].stats["price"]["min"] == 10.0
+
+def test_delete_then_reinsert_same_batch_visible(spark, tdir):
+    """Regression: LSNs must come from ONE counter across pending segments
+    AND tombstones — a delete followed by an insert in the same uncommitted
+    batch must leave the re-inserted rows visible (MVCC re-insert-after-
+    delete, internal/pk/mvcc.go:258)."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_mk_rows(spark, range(1, 6), cat="old"))
+    t.commit()
+    t.delete([2, 3])
+    t.insert(_mk_rows(spark, [2], cat="reborn"))  # same uncommitted batch
+    t.commit()
+    rows = {r["id"]: r["category"] for r in t.df().collect()}
+    assert rows[2] == "reborn"
+    assert 3 not in rows
+    assert set(rows) == {1, 2, 4, 5}
+
+
+def test_delete_where_large_predicate_no_driver_collect(spark, tdir):
+    """delete_where writes tombstones executor-side; a >10k-row predicate
+    delete must work without materializing ids on the driver."""
+    n = 20000
+    df = spark.range(1, n + 1).selectExpr(
+        "id", "array(cast(id as float), cast(id+1 as float)) as vector",
+        "case when id % 2 = 0 then 'even' else 'odd' end as category",
+        "cast(id * 10 as double) as price",
+    )
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(df)
+    t.commit()
+    removed = t.delete_where(FilterSet().eq("category", "even"))
+    assert removed == n // 2
+    t.commit()
+    assert t.count() == n // 2
+    sample = {r["id"] for r in t.df(FilterSet().lte("price", 100.0)).collect()}
+    assert sample == {1, 3, 5, 7, 9}
+    # empty-match predicate stages nothing
+    assert t.delete_where(FilterSet().eq("category", "nope")) == 0
+    assert not t._pending_tombs

@@ -126,15 +126,16 @@ class VectorTable:
         """
         self._check_writable()
         dim = self.manifest.meta.get("dim")
-        lsn = self.manifest.lsn + len(self._pending) + 1
+        lsn = self._next_lsn()
         if not assign_ids and self.id_col not in df.columns:
             raise ValueError(f"missing id column {self.id_col!r}; use assign_ids=True")
         if dim is not None and self.vector_col in df.columns:
             bad = df.where(F.size(F.col(self.vector_col)) != dim).limit(1).count()
             if bad:
                 raise ValueError(f"vector dimension mismatch (expected {dim})")
+        persisted = None
         if assign_ids:
-            df = self._assign_ids(df)
+            df, persisted = self._assign_ids(df)
         else:
             # explicit ids may collide with existing rows → upsert semantics
             self.manifest.meta["has_upserts"] = True
@@ -143,6 +144,8 @@ class VectorTable:
         rel = os.path.join(SEG_DIR, name)
         full = os.path.join(self.path, rel)
         df.write.mode("error").parquet(full)
+        if persisted is not None:
+            persisted.unpersist()
         written = self.spark.read.parquet(full)
         rows = written.count()
         stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
@@ -152,12 +155,22 @@ class VectorTable:
         )
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
 
-    def _assign_ids(self, df: DataFrame) -> DataFrame:
+    def _next_lsn(self) -> int:
+        # one counter across BOTH pending lists: a delete followed by an
+        # insert in the same uncommitted batch must give the segment a
+        # strictly greater LSN than the tombstone, or the read filter
+        # `_lsn > _tomb_lsn` hides the re-inserted rows
+        return self.manifest.lsn + len(self._pending) + len(self._pending_tombs) + 1
+
+    def _assign_ids(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         start = self.manifest.next_id
         # materialize the partition id BEFORE any shuffle: the window below
         # repartitions, after which spark_partition_id() would return the
-        # post-shuffle id and the offset lookup would miss
-        df = df.withColumn("_pid", F.spark_partition_id())
+        # post-shuffle id and the offset lookup would miss.
+        # persist: the count job and the segment write must observe the SAME
+        # partitioning — nondeterministic lineage (sample/shuffle) could
+        # otherwise change counts between the two jobs
+        df = df.withColumn("_pid", F.spark_partition_id()).persist()
         counts = {
             r["_pid"]: r["cnt"]
             for r in df.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -169,15 +182,16 @@ class VectorTable:
         self.manifest.next_id = start + acc
         omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
         w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
-        return df.withColumn(
+        assigned = df.withColumn(
             self.id_col,
             (F.lit(start) + omap[F.col("_pid")] + F.row_number().over(w) - F.lit(1)).cast("long"),
         ).drop("_pid")
+        return assigned, df
 
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone ids (idempotent; BatchDelete engine.go:1186-1302)."""
         self._check_writable()
-        lsn = self.manifest.lsn + len(self._pending) + 1
+        lsn = self._next_lsn()
         name = f"tomb-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(TOMB_DIR, name)
         df = self.spark.createDataFrame(
@@ -187,11 +201,27 @@ class VectorTable:
         self._pending_tombs.append(rel)
 
     def delete_where(self, filter: FilterSet | str) -> int:
-        """Delete by predicate: resolve matching ids, tombstone them."""
-        ids = [r[0] for r in self.df().where(to_condition(filter)).select(self.id_col).collect()]
-        if ids:
-            self.delete(ids)
-        return len(ids)
+        """Delete by predicate. The tombstone parquet is written straight
+        from the filtered scan — matching ids never touch the driver, so a
+        predicate hitting 1% of a 100 TB table stays an executor-side
+        filter+write job."""
+        self._check_writable()
+        lsn = self._next_lsn()
+        name = f"tomb-{lsn:08d}-{uuid.uuid4().hex[:8]}"
+        rel = os.path.join(TOMB_DIR, name)
+        full = os.path.join(self.path, rel)
+        (
+            self.df().where(to_condition(filter))
+            .select(F.col(self.id_col).cast("long").alias(self.id_col))
+            .withColumn("_lsn", F.lit(lsn).cast("long"))
+            .write.mode("error").parquet(full)
+        )
+        n = self.spark.read.parquet(full).count()
+        if n == 0:
+            shutil.rmtree(full, ignore_errors=True)
+            return 0
+        self._pending_tombs.append(rel)
+        return n
 
     def commit(self) -> int:
         """Publish staged segments/tombstones as version N+1 (atomic)."""

@@ -111,16 +111,19 @@ def pack_bits_sql(vcol: str, dim: int, threshold: float = 0.0) -> str:
         f"AND {vcol}[w * {WORD_BITS} + j + 1]::DOUBLE >= {threshold!r} "
         f"THEN (1::BIGINT << ({WORD_BITS - 1} - j)) ELSE 0::BIGINT END"
     )
+    # CAST: DuckDB's list_sum widens to HUGEINT; the Spark side is BIGINT and
+    # the driver's value hash is type-sensitive, so pin the word type.
     return (
         f"list_transform(range(0, {nw}), w -> "
-        f"list_sum(list_transform(range(0, {WORD_BITS}), j -> {bit})))"
+        f"CAST(list_sum(list_transform(range(0, {WORD_BITS}), j -> {bit})) AS BIGINT))"
     )
 
 
 def hamming_words_sql(a: str, b: str) -> str:
+    # CAST: list_sum returns HUGEINT in DuckDB; Spark's score is BIGINT.
     return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"x -> bit_count(xor(x[1], x[2]))::BIGINT))"
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> bit_count(xor(x[1], x[2]))::BIGINT)) AS BIGINT)"
     )
 
 
