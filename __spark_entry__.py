@@ -304,13 +304,13 @@ def _knn_rabitq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ: 8 sub-codebooks × 256 centroids, ADC table scoring + exact
-    rerank (pq.go:20-500). KMeans codebooks are not SQL-expressible →
-    rows-only driver check; the recall floor (≥0.80) is asserted in
-    tests/test_quantization.py."""
+    rerank (pq.go:20-500). Training is deterministic (ORDER BY id sample +
+    seeded Lloyd's), so the DuckDB oracle re-trains the identical codebooks
+    and runs encode+ADC+top-k with bit-equal fold arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     pq = pqz.train_pq(emb, "embedding", m=8, k=256, iters=8, max_train_rows=20_000,
-                      cache_key=f"{sf_dir}:embeddings:pq8x256")
+                      order_col="vec_id", cache_key=f"{sf_dir}:embeddings:pq8x256")
     enc = pqz.encode(pq, emb, "embedding")
     coarse = (
         enc.select("vec_id", pqz.adc_score(pq, q, "pq_codes").alias("score"))
@@ -322,8 +322,9 @@ def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ: learned rotation + PQ, ADC scoring + exact rerank
-    (opq.go:15-305). Rows-only (SVD/KMeans state); distortion-vs-PQ
-    contract in tests/test_quantization.py."""
+    (opq.go:15-305). Deterministic training (see _knn_pq_adc) → the oracle
+    re-trains the identical rotation+codebooks; rotation, encode and ADC
+    all run with bit-equal sequential-fold arithmetic in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     cache = f"{sf_dir}:embeddings:opq8x256"
@@ -331,7 +332,7 @@ def _knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         opq = pqz._PQ_CACHE[cache]
     else:
         opq = pqz.train_opq(emb, "embedding", m=8, k=256, iters=6, opq_iters=3,
-                            max_train_rows=20_000)
+                            max_train_rows=20_000, order_col="vec_id")
         pqz._PQ_CACHE[cache] = opq
     enc = pqz.encode(opq, emb, "embedding")
     coarse = (
@@ -362,6 +363,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     return ivf.search(assigned, model, q, k=10, nprobe=3,
@@ -374,6 +376,7 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast). Rows-only check; equivalence + recall in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
     assigned = ivf.assign(emb, model, "embedding")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -390,6 +393,7 @@ def _ann_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
     params = sqz.train_scalar(emb, "embedding", levels=255)
     pruned = ivf.assign(emb, model, "embedding").where(
@@ -414,6 +418,7 @@ def _ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
     pq = pqz.train_pq(emb, "embedding", m=8, k=256, iters=8, max_train_rows=20_000,
                       cache_key=f"{sf_dir}:embeddings:pq8x256")
@@ -473,10 +478,11 @@ def _stats_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stats_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector stats: per-segment centroid + norm stats
-    (stats_collector.go:554-614). Float means are order-dependent →
-    rows-only driver check; numpy parity in tests/test_stats.py."""
+    (stats_collector.go:554-614). exact_mean folds the value-sorted norm
+    list sequentially — order-independent, hence oracle-exact (the
+    streaming-avg production path keeps numpy parity in tests/test_stats.py)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn("seg", F.col("vec_id") % 4)
-    prof = stats.vector_profile(emb, "seg", "embedding")
+    prof = stats.vector_profile(emb, "seg", "embedding", exact_mean=True)
     return prof.select("seg", "row_count", "mean_norm", "max_norm", F.size("centroid").alias("dim"))
 
 
@@ -783,11 +789,167 @@ def _knn_oracle(score: str, order: str) -> str:
     """
 
 
+def _ann_oracles() -> dict[str, str]:
+    """Oracles for the trained-index ANN family. Training is deterministic
+    (ORDER BY id sample + seeded numpy — oracle_artifacts trains the exact
+    model the Spark queries trained), so the SQL embeds the centroids /
+    codebooks / rotation / hyperplanes as literals and re-runs assignment,
+    probe selection, encoding and ADC with fold arithmetic that is
+    bit-identical to the Spark Column expressions."""
+    from vecgo_spark import oracle_artifacts as arts
+
+    sf = arts.oracle_sf_dir()
+    qv = arts.query_vector(sf)
+    ivf_m = arts.ivf_model(sf)
+    pq_b = arts.pq_books(sf)
+    opq_b = arts.opq_books(sf)
+    planes = lsh.make_planes(EMB_DIM, n_planes=10, metric="cosine")
+
+    sq = sq_l2_sql("e.embedding", "q.qv")
+    # driver-side probe/bucket state is computed ONCE here with the same
+    # functions the Spark path calls — identical model + query ⇒ identical
+    # literals on both sides
+    probes3 = ", ".join(str(c) for c in ivf.probe_clusters(ivf_m, qv, 3))
+    buckets = ", ".join(str(b) for b in lsh.probe_buckets(planes, qv, 2))
+
+    ann_ivf = f"""
+        WITH q AS {_Q}
+        SELECT e.vec_id, {sq} AS score
+        FROM embeddings e, q
+        WHERE {ivf.assign_sql(ivf_m, "e.embedding")} IN ({probes3})
+        ORDER BY score ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
+    ann_lsh = f"""
+        WITH q AS {_Q}
+        SELECT e.vec_id, {cosine_sql("e.embedding", "q.qv")} AS score
+        FROM embeddings e, q
+        WHERE {lsh.bucket_sql(planes, "e.embedding")} IN ({buckets})
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT 10
+    """
+
+    ann_ivf_batch = f"""
+        WITH cents AS (SELECT {ivf.centroids_literal_sql(ivf_m)} AS cl),
+        qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        probes AS (
+            SELECT qid, qv,
+                   unnest({ivf.probe_list_sql(ivf_m, "qv", 3, cents_ref="cl")}) AS cluster_id
+            FROM qs, cents
+        ),
+        asg AS (
+            SELECT vec_id, embedding,
+                   {ivf.assign_sql(ivf_m, "embedding", cents_ref="cl")} AS cluster_id
+            FROM embeddings, cents
+        ),
+        scored AS (
+            SELECT p.qid, a.vec_id, {sq_l2_sql("a.embedding", "p.qv")} AS score
+            FROM asg a JOIN probes p USING (cluster_id)
+        )
+        SELECT qid, vec_id, score, rank FROM (
+            SELECT qid, vec_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY score ASC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+    ann_ivf_sq8_rerank = f"""
+        WITH {sqz.params_cte_sql("embeddings", "embedding", EMB_DIM, 255)},
+        q AS {_Q},
+        coarse AS (
+            SELECT e.vec_id,
+                   {sqz.adc_sq_l2_sql("e.embedding", "q.qv", EMB_DIM, 255)} AS score
+            FROM embeddings e, q, p
+            WHERE {ivf.assign_sql(ivf_m, "e.embedding")} IN ({probes3})
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 40
+        )
+        SELECT e.vec_id, {sq} AS score
+        FROM embeddings e, q, coarse c
+        WHERE e.vec_id = c.vec_id
+        ORDER BY score ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
+    knn_pq_adc = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        {pqz.books_cte_sql(pq_b)},
+        {pqz.adc_table_cte_sql(pq_b, "q.qv", from_sql="q, books")},
+        coarse AS (
+            SELECT e.vec_id, {pqz.adc_score_sql(pq_b, "e.embedding::DOUBLE[]")} AS score
+            FROM embeddings e, books, tbl
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 110
+        )
+        SELECT e.vec_id, {sq} AS score
+        FROM embeddings e, q, coarse c
+        WHERE e.vec_id = c.vec_id
+        ORDER BY score ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
+    knn_opq_adc = f"""
+        WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        {pqz.books_cte_sql(opq_b)},
+        {pqz.rotation_cte_sql(opq_b)},
+        q AS (SELECT {pqz.rotate_sql("q0.qv")} AS qv FROM q0, rot),
+        {pqz.adc_table_cte_sql(opq_b, "q.qv", from_sql="q, books")},
+        er AS (
+            SELECT vec_id, {pqz.rotate_sql("embedding::DOUBLE[]")} AS vr
+            FROM embeddings, rot
+        ),
+        coarse AS (
+            SELECT er.vec_id, {pqz.adc_score_sql(opq_b, "er.vr")} AS score
+            FROM er, books, tbl
+            ORDER BY score ASC, er.vec_id ASC
+            LIMIT 110
+        )
+        SELECT e.vec_id, {sq_l2_sql("e.embedding", "q0.qv")} AS score
+        FROM embeddings e, q0, coarse c
+        WHERE e.vec_id = c.vec_id
+        ORDER BY score ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
+    ann_ivf_pq_rerank = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        {pqz.books_cte_sql(pq_b)},
+        {pqz.adc_table_cte_sql(pq_b, "q.qv", from_sql="q, books")},
+        pruned AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE {ivf.assign_sql(ivf_m, "embedding")} IN ({probes3})
+        ),
+        coarse AS (
+            SELECT p.vec_id, {pqz.adc_score_sql(pq_b, "p.embedding::DOUBLE[]")} AS score
+            FROM pruned p, books, tbl
+            ORDER BY score ASC, p.vec_id ASC
+            LIMIT 110
+        )
+        SELECT e.vec_id, {sq} AS score
+        FROM embeddings e, q, coarse c
+        WHERE e.vec_id = c.vec_id
+        ORDER BY score ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
+    return {
+        "ann_ivf": ann_ivf,
+        "ann_lsh": ann_lsh,
+        "ann_ivf_batch": ann_ivf_batch,
+        "ann_ivf_sq8_rerank": ann_ivf_sq8_rerank,
+        "knn_pq_adc": knn_pq_adc,
+        "knn_opq_adc": knn_opq_adc,
+        "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     sq = sq_l2_sql("e.embedding", "q.qv")
     dt = dot_sql("e.embedding", "q.qv")
     cs = cosine_sql("e.embedding", "q.qv")
-    return {
+    out = {
         "knn_l2": _knn_oracle(sq, "ASC"),
         "knn_dot": _knn_oracle(dt, "DESC"),
         "knn_cosine": _knn_oracle(cs, "DESC"),
@@ -920,6 +1082,18 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_orderkey % 4", "l_extendedprice", bins=16),
         "stats_categorical_profile": stats.categorical_profile_sql(
             "events", "user_id % 4", "event_type"),
+        "stats_vector_profile": stats.vector_profile_sql(
+            "embeddings", "vec_id % 4", "embedding"),
+        # time_travel builds a scratch table from embeddings: v2 = ids<40;
+        # v3 = +ids 40..59 inserted, ids 0..9 tombstoned → live = ids 10..59
+        "time_travel_versions": """
+            SELECT CAST(2 AS INT) AS version,
+                   (SELECT COUNT(*) FROM embeddings WHERE vec_id < 40) AS n_rows
+            UNION ALL
+            SELECT CAST(3 AS INT),
+                   (SELECT COUNT(*) FROM embeddings WHERE vec_id >= 10 AND vec_id < 60)
+            ORDER BY version
+        """,
         "events_tumbling_1h": """
             SELECT date_trunc('hour', ts) AS ws, event_type,
                    COUNT(*) AS n,
@@ -1067,3 +1241,5 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
     }
+    out.update(_ann_oracles())
+    return out

@@ -7,9 +7,16 @@ Usage: python scripts/verify_driver.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, ".")
+
+if len(sys.argv) > 1:
+    # oracle_sql() trains ANN artifacts from parquet; point it at the same
+    # sf dir the queries run at (the external driver always uses sf0.01,
+    # which is the module default)
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sys.argv[1])
 
 import __spark_entry__ as entrymod  # noqa: E402
 from tests.oracle_harness import compare, duck_connection  # noqa: E402

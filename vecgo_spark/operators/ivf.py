@@ -67,6 +67,7 @@ def train_ivf(
     cache_key: str | None = None,
     trainer: str = "mllib",
     max_train_rows: int = 100_000,
+    order_col: str | None = None,
 ) -> IVFModel:
     """trainer="mllib": distributed KMeans over the full corpus (the
     100 TB path). trainer="driver": numpy Lloyd's on a bounded sample in
@@ -80,7 +81,7 @@ def train_ivf(
     if trainer == "driver":
         from vecgo_spark.quantization.pq import _lloyd, _sample_vectors
 
-        x = _sample_vectors(df, vector_col, max_train_rows)
+        x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
         cents = _lloyd(x, nlist, iters=max_iter, rng=np.random.default_rng(seed))
         out = IVFModel(centroids=cents, metric=metric)
     else:
@@ -151,6 +152,45 @@ def probe_expr(model: IVFModel, qvector_col: Column | str, nprobe: int) -> Colum
     )
     return F.transform(
         F.slice(F.array_sort(scored), 1, max(1, nprobe)), lambda s: s["cid"]
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def centroids_literal_sql(model: IVFModel) -> str:
+    """k×d nested DOUBLE literal (e-notation — parses as DOUBLE, exact)."""
+    from vecgo_spark.oracles import double_list2_sql
+
+    return double_list2_sql(model.centroids)
+
+
+def assign_sql(model: IVFModel, vcol: str, cents_ref: str | None = None) -> str:
+    """DuckDB mirror of assign_expr: argmin over centroid literals with the
+    identical sequential (x−y)² fold, first-min tiebreak — bit-exact, so
+    Spark and the oracle put every row in the same cluster."""
+    cl = cents_ref or centroids_literal_sql(model)
+    dists = (
+        f"list_transform({cl}, c -> "
+        f"list_sum(list_transform(list_zip({vcol}::DOUBLE[], c), "
+        f"x -> (x[1]-x[2])*(x[1]-x[2]))))"
+    )
+    return f"(list_position({dists}, list_min({dists})) - 1)"
+
+
+def probe_list_sql(model: IVFModel, qcol: str, nprobe: int, cents_ref: str | None = None) -> str:
+    """DuckDB mirror of probe_expr: per-centroid distance structs (same
+    fold), list_sort (lexicographic (d, cid) — Spark array_sort semantics),
+    slice nprobe, project cid."""
+    cl = cents_ref or centroids_literal_sql(model)
+    scored = (
+        f"list_transform(range(1, {model.k + 1}), i -> "
+        f"{{'d': list_sum(list_transform(list_zip({qcol}::DOUBLE[], {cl}[i]), "
+        f"x -> (x[1]-x[2])*(x[1]-x[2]))), 'cid': i-1}})"
+    )
+    return (
+        f"list_transform(list_slice(list_sort({scored}), 1, {max(1, nprobe)}), "
+        f"s -> s.cid)"
     )
 
 

@@ -82,6 +82,24 @@ def probe_buckets(model: LSHPlanes, query: Sequence[float], multiprobe: int = 1)
     return out
 
 
+def bucket_sql(model: LSHPlanes, vcol: str) -> str:
+    """DuckDB mirror of bucket_expr: per-plane signed projection with the
+    identical sequential x·y fold; same MSB-first bit weights. The planes
+    come from a seeded RNG, so the oracle generator reconstructs them
+    bit-identically with make_planes(same seed)."""
+    from vecgo_spark.oracles import double_list_sql
+
+    terms = []
+    for i, plane in enumerate(model.planes):
+        d = (
+            f"list_sum(list_transform(list_zip({vcol}::DOUBLE[], "
+            f"{double_list_sql(plane)}), x -> x[1]*x[2]))"
+        )
+        weight = 1 << (model.n_planes - 1 - i)
+        terms.append(f"CASE WHEN {d} > 0.0 THEN {weight} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 def search(
     df_assigned: DataFrame,
     model: LSHPlanes,

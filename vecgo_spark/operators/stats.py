@@ -219,11 +219,18 @@ def categorical_profile_sql(table: str, seg_expr: str, col: str) -> str:
 
 # -------------------------------------------------------------- vector
 
-def vector_profile(df: DataFrame, seg_col: str, vector_col: str) -> DataFrame:
+def vector_profile(
+    df: DataFrame, seg_col: str, vector_col: str, exact_mean: bool = False
+) -> DataFrame:
     """Per-segment centroid + norm stats (stats_collector.go:554-614:
-    vector norms, centroid, radius). One posexplode + two-level agg;
-    output is O(#segments × dim). Float mean is order-dependent →
-    validated in pytest vs numpy (no SQL oracle)."""
+    vector norms, centroid, radius).
+
+    exact_mean=False: one streaming F.avg (order-dependent float mean —
+    the 100 TB shape; numpy-parity pytest only). exact_mean=True: the
+    mean folds the VALUE-SORTED norm list sequentially — order-independent
+    by construction, hence bit-reproducible against the DuckDB oracle
+    (vector_profile_sql). Costs a collect_list per segment; segments are
+    size-bounded at rest, so the list stays bounded too."""
     from vecgo_spark.functions.vector import l2_norm
 
     dims = (
@@ -234,9 +241,38 @@ def vector_profile(df: DataFrame, seg_col: str, vector_col: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
         .select(seg_col, F.transform("dc", lambda s: s["c"]).alias("centroid"))
     )
+    if exact_mean:
+        mean_expr = (
+            F.aggregate(
+                F.array_sort(F.collect_list("nrm")), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_norm")
+    else:
+        mean_expr = F.avg("nrm").alias("mean_norm")
     norms = df.select(seg_col, l2_norm(vector_col).alias("nrm")).groupBy(seg_col).agg(
-        F.avg("nrm").alias("mean_norm"),
+        mean_expr,
         F.max("nrm").alias("max_norm"),
         F.count(F.lit(1)).alias("row_count"),
     )
     return norms.join(dims, seg_col).orderBy(seg_col)
+
+
+def vector_profile_sql(table: str, seg_expr: str, vector_col: str) -> str:
+    """DuckDB mirror of the driver's vector-profile projection
+    (seg, row_count, mean_norm, max_norm, dim) with exact_mean semantics:
+    norm = sqrt(sequential x·x fold) per row, mean = sequential fold over
+    the value-sorted norm list / count."""
+    from vecgo_spark.oracles import dot_sql
+
+    nrm = f"sqrt({dot_sql(vector_col, vector_col)})"
+    return f"""
+        SELECT {seg_expr} AS seg,
+               COUNT(*) AS row_count,
+               list_sum(list_sort(list({nrm}))) / COUNT(*) AS mean_norm,
+               MAX({nrm}) AS max_norm,
+               CAST(MAX(len({vector_col})) AS INT) AS dim
+        FROM {table}
+        GROUP BY seg
+        ORDER BY seg
+    """

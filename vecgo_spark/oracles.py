@@ -15,6 +15,22 @@ verified exact-equal on all sf0.01 embedding rows (tests/test_oracle_parity.py).
 from __future__ import annotations
 
 
+def fmt_double(v: float) -> str:
+    """A double literal DuckDB parses as DOUBLE (not DECIMAL) and
+    round-trips bit-exactly. Plain decimal literals become DECIMAL whose
+    conversion to double is NOT correctly rounded (verified: 24/205 random
+    doubles off by 1 ulp); e-notation parses straight to DOUBLE."""
+    return f"{float(v):.17e}"
+
+
+def double_list_sql(vals) -> str:
+    return "[" + ", ".join(fmt_double(v) for v in vals) + "]"
+
+
+def double_list2_sql(rows) -> str:
+    return "[" + ", ".join(double_list_sql(r) for r in rows) + "]"
+
+
 def sq_l2_sql(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "

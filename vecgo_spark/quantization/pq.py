@@ -74,10 +74,18 @@ def _lloyd(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.nd
     return centroids
 
 
-def _sample_vectors(df: DataFrame, vector_col: str, max_rows: int) -> np.ndarray:
-    # optimistic single job: limit+collect. Only if the corpus is larger
-    # than the budget (limit hit) pay for a proper seeded random sample —
-    # avoids an up-front count() job in the common small/sampled case.
+def _sample_vectors(
+    df: DataFrame, vector_col: str, max_rows: int, order_col: str | None = None
+) -> np.ndarray:
+    """order_col=None: optimistic single job (limit+collect; seeded random
+    sample only if the corpus exceeds the budget). order_col="id": fully
+    deterministic ORDER BY id LIMIT n — the first max_rows rows by id, a
+    TakeOrderedAndProject (no global sort) — so a trainer fed this sample
+    is bit-reproducible across sessions AND matches an oracle-side reader
+    that sorts the same parquet by the same column."""
+    if order_col is not None:
+        rows = df.orderBy(order_col).select(vector_col).limit(max_rows).collect()
+        return np.array([list(r[0]) for r in rows], dtype=np.float64)
     rows = df.select(vector_col).limit(max_rows).collect()
     if len(rows) == max_rows:
         n = df.count()
@@ -92,6 +100,23 @@ def _sample_vectors(df: DataFrame, vector_col: str, max_rows: int) -> np.ndarray
 _PQ_CACHE: dict[str, "PQCodebooks"] = {}
 
 
+def train_pq_np(
+    x: np.ndarray, m: int = 8, k: int = 256, iters: int = 10, seed: int = 42
+) -> PQCodebooks:
+    """Pure-numpy PQ training on a prepared sample — deterministic given
+    (x, params): the Spark path and the DuckDB-oracle generator both call
+    this on the SAME ordered sample and get bit-identical codebooks."""
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dimension {dim} not divisible by m={m} (pq.go:41-43)")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.stack(
+        [_lloyd(x[:, i * sub : (i + 1) * sub], k, iters, rng) for i in range(m)]
+    )
+    return PQCodebooks(codebooks=books)
+
+
 def train_pq(
     df: DataFrame,
     vector_col: str,
@@ -101,38 +126,29 @@ def train_pq(
     max_train_rows: int = 50_000,
     seed: int = 42,
     cache_key: str | None = None,
+    order_col: str | None = None,
 ) -> PQCodebooks:
-    """Train m sub-codebooks on a bounded sample (Train, pq.go:68-145)."""
+    """Train m sub-codebooks on a bounded sample (Train, pq.go:68-145).
+    order_col pins the sample to ORDER BY order_col LIMIT n → reproducible
+    codebooks (required for oracle-checked queries)."""
     if cache_key is not None and cache_key in _PQ_CACHE:
         return _PQ_CACHE[cache_key]
-    x = _sample_vectors(df, vector_col, max_train_rows)
-    dim = x.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dimension {dim} not divisible by m={m} (pq.go:41-43)")
-    sub = dim // m
-    rng = np.random.default_rng(seed)
-    books = np.stack(
-        [_lloyd(x[:, i * sub : (i + 1) * sub], k, iters, rng) for i in range(m)]
-    )
-    out = PQCodebooks(codebooks=books)
+    x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
+    out = train_pq_np(x, m=m, k=k, iters=iters, seed=seed)
     if cache_key is not None:
         _PQ_CACHE[cache_key] = out
     return out
 
 
-def train_opq(
-    df: DataFrame,
-    vector_col: str,
+def train_opq_np(
+    x: np.ndarray,
     m: int = 8,
     k: int = 256,
     iters: int = 10,
     opq_iters: int = 5,
-    max_train_rows: int = 50_000,
     seed: int = 42,
 ) -> PQCodebooks:
-    """OPQ-NP: alternate (encode under R) / (Procrustes R = UVᵀ of XᵀX̂)
-    — opq.go:15-305 runs the same SVD iteration."""
-    x = _sample_vectors(df, vector_col, max_train_rows)
+    """Pure-numpy OPQ-NP training (deterministic twin of train_pq_np)."""
     dim = x.shape[1]
     sub = dim // m
     rng = np.random.default_rng(seed)
@@ -150,15 +166,49 @@ def train_opq(
     return PQCodebooks(codebooks=books, rotation=r)
 
 
+def train_opq(
+    df: DataFrame,
+    vector_col: str,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 10,
+    opq_iters: int = 5,
+    max_train_rows: int = 50_000,
+    seed: int = 42,
+    order_col: str | None = None,
+) -> PQCodebooks:
+    """OPQ-NP: alternate (encode under R) / (Procrustes R = UVᵀ of XᵀX̂)
+    — opq.go:15-305 runs the same SVD iteration."""
+    x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
+    return train_opq_np(x, m=m, k=k, iters=iters, opq_iters=opq_iters, seed=seed)
+
+
 def _encode_np(x: np.ndarray, books: np.ndarray) -> np.ndarray:
-    m, _, sub = books.shape
+    """Nearest-centroid codes per subvector. Distances accumulate with a
+    SEQUENTIAL left fold over the sub-dimensions (acc += diff² for j=0..sub)
+    so every distance is bit-identical to the Spark Column fold
+    (F.aggregate) and the DuckDB list_sum fold — argmin (first-min
+    tiebreak) then picks the same code in all three engines."""
+    m, k, sub = books.shape
     codes = np.empty((x.shape[0], m), dtype=np.int32)
     for i in range(m):
         seg = x[:, i * sub : (i + 1) * sub]
-        # argmin over ||seg - c||² = ||c||² - 2 seg·c (+ const)
-        d = (books[i] ** 2).sum(axis=1)[None, :] - 2.0 * seg @ books[i].T
-        codes[:, i] = d.argmin(axis=1)
+        acc = np.zeros((x.shape[0], k), dtype=np.float64)
+        for j in range(sub):
+            d = seg[:, j][:, None] - books[i][None, :, j]
+            acc += d * d
+        codes[:, i] = acc.argmin(axis=1)
     return codes
+
+
+def _rotate_np(x: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """x @ rot with a SEQUENTIAL fold over input dims (acc += x_j·rot[j,:])
+    — bit-identical to the DuckDB per-output-dim list_sum fold, unlike
+    BLAS matmul whose summation order is unspecified."""
+    out = np.zeros((x.shape[0], rot.shape[1]), dtype=np.float64)
+    for j in range(rot.shape[0]):
+        out += x[:, j][:, None] * rot[j][None, :]
+    return out
 
 
 def _decode_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -176,7 +226,7 @@ def encode(pq: PQCodebooks, df: DataFrame, vector_col: str, codes_col: str = "pq
     def _enc(vs: pd.Series) -> pd.Series:
         x = np.array(vs.tolist(), dtype=np.float64)
         if rot is not None:
-            x = x @ rot
+            x = _rotate_np(x, rot)
         return pd.Series([c.tolist() for c in _encode_np(x, books)])
 
     return df.withColumn(codes_col, _enc(F.col(vector_col)))
@@ -184,15 +234,21 @@ def encode(pq: PQCodebooks, df: DataFrame, vector_col: str, codes_col: str = "pq
 
 def adc_table(pq: PQCodebooks, query: list[float]) -> list[list[float]]:
     """Per-query m×k squared-L2 distance table (BuildDistanceTable,
-    pq.go:468-493) computed driver-side in numpy."""
+    pq.go:468-493) computed driver-side in numpy. Sequential-fold
+    accumulation per entry (and sequential rotation) so every table value
+    is bit-identical to the DuckDB-oracle arithmetic."""
     q = np.asarray(query, dtype=np.float64)
     if pq.rotation is not None:
-        q = q @ pq.rotation
+        q = _rotate_np(q[None, :], pq.rotation)[0]
     sub = pq.subdim
-    return [
-        (((pq.codebooks[i] - q[i * sub : (i + 1) * sub][None, :]) ** 2).sum(axis=1)).tolist()
-        for i in range(pq.m)
-    ]
+    out = []
+    for i in range(pq.m):
+        acc = np.zeros(pq.k, dtype=np.float64)
+        for j in range(sub):
+            d = pq.codebooks[i][:, j] - q[i * sub + j]
+            acc += d * d
+        out.append(acc.tolist())
+    return out
 
 
 def adc_score(pq: PQCodebooks, query: list[float], codes_col: Column | str) -> Column:
@@ -211,9 +267,85 @@ def adc_score(pq: PQCodebooks, query: list[float], codes_col: Column | str) -> C
     @F.pandas_udf("double")
     def _adc(codes: pd.Series) -> pd.Series:
         cm = np.array(codes.tolist(), dtype=np.int64)
-        return pd.Series(tbl[col_idx, cm].sum(axis=1))
+        gathered = tbl[col_idx, cm]
+        # sequential fold over the m subvector terms (not np.sum's pairwise
+        # tree) — matches the DuckDB oracle's left-fold addition bit-for-bit
+        acc = np.zeros(len(cm), dtype=np.float64)
+        for i in range(gathered.shape[1]):
+            acc += gathered[:, i]
+        return pd.Series(acc)
 
     return _adc(c)
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def books_cte_sql(pq: PQCodebooks, name: str = "books") -> str:
+    """CTE exposing the m×k×sub codebooks as one nested DOUBLE literal
+    (e-notation floats — exact round-trip)."""
+    from vecgo_spark.oracles import double_list_sql
+
+    lit = "[" + ", ".join(
+        "[" + ", ".join(double_list_sql(c) for c in book) + "]"
+        for book in pq.codebooks
+    ) + "]"
+    return f"{name} AS (SELECT {lit} AS b)"
+
+
+def rotation_cte_sql(pq: PQCodebooks, name: str = "rot") -> str:
+    """CTE exposing the OPQ rotation as output-dim columns:
+    r[d][j] = rotation[j][d], so rotate_sql's fold over j mirrors
+    _rotate_np's sequential accumulation exactly."""
+    from vecgo_spark.oracles import double_list2_sql
+
+    R = pq.rotation
+    cols = [[float(R[j][d]) for j in range(R.shape[0])] for d in range(R.shape[1])]
+    return f"{name} AS (SELECT {double_list2_sql(cols)} AS r)"
+
+
+def rotate_sql(vcol: str, rot_ref: str = "rot.r") -> str:
+    """Rotated vector: out[d] = Σ_j v[j]·R[j][d] (sequential fold ==
+    _rotate_np)."""
+    return (
+        f"list_transform({rot_ref}, col -> "
+        f"list_sum(list_transform(list_zip({vcol}::DOUBLE[], col), x -> x[1]*x[2])))"
+    )
+
+
+def _sub_d2_sql(c_ref: str, vsub: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({c_ref}, {vsub}), "
+        f"x -> (x[1]-x[2])*(x[1]-x[2])))"
+    )
+
+
+def adc_table_cte_sql(pq: PQCodebooks, qcol: str, name: str = "tbl",
+                      books_ref: str = "books.b", from_sql: str = "q, books") -> str:
+    """Per-query m×k ADC distance-table CTE (mirror of adc_table: same
+    fold per entry). qcol is the (already rotated, for OPQ) query vector."""
+    sub = pq.subdim
+    parts = []
+    for i in range(pq.m):
+        qsub = f"list_slice({qcol}, {i * sub + 1}, {(i + 1) * sub})"
+        parts.append(f"list_transform({books_ref}[{i + 1}], c -> {_sub_d2_sql('c', qsub)})")
+    return f"{name} AS (SELECT [" + ", ".join(parts) + f"] AS t FROM {from_sql})"
+
+
+def adc_score_sql(pq: PQCodebooks, vcol: str, books_ref: str = "books.b",
+                  tbl_ref: str = "tbl.t") -> str:
+    """Coarse ADC score: per subvector, code = argmin_c ||v_sub − c||²
+    (fold arithmetic == _encode_np, first-min tiebreak == argmin), then
+    score = Σ_i t[i][code_i] left-to-right (== the _adc sequential fold).
+    vcol is the (already rotated, for OPQ) corpus vector."""
+    sub = pq.subdim
+    terms = []
+    for i in range(pq.m):
+        vsub = f"list_slice({vcol}, {i * sub + 1}, {(i + 1) * sub})"
+        dv = f"list_transform({books_ref}[{i + 1}], c -> {_sub_d2_sql('c', vsub)})"
+        code = f"list_position({dv}, list_min({dv}))"
+        terms.append(f"{tbl_ref}[{i + 1}][{code}]")
+    return "(" + " + ".join(terms) + ")"
 
 
 def adc_score_expr(pq: PQCodebooks, query: list[float], codes_col: Column | str) -> Column:
