@@ -93,6 +93,136 @@ def test_connected_components_chain(spark):
     assert got == want
 
 
+def test_hot_shingle_cap_bounds_join(spark, caplog):
+    """Pathological boilerplate: every doc shares one identical shingle.
+    Uncapped, that one shingle alone contributes C(60,2)=1770 join rows;
+    with the DF cutoff it is dropped (and logged), candidates stay bounded,
+    and genuine near-dups below the cutoff are still found."""
+    import logging
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique tail number {i} content") for i in range(60)]
+    # one genuine near-dup pair sharing a long non-boilerplate body
+    rows += [(100, "spark shuffles partition data across the cluster stage"),
+             (101, "spark shuffles partition data across the cluster boundary")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup._doc_shingles(docs, "doc_id", "text", 3).persist()
+    capped = dedup._drop_hot(sh, ["shingle"], 10, "shingle")
+    inter_rows = (
+        capped.alias("a")
+        .join(capped.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .count()
+    )
+    assert inter_rows < 100  # uncapped: >= 2*1770 (boiler spans 2 shingles)
+
+    with caplog.at_level(logging.INFO, logger="vecgo_spark.operators.dedup"):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10).collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # boilerplate family gone
+    assert any("hot shingle" in m for m in caplog.messages)
+
+
+def test_hot_cap_oracle_parity(spark, tmp_path):
+    """The DF cutoff is mirrored in the SQL oracle: with a cap low enough
+    to trigger, Spark and DuckDB still agree exactly (ngram + minhash +
+    simhash)."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    boiler = "generated by the standard pipeline template"
+    rows = [(i, f"{boiler} doc body variant {i} alpha beta") for i in range(30)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pq_path = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq_path}'")
+
+    ok, msg = compare(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=5),
+        dedup.ngram_jaccard_pairs_sql(threshold=0.3, max_shingle_df=5), con)
+    assert ok, msg
+    ok, msg = compare(
+        dedup.minhash_lsh_pairs(docs, min_matches=8, max_bucket=5),
+        dedup.minhash_lsh_pairs_sql(min_matches=8, max_bucket=5), con)
+    assert ok, msg
+    ok, msg = compare(
+        dedup.simhash_pairs(docs, max_hamming=3, max_bucket=5),
+        dedup.simhash_pairs_sql(max_hamming=3, max_bucket=5), con)
+    assert ok, msg
+
+
+def _random_embeddings(spark, n=120, dim=16, n_dups=25, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    # planted near-dups: tiny perturbations of existing vectors
+    for j in range(n_dups):
+        src = base[j] + 0.02 * rng.standard_normal(dim)
+        rows.append((n + j, src.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _exact_pairs(df, threshold):
+    import numpy as np
+
+    rows = sorted((r["vec_id"], r["embedding"]) for r in df.collect())
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    sims = m @ m.T
+    out = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if sims[a, b] >= threshold:
+                out.add((int(ids[a]), int(ids[b])))
+    return out
+
+
+def test_embedding_neardup_block_matches_bruteforce(spark):
+    emb = _random_embeddings(spark)
+    want = _exact_pairs(emb, 0.95)
+    assert want  # fixture must actually contain near-dups
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_neardup_pairs(emb, threshold=0.95, n_blocks=5).collect()}
+    assert got == want
+
+
+def test_embedding_neardup_builds_without_driver_collect(spark, monkeypatch):
+    """The block-candidate plan must be constructible with DataFrame.collect
+    disabled — proving no corpus rows reach the driver at plan-build time
+    (the scale-killer the r1 verdict flagged)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    emb = _random_embeddings(spark, n=20, n_dups=2)
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side collect in embedding_neardup path")
+
+    monkeypatch.setattr(SparkDF, "collect", _boom)
+    monkeypatch.setattr(SparkDF, "toPandas", _boom)
+    df = dedup.embedding_neardup_pairs(emb, threshold=0.9)  # must not raise
+    monkeypatch.undo()
+    assert df.count() >= 0
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    emb = _random_embeddings(spark, n=300, dim=16, n_dups=40)
+    want = _exact_pairs(emb, 0.95)
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_neardup_pairs(emb, threshold=0.95, candidates="lsh").collect()}
+    assert got <= want  # verify phase guarantees precision = 1
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"LSH candidate recall {recall:.2f} < 0.8"
+
+
 def test_dedup_clusters_matches_union_find(spark, docs):
     out = {r["doc_id"]: r["canonical_id"]
            for r in dedup.dedup_clusters(docs, threshold=0.5).collect()}

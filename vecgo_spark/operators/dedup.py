@@ -21,9 +21,12 @@ arithmetic is integer or single-division double → DuckDB-oracle-exact.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from vecgo_spark.functions.hashing import shingles_sql, stable_hash64_sql
 from vecgo_spark.functions.vector import cosine_similarity
@@ -50,9 +53,39 @@ def _spread(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     coalesces as needed."""
     sdf = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     target = sdf.sparkSession.sparkContext.defaultParallelism
-    if sdf.rdd.getNumPartitions() < target:
+    # len(inputFiles()) approximates scan width without df.rdd, which would
+    # force a full RDD conversion of the plan just to read a partition count
+    try:
+        n_in = len(sdf.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
+        n_in = 0
+    if n_in < target:
         sdf = sdf.repartition(target)
     return sdf
+
+
+def _drop_hot(
+    df: DataFrame, keys: list[str], cap: int | None, what: str
+) -> DataFrame:
+    """Anti-join away groups with > cap rows (boilerplate shingles, giant
+    LSH buckets): one hot key with df docs yields C(df,2) join rows, so an
+    uncapped join is quadratic in the hottest key. The hot-key set itself
+    is tiny (only keys above cap) → broadcast anti-join, no extra shuffle
+    of df. No silent caps: the dropped-group count is logged when INFO is
+    enabled (the count is only computed then — the hot path stays
+    action-free)."""
+    if cap is None:
+        return df
+    hot = (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > cap)
+        .select(*keys)
+    )
+    if _log.isEnabledFor(logging.INFO):
+        n_hot = hot.count()
+        if n_hot:
+            _log.info("dropping %d hot %s groups (> %d rows each)", n_hot, what, cap)
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 # ------------------------------------------------------------- exact
 
@@ -87,21 +120,26 @@ NUM_BANDS = 4  # 4 rows per band
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct — Arrow-batched Python (tokenize + slice per
-    doc): the equivalent interpreted-HOF expression chain was ~10× slower
-    (Spark evaluates array lambdas row-at-a-time with boxing)."""
-    import pandas as pd
-
-    def gen(batches):
-        for pdf in batches:
-            ids, shs = [], []
-            for i, t in zip(pdf["id"].values, pdf["text"].values):
-                for s in _py_shingles(t or "", n):
-                    ids.append(i)
-                    shs.append(s)
-            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"), "shingle": shs})
-
-    return _spread(docs, id_col, text_col).mapInPandas(gen, "id long, shingle string")
+    """(id, shingle) distinct — pure Column HOFs (split → sliding
+    concat_ws windows → array_distinct → explode). JVM-side whole-stage
+    codegen: ~5× the warm throughput of the Arrow/Python loop this
+    replaces, no Python workers, no repartition needed. Semantics ==
+    tokenize_py (split on [\\x00-\\x20]+, drop empties, lowercase); docs
+    with < n tokens produce no shingles (sequence(1, w<1) would generate a
+    DESCENDING range in Spark — the when() guard prevents that)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
+    )
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    win = F.size("toks") - (n - 1)
+    sh = F.when(
+        win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(win, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -129,32 +167,54 @@ def minhash_signatures(
 
     def sig(batches):
         for pdf in batches:
-            out = {"id": []}
+            if len(pdf) == 0:
+                continue
+            sets = [_py_shingles(t or "", n) for t in pdf["text"].values]
+            lens = np.array([len(s) for s in sets])
+            if lens.sum() == 0:
+                continue
+            # hash each DISTINCT shingle in the batch once (md5 is the hot
+            # loop — batch-level dedup cuts it by the shingle repeat factor),
+            # then vectorize all H permutations over the flat array
+            doc_idx = np.repeat(np.arange(len(sets)), lens)
+            flat = [s for ss in sets for s in ss]
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            base_u = np.array([_py_hash64(s) % MINHASH_P for s in uniq], dtype=np.int64)
+            base = base_u[inv]
+            perms = (a_np * base[None, :] + b_np) % MINHASH_P  # (H, n_rows)
+            keep = lens > 0
+            mins = np.full((num_hashes, len(sets)), np.iinfo(np.int64).max)
             for h in range(num_hashes):
-                out[f"m{h}"] = []
-            for i, t in zip(pdf["id"].values, pdf["text"].values):
-                sh = _py_shingles(t or "", n)
-                if not sh:
-                    continue
-                base = np.array([_py_hash64(s) % MINHASH_P for s in sh], dtype=np.int64)
-                mins = ((a_np * base[None, :] + b_np) % MINHASH_P).min(axis=1)
-                out["id"].append(i)
-                for h in range(num_hashes):
-                    out[f"m{h}"].append(int(mins[h]))
-            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+                np.minimum.at(mins[h], doc_idx, perms[h])
+            out = {"id": pd.Series(pdf["id"].values[keep], dtype="int64")}
+            for h in range(num_hashes):
+                out[f"m{h}"] = pd.Series(mins[h][keep], dtype="int64")
+            yield pd.DataFrame(out)
 
     schema = "id long, " + ", ".join(f"m{i} long" for i in range(num_hashes))
     return _spread(docs, id_col, text_col).mapInPandas(sig, schema)
 
 
+MAX_BUCKET = 1024  # band-bucket / chunk-bucket size cap (see _drop_hot)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
-    min_matches: int = 8,
+    min_matches: int = 8, max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, match_count) for candidate pairs that share ≥1 LSH band,
     keeping pairs whose signatures agree in ≥ min_matches of num_hashes
-    positions (≈ Jaccard ≥ min_matches/num_hashes)."""
+    positions (≈ Jaccard ≥ min_matches/num_hashes).
+
+    Recall: banding is approximate — a pair can agree in min_matches..
+    num_hashes−1 positions with its disagreements spread across every band
+    and share no band (guaranteed-candidate only when min_matches ≥
+    num_hashes − num_bands + 1 by pigeonhole). With the defaults the
+    candidate recall is high but < 1 (measured vs brute force in
+    tests/test_dedup.py). Buckets larger than max_bucket (near-identical
+    boilerplate floods) are dropped from candidate generation — mirrored
+    in the SQL oracle so parity holds by construction."""
     # persisted: consumed by 4 band projections + both verify joins
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes).persist()
     rows_per_band = num_hashes // num_bands
@@ -169,6 +229,7 @@ def minhash_lsh_pairs(
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
+    banded = _drop_hot(banded, ["band", "key"], max_bucket, "LSH band bucket")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"),
@@ -195,7 +256,7 @@ def minhash_lsh_pairs(
 def minhash_lsh_pairs_sql(
     docs_table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
-    min_matches: int = 8,
+    min_matches: int = 8, max_bucket: int | None = MAX_BUCKET,
 ) -> str:
     from vecgo_spark.functions.hashing import MINHASH_P, minhash_perm_params
 
@@ -224,7 +285,13 @@ def minhash_lsh_pairs_sql(
         SELECT id, {stable_hash64_sql('shingle')} % {MINHASH_P} AS h FROM sh0
     ),
     sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
-    banded AS ({banded}),
+    banded0 AS ({banded}),
+    hot AS (SELECT band, key FROM banded0 GROUP BY band, key
+            HAVING count(*) > {max_bucket or 'NULL'}),
+    banded AS (
+        SELECT * FROM banded0 t WHERE NOT EXISTS (
+            SELECT 1 FROM hot h WHERE h.band = t.band AND h.key = t.key)
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
@@ -250,35 +317,49 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     def sig(batches):
         js = np.arange(SIMHASH_BITS, dtype=np.uint64)
         for pdf in batches:
-            ids, sims = [], []
-            for i, t in zip(pdf["id"].values, pdf["text"].values):
-                toks = tokenize_py(t or "")
-                if not toks:
-                    continue
-                tf: dict[str, int] = {}
-                for tok in toks:
-                    tf[tok] = tf.get(tok, 0) + 1
-                terms = list(tf.keys())
-                h = np.array([_py_hash64(term, seed=0) for term in terms], dtype=np.uint64)
-                w = np.array([tf[term] for term in terms], dtype=np.int64)
-                bits = ((h[:, None] >> js) & np.uint64(1)).astype(np.int64)
-                votes = np.where(bits == 1, w[:, None], -w[:, None]).sum(axis=0)
-                sims.append(int(((votes > 0).astype(np.uint64) << js).sum()))
-                ids.append(i)
-            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
-                                "simhash": pd.Series(sims, dtype="int64")})
+            if len(pdf) == 0:
+                continue
+            tok_lists = [tokenize_py(t or "") for t in pdf["text"].values]
+            lens = np.array([len(t) for t in tok_lists])
+            if lens.sum() == 0:
+                continue
+            # (doc, term) → tf, with each DISTINCT term md5-hashed once per
+            # batch (the old per-doc loop redid md5 for every repeat); bit
+            # votes then accumulate in one scatter-add over a (docs × 60)
+            # matrix instead of a per-doc python pass
+            doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
+            flat = np.array([t for ts in tok_lists for t in ts], dtype=object)
+            tf = (
+                pd.DataFrame({"d": doc_idx, "t": flat})
+                .groupby(["d", "t"], sort=False).size().reset_index(name="w")
+            )
+            uniq, inv = np.unique(tf["t"].values.astype(object), return_inverse=True)
+            h = np.array([_py_hash64(s, seed=0) for s in uniq], dtype=np.uint64)[inv]
+            w = tf["w"].values.astype(np.int64)
+            d = tf["d"].values.astype(np.int64)
+            bits = ((h[:, None] >> js) & np.uint64(1)).astype(np.int64)
+            contrib = np.where(bits == 1, w[:, None], -w[:, None])
+            votes = np.zeros((len(tok_lists), SIMHASH_BITS), dtype=np.int64)
+            np.add.at(votes, d, contrib)
+            sims = ((votes > 0).astype(np.uint64) << js).sum(axis=1).astype(np.int64)
+            keep = lens > 0
+            yield pd.DataFrame({"id": pd.Series(pdf["id"].values[keep], dtype="int64"),
+                                "simhash": pd.Series(sims[keep], dtype="int64")})
 
     return _spread(docs, id_col, text_col).mapInPandas(sig, "id long, simhash long")
 
 
 def simhash_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
     Banded join: split the 60-bit hash into max_hamming+1 chunks; by
     pigeonhole any pair within max_hamming shares ≥1 exact chunk, so the
-    join only compares within chunk buckets (no O(n²) at scale)."""
+    join only compares within chunk buckets (no O(n²) at scale). Chunk
+    buckets above max_bucket (mass-identical boilerplate) are dropped —
+    mirrored in the SQL oracle, which uses the same banded plan."""
     # persisted: consumed by every chunk projection of the banded join
     sigs = simhash(docs, id_col, text_col).persist()
     n_chunks = max_hamming + 1
@@ -291,6 +372,7 @@ def simhash_pairs(
             F.shiftright("simhash", cidx * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
         )
         chunks = c if chunks is None else chunks.unionByName(c)
+    chunks = _drop_hot(chunks, ["chunk", "key"], max_bucket, "SimHash chunk bucket")
     cand = (
         chunks.alias("a")
         .join(chunks.alias("b"),
@@ -306,12 +388,21 @@ def simhash_pairs(
 
 def simhash_pairs_sql(
     docs_table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_bucket: int | None = MAX_BUCKET,
 ) -> str:
-    """Oracle: brute-force pairwise Hamming (equivalent to the banded join
-    by the pigeonhole argument; integer-exact)."""
+    """Oracle: the same banded chunk join as the Spark plan (pigeonhole-
+    complete below the bucket cap, and the cap is applied identically on
+    both sides; integer-exact)."""
     toks = f"list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '')"
     h = stable_hash64_sql("term", seed=0)
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {cidx} AS chunk, "
+        f"(simhash >> {cidx * chunk_bits}) & {mask} AS key FROM sigs"
+        for cidx in range(n_chunks)
+    )
     return f"""
     WITH tf AS (
         SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM (
@@ -327,26 +418,48 @@ def simhash_pairs_sql(
     sigs AS (
         SELECT id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
         FROM bitvotes GROUP BY id
+    ),
+    chunks0 AS ({chunk_selects}),
+    hot AS (SELECT chunk, key FROM chunks0 GROUP BY chunk, key
+            HAVING count(*) > {max_bucket or 'NULL'}),
+    chunks AS (
+        SELECT * FROM chunks0 t WHERE NOT EXISTS (
+            SELECT 1 FROM hot h WHERE h.chunk = t.chunk AND h.key = t.key)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id
     )
-    SELECT a.id AS id_a, b.id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sigs a JOIN sigs b ON a.id < b.id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
 
 
 # --------------------------------------------------------- ngram jaccard
 
 
+MAX_SHINGLE_DF = 1024  # document-frequency cutoff for shingles (see _drop_hot)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): exact Jaccard over n-token shingle sets for
     every pair sharing ≥1 shingle. jaccard = |∩| / (|A|+|B|-|∩|) — one
-    integer division pair → oracle-exact."""
+    integer division pair → oracle-exact.
+
+    Shingles appearing in more than max_shingle_df documents (boilerplate:
+    one such shingle shared by d docs alone generates C(d,2) join rows) are
+    excluded from BOTH the intersection and the set sizes — i.e. Jaccard
+    over the non-boilerplate shingle sets, the standard MinHash-practice
+    cutoff. The SQL oracle applies the identical cutoff."""
     # persisted: both sides of the shingle self-join + the sizes agg
     sh = _doc_shingles(docs, id_col, text_col, n).persist()
+    sh = _drop_hot(sh, ["shingle"], max_shingle_df, "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")
@@ -365,14 +478,17 @@ def ngram_jaccard_pairs(
 
 def ngram_jaccard_pairs_sql(
     docs_table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> str:
     toks = f"list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '')"
     sh_list = shingles_sql(f"({toks})", n)
     return f"""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT DISTINCT {id_col} AS id, unnest({sh_list}) AS shingle FROM {docs_table}
     ),
+    hotsh AS (SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING count(*) > {max_shingle_df or 'NULL'}),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hotsh)),
     sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
     inter AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -389,60 +505,128 @@ def ngram_jaccard_pairs_sql(
 # ------------------------------------------------------- embedding cosine
 
 
-def embedding_neardup_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vector_col: str = "embedding",
-    threshold: float = 0.95,
+def _block_pair_candidates(
+    emb: DataFrame, id_col: str, vector_col: str, cutoff: float, n_blocks: int,
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine ≥ threshold.
-
-    Two-phase plan (the pattern every quantized path uses too):
-      1. PRUNE with numpy: broadcast the normalized matrix, mapInPandas
-         computes batch @ M.T per partition and emits candidate pairs with
-         cos ≥ threshold - 1e-9 (BLAS reorders the sum, so its float64
-         result can differ from the sequential fold in the last ulps — the
-         epsilon makes the candidate set a strict superset).
-      2. VERIFY with the exact sequential-fold cosine expression — the
-         reported value is bit-identical to the DuckDB oracle.
-    The naive theta-join × interpreted-HOF cosine took 114 s at sf0.1;
-    this runs the same logical op in ~2 s.
-
-    Scale path: the broadcast matrix bounds phase 1 at ~10M×small-dim rows;
-    past that, candidates come from IVF cluster buckets (operators/ivf.py)
-    or MinHash-style hyperplane LSH — phase 2 is unchanged.
-    """
+    """Exact candidate superset, fully distributed: hash vectors into
+    n_blocks blocks, co-group every block pair (i ≤ j), and run one numpy
+    matmul per pair inside applyInPandas. No corpus rows ever touch the
+    driver. Shuffle volume = (n_blocks+1)× the table; per-task memory =
+    2·n/n_blocks rows; total compute O(n²) split over B(B+1)/2 tasks —
+    the inherent cost of *exact* all-pairs (the approximate scale path is
+    candidates="lsh")."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    rows = emb.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = np.nan  # zero vectors never match (NULL cosine)
-    matn = mat / norms[:, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(matn)
-    cutoff = threshold - 1e-9
-
-    def find_candidates(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.stack(pdf["v"].values).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0.0] = np.nan
-            sims = (q / qn[:, None]) @ all_mat.T
-            qi, ci = np.where(sims >= cutoff)
-            qa = pdf["id"].values[qi]
-            cb = all_ids[ci]
-            keep = qa < cb
-            yield pd.DataFrame({"id_a": qa[keep], "id_b": cb[keep]})
-
-    cand = (
-        emb.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
-        .mapInPandas(find_candidates, "id_a long, id_b long")
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a int, blk_b int",
     )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    a_side = v.join(F.broadcast(pairs), v["blk"] == pairs["blk_a"]).select(
+        "blk_a", "blk_b", F.lit(0).alias("side"), "id", "v"
+    )
+    b_side = v.join(F.broadcast(pairs), v["blk"] == pairs["blk_b"]).select(
+        "blk_a", "blk_b", F.lit(1).alias("side"), "id", "v"
+    )
+
+    def emit(key, pdf):
+        blk_a, blk_b = key
+        xa = pdf[pdf["side"] == 0]
+        xb = pdf[pdf["side"] == 1]
+        if len(xa) == 0 or len(xb) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+
+        def norm(rows):
+            m = np.stack(rows["v"].values).astype(np.float64)
+            nz = np.linalg.norm(m, axis=1)
+            nz[nz == 0.0] = np.nan  # zero vectors never match (NULL cosine)
+            return m / nz[:, None]
+
+        sims = norm(xa) @ norm(xb).T
+        ai, bi = np.where(sims >= cutoff)
+        ia = xa["id"].values[ai].astype(np.int64)
+        ib = xb["id"].values[bi].astype(np.int64)
+        if blk_a == blk_b:
+            keep = ia < ib  # same set on both sides: upper triangle only
+            ia, ib = ia[keep], ib[keep]
+        else:
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": ia, "id_b": ib})
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("blk_a", "blk_b")
+        .applyInPandas(emit, "id_a long, id_b long")
+    )
+
+
+def _lsh_candidates(
+    emb: DataFrame, id_col: str, vector_col: str,
+    n_tables: int = 8, n_planes: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Approximate candidate generation — the 100 TB path: T independent
+    hyperplane-LSH tables, candidates = pairs colliding in ≥1 table. For
+    cos ≥ 0.95 each plane agrees w.p. 1−θ/π ≈ 0.90, so a 12-plane bucket
+    collides w.p. ≈ 0.28 and 8 tables give recall ≈ 1−(1−0.28)⁸ ≈ 0.93
+    (measured in tests/test_dedup.py). Pure equi-joins, no matmul, no
+    O(n²) term anywhere."""
+    from vecgo_spark.operators import lsh as lshmod
+
+    dim = emb.select(F.size(F.col(vector_col)).alias("d")).first()["d"]
+    v = emb.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
+    tabs = None
+    for t in range(n_tables):
+        planes = lshmod.make_planes(dim, n_planes=n_planes, seed=seed + t)
+        one = v.select(
+            "id", F.lit(t).alias("tbl"), lshmod.bucket_expr(planes, "v").alias("key")
+        )
+        tabs = one if tabs is None else tabs.unionByName(one)
+    return (
+        tabs.alias("a")
+        .join(tabs.alias("b"),
+              (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vector_col: str = "embedding",
+    threshold: float = 0.95, candidates: str = "block", n_blocks: int = 16,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold.
+
+    Two-phase plan (the pattern every quantized path uses too):
+      1. PRUNE: generate candidate pairs with cos ≥ threshold − 1e-9
+         (BLAS reorders the sum, so its float64 result can differ from the
+         sequential fold in the last ulps — the epsilon makes the
+         candidate set a strict superset).
+           candidates="block"  exact block-pair matmul join (default) —
+                               distributed, no driver collect, O(n²)
+                               compute split across B(B+1)/2 tasks;
+           candidates="lsh"    hyperplane-LSH collision join — linear
+                               scale, ~0.93 recall at threshold 0.95
+                               (the >10M-row path).
+      2. VERIFY with the exact sequential-fold cosine expression — the
+         reported value is bit-identical to the DuckDB oracle.
+    The naive theta-join × interpreted-HOF cosine took 114 s at sf0.1;
+    this runs the same logical op in ~3 s.
+    """
+    cutoff = threshold - 1e-9
+    if candidates == "block":
+        cand = _block_pair_candidates(emb, id_col, vector_col, cutoff, n_blocks)
+    elif candidates == "lsh":
+        cand = _lsh_candidates(emb, id_col, vector_col)
+    else:
+        raise ValueError(f"unknown candidates strategy {candidates!r}")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
     cos = cosine_similarity(F.col("va"), F.col("vb"))
