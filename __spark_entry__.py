@@ -435,6 +435,44 @@ def _ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       id_col="vec_id", vector_col="embedding")
 
 
+def _ann_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF materialized into the table LAYOUT at compaction — the
+    reference builds partitions at segment build/compaction
+    (compaction.go:102-152) and probe-pruned search touches only probed
+    partitions. Here: scratch VectorTable ← embeddings,
+    compact(cluster_by=model) writes one SEGMENT per cluster, and
+    search(nprobe=3) prunes the other clusters' files driver-side before
+    spark.read opens anything (file-count assertion in
+    tests/test_ivf_at_rest.py). Same deterministic model as ann_ivf → the
+    same DuckDB oracle replays assignment+probe+top-k."""
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    q = _query_vector(spark, sf_dir)
+    model = ivf.train_ivf(
+        load_table(spark, sf_dir, "embeddings"), "embedding", nlist=8, max_iter=10,
+        trainer="driver", max_train_rows=20_000, order_col="vec_id",
+        cache_key=f"{sf_dir}:embeddings:ivf8",
+    )
+    tmp = tempfile.mkdtemp(prefix="vecgo_ivfrest_")
+    try:
+        path = f"{tmp}/tbl"
+        tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
+        tbl.insert(emb)
+        tbl.commit()
+        tbl.compact(cluster_by=model)
+        rows = tbl.search(q, k=10, nprobe=3).collect()  # materialize pre-rm
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
 def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority style 3-way join: broadcast the filtered customer
     dim, shuffle-join orders⋈lineitem, integer-cents revenue agg."""
@@ -737,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": _ann_ivf_batch,
         "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
         "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
         "tpch_q3_shipping_priority": _tpch_q3,
         "stats_numeric_profile": _stats_numeric,
         "stats_histogram": _stats_histogram,
@@ -942,6 +981,7 @@ def _ann_oracles() -> dict[str, str]:
         "knn_pq_adc": knn_pq_adc,
         "knn_opq_adc": knn_opq_adc,
         "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
+        "ann_ivf_at_rest": ann_ivf,  # the at-rest path must reproduce ann_ivf exactly
     }
 
 

@@ -28,6 +28,7 @@ when the manifest says duplicate ids are possible.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -38,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vecgo_spark.filters import FilterSet, to_condition
+from vecgo_spark.filters import Filter, FilterSet, to_condition
 from vecgo_spark.operators import knn
 from vecgo_spark.plans.manifest import (
     Manifest,
@@ -52,6 +53,8 @@ from vecgo_spark.plans.pruning import collect_stats, estimate_selectivity, prune
 
 SEG_DIR = "_segments"
 TOMB_DIR = "_tombstones"
+INDEX_DIR = "_index"
+CLUSTER_COL = "_cluster"
 
 
 class VectorTable:
@@ -139,6 +142,16 @@ class VectorTable:
         else:
             # explicit ids may collide with existing rows → upsert semantics
             self.manifest.meta["has_upserts"] = True
+        if "ivf" in self.manifest.meta and self.vector_col in df.columns:
+            # index maintenance on the write path: new rows are assigned to
+            # their IVF partition at insert, so probe-pruned search stays
+            # correct without a rebuild (the reference re-partitions only
+            # at compaction; here assignment is one Column expression)
+            from vecgo_spark.operators import ivf as ivfmod
+
+            df = df.withColumn(
+                CLUSTER_COL, ivfmod.assign_expr(self._load_ivf(), self.vector_col)
+            )
         df = df.withColumn("_lsn", F.lit(lsn).cast("long"))
         name = f"seg-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
@@ -285,7 +298,7 @@ class VectorTable:
         cond = to_condition(filter)
         if cond is not None:
             base = base.where(cond)
-        return base.drop("_lsn")
+        return base.drop("_lsn", CLUSTER_COL)
 
     def _empty_schema(self):
         from pyspark.sql.types import LongType, StructField, StructType
@@ -300,9 +313,47 @@ class VectorTable:
     def count(self) -> int:
         return self.df().count()
 
-    def search(self, query: Sequence[float], k: int = 10, filter=None, **kw) -> DataFrame:
-        return knn.search(self.df(), query, k=k, metric=self.metric, filter=filter,
+    def search(
+        self, query: Sequence[float], k: int = 10, filter=None,
+        nprobe: int | None = None, **kw,
+    ) -> DataFrame:
+        """Exact scan top-k, or — when the table carries a materialized IVF
+        index and nprobe is given — a probe-pruned ANN search: the nprobe
+        nearest partitions are selected driver-side (tiny centroid matrix),
+        the manifest prunes every other cluster SEGMENT before spark.read
+        sees a file, and the scan touches only probed files. This is the
+        point of the at-rest index: probe pruning == file pruning
+        (compaction.go:102-152 builds the same partitions per segment)."""
+        base = self.df()
+        if nprobe is not None:
+            if "ivf" not in self.manifest.meta:
+                raise ValueError("nprobe given but table has no IVF index; "
+                                 "run compact(cluster_by=...) first")
+            from vecgo_spark.operators import ivf as ivfmod
+
+            model = self._load_ivf()
+            probes = ivfmod.probe_clusters(model, list(query), nprobe)
+            base = self.df(FilterSet([Filter(CLUSTER_COL, "in", probes)]))
+        return knn.search(base, query, k=k, metric=self.metric, filter=filter,
                           id_col=self.id_col, vector_col=self.vector_col, **kw)
+
+    def _load_ivf(self):
+        """IVFModel from the manifest's index entry (cached per version)."""
+        import numpy as np
+
+        from vecgo_spark.operators import ivf as ivfmod
+
+        info = self.manifest.meta["ivf"]
+        cache = getattr(self, "_ivf_cache", None)
+        if cache is not None and cache[0] == info["path"]:
+            return cache[1]
+        with open(os.path.join(self.path, info["path"])) as f:
+            d = json.load(f)
+        model = ivfmod.IVFModel(
+            centroids=np.array(d["centroids"], dtype=np.float64), metric=d["metric"]
+        )
+        self._ivf_cache = (info["path"], model)
+        return model
 
     def search_with_stats(
         self, query: Sequence[float], k: int = 10, filter=None, **kw
@@ -341,11 +392,105 @@ class VectorTable:
 
     # --------------------------------------------------------- maintenance
 
-    def compact(self, target_segments: int = 1) -> int:
-        """Rewrite the live snapshot into target_segments sorted segments,
-        dropping tombstoned/stale rows; publish as a new version
-        (compaction.go:29-422 semantics — merge live rows, re-stats)."""
+    def compact(self, target_segments: int = 1, cluster_by=None) -> int:
+        """Rewrite the live snapshot into compacted segments, dropping
+        tombstoned/stale rows; publish as a new version (compaction.go:
+        29-422 semantics — merge live rows, re-stats).
+
+        cluster_by materializes an IVF index into the layout (the
+        reference builds IVF partitions at segment build/compaction,
+        compaction.go:102-152, k = rows/8192 at 136-143):
+          cluster_by=IVFModel   use a pre-trained model
+          cluster_by=int        train (deterministic driver Lloyd's) with
+                                that nlist
+          cluster_by="auto"     nlist = default_nlist(row_count)
+        Every cluster becomes its OWN segment (one subdirectory) whose
+        manifest stats pin _cluster to a single value — so search(nprobe=p)
+        prunes all but p segments driver-side and the scan never opens the
+        other files. The centroid matrix is persisted under _index/ and
+        recorded in the manifest; subsequent insert()s assign _cluster on
+        the write path, keeping the index fresh."""
         self._check_writable()
+        if cluster_by is None:
+            return self._compact_plain(target_segments)
+        from vecgo_spark.operators import ivf as ivfmod
+
+        if isinstance(cluster_by, ivfmod.IVFModel):
+            model = cluster_by
+        else:
+            nlist = (
+                ivfmod.default_nlist(sum(s.rows for s in self.manifest.segments))
+                if cluster_by == "auto" else int(cluster_by)
+            )
+            model = ivfmod.train_ivf(
+                self.df(), self.vector_col, nlist=nlist, metric=self.metric
+                if self.metric in ("l2", "cosine") else "l2",
+                trainer="driver", order_col=self.id_col,
+            )
+        lsn = self.manifest.lsn + 1
+        version = self.manifest.version + 1
+        live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
+        assigned = live.withColumn(
+            CLUSTER_COL, ivfmod.assign_expr(model, self.vector_col)
+        ).withColumn("_part", F.col(CLUSTER_COL))
+        name = f"seg-{lsn:08d}-ivf-{uuid.uuid4().hex[:8]}"
+        rel = os.path.join(SEG_DIR, name)
+        full = os.path.join(self.path, rel)
+        # _part is a throwaway twin of _cluster: partitionBy() strips the
+        # partition column from the data files, but readers address leaf
+        # dirs directly (no hive inference), so the data copy must survive
+        (
+            assigned.repartition(model.k, "_part")
+            .write.partitionBy("_part").mode("error").parquet(full)
+        )
+        # one agg pass over the written segment → per-cluster stats rows
+        written = self.spark.read.parquet(full)
+        per = {
+            int(r["c"]): r
+            for r in written.groupBy(F.col(CLUSTER_COL).alias("c")).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(self.id_col).alias("id_min"),
+                F.max(self.id_col).alias("id_max"),
+            ).collect()
+        }
+        segments = []
+        for d in sorted(os.listdir(full)):
+            if not d.startswith("_part="):
+                continue
+            cid = int(d.split("=", 1)[1])
+            sub_rel = os.path.join(rel, d)
+            sub_full = os.path.join(full, d)
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(sub_full) for f in fs
+            )
+            r = per[cid]
+            stats = {
+                CLUSTER_COL: {"min": cid, "max": cid, "null_count": 0},
+                self.id_col: {"min": r["id_min"], "max": r["id_max"], "null_count": 0},
+            }
+            segments.append(SegmentMeta(
+                path=sub_rel, rows=int(r["rows"]), lsn=lsn, bytes=size, stats=stats
+            ))
+        idx_rel = os.path.join(INDEX_DIR, f"ivf-v{version:08d}.json")
+        os.makedirs(os.path.join(self.path, INDEX_DIR), exist_ok=True)
+        with open(os.path.join(self.path, idx_rel), "w") as f:
+            json.dump({"metric": model.metric, "k": model.k,
+                       "centroids": model.centroids.tolist()}, f)
+        meta = dict(self.manifest.meta)
+        meta["has_upserts"] = False
+        meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
+        new = Manifest(
+            version=version, lsn=lsn,
+            next_id=self.manifest.next_id, created_at=time.time(),
+            segments=segments, tombstone_files=[], meta=meta,
+        )
+        save_manifest(self.path, new)
+        self.manifest = new
+        self._ivf_cache = (idx_rel, model)
+        return new.version
+
+    def _compact_plain(self, target_segments: int) -> int:
         live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
         lsn = self.manifest.lsn + 1
         name = f"seg-{lsn:08d}-compact-{uuid.uuid4().hex[:8]}"
@@ -365,6 +510,7 @@ class VectorTable:
         )
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
+        meta.pop("ivf", None)  # a plain rewrite drops the clustered layout
         new = Manifest(
             version=self.manifest.version + 1, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),
@@ -438,19 +584,25 @@ class VectorTable:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
             referenced.update(m.tombstone_files)
+            if "ivf" in m.meta:
+                referenced.add(m.meta["ivf"]["path"])
         removed_manifests = []
         for v in versions:
             if v not in keep:
                 os.remove(manifest_path(self.path, v))
                 removed_manifests.append(v)
         removed_files = []
-        for sub in (SEG_DIR, TOMB_DIR):
+        for sub in (SEG_DIR, TOMB_DIR, INDEX_DIR):
             root = os.path.join(self.path, sub)
             if not os.path.isdir(root):
                 continue
             for name in os.listdir(root):
                 rel = os.path.join(sub, name)
-                if rel not in referenced:
+                # cluster segments are SUBDIRS of one seg-*-ivf dir; the
+                # dir itself is live iff any child segment is referenced
+                if rel not in referenced and not any(
+                    r.startswith(rel + os.sep) for r in referenced
+                ):
                     shutil.rmtree(os.path.join(root, name), ignore_errors=True)
                     removed_files.append(rel)
         return {"removed_manifests": removed_manifests, "removed_files": removed_files}
