@@ -27,6 +27,15 @@ def stable_hash64_sql(expr: str, seed: int = 0) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
 
 
+def stable_hash64_py(s: str, seed: int = 0) -> int:
+    """Python twin of stable_hash64 (same md5 → same 60-bit int), used
+    where the driver must reproduce executor-side hashes (bloom probes,
+    minhash oracles)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
 def shingles(tokens: Column | str, n: int = 3) -> Column:
     """ARRAY<STRING> of n-token shingles; empty when fewer than n tokens."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens

@@ -14,6 +14,8 @@ match; unknown columns/operators → keep.
 
 from __future__ import annotations
 
+import base64
+import math
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -21,7 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
 from vecgo_spark.filters import Filter, FilterSet
+from vecgo_spark.functions.hashing import stable_hash64, stable_hash64_py
 from vecgo_spark.plans.manifest import SegmentMeta
+
+# Bloom sizing (≙ internal/manifest/bloom.go): 2048 bits / 4 hashes gives
+# <1% fp up to ~200 distinct values and degrades gracefully above — the
+# filter only ever *keeps* extra segments, never wrongly prunes.
+BLOOM_M = 2048
+BLOOM_K = 4
+
+LOG_BINS = 16
 
 
 def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any]:
@@ -93,6 +104,147 @@ def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any
         hrow = df.agg(*hist_aggs).first()
         for c in hist_cols:
             out[c]["histogram"] = [int(hrow[f"{c}__h{b}"] or 0) for b in range(bins)]
+
+    # third pass (targeted): Bloom filters for string columns whose exact
+    # value set was truncated (>16 distinct) — exactly where eq-probe
+    # pruning otherwise degrades to "keep" (bloom.go; pruning use
+    # stats.go:449-483). Each of the K hash positions is a bounded
+    # collect_set (≤ BLOOM_M ints) — driver-safe at any cardinality.
+    bloom_cols = [c for c in string_cols if "values" not in out[c]]
+    if bloom_cols:
+        baggs = []
+        for c in bloom_cols:
+            for s in range(BLOOM_K):
+                baggs.append(
+                    F.collect_set(
+                        F.pmod(stable_hash64(F.col(c), seed=s), F.lit(BLOOM_M))
+                    ).alias(f"{c}__b{s}")
+                )
+        brow = df.agg(*baggs).first()
+        for c in bloom_cols:
+            bits = bytearray(BLOOM_M // 8)
+            for s in range(BLOOM_K):
+                for p in brow[f"{c}__b{s}"] or []:
+                    bits[p >> 3] |= 1 << (p & 7)
+            out[c]["bloom"] = {
+                "m": BLOOM_M, "k": BLOOM_K,
+                "bits": base64.b64encode(bytes(bits)).decode(),
+            }
+
+    # fourth pass: 16-bin LOG-scale histogram with per-bin min/max
+    # (stats_collector.go:446-529) — per-bin bounds prove gaps that a
+    # linear 8-bin count histogram cannot (eq/in probes into an empty or
+    # out-of-bin-bounds slot prune the file).
+    if hist_cols:
+        laggs = []
+        for c in hist_cols:
+            lo, hi = float(out[c]["min"]), float(out[c]["max"])
+            idx = _log_bin_expr(F.col(c), lo, hi)
+            for b in range(LOG_BINS):
+                inb = F.col(c).isNotNull() & (idx == b)
+                laggs += [
+                    F.sum(F.when(inb, 1).otherwise(0)).alias(f"{c}__ln{b}"),
+                    F.min(F.when(inb, F.col(c))).alias(f"{c}__lmin{b}"),
+                    F.max(F.when(inb, F.col(c))).alias(f"{c}__lmax{b}"),
+                ]
+        lrow = df.agg(*laggs).first()
+        for c in hist_cols:
+            out[c]["log_histogram"] = {
+                "lo": float(out[c]["min"]), "hi": float(out[c]["max"]),
+                "bins": [
+                    {"n": int(lrow[f"{c}__ln{b}"] or 0),
+                     "min": lrow[f"{c}__lmin{b}"], "max": lrow[f"{c}__lmax{b}"]}
+                    for b in range(LOG_BINS)
+                ],
+            }
+    return out
+
+
+def _log_t_py(v: float) -> float:
+    """Signed log transform: sign(v)·log1p(|v|) — monotone over ℝ, log-
+    compresses both tails (the reference's log-scale binning stance)."""
+    return math.copysign(math.log1p(abs(v)), v)
+
+
+def _log_bin_expr(c: F.Column, lo: float, hi: float) -> F.Column:
+    tlo, thi = _log_t_py(lo), _log_t_py(hi)
+    span = (thi - tlo) or 1.0
+    t = F.signum(c.cast("double")) * F.log1p(F.abs(c.cast("double")))
+    pos = (t - F.lit(tlo)) / F.lit(span)
+    return F.least(F.lit(LOG_BINS - 1), F.greatest(F.lit(0), F.floor(pos * LOG_BINS).cast("int")))
+
+
+def _log_bin_py(v: float, lo: float, hi: float) -> int:
+    tlo, thi = _log_t_py(lo), _log_t_py(hi)
+    span = (thi - tlo) or 1.0
+    b = math.floor((_log_t_py(v) - tlo) / span * LOG_BINS)
+    return max(0, min(LOG_BINS - 1, int(b)))
+
+
+def bloom_might_contain(bloom: dict[str, Any], value: Any) -> bool:
+    """Driver-side probe using the Python twin of the executor-side hash."""
+    bits = base64.b64decode(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+    for s in range(k):
+        p = stable_hash64_py(str(value), seed=s) % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def collect_vector_stats(df: DataFrame, vector_col: str, dim: int) -> dict[str, Any]:
+    """Per-segment vector shape stats (stats_collector.go:554-614):
+    centroid (per-dim mean, one narrow agg — dim is known so no
+    posexplode shuffle), radius = max distance from centroid, mean/max
+    norm. Feeds segment_priority() probe ordering (stats.go:643-677)."""
+    v = F.col(vector_col).cast("array<double>")
+    sums = df.agg(
+        *[F.sum(v[i]).alias(f"s{i}") for i in range(dim)],
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n = sums["n"] or 0
+    if n == 0:
+        return {}
+    centroid = [float(sums[f"s{i}"]) / n for i in range(dim)]
+    cent = F.array(*[F.lit(x) for x in centroid])
+    d2 = F.aggregate(
+        F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    row = df.agg(
+        F.max(F.sqrt(d2)).alias("radius"),
+        F.avg(nrm).alias("mean_norm"),
+        F.max(nrm).alias("max_norm"),
+    ).first()
+    return {
+        "centroid": centroid,
+        "radius": float(row["radius"]),
+        "mean_norm": float(row["mean_norm"]),
+        "max_norm": float(row["max_norm"]),
+    }
+
+
+def segment_priority(
+    segments: list[SegmentMeta], query: list[float], vector_col: str,
+) -> list[tuple[SegmentMeta, float]]:
+    """Segments ordered by a LOWER BOUND on the distance from `query` to
+    any vector inside: max(0, ||q − centroid|| − radius) (triangle
+    inequality; ≙ SegmentPriority, stats.go:643-677). Nearest-first is the
+    probe/early-termination order; segments without vector stats sort
+    first (bound 0 — conservative)."""
+    out = []
+    for seg in segments:
+        vs = seg.stats.get(vector_col) or {}
+        cent = vs.get("centroid")
+        if not cent:
+            out.append((seg, 0.0))
+            continue
+        d = math.sqrt(sum((q - c) ** 2 for q, c in zip(query, cent)))
+        out.append((seg, max(0.0, d - float(vs.get("radius", 0.0)))))
+    out.sort(key=lambda t: (t[1], t[0].path))
     return out
 
 
@@ -172,6 +324,25 @@ def _can_prune(filter: Filter, stats: dict[str, Any], rows: int) -> bool:
                 return all(x not in vals for x in v)
             except TypeError:
                 return False
+    bloom = cs.get("bloom")
+    if bloom is not None:
+        # high-cardinality strings (>16 distinct): Bloom absence is proof
+        # of absence (bloom.go; pruning use stats.go:449-483)
+        if filter.op == "eq":
+            return not bloom_might_contain(bloom, v)
+        if filter.op == "in":
+            try:
+                return all(not bloom_might_contain(bloom, x) for x in v)
+            except TypeError:
+                return False
+    lh = cs.get("log_histogram")
+    if lh is not None and filter.op in ("eq", "in"):
+        probes = [v] if filter.op == "eq" else v
+        try:
+            if all(_log_hist_excludes(lh, float(x)) for x in probes):
+                return True
+        except (TypeError, ValueError):
+            pass
     try:
         if filter.op == "eq":
             return v < lo or v > hi
@@ -188,6 +359,22 @@ def _can_prune(filter: Filter, stats: dict[str, Any], rows: int) -> bool:
     except TypeError:
         return False  # incomparable types → keep
     return False  # ne / contains: range stats can't prove absence
+
+
+def _log_hist_excludes(lh: dict[str, Any], v: float) -> bool:
+    """True iff the log-histogram PROVES no row equals v: the value's bin
+    (±1 to tolerate last-ulp transform disagreement between the executor
+    expression and this python twin) is empty or its [min, max] bounds
+    exclude v."""
+    bins = lh["bins"]
+    b = _log_bin_py(v, lh["lo"], lh["hi"])
+    for bb in (b - 1, b, b + 1):
+        if not 0 <= bb < len(bins):
+            continue
+        e = bins[bb]
+        if e["n"] and e["min"] is not None and e["min"] <= v <= e["max"]:
+            return False
+    return True
 
 
 def prune_segments(segments: list[SegmentMeta], fs: FilterSet) -> list[SegmentMeta]:

@@ -49,7 +49,13 @@ from vecgo_spark.plans.manifest import (
     manifest_path,
     save_manifest,
 )
-from vecgo_spark.plans.pruning import collect_stats, estimate_selectivity, prune_segments
+from vecgo_spark.plans.pruning import (
+    collect_stats,
+    collect_vector_stats,
+    estimate_selectivity,
+    prune_segments,
+    segment_priority,
+)
 
 SEG_DIR = "_segments"
 TOMB_DIR = "_tombstones"
@@ -162,11 +168,21 @@ class VectorTable:
         written = self.spark.read.parquet(full)
         rows = written.count()
         stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
+        stats.update(self._vector_stats(written))
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(full) for f in fs
         )
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
+
+    def _vector_stats(self, written: DataFrame) -> dict:
+        """Vector shape stats for the new segment (centroid/radius/norms,
+        stats_collector.go:554-614) — requires a declared dim."""
+        dim = self.manifest.meta.get("dim")
+        if not dim or self.vector_col not in written.columns:
+            return {}
+        vs = collect_vector_stats(written, self.vector_col, int(dim))
+        return {self.vector_col: vs} if vs else {}
 
     def _next_lsn(self) -> int:
         # one counter across BOTH pending lists: a delete followed by an
@@ -270,11 +286,15 @@ class VectorTable:
         files = [os.path.join(self.path, t) for t in self.manifest.tombstone_files]
         return self.spark.read.parquet(*files)
 
-    def df(self, filter: FilterSet | str | None = None) -> DataFrame:
+    def df(
+        self, filter: FilterSet | str | None = None,
+        segments: list[SegmentMeta] | None = None,
+    ) -> DataFrame:
         """The live snapshot as a DataFrame: manifest file list (pruned by
-        stats when a FilterSet is given) → tombstone anti-join →
-        latest-LSN upsert dedup (only if duplicates are possible)."""
-        segs = self.manifest.segments
+        stats when a FilterSet is given; optionally restricted to an
+        explicit segment subset) → tombstone anti-join → latest-LSN upsert
+        dedup (only if duplicates are possible)."""
+        segs = self.manifest.segments if segments is None else segments
         if isinstance(filter, FilterSet):
             segs = prune_segments(segs, filter)
         base = self._segment_df(segs)
@@ -313,9 +333,15 @@ class VectorTable:
     def count(self) -> int:
         return self.df().count()
 
+    def segment_priorities(self, query: Sequence[float]):
+        """Segments nearest-first by the centroid/radius distance LOWER
+        bound (SegmentPriority, stats.go:643-677) — the probe /
+        early-termination order for kNN over many segments."""
+        return segment_priority(self.manifest.segments, list(query), self.vector_col)
+
     def search(
         self, query: Sequence[float], k: int = 10, filter=None,
-        nprobe: int | None = None, **kw,
+        nprobe: int | None = None, segment_budget: int | None = None, **kw,
     ) -> DataFrame:
         """Exact scan top-k, or — when the table carries a materialized IVF
         index and nprobe is given — a probe-pruned ANN search: the nprobe
@@ -334,6 +360,12 @@ class VectorTable:
             model = self._load_ivf()
             probes = ivfmod.probe_clusters(model, list(query), nprobe)
             base = self.df(FilterSet([Filter(CLUSTER_COL, "in", probes)]))
+        elif segment_budget is not None:
+            # approximate search over the `segment_budget` most promising
+            # segments in centroid/radius priority order — the indexless
+            # analog of nprobe (stats.go:643-677 early termination)
+            best = [s for s, _ in self.segment_priorities(query)[:max(1, segment_budget)]]
+            base = self.df(segments=best)
         return knn.search(base, query, k=k, metric=self.metric, filter=filter,
                           id_col=self.id_col, vector_col=self.vector_col, **kw)
 
@@ -504,6 +536,7 @@ class VectorTable:
         written = self.spark.read.parquet(full)
         rows = written.count()
         stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
+        stats.update(self._vector_stats(written))
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(full) for f in fs
@@ -549,6 +582,7 @@ class VectorTable:
         written = self.spark.read.parquet(full)
         rows = written.count()
         stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
+        stats.update(self._vector_stats(written))
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(full) for f in fs
