@@ -190,3 +190,28 @@ def test_delete_where_large_predicate_no_driver_collect(spark, tdir):
     # empty-match predicate stages nothing
     assert t.delete_where(FilterSet().eq("category", "nope")) == 0
     assert not t._pending_tombs
+
+
+def test_pending_read_your_writes(spark, tdir):
+    """include_pending=True = the writer's read-your-writes view
+    (engine.go:833-921): staged inserts and tombstones visible before
+    commit; other readers (and plain df()) still see only the manifest."""
+    t = VectorTable.create(spark, tdir, dim=2, metric="l2")
+    t.insert(_mk_rows(spark, range(1, 6)))
+    t.commit()
+
+    t.insert(_mk_rows(spark, range(6, 11)))   # staged, uncommitted
+    t.delete([1, 2])                           # staged tombstone
+    assert t.count() == 5                      # committed view unchanged
+    pend = t.df(include_pending=True)
+    assert {r["id"] for r in pend.collect()} == {3, 4, 5, 6, 7, 8, 9, 10}
+    got = [r["id"] for r in
+           t.search([6.0, 7.0], k=2, include_pending=True).collect()]
+    assert got == [6, 5]                       # staged row 6 wins; 5/7 tie → id 5
+
+    # an independent reader of the same path sees only the commit
+    other = VectorTable.open(spark, t.path)
+    assert other.count() == 5
+
+    t.commit()
+    assert t.count() == 8                      # pending view == post-commit view

@@ -62,15 +62,96 @@ class Manifest:
         return Manifest(**d)
 
 
+# scheme → factory(path-without-scheme) -> (FileSystem, fs-local path).
+# The BlobStore extension point (store.go:33-67 Open/Put/List registry;
+# s3/minio/gcs stores plug in the same way): tests and deployments can
+# register custom stores without touching the engine.
+_FS_REGISTRY: dict[str, Any] = {}
+
+
+def register_filesystem(scheme: str, factory) -> None:
+    _FS_REGISTRY[scheme] = factory
+
+
 def _fs_for(path: str):
     """(FileSystem, fs-local path) via pyarrow.fs — file paths, file://,
     s3://, gs://, hdfs:// all resolve without extra deps (BlobStore analog,
-    /root/reference/blobstore/store.go:33-67)."""
+    /root/reference/blobstore/store.go:33-67); custom schemes via
+    register_filesystem."""
     from pyarrow import fs as pafs
 
     if "://" in path:
+        scheme, rest = path.split("://", 1)
+        if scheme in _FS_REGISTRY:
+            return _FS_REGISTRY[scheme](rest)
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
+
+
+# --------------------------- URI-aware fs operations (engine-wide helpers)
+
+
+def fs_makedirs(path: str) -> None:
+    fs, p = _fs_for(path)
+    fs.create_dir(p, recursive=True)
+
+
+def fs_listdir(path: str) -> list[str]:
+    """Immediate children base names ([] when the dir is absent)."""
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_for(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    except (OSError, FileNotFoundError):
+        return []
+    return [i.base_name for i in infos]
+
+
+def fs_du(path: str) -> int:
+    """Total bytes under path (recursive)."""
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_for(path)
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(p, recursive=True, allow_not_found=True)
+        )
+    except (OSError, FileNotFoundError):
+        return 0
+    return sum(i.size or 0 for i in infos if i.is_file)
+
+
+def fs_rmtree(path: str) -> None:
+    fs, p = _fs_for(path)
+    try:
+        fs.delete_dir(p)
+    except (OSError, FileNotFoundError):
+        pass
+
+
+def fs_remove_file(path: str) -> None:
+    fs, p = _fs_for(path)
+    fs.delete_file(p)
+
+
+def fs_exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_for(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def fs_read_text(path: str) -> str:
+    fs, p = _fs_for(path)
+    with fs.open_input_stream(p) as f:
+        return f.read().decode()
+
+
+def fs_write_text(path: str, data: str) -> None:
+    fs, p = _fs_for(path)
+    with fs.open_output_stream(p) as f:
+        f.write(data.encode())
 
 
 def manifest_path(table_dir: str, version: int) -> str:

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from collections.abc import Sequence
@@ -44,6 +43,13 @@ from vecgo_spark.operators import knn
 from vecgo_spark.plans.manifest import (
     Manifest,
     SegmentMeta,
+    fs_du,
+    fs_listdir,
+    fs_makedirs,
+    fs_read_text,
+    fs_remove_file,
+    fs_rmtree,
+    fs_write_text,
     list_versions,
     load_manifest,
     manifest_path,
@@ -86,7 +92,7 @@ class VectorTable:
             raise ValueError(f"unknown metric {metric!r}")
         if list_versions(path):
             raise FileExistsError(f"table already exists at {path}")
-        os.makedirs(path, exist_ok=True)
+        fs_makedirs(path)
         m = Manifest(
             version=1, lsn=0, next_id=1, created_at=time.time(),
             meta={"dim": dim, "metric": metric, "id_col": id_col,
@@ -169,10 +175,7 @@ class VectorTable:
         rows = written.count()
         stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
         stats.update(self._vector_stats(written))
-        size = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(full) for f in fs
-        )
+        size = fs_du(full)
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
 
     def _vector_stats(self, written: DataFrame) -> dict:
@@ -247,7 +250,7 @@ class VectorTable:
         )
         n = self.spark.read.parquet(full).count()
         if n == 0:
-            shutil.rmtree(full, ignore_errors=True)
+            fs_rmtree(full)
             return 0
         self._pending_tombs.append(rel)
         return n
@@ -280,27 +283,39 @@ class VectorTable:
         files = [os.path.join(self.path, s.path) for s in segments]
         return self.spark.read.parquet(*files)
 
-    def _tombstones(self) -> DataFrame | None:
-        if not self.manifest.tombstone_files:
+    def _tombstones(self, include_pending: bool = False) -> DataFrame | None:
+        tombs = list(self.manifest.tombstone_files)
+        if include_pending:
+            tombs += self._pending_tombs
+        if not tombs:
             return None
-        files = [os.path.join(self.path, t) for t in self.manifest.tombstone_files]
+        files = [os.path.join(self.path, t) for t in tombs]
         return self.spark.read.parquet(*files)
 
     def df(
         self, filter: FilterSet | str | None = None,
         segments: list[SegmentMeta] | None = None,
+        include_pending: bool = False,
     ) -> DataFrame:
         """The live snapshot as a DataFrame: manifest file list (pruned by
         stats when a FilterSet is given; optionally restricted to an
         explicit segment subset) → tombstone anti-join → latest-LSN upsert
-        dedup (only if duplicates are possible)."""
+        dedup (only if duplicates are possible).
+
+        include_pending=True is the read-your-writes view: committed
+        segments ∪ staged-but-uncommitted segments and tombstones — the
+        reference's insert-immediately-searchable semantics
+        (engine.go:833-921) for a writer session; other readers still see
+        only the committed manifest."""
         segs = self.manifest.segments if segments is None else segments
+        if include_pending and segments is None:
+            segs = segs + self._pending
         if isinstance(filter, FilterSet):
             segs = prune_segments(segs, filter)
         base = self._segment_df(segs)
         if base is None:
             return self.spark.createDataFrame([], self._empty_schema())
-        tomb = self._tombstones()
+        tomb = self._tombstones(include_pending=include_pending)
         if tomb is not None:
             # a tombstone at LSN T kills versions with LSN <= T; a
             # re-insert AFTER the delete (row LSN > T) is visible again —
@@ -341,7 +356,8 @@ class VectorTable:
 
     def search(
         self, query: Sequence[float], k: int = 10, filter=None,
-        nprobe: int | None = None, segment_budget: int | None = None, **kw,
+        nprobe: int | None = None, segment_budget: int | None = None,
+        include_pending: bool = False, **kw,
     ) -> DataFrame:
         """Exact scan top-k, or — when the table carries a materialized IVF
         index and nprobe is given — a probe-pruned ANN search: the nprobe
@@ -350,7 +366,7 @@ class VectorTable:
         sees a file, and the scan touches only probed files. This is the
         point of the at-rest index: probe pruning == file pruning
         (compaction.go:102-152 builds the same partitions per segment)."""
-        base = self.df()
+        base = self.df(include_pending=include_pending)
         if nprobe is not None:
             if "ivf" not in self.manifest.meta:
                 raise ValueError("nprobe given but table has no IVF index; "
@@ -359,7 +375,8 @@ class VectorTable:
 
             model = self._load_ivf()
             probes = ivfmod.probe_clusters(model, list(query), nprobe)
-            base = self.df(FilterSet([Filter(CLUSTER_COL, "in", probes)]))
+            base = self.df(FilterSet([Filter(CLUSTER_COL, "in", probes)]),
+                           include_pending=include_pending)
         elif segment_budget is not None:
             # approximate search over the `segment_budget` most promising
             # segments in centroid/radius priority order — the indexless
@@ -379,8 +396,7 @@ class VectorTable:
         cache = getattr(self, "_ivf_cache", None)
         if cache is not None and cache[0] == info["path"]:
             return cache[1]
-        with open(os.path.join(self.path, info["path"])) as f:
-            d = json.load(f)
+        d = json.loads(fs_read_text(os.path.join(self.path, info["path"])))
         model = ivfmod.IVFModel(
             centroids=np.array(d["centroids"], dtype=np.float64), metric=d["metric"]
         )
@@ -486,16 +502,13 @@ class VectorTable:
             ).collect()
         }
         segments = []
-        for d in sorted(os.listdir(full)):
+        for d in sorted(fs_listdir(full)):
             if not d.startswith("_part="):
                 continue
             cid = int(d.split("=", 1)[1])
             sub_rel = os.path.join(rel, d)
             sub_full = os.path.join(full, d)
-            size = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(sub_full) for f in fs
-            )
+            size = fs_du(sub_full)
             r = per[cid]
             stats = {
                 CLUSTER_COL: {"min": cid, "max": cid, "null_count": 0},
@@ -505,10 +518,12 @@ class VectorTable:
                 path=sub_rel, rows=int(r["rows"]), lsn=lsn, bytes=size, stats=stats
             ))
         idx_rel = os.path.join(INDEX_DIR, f"ivf-v{version:08d}.json")
-        os.makedirs(os.path.join(self.path, INDEX_DIR), exist_ok=True)
-        with open(os.path.join(self.path, idx_rel), "w") as f:
-            json.dump({"metric": model.metric, "k": model.k,
-                       "centroids": model.centroids.tolist()}, f)
+        fs_makedirs(os.path.join(self.path, INDEX_DIR))
+        fs_write_text(
+            os.path.join(self.path, idx_rel),
+            json.dumps({"metric": model.metric, "k": model.k,
+                        "centroids": model.centroids.tolist()}),
+        )
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
@@ -537,10 +552,7 @@ class VectorTable:
         rows = written.count()
         stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
         stats.update(self._vector_stats(written))
-        size = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(full) for f in fs
-        )
+        size = fs_du(full)
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
         meta.pop("ivf", None)  # a plain rewrite drops the clustered layout
@@ -583,10 +595,7 @@ class VectorTable:
         rows = written.count()
         stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
         stats.update(self._vector_stats(written))
-        size = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(full) for f in fs
-        )
+        size = fs_du(full)
         keep = [s for s in self.manifest.segments if s.path not in picked]
         new = Manifest(
             version=self.manifest.version + 1,
@@ -623,21 +632,23 @@ class VectorTable:
         removed_manifests = []
         for v in versions:
             if v not in keep:
-                os.remove(manifest_path(self.path, v))
+                fs_remove_file(manifest_path(self.path, v))
                 removed_manifests.append(v)
         removed_files = []
         for sub in (SEG_DIR, TOMB_DIR, INDEX_DIR):
             root = os.path.join(self.path, sub)
-            if not os.path.isdir(root):
-                continue
-            for name in os.listdir(root):
+            for name in fs_listdir(root):
                 rel = os.path.join(sub, name)
                 # cluster segments are SUBDIRS of one seg-*-ivf dir; the
                 # dir itself is live iff any child segment is referenced
                 if rel not in referenced and not any(
-                    r.startswith(rel + os.sep) for r in referenced
+                    r.startswith(rel + "/") for r in referenced
                 ):
-                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                    target = os.path.join(root, name)
+                    if name.endswith(".json"):
+                        fs_remove_file(target)
+                    else:
+                        fs_rmtree(target)
                     removed_files.append(rel)
         return {"removed_manifests": removed_manifests, "removed_files": removed_files}
 

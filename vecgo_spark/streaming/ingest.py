@@ -7,11 +7,13 @@ loop 2313-2328), plus a background compaction loop (engine.go:2329-2394).
 
 Spark mapping: each foreachBatch micro-batch IS one memtable flush — the
 batch is staged as a parquet segment and commit() publishes manifest
-version N+1, so rows become visible exactly at the commit boundary
-(read-committed; the reference gives read-your-writes inside one process
-— the gap is documented, availableNow triggers narrow it). The optional
-auto-compaction mirrors the reference's CompactionThreshold policy
-(internal/engine/policy.go:25-230)."""
+version N+1, so OTHER readers see rows exactly at the commit boundary
+(read-committed). The writer session itself gets the reference's
+read-your-writes semantics (engine.go:833-921) via
+``table.df(include_pending=True)`` / ``search(include_pending=True)``:
+committed segments ∪ staged-but-uncommitted segments and tombstones. The
+optional auto-compaction mirrors the reference's CompactionThreshold
+policy (internal/engine/policy.go:25-230)."""
 
 from __future__ import annotations
 
