@@ -717,7 +717,12 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(magic, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")).alias("data"),
     )
     feats = mm.byte_features(mm.sniff_media_type(blobs, "data"), "data")
-    return feats.select("doc_id", "sniffed_type", "n_bytes").orderBy("doc_id")
+    return feats.select(
+        "doc_id", "sniffed_type", "n_bytes", "byte_hist",
+        # entropy folds bins sequentially on both sides; the round absorbs
+        # the last-ulp libm log2 disagreement (same stance as bm25's ln)
+        F.round("byte_entropy", 10).alias("byte_entropy"),
+    ).orderBy("doc_id")
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +830,55 @@ def _knn_oracle(score: str, order: str) -> str:
     FROM embeddings e, {_Q} q
     ORDER BY score {order}, e.vec_id ASC
     LIMIT 10
+    """
+
+
+def _multimodal_oracle_sql() -> str:
+    """Byte-level reconstruction of the synthesized blob in DuckDB (hex of
+    magic prefix + hex(encode(text))): histogram p over 16 byte buckets is
+    exact double division; entropy folds bins in order (== the kernel's
+    sequential fold) with round(10) absorbing libm log2 ulps."""
+    hexes = [p.hex().upper() for _, p in _MM_MAGICS]
+    case_hex = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(hexes[:-1])
+    ) + f" ELSE '{hexes[-1]}' END"
+    case_type = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, (t, _) in enumerate(_MM_MAGICS[:-1])
+    ) + f" ELSE '{_MM_MAGICS[-1][0]}' END"
+    return f"""
+    WITH blobs AS (
+        SELECT doc_id, {case_type} AS sniffed_type,
+               {case_hex} || hex(encode(coalesce(text, ''))) AS h
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, ('0x' || substr(h, 2 * CAST(i AS INT) + 1, 2))::INT // 16 AS bin
+        FROM (SELECT doc_id, h,
+                     unnest(range(CAST(length(h) / 2 AS BIGINT))) AS i
+              FROM blobs)
+    ),
+    counts AS (SELECT doc_id, bin, CAST(count(*) AS DOUBLE) AS c
+               FROM bytes GROUP BY doc_id, bin),
+    tot AS (SELECT doc_id, sum(c) AS t FROM counts GROUP BY doc_id),
+    dense AS (
+        SELECT b.doc_id, r.bin, COALESCE(c.c, 0.0) / t.t AS p
+        FROM (SELECT DISTINCT doc_id FROM blobs) b
+        CROSS JOIN (SELECT unnest(range(16)) AS bin) r
+        LEFT JOIN counts c ON c.doc_id = b.doc_id AND c.bin = r.bin
+        JOIN tot t ON t.doc_id = b.doc_id
+    ),
+    feats AS (
+        SELECT doc_id,
+               list(p ORDER BY bin) AS byte_hist,
+               round(-list_sum(list_transform(list(p ORDER BY bin),
+                     x -> CASE WHEN x > 0 THEN x * log2(x) ELSE 0.0 END)), 10)
+                   AS byte_entropy
+        FROM dense GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.sniffed_type, CAST(length(b.h) / 2 AS INT) AS n_bytes,
+           f.byte_hist, f.byte_entropy
+    FROM blobs b JOIN feats f USING (doc_id)
+    ORDER BY b.doc_id
     """
 
 
@@ -1239,16 +1293,7 @@ def oracle_sql() -> dict[str, str]:
                    len({hashing.rolling_window_hashes_sql('text', 16)})::INT AS n_windows
             FROM documents
         """,
-        "multimodal_features": """
-            SELECT doc_id,
-                   CASE CAST(doc_id % 5 AS INT)
-                        WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-                        WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'audio/mp3'
-                        ELSE 'video/mp4' END AS sniffed_type,
-                   CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 3 ELSE 4 END
-                        + octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
-            FROM documents ORDER BY doc_id
-        """,
+        "multimodal_features": _multimodal_oracle_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_pairs_sql(max_hamming=3),

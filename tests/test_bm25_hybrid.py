@@ -49,3 +49,11 @@ def test_rrf_fuse_known_values(spark):
     assert out[2] == 1.0 / 62.0 + 1.0 / 61.0
     assert out[3] == 1.0 / 63.0
     assert out[4] == 1.0 / 62.0
+
+
+def test_all_empty_docs_returns_empty_not_div_zero(spark):
+    """avg_dl == 0 (every doc tokenizes to nothing): the reference yields
+    no postings and returns empty; the K1·B/avgDL factor must not raise."""
+    docs = spark.createDataFrame([(1, ""), (2, "   "), (3, None)],
+                                 "id long, text string")
+    assert bm25.bm25_search(docs, "anything", k=5).count() == 0

@@ -234,3 +234,51 @@ def test_dedup_clusters_matches_union_find(spark, docs):
     # 1,2,3 cluster together under canonical 1; 4 and 5 are singletons
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == 4 and out[5] == 5
+
+
+def test_minhash_candidate_recall_vs_bruteforce(spark):
+    """ADVICE r1: minhash banding with the defaults is approximate — a
+    pair can agree in 8-12 of 16 positions spread across all 4 bands and
+    share no band. Measure candidate recall against the exact Jaccard
+    pairs (deterministic: seeded perms + fixed fixture)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        toks = rng.sample(vocab, 30)
+        rows.append((i, " ".join(toks)))
+        # near-dup: replace 2 of 30 tokens -> each kills <=3 shingles,
+        # shingle jaccard lands ~0.55-0.75 (straddling the 0.5 threshold)
+        mut = list(toks)
+        for j in rng.sample(range(30), 2):
+            mut[j] = rng.choice(vocab)
+        rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in dedup.minhash_lsh_pairs(docs, min_matches=8).collect()}
+    assert exact  # fixture yields real near-dup pairs
+    recall = len(approx & exact) / len(exact)
+    # measured ~0.57 on pairs straddling the threshold — the documented
+    # approximation of min_matches=8 with 4 bands (NOT pigeonhole-sound)
+    assert recall >= 0.5, f"minhash candidate recall {recall:.2f}"
+
+    # pigeonhole-sound regime: min_matches=13 >= 16-4+1, so EVERY pair
+    # whose signatures agree in >=13 positions shares a band — banding
+    # recall is exactly 1.0 there
+    sigs = {r["id"]: [r[f"m{i}"] for i in range(16)]
+            for r in dedup.minhash_signatures(docs).collect()}
+    want13 = set()
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if sum(u == v for u, v in zip(sigs[a], sigs[b])) >= 13:
+                want13.add((a, b))
+    got13 = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(docs, min_matches=13).collect()}
+    assert got13 == want13

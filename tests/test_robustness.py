@@ -165,3 +165,20 @@ def test_filter_semantics_match_python_model(spark, data, op, value):
                                "id LONG, x DOUBLE")
     got = sorted(r["id"] for r in df.where(FilterSet([f]).to_column()).collect())
     assert got == expect
+
+
+def test_hamming_registered_metric(spark):
+    """Hamming is a first-class distance provider (distance.go:97-106):
+    knn.search over integer code arrays, ascending, id tiebreak."""
+    from vecgo_spark.operators import knn
+
+    rows = [
+        (1, [0b1111, 0b0000]),
+        (2, [0b1110, 0b0000]),   # 1 bit from query
+        (3, [0b0000, 0b1111]),   # 8 bits
+        (4, [0b1111, 0b0001]),   # 1 bit
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<int>")
+    got = [(r["id"], r["score"]) for r in
+           knn.search(df, [0b1111, 0b0000], k=4, metric="hamming").collect()]
+    assert got == [(1, 0), (2, 1), (4, 1), (3, 8)]

@@ -33,6 +33,37 @@ from pyspark.sql import functions as F
 K1 = 1.2
 B = 0.75
 
+# cached frames from the LAST query (tokenize is the expensive stage and
+# is shared between the stats agg and the scoring pass of one query).
+# Each new query releases the previous query's cache, so a long-lived
+# session holds at most one query's worth of storage; bm25_release()
+# frees even that.
+_CACHED: list = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    _CACHED.append(df.persist())
+    return df
+
+
+def bm25_release() -> None:
+    """Unpersist all BM25 caches (callers owning many corpora can call
+    this between corpora)."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
+def _spread_src(docs: DataFrame) -> DataFrame:
+    """Spread a narrow source (one small file ⇒ one task) before the
+    CPU-heavy regex tokenizer; inputFiles() approximates scan width
+    without forcing an RDD conversion of the plan."""
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_in = len(docs.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
+        n_in = 0
+    return docs.repartition(cores) if n_in < cores else docs
+
 
 def tokenize_expr(text_col: Column | str) -> Column:
     """ARRAY<STRING> of lowercase whitespace-split tokens (bm25.go:92-129).
@@ -66,22 +97,18 @@ def corpus_stats(
     (at 100 TB this is the difference between a postings lookup and
     re-indexing the corpus per query).
     """
-    # the regex tokenizer is the CPU hot spot: spread a narrow source (a
-    # single small parquet file ⇒ one task) across the cluster first, and
-    # persist the token arrays so tokenize runs ONCE for doc_len + tf
-    src = docs
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
-        src = src.repartition(cores)
-    toks = src.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks")).persist()
+    # the regex tokenizer is the CPU hot spot: spread a narrow source
+    # across the cluster first, and persist the token arrays so tokenize
+    # runs ONCE for doc_len + tf (previous query's cache released first)
+    bm25_release()
+    src = _spread_src(docs)
+    toks = _cache(src.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks")))
     doc_len = toks.select("id", F.size("toks").alias("dl"))
     exploded = toks.select("id", F.explode("toks").alias("term"))
     if terms is not None:
         exploded = exploded.where(F.col("term").isin(list(terms)))
-    term_freq = (
-        exploded.groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    term_freq = _cache(
+        exploded.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     counts = doc_len.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
@@ -119,12 +146,8 @@ def bm25_score(
         return spark.createDataFrame([], "id long, score double")
     terms = sorted(qterms)
 
-    src = docs
-    cores = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
-        # a narrow source (one small file => one task) serializes the
-        # regex tokenizer; spread it before the CPU-heavy pass
-        src = src.repartition(cores)
+    bm25_release()
+    src = _spread_src(docs)
     toks = src.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks"))
 
     def _eq(term: str):
@@ -132,11 +155,11 @@ def bm25_score(
         # treat the lambda as its (element, index) two-arg form
         return lambda x: x == F.lit(term)
 
-    per = toks.select(
+    per = _cache(toks.select(
         "id",
         F.size("toks").alias("dl"),
         *[F.size(F.filter("toks", _eq(t))).alias(f"tf_{i}") for i, t in enumerate(terms)],
-    ).persist()
+    ))
 
     row = per.agg(
         F.count(F.lit(1)).alias("n"),
@@ -145,10 +168,13 @@ def bm25_score(
           for i in range(len(terms))],
     ).first()
     n_docs = int(row["n"])
-    if n_docs == 0:
-        per.unpersist()
+    avg_dl = float(row["total"] or 0) / float(n_docs) if n_docs else 0.0
+    if n_docs == 0 or avg_dl == 0.0:
+        # empty corpus, or every doc tokenizes to zero tokens: the
+        # reference's idf/score math yields no postings → empty result
+        # (bm25.go Add/Search on empty index); avoids K1·B/avg_dl = x/0
+        bm25_release()
         return spark.createDataFrame([], "id long, score double")
-    avg_dl = float(row["total"] or 0) / float(n_docs)
     n = float(n_docs)
 
     score = F.lit(0.0)

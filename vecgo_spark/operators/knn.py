@@ -35,7 +35,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vecgo_spark.filters import to_condition
-from vecgo_spark.functions.vector import cosine_similarity, dot, sq_l2
+from vecgo_spark.functions.vector import cosine_similarity, dot, hamming, sq_l2
+
+
+def _hamming_metric(vector_col: Column | str, query) -> Column:
+    """Hamming over integer code arrays (the BQ/packed-bits layout) as a
+    registered provider — the reference's distance.Provider also serves
+    Hamming (distance/distance.go:97-106)."""
+    v = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    q = query if isinstance(query, Column) else F.array(*[F.lit(int(x)) for x in query])
+    return hamming(v, q).cast("long")
+
 
 # Pluggable distance-provider registry (the reference's
 # distance.Provider(metric), distance/distance.go:97-106): name →
@@ -45,6 +55,7 @@ METRICS: dict[str, tuple] = {
     "l2": (sq_l2, True),
     "dot": (dot, False),
     "cosine": (cosine_similarity, False),
+    "hamming": (_hamming_metric, True),
 }
 
 

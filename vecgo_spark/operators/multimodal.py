@@ -97,12 +97,17 @@ def byte_features(df: DataFrame, data_col: str = "data", n_bins: int = 16) -> Da
                 b = np.frombuffer(bytes(blob), dtype=np.uint8) if blob is not None else np.array([], np.uint8)
                 sizes.append(len(b))
                 counts = np.bincount(b // width, minlength=n_bins).astype(np.float64)
-                total = counts.sum()
+                total = float(counts.sum())
                 if total > 0:
                     p = counts / total
-                    nz = p[p > 0]
-                    ents.append(float(-(nz * np.log2(nz)).sum()))
-                    hists.append((p).tolist())
+                    # sequential fold in bin order (not numpy's pairwise
+                    # tree) → bit-reproducible against a SQL list fold
+                    ent = 0.0
+                    for pv in p:
+                        if pv > 0.0:
+                            ent += pv * float(np.log2(pv))
+                    ents.append(-ent)
+                    hists.append(p.tolist())
                 else:
                     ents.append(0.0)
                     hists.append([0.0] * n_bins)
