@@ -215,3 +215,33 @@ def test_pending_read_your_writes(spark, tdir):
 
     t.commit()
     assert t.count() == 8                      # pending view == post-commit view
+
+
+def test_metrics_observer_callbacks(spark, tdir):
+    """MetricsObserver parity (internal/engine/metrics.go:6-25): write
+    path, read path and background ops all fire on an attached observer."""
+    from vecgo_spark.observer import RecordingObserver
+
+    t = VectorTable.create(spark, tdir, dim=2, metric="l2")
+    obs = RecordingObserver()
+    t.set_observer(obs)
+
+    t.insert(_mk_rows(spark, range(1, 21)))
+    t.delete([1, 2])
+    t.commit()
+    t.compact(cluster_by=2)
+    _, _stats = t.search_with_stats([3.0, 4.0], k=3)
+    t.get(5).count()
+
+    names = [n for n, _ in obs.events]
+    assert names == ["insert", "delete", "flush", "compaction", "build",
+                     "search", "get"]
+    by = dict(obs.events[:5])
+    ins = obs.events[0][1]
+    assert ins["rows"] == 20 and ins["bytes"] > 0 and ins["latency_s"] > 0
+    assert obs.events[1][1]["rows"] == 2
+    assert obs.events[2][1]["rows"] == 20  # flush reports staged rows
+    comp = obs.events[3][1]
+    assert comp["created"] == 2            # cluster_by=2 -> 2 segments
+    assert obs.events[4][1]["index_type"] == "ivf"
+    assert obs.events[5][1]["k"] == 3

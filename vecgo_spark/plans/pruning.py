@@ -36,21 +36,44 @@ LOG_BINS = 16
 
 
 def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any]:
-    """One agg pass per segment at commit time (≙ StatsCollector.Add/
-    Finalize, internal/manifest/stats_collector.go:110-615): per-column
-    min/max/null_count for pruning-friendly types."""
+    """Scalar-column stats (see collect_segment_stats)."""
+    return collect_segment_stats(df, exclude=exclude)
+
+
+def collect_segment_stats(
+    df: DataFrame, exclude: tuple[str, ...] = (),
+    vector_col: str | None = None, dim: int | None = None,
+) -> dict[str, Any]:
+    """ALL per-segment commit-time stats in exactly TWO agg jobs
+    (≙ StatsCollector.Add/Finalize, stats_collector.go:110-615):
+
+      pass 1  per scalar column: min / max / null_count / ≤16-value set
+              (CanPruneCategorical, stats.go:449-483); per vector column:
+              per-dim sums + count (→ centroid).
+      pass 2  everything that depends on pass-1 results: 8-bin linear
+              histogram + 16-bin LOG histogram with per-bin min/max
+              (stats_collector.go:446-529), Bloom position sets for
+              >16-distinct strings (bloom.go; bounded collect_sets), and
+              vector radius / mean / max norm against the centroid.
+
+    Segment builds run these two scans instead of six — on a 100 TB
+    ingest the stats overhead is two streaming passes per segment, same
+    as the reference's single-pass collector + finalize."""
     cols = [
         f.name for f in df.schema.fields
         if f.name not in exclude
         and isinstance(f.dataType, (NumericType, StringType, BooleanType))
     ]
-    if not cols:
-        return {}
-    aggs = []
     string_cols = [
         f.name for f in df.schema.fields
         if f.name in cols and isinstance(f.dataType, StringType)
     ]
+    do_vec = vector_col is not None and dim and vector_col in df.columns
+    if not cols and not do_vec:
+        return {}
+
+    # ---- pass 1
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.min(c).alias(f"{c}__min"),
@@ -58,13 +81,15 @@ def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
         ]
         if c in string_cols:
-            # categorical purity (CanPruneCategorical, stats.go:449-483):
-            # keep the exact distinct-value set while it's small — an eq/in
-            # probe against a value outside the set prunes the whole file.
             # collect_set caps driver cost via slice; if truncated (>16
-            # distinct) the set is dropped as unusable.
+            # distinct) the set is dropped as unusable
             aggs.append(F.slice(F.sort_array(F.collect_set(c)), 1, 17).alias(f"{c}__vals"))
+    if do_vec:
+        v = F.col(vector_col).cast("array<double>")
+        aggs += [F.sum(v[i]).alias(f"__vs{i}") for i in range(dim)]
     row = df.agg(*aggs).first()
+    n_rows = int(row["__n"] or 0)
+
     out: dict[str, Any] = {}
     for c in cols:
         cs: dict[str, Any] = {
@@ -77,11 +102,11 @@ def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any
             if len(vals) <= 16:
                 cs["values"] = list(vals)
         out[c] = cs
+    centroid = None
+    if do_vec and n_rows > 0 and row["__vs0"] is not None:
+        centroid = [float(row[f"__vs{i}"]) / n_rows for i in range(dim)]
 
-    # second commit-time pass: compact per-column histograms for numeric
-    # cols with a real range (EstimateSelectivity's input, stats.go:340-427,
-    # histogram collection stats_collector.go:446-529). Bin counts are
-    # integers → cheap to store in the manifest, O(#cols × 8).
+    # ---- pass 2 (only when something depends on pass-1 results)
     hist_cols = [
         c for c in cols
         if isinstance(df.schema[c].dataType, NumericType)
@@ -89,74 +114,78 @@ def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any
         and out[c]["max"] is not None
         and float(out[c]["max"]) > float(out[c]["min"])
     ]
-    if hist_cols:
-        bins = 8
-        hist_aggs = []
-        for c in hist_cols:
-            lo, hi = float(out[c]["min"]), float(out[c]["max"])
-            pos = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
-            idx = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(pos * bins).cast("int")))
-            for b in range(bins):
-                hist_aggs.append(
-                    F.sum(F.when(F.col(c).isNotNull() & (idx == b), 1).otherwise(0))
-                    .alias(f"{c}__h{b}")
-                )
-        hrow = df.agg(*hist_aggs).first()
-        for c in hist_cols:
-            out[c]["histogram"] = [int(hrow[f"{c}__h{b}"] or 0) for b in range(bins)]
-
-    # third pass (targeted): Bloom filters for string columns whose exact
-    # value set was truncated (>16 distinct) — exactly where eq-probe
-    # pruning otherwise degrades to "keep" (bloom.go; pruning use
-    # stats.go:449-483). Each of the K hash positions is a bounded
-    # collect_set (≤ BLOOM_M ints) — driver-safe at any cardinality.
     bloom_cols = [c for c in string_cols if "values" not in out[c]]
-    if bloom_cols:
-        baggs = []
-        for c in bloom_cols:
-            for s in range(BLOOM_K):
-                baggs.append(
-                    F.collect_set(
-                        F.pmod(stable_hash64(F.col(c), seed=s), F.lit(BLOOM_M))
-                    ).alias(f"{c}__b{s}")
-                )
-        brow = df.agg(*baggs).first()
-        for c in bloom_cols:
-            bits = bytearray(BLOOM_M // 8)
-            for s in range(BLOOM_K):
-                for p in brow[f"{c}__b{s}"] or []:
-                    bits[p >> 3] |= 1 << (p & 7)
-            out[c]["bloom"] = {
-                "m": BLOOM_M, "k": BLOOM_K,
-                "bits": base64.b64encode(bytes(bits)).decode(),
-            }
+    bins = 8
+    aggs2 = []
+    for c in hist_cols:
+        lo, hi = float(out[c]["min"]), float(out[c]["max"])
+        pos = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+        idx = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(pos * bins).cast("int")))
+        for b in range(bins):
+            aggs2.append(
+                F.sum(F.when(F.col(c).isNotNull() & (idx == b), 1).otherwise(0))
+                .alias(f"{c}__h{b}")
+            )
+        lidx = _log_bin_expr(F.col(c), lo, hi)
+        for b in range(LOG_BINS):
+            inb = F.col(c).isNotNull() & (lidx == b)
+            aggs2 += [
+                F.sum(F.when(inb, 1).otherwise(0)).alias(f"{c}__ln{b}"),
+                F.min(F.when(inb, F.col(c))).alias(f"{c}__lmin{b}"),
+                F.max(F.when(inb, F.col(c))).alias(f"{c}__lmax{b}"),
+            ]
+    for c in bloom_cols:
+        for s in range(BLOOM_K):
+            aggs2.append(
+                F.collect_set(
+                    F.pmod(stable_hash64(F.col(c), seed=s), F.lit(BLOOM_M))
+                ).alias(f"{c}__b{s}")
+            )
+    if centroid is not None:
+        v = F.col(vector_col).cast("array<double>")
+        cent = F.array(*[F.lit(x) for x in centroid])
+        d2 = F.aggregate(
+            F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = F.sqrt(F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        ))
+        aggs2 += [
+            F.max(F.sqrt(d2)).alias("__vradius"),
+            F.avg(nrm).alias("__vmean_norm"),
+            F.max(nrm).alias("__vmax_norm"),
+        ]
+    if not aggs2:
+        return out
+    row2 = df.agg(*aggs2).first()
 
-    # fourth pass: 16-bin LOG-scale histogram with per-bin min/max
-    # (stats_collector.go:446-529) — per-bin bounds prove gaps that a
-    # linear 8-bin count histogram cannot (eq/in probes into an empty or
-    # out-of-bin-bounds slot prune the file).
-    if hist_cols:
-        laggs = []
-        for c in hist_cols:
-            lo, hi = float(out[c]["min"]), float(out[c]["max"])
-            idx = _log_bin_expr(F.col(c), lo, hi)
-            for b in range(LOG_BINS):
-                inb = F.col(c).isNotNull() & (idx == b)
-                laggs += [
-                    F.sum(F.when(inb, 1).otherwise(0)).alias(f"{c}__ln{b}"),
-                    F.min(F.when(inb, F.col(c))).alias(f"{c}__lmin{b}"),
-                    F.max(F.when(inb, F.col(c))).alias(f"{c}__lmax{b}"),
-                ]
-        lrow = df.agg(*laggs).first()
-        for c in hist_cols:
-            out[c]["log_histogram"] = {
-                "lo": float(out[c]["min"]), "hi": float(out[c]["max"]),
-                "bins": [
-                    {"n": int(lrow[f"{c}__ln{b}"] or 0),
-                     "min": lrow[f"{c}__lmin{b}"], "max": lrow[f"{c}__lmax{b}"]}
-                    for b in range(LOG_BINS)
-                ],
-            }
+    for c in hist_cols:
+        out[c]["histogram"] = [int(row2[f"{c}__h{b}"] or 0) for b in range(bins)]
+        out[c]["log_histogram"] = {
+            "lo": float(out[c]["min"]), "hi": float(out[c]["max"]),
+            "bins": [
+                {"n": int(row2[f"{c}__ln{b}"] or 0),
+                 "min": row2[f"{c}__lmin{b}"], "max": row2[f"{c}__lmax{b}"]}
+                for b in range(LOG_BINS)
+            ],
+        }
+    for c in bloom_cols:
+        bits = bytearray(BLOOM_M // 8)
+        for s in range(BLOOM_K):
+            for p in row2[f"{c}__b{s}"] or []:
+                bits[p >> 3] |= 1 << (p & 7)
+        out[c]["bloom"] = {
+            "m": BLOOM_M, "k": BLOOM_K,
+            "bits": base64.b64encode(bytes(bits)).decode(),
+        }
+    if centroid is not None:
+        out[vector_col] = {
+            "centroid": centroid,
+            "radius": float(row2["__vradius"]),
+            "mean_norm": float(row2["__vmean_norm"]),
+            "max_norm": float(row2["__vmax_norm"]),
+        }
     return out
 
 
@@ -193,38 +222,14 @@ def bloom_might_contain(bloom: dict[str, Any], value: Any) -> bool:
 
 
 def collect_vector_stats(df: DataFrame, vector_col: str, dim: int) -> dict[str, Any]:
-    """Per-segment vector shape stats (stats_collector.go:554-614):
-    centroid (per-dim mean, one narrow agg — dim is known so no
-    posexplode shuffle), radius = max distance from centroid, mean/max
-    norm. Feeds segment_priority() probe ordering (stats.go:643-677)."""
-    v = F.col(vector_col).cast("array<double>")
-    sums = df.agg(
-        *[F.sum(v[i]).alias(f"s{i}") for i in range(dim)],
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    n = sums["n"] or 0
-    if n == 0:
-        return {}
-    centroid = [float(sums[f"s{i}"]) / n for i in range(dim)]
-    cent = F.array(*[F.lit(x) for x in centroid])
-    d2 = F.aggregate(
-        F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)), F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Per-segment vector shape stats alone (stats_collector.go:554-614):
+    centroid / radius / mean+max norm. Thin wrapper over
+    collect_segment_stats restricted to the vector column."""
+    out = collect_segment_stats(
+        df, exclude=tuple(c for c in df.columns if c != vector_col),
+        vector_col=vector_col, dim=dim,
     )
-    nrm = F.sqrt(F.aggregate(
-        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    ))
-    row = df.agg(
-        F.max(F.sqrt(d2)).alias("radius"),
-        F.avg(nrm).alias("mean_norm"),
-        F.max(nrm).alias("max_norm"),
-    ).first()
-    return {
-        "centroid": centroid,
-        "radius": float(row["radius"]),
-        "mean_norm": float(row["mean_norm"]),
-        "max_norm": float(row["max_norm"]),
-    }
+    return out.get(vector_col, {})
 
 
 def segment_priority(

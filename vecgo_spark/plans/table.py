@@ -56,8 +56,7 @@ from vecgo_spark.plans.manifest import (
     save_manifest,
 )
 from vecgo_spark.plans.pruning import (
-    collect_stats,
-    collect_vector_stats,
+    collect_segment_stats,
     estimate_selectivity,
     prune_segments,
     segment_priority,
@@ -80,6 +79,7 @@ class VectorTable:
         self.writable = writable
         self._pending: list[SegmentMeta] = []
         self._pending_tombs: list[str] = []
+        self._observer = None
 
     # ------------------------------------------------------------ lifecycle
 
@@ -125,20 +125,40 @@ class VectorTable:
     def versions(self) -> list[int]:
         return list_versions(self.path)
 
+    def set_observer(self, observer) -> None:
+        """Attach a MetricsObserver (vecgo.WithMetrics analog; see
+        vecgo_spark/observer.py for the callback surface)."""
+        self._observer = observer
+
+    def _obs(self, method: str, *args, **kw) -> None:
+        if self._observer is not None:
+            getattr(self._observer, method)(*args, **kw)
+
     # --------------------------------------------------------------- write
 
     def _check_writable(self):
         if not self.writable:
             raise RuntimeError("table opened at a pinned version is read-only")
 
-    def insert(self, df: DataFrame, assign_ids: bool = False) -> None:
+    def insert(self, df: DataFrame, assign_ids: bool = False) -> int:
         """Stage a batch (deferred bulk load). Data is written now but is
         invisible to readers until commit() publishes the manifest.
+        Returns the staged row count.
 
         assign_ids=True adds an auto-increment id column (the reference's
         nextID counter, engine.go:866) — computed distributed via
         per-partition offsets, no global window.
         """
+        t0 = time.perf_counter()
+        try:
+            rows, size = self._insert_impl(df, assign_ids)
+        except Exception as e:
+            self._obs("on_insert", time.perf_counter() - t0, 0, 0, error=e)
+            raise
+        self._obs("on_insert", time.perf_counter() - t0, rows, size)
+        return rows
+
+    def _insert_impl(self, df: DataFrame, assign_ids: bool) -> tuple[int, int]:
         self._check_writable()
         dim = self.manifest.meta.get("dim")
         lsn = self._next_lsn()
@@ -173,19 +193,21 @@ class VectorTable:
             persisted.unpersist()
         written = self.spark.read.parquet(full)
         rows = written.count()
-        stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
-        stats.update(self._vector_stats(written))
+        stats = self._segment_stats(written)
         size = fs_du(full)
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
+        return rows, size
 
-    def _vector_stats(self, written: DataFrame) -> dict:
-        """Vector shape stats for the new segment (centroid/radius/norms,
-        stats_collector.go:554-614) — requires a declared dim."""
+    def _segment_stats(self, written: DataFrame) -> dict:
+        """All commit-time stats for the new segment in two agg jobs:
+        scalar pruning stats + vector centroid/radius (requires a
+        declared dim for the vector part)."""
         dim = self.manifest.meta.get("dim")
-        if not dim or self.vector_col not in written.columns:
-            return {}
-        vs = collect_vector_stats(written, self.vector_col, int(dim))
-        return {self.vector_col: vs} if vs else {}
+        return collect_segment_stats(
+            written, exclude=(self.vector_col, "_lsn"),
+            vector_col=self.vector_col if dim else None,
+            dim=int(dim) if dim else None,
+        )
 
     def _next_lsn(self) -> int:
         # one counter across BOTH pending lists: a delete followed by an
@@ -222,6 +244,7 @@ class VectorTable:
 
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone ids (idempotent; BatchDelete engine.go:1186-1302)."""
+        t0 = time.perf_counter()
         self._check_writable()
         lsn = self._next_lsn()
         name = f"tomb-{lsn:08d}-{uuid.uuid4().hex[:8]}"
@@ -231,12 +254,14 @@ class VectorTable:
         )
         df.write.mode("error").parquet(os.path.join(self.path, rel))
         self._pending_tombs.append(rel)
+        self._obs("on_delete", time.perf_counter() - t0, len(list(ids)))
 
     def delete_where(self, filter: FilterSet | str) -> int:
         """Delete by predicate. The tombstone parquet is written straight
         from the filtered scan — matching ids never touch the driver, so a
         predicate hitting 1% of a 100 TB table stays an executor-side
         filter+write job."""
+        t0 = time.perf_counter()
         self._check_writable()
         lsn = self._next_lsn()
         name = f"tomb-{lsn:08d}-{uuid.uuid4().hex[:8]}"
@@ -253,13 +278,16 @@ class VectorTable:
             fs_rmtree(full)
             return 0
         self._pending_tombs.append(rel)
+        self._obs("on_delete", time.perf_counter() - t0, n)
         return n
 
     def commit(self) -> int:
         """Publish staged segments/tombstones as version N+1 (atomic)."""
+        t0 = time.perf_counter()
         self._check_writable()
         if not self._pending and not self._pending_tombs:
             return self.manifest.version
+        staged_rows = sum(s.rows for s in self._pending)
         m = self.manifest
         new = Manifest(
             version=m.version + 1,
@@ -273,6 +301,7 @@ class VectorTable:
         save_manifest(self.path, new)
         self.manifest = new
         self._pending, self._pending_tombs = [], []
+        self._obs("on_flush", time.perf_counter() - t0, staged_rows, new.version)
         return new.version
 
     # --------------------------------------------------------------- read
@@ -343,7 +372,10 @@ class VectorTable:
         return self.df(filter)
 
     def get(self, record_id: int) -> DataFrame:
-        return self.df().where(F.col(self.id_col) == F.lit(int(record_id)))
+        t0 = time.perf_counter()
+        out = self.df().where(F.col(self.id_col) == F.lit(int(record_id)))
+        self._obs("on_get", time.perf_counter() - t0)
+        return out
 
     def count(self) -> int:
         return self.df().count()
@@ -436,6 +468,8 @@ class VectorTable:
             stats.rows_considered = considered
             stats.rows_filtered_out = total - considered
             stats.plan = spark_plan(df)
+        self._obs("on_search", stats.elapsed_ms / 1000.0, stats.strategy, k,
+                  stats.segments_searched)
         return df, stats
 
     # --------------------------------------------------------- maintenance
@@ -459,8 +493,13 @@ class VectorTable:
         recorded in the manifest; subsequent insert()s assign _cluster on
         the write path, keeping the index fresh."""
         self._check_writable()
+        t0 = time.perf_counter()
+        dropped = len(self.manifest.segments)
         if cluster_by is None:
-            return self._compact_plain(target_segments)
+            v = self._compact_plain(target_segments)
+            self._obs("on_compaction", time.perf_counter() - t0, dropped,
+                      len(self.manifest.segments))
+            return v
         from vecgo_spark.operators import ivf as ivfmod
 
         if isinstance(cluster_by, ivfmod.IVFModel):
@@ -535,6 +574,9 @@ class VectorTable:
         save_manifest(self.path, new)
         self.manifest = new
         self._ivf_cache = (idx_rel, model)
+        elapsed = time.perf_counter() - t0
+        self._obs("on_compaction", elapsed, dropped, len(new.segments))
+        self._obs("on_build", elapsed, "ivf")
         return new.version
 
     def _compact_plain(self, target_segments: int) -> int:
@@ -550,8 +592,7 @@ class VectorTable:
         )
         written = self.spark.read.parquet(full)
         rows = written.count()
-        stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
-        stats.update(self._vector_stats(written))
+        stats = self._segment_stats(written)
         size = fs_du(full)
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
@@ -593,8 +634,7 @@ class VectorTable:
         merged_src.sortWithinPartitions(self.id_col).write.mode("error").parquet(full)
         written = self.spark.read.parquet(full)
         rows = written.count()
-        stats = collect_stats(written, exclude=(self.vector_col, "_lsn"))
-        stats.update(self._vector_stats(written))
+        stats = self._segment_stats(written)
         size = fs_du(full)
         keep = [s for s in self.manifest.segments if s.path not in picked]
         new = Manifest(
