@@ -287,6 +287,18 @@ def _knn_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").asc(), F.col("vec_id").asc()).limit(10)
 
 
+def _knn_hamming_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming as a REGISTERED distance provider (distance/distance.go:
+    97-106): the packed-bit corpus flows through the generic knn.search
+    path with metric="hamming" — same math as knn_bq_hamming, exercised
+    via the pluggable-metric surface instead of a bespoke expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    packed = emb.select("vec_id", bqz.pack_bits("embedding", EMB_DIM).alias("words"))
+    return knn.search(packed, bqz.pack_bits_py(q), k=10, metric="hamming",
+                      id_col="vec_id", vector_col="words")
+
+
 def _knn_rabitq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RaBitQ: sign bits + stored norm; L2² estimated via
     (||x||·||y||/D)(D−2H) (rabitq.go:13-28)."""
@@ -646,6 +658,17 @@ def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "version int, n_rows long").orderBy("version")
 
 
+def _events_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window / 30m slide — each event
+    lands in exactly 2 windows; streaming/windows.sliding_counts, the
+    Structured Streaming shape run in batch)."""
+    from vecgo_spark.streaming import windows as swin
+
+    ev = load_table(spark, sf_dir, "events")
+    out = swin.sliding_counts(ev, "ts", "1 hour", "30 minutes", keys=["event_type"])
+    return out.select("ws", "event_type", "n").orderBy("ws", "event_type")
+
+
 def _tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets surface — absent in the
     reference, free in Spark/DuckDB; SURVEY §2.4)."""
@@ -772,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_rerank": _knn_sq8_rerank,
         "knn_int4_adc": _knn_int4_adc,
         "knn_bq_hamming": _knn_bq_hamming,
+        "knn_hamming_registered": _knn_hamming_registered,
         "knn_rabitq": _knn_rabitq,
         "knn_pq_adc": _knn_pq_adc,
         "knn_opq_adc": _knn_opq_adc,
@@ -787,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_categorical_profile": _stats_categorical,
         "stats_vector_profile": _stats_vector,
         "events_tumbling_1h": _events_tumbling_1h,
+        "events_sliding_1h30m": _events_sliding_1h30m,
         "events_sessionization": _events_sessionization,
         "tpch_rollup": _tpch_rollup,
         "tpch_q6_forecast_revenue": _tpch_q6,
@@ -1156,6 +1181,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score ASC, e.vec_id ASC
             LIMIT 10
         """,
+        "knn_hamming_registered": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   {bqz.hamming_words_sql(bqz.pack_bits_sql("e.embedding", EMB_DIM), bqz.pack_bits_sql("q.qv", EMB_DIM))} AS score
+            FROM embeddings e, q
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 10
+        """,
         "knn_rabitq": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             base AS (
@@ -1208,6 +1241,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "events_sliding_1h30m": """
+            WITH wins AS (
+                SELECT event_type,
+                       to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS ws
+                FROM events, (SELECT unnest([0, 1800]) AS off) o(off)
+            )
+            SELECT ws, event_type, COUNT(*) AS n
+            FROM wins GROUP BY ws, event_type
+            ORDER BY ws, event_type
         """,
         "events_sessionization": """
             WITH o AS (

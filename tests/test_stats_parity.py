@@ -120,3 +120,16 @@ def test_table_priority_search_scans_only_budgeted_segments(spark, tmp_path):
     got = {r["id"] for r in budgeted.collect()}
     assert got <= set(range(100, 130))  # only the middle segment's rows
     assert len(set(budgeted.inputFiles())) < len(set(t.df().inputFiles()))
+
+
+def test_numeric_moments_collected(spark):
+    """sum/sumsq running moments (StatsCollector parity) → mean/stddev."""
+    import numpy as np
+
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    cs = collect_stats(df)["x"]
+    assert cs["sum"] == sum(vals)
+    assert cs["sumsq"] == sum(v * v for v in vals)
+    assert cs["mean"] == pytest.approx(np.mean(vals))
+    assert cs["stddev"] == pytest.approx(np.std(vals))

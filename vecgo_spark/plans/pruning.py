@@ -73,6 +73,9 @@ def collect_segment_stats(
         return {}
 
     # ---- pass 1
+    numeric_cols = [
+        c for c in cols if isinstance(df.schema[c].dataType, NumericType)
+    ]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
@@ -80,6 +83,14 @@ def collect_segment_stats(
             F.max(c).alias(f"{c}__max"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
         ]
+        if c in numeric_cols:
+            # sum + sumsq (StatsCollector's running moments,
+            # stats_collector.go) → mean/stddev for cost estimation
+            aggs += [
+                F.sum(F.col(c).cast("double")).alias(f"{c}__sum"),
+                F.sum(F.col(c).cast("double") * F.col(c).cast("double"))
+                .alias(f"{c}__sumsq"),
+            ]
         if c in string_cols:
             # collect_set caps driver cost via slice; if truncated (>16
             # distinct) the set is dropped as unusable
@@ -97,6 +108,14 @@ def collect_segment_stats(
             "max": row[f"{c}__max"],
             "null_count": int(row[f"{c}__nulls"] or 0),
         }
+        if c in numeric_cols and row[f"{c}__sum"] is not None:
+            nn = n_rows - cs["null_count"]
+            cs["sum"] = float(row[f"{c}__sum"])
+            cs["sumsq"] = float(row[f"{c}__sumsq"])
+            if nn > 0:
+                mean = cs["sum"] / nn
+                cs["mean"] = mean
+                cs["stddev"] = math.sqrt(max(0.0, cs["sumsq"] / nn - mean * mean))
         if c in string_cols:
             vals = row[f"{c}__vals"] or []
             if len(vals) <= 16:
