@@ -23,7 +23,7 @@ from vecgo_spark.filters import FilterSet
 from vecgo_spark.functions import hashing
 from vecgo_spark.functions import text as textfn
 from vecgo_spark.functions import vector as vfn
-from vecgo_spark.operators import asof, bm25, dedup, hybrid, ivf, knn, lsh, stats
+from vecgo_spark.operators import asof, bm25, dedup, hybrid, ivf, knn, lsh, pipeline, stats
 from vecgo_spark.oracles import cosine_sql, dot_sql, sq_l2_sql
 from vecgo_spark.quantization import binary as bqz
 from vecgo_spark.quantization import pq as pqz
@@ -772,6 +772,110 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume 6-way join (TPC-H Q5 shape): region+nation
+    broadcast, customer/orders/lineitem/supplier shuffle on their keys,
+    revenue summed in exact integer cents. The c_nationkey = s_nationkey
+    colocation predicate rides the join, not a separate shuffle."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    asian_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asian_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer (TPC-H Q18 shape): HAVING sum(qty) > 300 on
+    the lineitem agg produces a tiny key set that is broadcast back —
+    orders/customer join only the qualifying keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(qty_c).cast("double") / F.lit(100.0)).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-7 percentiles of o_totalprice via distributed selection
+    (range repartition + bounded per-partition windows; stats.py
+    exact_percentiles) — the exact twin of approx_percentile at rest."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats.exact_percentiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def _knn_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query: ALL vectors with squared-L2 <= r of the query vector
+    (no top-k heap — pure filtered scan, deterministic (score,id) order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return knn.range_search(
+        emb, q, radius=1.45, metric="l2", id_col="vec_id", vector_col="embedding"
+    )
+
+
+def _contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination overlap: docs vs the deterministic
+    'benchmark' slice (doc_id % 97 == 0), 3-gram shingle hash join."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return pipeline.contamination_overlap(corpus, bench, n=3)
+
+
+def _sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by stable 60-bit hash —
+    partitioning/engine-independent (unlike df.sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.hash_sample(docs, 0.10, id_col="doc_id", seed=42).select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at budget=512 tokens over
+    hash-sharded documents (the pretraining writer layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.pack_sequences(docs, budget=512, n_shards=8)
+
+
+def _doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus n-gram novelty (boilerplate detector): fraction of a
+    doc's distinct shingles with corpus document-frequency 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.doc_novelty(docs, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_l2": _knn("l2"),
@@ -827,6 +931,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "embedding_neardup": _embedding_neardup,
         "dedup_clusters": _dedup_clusters,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q18_large_orders": _tpch_q18,
+        "stats_percentiles": _stats_percentiles,
+        "knn_range": _knn_range,
+        "contamination_ngram": _contamination_ngram,
+        "sample_hash_bernoulli": _sample_hash_bernoulli,
+        "pack_sequences_budget": _pack_sequences_budget,
+        "doc_novelty": _doc_novelty,
     }
 
 
@@ -1368,6 +1480,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rank <= 3
         """,
+        "tpch_q5_local_supplier": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name ASC
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                           AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 300
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "stats_percentiles": stats.exact_percentiles_sql(
+            "orders", "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99]),
+        "knn_range": f"""
+            SELECT e.vec_id, {sq} AS score
+            FROM embeddings e, {_Q} q
+            WHERE {sq} <= 1.45
+            ORDER BY score ASC, e.vec_id ASC
+        """,
+        "contamination_ngram": pipeline.contamination_overlap_sql(
+            "doc_id % 97 <> 0", "doc_id % 97 = 0", n=3),
+        "sample_hash_bernoulli": f"""
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE {pipeline.hash_sample_pred_sql(0.10, "doc_id", seed=42)}
+            ORDER BY doc_id
+        """,
+        "pack_sequences_budget": pipeline.pack_sequences_sql(512, n_shards=8),
+        "doc_novelty": pipeline.doc_novelty_sql(n=3),
     }
     out.update(_ann_oracles())
     return out

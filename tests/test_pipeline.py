@@ -1,0 +1,137 @@
+"""Training-pipeline operators (operators/pipeline.py) + exact
+percentiles + range search: brute-force / numpy oracles on small
+fixtures, plus the properties that matter at scale (partitioning
+independence, per-shard packing invariants)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.operators import knn, pipeline
+from vecgo_spark.operators.stats import exact_percentiles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # shares 3-grams with 1
+        (3, "completely different words appear only here once"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "short text"),  # < 3 tokens produces no shingles? (2 tokens)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingle_set(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_contamination_overlap_counts(docs):
+    corpus = docs.where(F.col("doc_id") != 1)
+    bench = docs.where(F.col("doc_id") == 1)
+    got = {
+        r["doc_id"]: (r["n_shared_shingles"], r["n_bench_docs"])
+        for r in pipeline.contamination_overlap(corpus, bench, n=3).collect()
+    }
+    b = _shingle_set("the quick brown fox jumps over the lazy dog")
+    expect = {}
+    for did, text in [(2, "the quick brown fox jumps over the lazy cat"),
+                      (4, "the quick brown fox jumps over the lazy dog")]:
+        inter = _shingle_set(text) & b
+        if inter:
+            expect[did] = (len(inter), 1)
+    assert got == expect
+
+
+def test_hash_sample_deterministic_and_partition_independent(docs, spark):
+    a = sorted(r["doc_id"] for r in pipeline.hash_sample(docs, 0.5, seed=1).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in pipeline.hash_sample(docs.repartition(7), 0.5, seed=1).collect()
+    )
+    assert a == b  # partitioning must not change membership
+    c = sorted(r["doc_id"] for r in pipeline.hash_sample(docs, 0.5, seed=2).collect())
+    assert a != c or len(a) <= 1  # different seed → different slice (tiny-N tolerant)
+    # fraction sanity on a larger id range
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    n = pipeline.hash_sample(big, 0.25, seed=0).count()
+    assert 0.18 < n / 2000 < 0.32
+
+
+def test_pack_sequences_invariants(docs):
+    out = pipeline.pack_sequences(docs, budget=5, n_shards=2).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        for r in rows:  # offsets are the running token sum within the shard
+            assert r["offset"] == cum
+            assert r["seq_id"] == r["offset"] // 5
+            assert r["n_tokens"] == len(r["text"].split()) if "text" in r else True
+            cum += r["n_tokens"]
+
+
+def test_doc_novelty_dup_vs_unique(docs):
+    got = {r["doc_id"]: r for r in pipeline.doc_novelty(docs, n=3).collect()}
+    # doc 3's shingles appear nowhere else → novelty 1.0
+    assert got[3]["novelty"] == 1.0
+    # docs 1 and 4 are identical → every shingle has df>=2 → novelty 0.0
+    assert got[1]["novelty"] == 0.0 and got[4]["novelty"] == 0.0
+    # doc 5 has <3 tokens → no shingles → absent from the result
+    assert 5 not in got
+    # doc 2 shares all but the last shingle with 1/4
+    assert 0.0 < got[2]["novelty"] < 1.0
+
+
+def test_exact_percentiles_vs_numpy(spark):
+    import numpy as np
+
+    vals = [float((i * 7919) % 1000) / 3.0 for i in range(501)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {r["p"]: r["value"] for r in exact_percentiles(df, "x", ps, n_partitions=4).collect()}
+    want = np.percentile(np.array(vals), [p * 100 for p in ps], method="linear")
+    for p, w in zip(ps, want):
+        assert got[p] == pytest.approx(float(w), abs=1e-9), p
+    cached = getattr(exact_percentiles, "last_cached", None)
+    if cached is not None:
+        cached.unpersist()
+
+
+def test_exact_percentiles_empty(spark):
+    df = spark.createDataFrame([], "x double")
+    assert exact_percentiles(df, "x", [0.5]).count() == 0
+
+
+def test_range_search_matches_bruteforce(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    q = [3.0, 2.0]
+    got = [(r["id"], r["score"]) for r in knn.range_search(df, q, radius=4.0).collect()]
+    brute = sorted(
+        (
+            ((v[0] - q[0]) ** 2 + (v[1] - q[1]) ** 2, i)
+            for i, v in rows
+            if (v[0] - q[0]) ** 2 + (v[1] - q[1]) ** 2 <= 4.0
+        ),
+    )
+    assert got == [(i, s) for s, i in brute]
+    # similarity polarity: dot keeps score >= radius
+    dots = [(r["id"], r["score"]) for r in knn.range_search(df, q, radius=20.0, metric="dot").collect()]
+    assert all(s >= 20.0 for _, s in dots)
+    assert dots == sorted(dots, key=lambda t: (-t[1], t[0]))
+
+
+def test_pack_sequences_long_doc_spans_sequences(spark):
+    # one doc longer than the budget still gets a single start offset;
+    # the next doc in the shard starts after it
+    rows = [(1, " ".join(["w"] * 12)), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pipeline.pack_sequences(df, budget=5, n_shards=1).collect()}
+    assert out[1]["offset"] == 0 and out[1]["seq_id"] == 0
+    assert out[2]["offset"] == 12 and out[2]["seq_id"] == 12 // 5

@@ -177,6 +177,37 @@ def threshold_search(
     return top.where(keep)
 
 
+def range_search(
+    df: DataFrame,
+    query: Sequence[float],
+    radius: float,
+    metric: str = "l2",
+    filter=None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    projection: list[str] | None = None,
+) -> DataFrame:
+    """ALL records within ``radius`` of the query (score<=r for ascending
+    metrics, >=r for similarity metrics), deterministically ordered by
+    (score, id). Beyond-reference: the standard vector-DB range/radius
+    query (complements threshold_search, which truncates to top-N first).
+
+    The radius predicate is part of the scan filter, so the plan is a
+    single filtered projection — no top-k heap, no global state; result
+    size is data-dependent, so callers at scale should treat it as a
+    stream (write/sink), not a collect.
+    """
+    cond = to_condition(filter)
+    if cond is not None:
+        df = df.where(cond)
+    out_cols = [F.col(id_col)] + [F.col(c) for c in (projection or [])]
+    scored = df.select(*out_cols, score_expr(metric, vector_col, query).alias("score"))
+    keep = F.col("score") <= radius if metric_ascending(metric) else F.col("score") >= radius
+    if metric == "cosine":
+        keep = keep & F.col("score").isNotNull()
+    return _ordered(scored.where(keep), metric, id_col)
+
+
 def rerank(
     candidates: DataFrame,
     df: DataFrame,

@@ -1,0 +1,243 @@
+"""Training-data pipeline operators beyond the reference surface:
+benchmark-contamination n-gram overlap, deterministic hash sampling,
+sequence packing by token budget, and within-corpus n-gram novelty.
+
+Each operator is a pure DataFrame plan (no driver collects, no Python
+UDFs) with a DuckDB oracle twin so the driver can bit-check it.
+
+Scale posture (100 TB):
+- contamination_overlap streams corpus shingles through a broadcast
+  hash join against the (small, by construction) benchmark shingle set —
+  one narrow scan + one groupBy(id) shuffle.
+- hash_sample is a pure filter on a deterministic 60-bit hash: fully
+  pushable, no shuffle, reproducible across runs/engines (unlike
+  df.sample, whose output depends on partitioning).
+- pack_sequences shards by hash first, then packs each shard with one
+  bounded window — no global sort, shards pack independently exactly the
+  way a 1000-executor writer would emit independent output files.
+- doc_novelty is two groupBys over the shingle stream (df stats + per-doc
+  fold) — no self-join, so no quadratic hot-shingle risk at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from vecgo_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from vecgo_spark.operators.dedup import _doc_shingles
+
+_TOKS_SQL = "list_filter(string_split_regex(lower({c}), '[\\x00-\\x20]+'), t -> t != '')"
+
+_HASH_BUCKETS = 1_000_000
+
+
+def _shingle_cte(table: str, id_col: str, text_col: str, n: int) -> str:
+    """DuckDB (id, shingle) DISTINCT twin of dedup._doc_shingles."""
+    from vecgo_spark.functions.hashing import shingles_sql
+
+    toks = _TOKS_SQL.format(c=text_col)
+    return (
+        f"SELECT DISTINCT {id_col} AS id, unnest({shingles_sql(f'({toks})', n)}) AS shingle "
+        f"FROM {table}"
+    )
+
+
+# ------------------------------------------------------- contamination
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, count
+    distinct n-gram shingles it shares with any benchmark document, and
+    how many benchmark documents it touches.
+
+    The standard decontamination primitive for LLM training corpora
+    (n-gram overlap against eval sets). The benchmark side is broadcast:
+    eval suites are ≤ millions of shingles even when the corpus is 100 TB.
+    """
+    c = _doc_shingles(docs, id_col, text_col, n)
+    b = _doc_shingles(bench, id_col, text_col, n).withColumnRenamed("id", "bench_id")
+    ch = c.select("id", stable_hash64("shingle").alias("h"))
+    bh = b.select("bench_id", stable_hash64("shingle").alias("h"))
+    return (
+        ch.join(F.broadcast(bh), "h")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .withColumnRenamed("id", id_col)
+        .orderBy(id_col)
+    )
+
+
+def contamination_overlap_sql(
+    docs_pred: str,
+    bench_pred: str,
+    docs_table: str = "documents",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    h = stable_hash64_sql("shingle")
+    return f"""
+    WITH corpus AS ({_shingle_cte(f"(SELECT * FROM {docs_table} WHERE {docs_pred})", id_col, text_col, n)}),
+    bench AS ({_shingle_cte(f"(SELECT * FROM {docs_table} WHERE {bench_pred})", id_col, text_col, n)}),
+    ch AS (SELECT id, {h} AS h FROM corpus),
+    bh AS (SELECT id AS bench_id, {h} AS h FROM bench)
+    SELECT ch.id AS {id_col},
+           count(DISTINCT ch.h) AS n_shared_shingles,
+           count(DISTINCT bh.bench_id) AS n_bench_docs
+    FROM ch JOIN bh USING (h)
+    GROUP BY ch.id
+    ORDER BY {id_col}
+    """
+
+
+# ------------------------------------------------------- hash sampling
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    stable_hash64(str(id), seed) % 1e6 < fraction·1e6.
+
+    Engine- and partitioning-independent (same ids survive in Spark,
+    DuckDB, or a resumed job at any parallelism) — the property
+    df.sample() lacks and reproducible corpus construction needs."""
+    thresh = int(fraction * _HASH_BUCKETS)
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    return df.where((h % _HASH_BUCKETS) < thresh)
+
+
+def hash_sample_pred_sql(fraction: float, id_col: str = "doc_id", seed: int = 0) -> str:
+    thresh = int(fraction * _HASH_BUCKETS)
+    return f"({stable_hash64_sql(f'CAST({id_col} AS VARCHAR)', seed=seed)} % {_HASH_BUCKETS}) < {thresh}"
+
+
+# ------------------------------------------------------ sequence packing
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_seed: int = 7,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: shard documents by hash, order
+    each shard by id, lay token streams head-to-tail, and record where
+    each document starts (shard, offset, seq_id = offset // budget).
+
+    This is the packing layout an LLM pretraining writer emits: each
+    shard is an independent token stream cut into budget-sized training
+    sequences. Sharding first keeps the window bounded per shard — no
+    global sort, and 1000 executors pack 1000 shards concurrently."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    d = docs.select(
+        F.col(id_col),
+        F.size(tokenize_expr(text_col)).cast("long").alias("n_tokens"),
+        (stable_hash64(F.col(id_col).cast("string"), seed=shard_seed) % n_shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("offset"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("seq_id"),
+    ).orderBy(id_col)
+
+
+def pack_sequences_sql(
+    budget: int,
+    n_shards: int = 32,
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_seed: int = 7,
+) -> str:
+    toks = _TOKS_SQL.format(c=text_col)
+    h = stable_hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=shard_seed)
+    return f"""
+    WITH d AS (
+        SELECT {id_col}, len({toks}) AS n_tokens, {h} % {n_shards} AS shard
+        FROM {docs_table}
+    ),
+    c AS (
+        SELECT {id_col}, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
+        FROM d
+    )
+    SELECT {id_col}, shard, n_tokens, "offset",
+           CAST(floor("offset" / {budget}) AS BIGINT) AS seq_id
+    FROM c
+    ORDER BY {id_col}
+    """
+
+
+# ------------------------------------------------------- n-gram novelty
+
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-corpus novelty score: per document, the fraction of its
+    distinct n-gram shingles that appear in no other document
+    (boilerplate detector — low novelty ⇒ template/duplicated text).
+
+    Two groupBys over the shingle stream (document frequency, then a
+    per-doc fold); never a self-join, so no hot-shingle quadratic risk."""
+    sh = _doc_shingles(docs, id_col, text_col, n).select(
+        "id", stable_hash64("shingle").alias("h")
+    )
+    df_stats = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_stats, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 10).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def doc_novelty_sql(
+    docs_table: str = "documents",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    h = stable_hash64_sql("shingle")
+    return f"""
+    WITH sh AS (SELECT id, {h} AS h FROM ({_shingle_cte(docs_table, id_col, text_col, n)})),
+    dfs AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+    SELECT sh.id AS {id_col},
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 10) AS novelty
+    FROM sh JOIN dfs USING (h)
+    GROUP BY sh.id
+    ORDER BY {id_col}
+    """

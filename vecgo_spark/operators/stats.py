@@ -276,3 +276,88 @@ def vector_profile_sql(table: str, seg_expr: str, vector_col: str) -> str:
         GROUP BY seg
         ORDER BY seg
     """
+
+
+# --------------------------------------------------- exact percentiles
+
+def exact_percentiles(
+    df: DataFrame, value_col: str, ps: list[float], n_partitions: int | None = None
+) -> DataFrame:
+    """Exact linear-interpolated percentiles (type-7 / quantile_cont
+    semantics: rank = (n-1)·p, value = v_lo + (v_hi − v_lo)·frac) via
+    distributed selection — NOT a single-partition global window.
+
+    Plan: range-repartition by value → per-partition row_number (bounded
+    windows) → tiny per-partition count aggregate gives each partition's
+    global offset (broadcast back) → global rank = offset + local rank →
+    keep only the ≤2·|ps| target ranks → broadcast-join against the
+    literal (p, lo, hi, frac) table and interpolate. One range shuffle,
+    no driver collect of data rows; survives 100 TB because every window
+    is per-partition and the offset table has one row per partition.
+
+    Two jobs (count, then selection) — the returned frame holds a
+    persisted intermediate; call .unpersist() on it via
+    ``exact_percentiles.last_cached`` if running in a long session.
+    """
+    d = df.select(F.col(value_col).cast("double").alias("v")).where(F.col("v").isNotNull())
+    n = d.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "p double, value double")
+    rows = []
+    for p in ps:
+        rank = (n - 1) * float(p)
+        lo, hi = int(math.floor(rank)), int(math.ceil(rank))
+        rows.append((float(p), lo + 1, hi + 1, float(rank - lo)))
+    need = sorted({r for _, lo, hi, _ in rows for r in (lo, hi)})
+
+    np_ = n_partitions or spark.sparkContext.defaultParallelism
+    ranked = (
+        d.repartitionByRange(np_, "v").withColumn("pid", F.spark_partition_id()).persist()
+    )
+    exact_percentiles.last_cached = ranked
+    counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w0 = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w0), F.lit(0)).cast("long")
+    ).select("pid", "off")
+    wp = Window.partitionBy("pid").orderBy("v")
+    g = (
+        ranked.withColumn("rn", F.row_number().over(wp))
+        .join(F.broadcast(offs), "pid")
+        .withColumn("grank", (F.col("off") + F.col("rn")).cast("long"))
+        .where(F.col("grank").isin([int(x) for x in need]))
+        .select("grank", "v")
+    )
+    tdf = df.sparkSession.createDataFrame(rows, "p double, lo long, hi long, frac double")
+    lo_v = g.select(F.col("grank").alias("lo"), F.col("v").alias("v_lo"))
+    hi_v = g.select(F.col("grank").alias("hi"), F.col("v").alias("v_hi"))
+    return (
+        tdf.join(F.broadcast(lo_v), "lo")
+        .join(F.broadcast(hi_v), "hi")
+        .select(
+            "p",
+            (F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")).alias("value"),
+        )
+        .orderBy("p")
+    )
+
+
+def exact_percentiles_sql(table: str, value_col: str, ps: list[float]) -> str:
+    """DuckDB twin: same rank/interpolation formula, same double op order
+    ((n−1)·p computed in IEEE double both sides)."""
+    vals = ", ".join(f"(CAST({float(p)!r} AS DOUBLE))" for p in ps)
+    return f"""
+    WITH d AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM {table} WHERE {value_col} IS NOT NULL),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM d),
+    n AS (SELECT count(*) AS c FROM d),
+    ps(p) AS (VALUES {vals}),
+    t AS (SELECT p, floor((c - 1) * p) AS lo, ceil((c - 1) * p) AS hi,
+                 (c - 1) * p - floor((c - 1) * p) AS frac
+          FROM ps, n)
+    SELECT t.p,
+           (SELECT v FROM r WHERE rn = t.lo + 1)
+           + ((SELECT v FROM r WHERE rn = t.hi + 1) - (SELECT v FROM r WHERE rn = t.lo + 1)) * t.frac
+               AS value
+    FROM t ORDER BY t.p
+    """
