@@ -104,3 +104,55 @@ def test_query_stats_surface(spark, tmp_path):
 def test_estimated_cost_formula():
     s = QueryStats(rows_considered=100, rows_filtered_out=50)
     assert s.estimated_cost() == 100 + 0.3 * 50  # model/types.go:212-221
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark shingle set must join via BroadcastExchange (eval
+    suites are tiny vs a 100 TB corpus — never shuffle the corpus side)."""
+    from vecgo_spark.operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = spark_plan(
+        pipeline.contamination_overlap(
+            docs.where(F.col("doc_id") % 97 != 0), docs.where(F.col("doc_id") % 97 == 0)
+        )
+    )
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_windows_are_per_shard(spark, sf_dir):
+    """Sequence packing must window per shard (hashpartitioning on shard),
+    never a single global window over all documents."""
+    from vecgo_spark.operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = spark_plan(pipeline.pack_sequences(docs, budget=512, n_shards=8))
+    assert "hashpartitioning(shard" in plan
+    # no single-partition exchange feeding the window
+    assert "Exchange SinglePartition, ENSURE_REQUIREMENTS" not in plan
+
+
+def test_hash_sample_is_pure_filter(spark, sf_dir):
+    """hash_sample must stay a scan+filter (no shuffle, no Python)."""
+    from vecgo_spark.operators import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = spark_plan(pipeline.hash_sample(docs, 0.1).select("doc_id"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_percentiles_no_global_window(spark, sf_dir):
+    """The selection plan's row_number windows must be per-partition
+    (hashpartitioning(pid)) — a global-window implementation would put
+    the whole table through one task at 100 TB."""
+    from vecgo_spark.operators.stats import exact_percentiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = exact_percentiles(orders, "o_totalprice", [0.5], n_partitions=4)
+    plan = spark_plan(out)
+    assert "hashpartitioning(pid" in plan
+    cached = getattr(exact_percentiles, "last_cached", None)
+    if cached is not None:
+        cached.unpersist()
