@@ -876,6 +876,22 @@ def _doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.doc_novelty(docs, n=3)
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus mixing: 25 docs per source, chosen by stable-hash
+    order — reproducible across engines/partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.stratified_sample(docs, "source", k=25).select(
+        "doc_id", "source", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy-hitters by document frequency (stopword-list /
+    tokenizer-audit profile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.vocab_top_terms(docs, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_l2": _knn("l2"),
@@ -939,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_bernoulli": _sample_hash_bernoulli,
         "pack_sequences_budget": _pack_sequences_budget,
         "doc_novelty": _doc_novelty,
+        "stratified_sample_per_source": _stratified_sample,
+        "vocab_top_terms": _vocab_top_terms,
     }
 
 
@@ -1530,6 +1548,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences_budget": pipeline.pack_sequences_sql(512, n_shards=8),
         "doc_novelty": pipeline.doc_novelty_sql(n=3),
+        "stratified_sample_per_source": f"""
+            SELECT doc_id, source, lang, n_chars
+            FROM ({pipeline.stratified_sample_pred_sql("source", 25)})
+            ORDER BY doc_id
+        """,
+        "vocab_top_terms": pipeline.vocab_top_terms_sql(k=50),
     }
     out.update(_ann_oracles())
     return out

@@ -135,3 +135,31 @@ def test_pack_sequences_long_doc_spans_sequences(spark):
     out = {r["doc_id"]: r for r in pipeline.pack_sequences(df, budget=5, n_shards=1).collect()}
     assert out[1]["offset"] == 0 and out[1]["seq_id"] == 0
     assert out[2]["offset"] == 12 and out[2]["seq_id"] == 12 // 5
+
+
+def test_stratified_sample_properties(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = pipeline.stratified_sample(df, "source", k=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 10 for v in per.values()) and len(per) == 3
+    # deterministic + partition-independent
+    out2 = pipeline.stratified_sample(df.repartition(13), "source", k=10).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in out2}
+    # group smaller than k keeps all rows
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert pipeline.stratified_sample(small, "source", k=10).count() == 2
+
+
+def test_vocab_top_terms_counts(spark):
+    rows = [
+        (1, "alpha beta beta"),      # df(alpha)=1? appears docs 1,2,3 ...
+        (2, "alpha gamma"),
+        (3, "alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["term"], r["doc_freq"]) for r in pipeline.vocab_top_terms(df, k=2).collect()]
+    # document frequency (distinct per doc): alpha=3, beta=2, gamma=1
+    assert got == [("alpha", 3), ("beta", 2)]

@@ -241,3 +241,70 @@ def doc_novelty_sql(
     GROUP BY sh.id
     ORDER BY {id_col}
     """
+
+
+# --------------------------------------------------- stratified sampling
+
+def stratified_sample(
+    df: DataFrame, group_col: str, k: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic per-group sample: the k rows of each group that sort
+    first by (stable_hash64(id), id) — balanced corpus mixing (equal
+    representation per source/language) that is reproducible across
+    engines, runs, and partitionings.
+
+    One hash-partitioned window per group; a zipfian-hot group still
+    bounds its window state to k survivors after the filter."""
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def stratified_sample_pred_sql(
+    group_col: str, k: int, table: str = "documents",
+    id_col: str = "doc_id", seed: int = 0,
+) -> str:
+    """DuckDB twin as a FROM-able subquery (select * of surviving rows)."""
+    h = stable_hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    return f"""
+    SELECT * EXCLUDE (_rn) FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {group_col} ORDER BY {h} ASC, {id_col} ASC) AS _rn
+        FROM {table}
+    ) WHERE _rn <= {k}
+    """
+
+
+# ------------------------------------------------------ vocabulary stats
+
+def vocab_top_terms(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Top-k vocabulary terms by document frequency (ties → term asc) —
+    the corpus profile that feeds stopword lists and tokenizer audits.
+    Map-side partial agg + TakeOrdered; never a global sort of the
+    vocabulary."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    return (
+        docs.select(F.explode(F.array_distinct(tokenize_expr(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def vocab_top_terms_sql(
+    k: int = 50, docs_table: str = "documents", text_col: str = "text"
+) -> str:
+    toks = _TOKS_SQL.format(c=text_col)
+    return f"""
+    SELECT term, count(*) AS doc_freq FROM (
+        SELECT unnest(list_distinct({toks})) AS term FROM {docs_table}
+    ) GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT {k}
+    """
