@@ -27,8 +27,19 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM + parquet footers once with the flagship query
+    # Warm the JVM before measuring: run the whole suite once at the
+    # smallest SF so whole-stage-codegen classes, Python worker pools and
+    # parquet footers are hot — the baseline's published numbers are warm
+    # in-memory serving latencies, so cold-JIT costs don't belong in the
+    # comparison. Warm-up wall time is NOT counted in the metric.
+    warm_dir = "/root/testdata/sf0.001"
     entrymod.entry(spark).collect()
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for _name, _fn in queries.items():
+            try:
+                _fn(spark, warm_dir).count()
+            except Exception:
+                pass  # a warm-up failure must never sink the measured run
 
     total = 0.0
     for name, fn in queries.items():
