@@ -741,7 +741,11 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = mm.byte_features(mm.sniff_media_type(blobs, "data"), "data")
     return feats.select(
-        "doc_id", "sniffed_type", "n_bytes", "byte_hist",
+        "doc_id", "sniffed_type", "n_bytes",
+        # The 16-bin histogram is pivoted to scalar columns: the driver's
+        # canonicalizer sorts every output column and cannot sort ARRAY
+        # values, so the comparison surface must stay scalar.
+        *[F.col("byte_hist")[i].alias(f"h{i:02d}") for i in range(16)],
         # entropy folds bins sequentially on both sides; the round absorbs
         # the last-ulp libm log2 disagreement (same stance as bm25's ln)
         F.round("byte_entropy", 10).alias("byte_entropy"),
@@ -1000,6 +1004,7 @@ def _multimodal_oracle_sql() -> str:
     case_type = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
         f"WHEN {i} THEN '{t}'" for i, (t, _) in enumerate(_MM_MAGICS[:-1])
     ) + f" ELSE '{_MM_MAGICS[-1][0]}' END"
+    hist_cols = " ".join(f"f.bh[{i + 1}] AS h{i:02d}," for i in range(16))
     return f"""
     WITH blobs AS (
         SELECT doc_id, {case_type} AS sniffed_type,
@@ -1024,14 +1029,15 @@ def _multimodal_oracle_sql() -> str:
     ),
     feats AS (
         SELECT doc_id,
-               list(p ORDER BY bin) AS byte_hist,
+               list(p ORDER BY bin) AS bh,
                round(-list_sum(list_transform(list(p ORDER BY bin),
                      x -> CASE WHEN x > 0 THEN x * log2(x) ELSE 0.0 END)), 10)
                    AS byte_entropy
         FROM dense GROUP BY doc_id
     )
     SELECT b.doc_id, b.sniffed_type, CAST(length(b.h) / 2 AS INT) AS n_bytes,
-           f.byte_hist, f.byte_entropy
+           {hist_cols}
+           f.byte_entropy
     FROM blobs b JOIN feats f USING (doc_id)
     ORDER BY b.doc_id
     """
@@ -1375,7 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_1h30m": """
             WITH wins AS (
                 SELECT event_type,
-                       to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS ws
+                       make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - off) * 1000000 AS BIGINT)) AS ws
                 FROM events, (SELECT unnest([0, 1800]) AS off) o(off)
             )
             SELECT ws, event_type, COUNT(*) AS n

@@ -41,23 +41,31 @@ def main() -> None:
             except Exception:
                 pass  # a warm-up failure must never sink the measured run
 
+    # Per-query fault isolation: one broken query must never erase the
+    # suite's number — record its error string and keep timing the rest.
     total = 0.0
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
-        _ = n
 
-    print(json.dumps({
+    out = {
         "metric": "vecgo_spark query suite wall time",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

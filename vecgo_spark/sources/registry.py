@@ -28,16 +28,23 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's parquet reader
-        # rejects; read the raw int64 nanos and truncate to micros (the
-        # same truncation DuckDB applies when loading nanos into its
-        # microsecond TIMESTAMP).
+        # events.ts has shipped as TIMESTAMP(NANOS) (rejected by Spark's
+        # reader unless nanosAsLong) and as timestamp[us] with no zone
+        # (read as TIMESTAMP_NTZ). Normalize both to the session TIMESTAMP
+        # type so downstream time arithmetic (unix_micros, window(),
+        # session windows) resolves; pin the session to UTC first so the
+        # NTZ->TIMESTAMP cast is deterministic and matches DuckDB's
+        # UTC-naive timestamps regardless of host timezone.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
