@@ -20,7 +20,6 @@ arithmetic is integer or single-division double → DuckDB-oracle-exact.
 
 from __future__ import annotations
 
-import hashlib
 import logging
 
 from pyspark.sql import DataFrame
@@ -30,14 +29,7 @@ _log = logging.getLogger(__name__)
 
 from vecgo_spark.functions.hashing import shingles_sql, stable_hash64, stable_hash64_sql
 from vecgo_spark.functions.vector import cosine_similarity
-from vecgo_spark.operators.bm25 import tokenize_py
 from vecgo_spark.oracles import cosine_sql
-
-
-def _py_hash64(s: str, seed: int = 0) -> int:
-    """Python twin of functions.hashing.stable_hash64 (and its SQL twin):
-    identical md5 → identical 60-bit int across Spark/DuckDB/Python."""
-    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
 
 
 def _spread(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -281,43 +273,32 @@ SIMHASH_BITS = 60  # stable_hash64 yields 60 usable bits
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): sign-of-weighted-bit-votes over token hashes, weight
     = term frequency. Pure integer arithmetic → order-independent and
-    oracle-exact."""
-    import numpy as np
-    import pandas as pd
+    oracle-exact.
 
-    def sig(batches):
-        js = np.arange(SIMHASH_BITS, dtype=np.uint64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            tok_lists = [tokenize_py(t or "") for t in pdf["text"].values]
-            lens = np.array([len(t) for t in tok_lists])
-            if lens.sum() == 0:
-                continue
-            # (doc, term) → tf, with each DISTINCT term md5-hashed once per
-            # batch (the old per-doc loop redid md5 for every repeat); bit
-            # votes then accumulate in one scatter-add over a (docs × 60)
-            # matrix instead of a per-doc python pass
-            doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
-            flat = np.array([t for ts in tok_lists for t in ts], dtype=object)
-            tf = (
-                pd.DataFrame({"d": doc_idx, "t": flat})
-                .groupby(["d", "t"], sort=False).size().reset_index(name="w")
-            )
-            uniq, inv = np.unique(tf["t"].values.astype(object), return_inverse=True)
-            h = np.array([_py_hash64(s, seed=0) for s in uniq], dtype=np.uint64)[inv]
-            w = tf["w"].values.astype(np.int64)
-            d = tf["d"].values.astype(np.int64)
-            bits = ((h[:, None] >> js) & np.uint64(1)).astype(np.int64)
-            contrib = np.where(bits == 1, w[:, None], -w[:, None])
-            votes = np.zeros((len(tok_lists), SIMHASH_BITS), dtype=np.int64)
-            np.add.at(votes, d, contrib)
-            sims = ((votes > 0).astype(np.uint64) << js).sum(axis=1).astype(np.int64)
-            keep = lens > 0
-            yield pd.DataFrame({"id": pd.Series(pdf["id"].values[keep], dtype="int64"),
-                                "simhash": pd.Series(sims[keep], dtype="int64")})
+    Entirely JVM Column expressions (no Python kernel): the per-bit vote is
+    linear in term frequency — Σ_term tf·sign_j(term) == Σ_instance
+    sign_j(term) — so exploding token INSTANCES and taking 60 conditional
+    sums in one groupBy(id) gives the identical signature with a single
+    shuffle, whole-stage codegen end-to-end, and map-side partial
+    aggregation collapsing each partition to one 60-int row per doc."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
 
-    return _spread(docs, id_col, text_col).mapInPandas(sig, "id long, simhash long")
+    inst = _spread(docs, id_col, text_col).select(
+        "id", F.explode(tokenize_expr(F.col("text"))).alias("term")
+    )
+    # hash once per instance; the 60 bit probes below read this column
+    hashed = inst.select("id", stable_hash64("term", seed=0).alias("h"))
+    votes = hashed.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ])
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
