@@ -1,0 +1,117 @@
+"""Quantized codes persisted INTO the table layout: compact(quantize=)
+writes the _q_code column + trained bounds, search_quantized scores from
+stored codes (no per-query encode pass), inserts stay code-fresh, and a
+plain rewrite without quantize drops the stale index entry.
+
+Reference contract: internal/segment/flat/writer.go:57-519 persists SQ8
+codes inside flat segments; quantized search reads codes at rest
+(flat/segment.go:447-753).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.plans.table import QCODE_COL, VectorTable
+from vecgo_spark.quantization import scalar as sqz
+
+DIM = 8
+N = 300
+
+
+@pytest.fixture(scope="module")
+def tdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("sq_table"))
+
+
+@pytest.fixture(scope="module")
+def table(spark, tdir):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(N)]
+    t = VectorTable.create(spark, tdir, dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    t.compact(cluster_by=4, quantize="sq8")
+    return t
+
+
+def test_codes_and_bounds_persisted(table, tdir):
+    meta = table.manifest.meta
+    assert meta["sq"]["levels"] == 255
+    assert os.path.exists(os.path.join(tdir, meta["sq"]["path"]))
+    # the written segment files really carry the code column
+    raw = table.df(keep_codes=True)
+    assert QCODE_COL in raw.columns
+    row = raw.limit(1).collect()[0]
+    assert len(row[QCODE_COL]) == DIM
+    # default scans keep the layout column hidden
+    assert QCODE_COL not in table.df().columns
+
+
+def test_stored_codes_equal_fresh_encode(table):
+    """Parquet-roundtripped codes == encode-at-query-time codes bit-for-bit."""
+    params = table._load_sq()
+    fresh = table.df().select(
+        "id", sqz.encode(params, "vector").alias("e")
+    )
+    stored = table.df(keep_codes=True).select("id", F.col(QCODE_COL).alias("s"))
+    diff = fresh.join(stored, "id").where(F.col("e") != F.col("s")).count()
+    assert diff == 0
+
+
+def test_search_quantized_matches_encode_path(table):
+    """ADC scores from stored codes == the per-query encode pipeline."""
+    q = [0.25] * DIM
+    params = table._load_sq()
+    expect = (
+        table.df()
+        .select("id", sqz.adc_sq_l2(params, q, sqz.encode(params, "vector")).alias("score"))
+        .orderBy(F.col("score").asc(), F.col("id").asc())
+        .limit(10)
+        .collect()
+    )
+    got = table.search_quantized(q, k=10).collect()
+    assert [(r["id"], r["score"]) for r in got] == [(r["id"], r["score"]) for r in expect]
+
+
+def test_search_quantized_nprobe_prunes_files(table):
+    q = [0.25] * DIM
+    full_files = set(table.df().inputFiles())
+    probed = table.search_quantized(q, k=5, nprobe=1)
+    assert set(probed.inputFiles()) < full_files
+    assert probed.count() == 5
+
+
+def test_refine_restores_exact_order_topk(table):
+    """With a large refine window the two-stage result == exact search."""
+    q = [-0.4] * DIM
+    exact = [r["id"] for r in table.search(q, k=10).collect()]
+    refined = [r["id"] for r in table.search_quantized(q, k=10, refine=N).collect()]
+    assert refined == exact
+
+
+def test_insert_after_quantize_stays_searchable(spark, tdir, table):
+    v = [3.0] * DIM
+    table.insert(spark.createDataFrame([(9100, v)], "id long, vector array<double>"))
+    table.commit()
+    # the staged segment carries codes → quantized search sees the new row
+    got = [r["id"] for r in table.search_quantized(v, k=1).collect()]
+    assert got == [9100]
+
+
+def test_plain_compact_drops_sq(spark, tmp_path):
+    rng = np.random.default_rng(13)
+    t = VectorTable.create(spark, str(tmp_path / "t3"), dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(DIM).tolist()) for i in range(40)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.compact(quantize="int4")
+    assert t.manifest.meta["sq"]["levels"] == 15
+    assert t.search_quantized([0.0] * DIM, k=3).count() == 3
+    t.compact()  # plain rewrite drops codes AND the index entry
+    assert "sq" not in t.manifest.meta
+    with pytest.raises(KeyError):
+        t.search_quantized([0.0] * DIM, k=3)

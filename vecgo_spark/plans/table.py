@@ -66,6 +66,7 @@ SEG_DIR = "_segments"
 TOMB_DIR = "_tombstones"
 INDEX_DIR = "_index"
 CLUSTER_COL = "_cluster"
+QCODE_COL = "_q_code"  # at-rest scalar-quantized codes (ARRAY<INT>)
 
 
 class VectorTable:
@@ -184,6 +185,13 @@ class VectorTable:
             df = df.withColumn(
                 CLUSTER_COL, ivfmod.assign_expr(self._load_ivf(), self.vector_col)
             )
+        if "sq" in self.manifest.meta and self.vector_col in df.columns:
+            # quantized-index maintenance on the write path: encode new
+            # rows with the trained bounds so search_quantized stays
+            # correct without a recompaction
+            from vecgo_spark.quantization import scalar as sqz
+
+            df = df.withColumn(QCODE_COL, sqz.encode(self._load_sq(), self.vector_col))
         df = df.withColumn("_lsn", F.lit(lsn).cast("long"))
         name = f"seg-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
@@ -204,7 +212,7 @@ class VectorTable:
         declared dim for the vector part)."""
         dim = self.manifest.meta.get("dim")
         return collect_segment_stats(
-            written, exclude=(self.vector_col, "_lsn"),
+            written, exclude=(self.vector_col, "_lsn", QCODE_COL),
             vector_col=self.vector_col if dim else None,
             dim=int(dim) if dim else None,
         )
@@ -325,6 +333,7 @@ class VectorTable:
         self, filter: FilterSet | str | None = None,
         segments: list[SegmentMeta] | None = None,
         include_pending: bool = False,
+        keep_codes: bool = False,
     ) -> DataFrame:
         """The live snapshot as a DataFrame: manifest file list (pruned by
         stats when a FilterSet is given; optionally restricted to an
@@ -362,7 +371,10 @@ class VectorTable:
         cond = to_condition(filter)
         if cond is not None:
             base = base.where(cond)
-        return base.drop("_lsn", CLUSTER_COL)
+        base = base.drop("_lsn", CLUSTER_COL)
+        # internal layout columns stay hidden from scans; the quantized
+        # search path asks for them explicitly
+        return base if keep_codes else base.drop(QCODE_COL)
 
     def _empty_schema(self):
         from pyspark.sql.types import LongType, StructField, StructType
@@ -474,7 +486,7 @@ class VectorTable:
 
     # --------------------------------------------------------- maintenance
 
-    def compact(self, target_segments: int = 1, cluster_by=None) -> int:
+    def compact(self, target_segments: int = 1, cluster_by=None, quantize=None) -> int:
         """Rewrite the live snapshot into compacted segments, dropping
         tombstoned/stale rows; publish as a new version (compaction.go:
         29-422 semantics — merge live rows, re-stats).
@@ -491,12 +503,25 @@ class VectorTable:
         prunes all but p segments driver-side and the scan never opens the
         other files. The centroid matrix is persisted under _index/ and
         recorded in the manifest; subsequent insert()s assign _cluster on
-        the write path, keeping the index fresh."""
+        the write path, keeping the index fresh.
+
+        quantize persists scalar-quantized codes INTO the segment files —
+        the reference stores SQ8 codes inside flat segments
+        (internal/segment/flat/writer.go:57-519), so quantized search at
+        rest reads codes instead of re-encoding the corpus per query:
+          quantize="sq8"        train per-dim bounds now, 255 levels
+          quantize="int4"       same, 15 levels
+          quantize=ScalarParams use pre-trained bounds
+        Codes land in the hidden _q_code ARRAY<INT> column, the bounds in
+        _index/sq-v*.json + manifest meta; insert() encodes new rows on
+        the write path and search_quantized() scores from stored codes.
+        """
         self._check_writable()
         t0 = time.perf_counter()
         dropped = len(self.manifest.segments)
+        sq_params = self._resolve_quantizer(quantize)
         if cluster_by is None:
-            v = self._compact_plain(target_segments)
+            v = self._compact_plain(target_segments, sq_params=sq_params)
             self._obs("on_compaction", time.perf_counter() - t0, dropped,
                       len(self.manifest.segments))
             return v
@@ -517,6 +542,10 @@ class VectorTable:
         lsn = self.manifest.lsn + 1
         version = self.manifest.version + 1
         live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
+        if sq_params is not None:
+            from vecgo_spark.quantization import scalar as sqz
+
+            live = live.withColumn(QCODE_COL, sqz.encode(sq_params, self.vector_col))
         assigned = live.withColumn(
             CLUSTER_COL, ivfmod.assign_expr(model, self.vector_col)
         ).withColumn("_part", F.col(CLUSTER_COL))
@@ -566,6 +595,7 @@ class VectorTable:
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
+        self._record_sq_meta(meta, sq_params, version)
         new = Manifest(
             version=version, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),
@@ -579,9 +609,98 @@ class VectorTable:
         self._obs("on_build", elapsed, "ivf")
         return new.version
 
-    def _compact_plain(self, target_segments: int) -> int:
+    def _resolve_quantizer(self, quantize):
+        """quantize= argument → trained ScalarParams (or None). Training
+        is the one distributed min/max agg over the live snapshot — the
+        same deterministic bounds a per-query train would produce."""
+        if quantize is None:
+            return None
+        from vecgo_spark.quantization import scalar as sqz
+
+        if isinstance(quantize, sqz.ScalarParams):
+            return quantize
+        levels = {"sq8": 255, "int4": 15}.get(quantize)
+        if levels is None:
+            raise ValueError(f"quantize must be 'sq8', 'int4' or ScalarParams, got {quantize!r}")
+        return sqz.train_scalar(self.df(), self.vector_col, levels=levels)
+
+    def _record_sq_meta(self, meta: dict, sq_params, version: int) -> None:
+        """Persist trained bounds under _index/ and point the manifest at
+        them — or, when this rewrite carries no codes, drop any stale sq
+        entry (the rewritten files no longer contain the code column)."""
+        if sq_params is None:
+            meta.pop("sq", None)
+            return
+        rel = os.path.join(INDEX_DIR, f"sq-v{version:08d}.json")
+        fs_makedirs(os.path.join(self.path, INDEX_DIR))
+        fs_write_text(
+            os.path.join(self.path, rel),
+            json.dumps({"levels": sq_params.levels,
+                        "mins": list(sq_params.mins), "maxs": list(sq_params.maxs)}),
+        )
+        meta["sq"] = {"levels": sq_params.levels, "path": rel}
+        self._sq_cache = (rel, sq_params)
+
+    def _load_sq(self):
+        """ScalarParams from the manifest's sq entry (cached per version)."""
+        from vecgo_spark.quantization import scalar as sqz
+
+        info = self.manifest.meta["sq"]
+        cache = getattr(self, "_sq_cache", None)
+        if cache is not None and cache[0] == info["path"]:
+            return cache[1]
+        d = json.loads(fs_read_text(os.path.join(self.path, info["path"])))
+        params = sqz.ScalarParams(
+            mins=tuple(d["mins"]), maxs=tuple(d["maxs"]), levels=int(d["levels"])
+        )
+        self._sq_cache = (info["path"], params)
+        return params
+
+    def search_quantized(
+        self, query: Sequence[float], k: int = 10, filter=None,
+        nprobe: int | None = None, refine: int | None = None,
+    ) -> DataFrame:
+        """ANN search scored from the AT-REST quantized codes — no encode
+        pass over the corpus at query time (the reference's quantized flat
+        segments score stored codes, flat/segment.go:447-753). Optional
+        nprobe rides the materialized IVF layout (probe == file pruning);
+        optional refine reranks the coarse ADC top-`refine` against the
+        full-precision vectors, the WithRefineFactor two-stage pipeline."""
+        from vecgo_spark.operators import knn as knnmod
+        from vecgo_spark.quantization import scalar as sqz
+
+        params = self._load_sq()  # raises KeyError if never quantized
+        q = list(query)
+        if nprobe is not None:
+            from vecgo_spark.operators import ivf as ivfmod
+
+            probes = ivfmod.probe_clusters(self._load_ivf(), q, nprobe)
+            base = self.df(FilterSet([Filter(CLUSTER_COL, "in", probes)]),
+                           keep_codes=True)
+        else:
+            base = self.df(keep_codes=True)
+        cond = to_condition(filter)
+        if cond is not None:
+            base = base.where(cond)
+        coarse = (
+            base.select(self.id_col,
+                        sqz.adc_sq_l2(params, q, F.col(QCODE_COL)).alias("score"))
+            .orderBy(F.col("score").asc(), F.col(self.id_col).asc())
+            .limit(refine or k)
+        )
+        if refine is None:
+            return coarse
+        return knnmod.rerank(coarse, self.df(), q, k=k, metric=self.metric,
+                             id_col=self.id_col, vector_col=self.vector_col)
+
+    def _compact_plain(self, target_segments: int, sq_params=None) -> int:
         live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
+        if sq_params is not None:
+            from vecgo_spark.quantization import scalar as sqz
+
+            live = live.withColumn(QCODE_COL, sqz.encode(sq_params, self.vector_col))
         lsn = self.manifest.lsn + 1
+        version = self.manifest.version + 1
         name = f"seg-{lsn:08d}-compact-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
         full = os.path.join(self.path, rel)
@@ -597,8 +716,9 @@ class VectorTable:
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
         meta.pop("ivf", None)  # a plain rewrite drops the clustered layout
+        self._record_sq_meta(meta, sq_params, version)
         new = Manifest(
-            version=self.manifest.version + 1, lsn=lsn,
+            version=version, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),
             segments=[SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats)],
             tombstone_files=[], meta=meta,
