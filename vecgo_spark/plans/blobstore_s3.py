@@ -1,0 +1,228 @@
+"""boto3-backed S3 BlobStore: the object-store plugin for the engine's
+filesystem registry.
+
+Reference mapping: blobstore/s3/s3_store.go and blobstore/minio/
+minio_store.go implement the BlobStore interface (store.go:33-67) over
+the S3 object API — Get/Put/List/Delete with immutable whole-object
+writes, prefix listing, and NO atomic rename (the manifest layer's
+existence pre-check provides the conditional-Put commit discipline,
+engine.go:1942-1967). This module is the same store shape for the Spark
+engine: a pyarrow FileSystemHandler speaking the S3 API through boto3,
+registered via register_filesystem(), so every manifest / index-artifact /
+stats path under an `s3://bucket/…` table root resolves through it.
+
+Why a handler instead of pyarrow's native S3FileSystem: the native client
+is also supported (plans/manifest._fs_for falls through to
+FileSystem.from_uri), but a boto3 store (a) works against any
+s3-compatible endpoint (MinIO, moto) including ones whose multipart
+implementation the Arrow C++ client rejects, and (b) keeps the BlobStore
+extension point honest — the engine never special-cases the scheme.
+
+S3 semantics encoded here:
+  * objects are immutable; output streams buffer and PUT once on close
+    (the reference's Put takes the whole payload, s3_store.go);
+  * "directories" are key prefixes; create_dir writes a zero-byte
+    `prefix/` marker (ignored by listings);
+  * move is copy+delete — callers must not rely on rename atomicity
+    (save_manifest's non-local branch never calls move);
+  * Spark executors do NOT read through this store — parquet segment IO
+    goes through Hadoop's s3a connector, a deployment (jar) concern.
+    Everything the ENGINE itself reads/writes (manifests, IVF centroid /
+    SQ bound artifacts, retention GC) is covered.
+"""
+
+from __future__ import annotations
+
+import io
+
+from vecgo_spark.plans.manifest import register_filesystem
+
+
+def _split(path: str) -> tuple[str, str]:
+    """'bucket/key/parts' → (bucket, 'key/parts'); bare bucket → (b, '')."""
+    path = path.lstrip("/")
+    if "/" not in path:
+        return path, ""
+    b, k = path.split("/", 1)
+    return b, k
+
+
+class _PutOnClose(io.BytesIO):
+    """Whole-object PUT on close — S3 objects are immutable, so the write
+    stream is a buffer and the upload is the commit point."""
+
+    def __init__(self, client, bucket: str, key: str):
+        super().__init__()
+        self._client, self._bucket, self._key = client, bucket, key
+
+    def close(self):
+        if not self.closed:
+            self._client.put_object(
+                Bucket=self._bucket, Key=self._key, Body=self.getvalue()
+            )
+        super().close()
+
+
+def make_s3_handler(client):
+    """FileSystemHandler over a boto3 S3 client. Built lazily so pyarrow
+    is only imported when a store is actually registered."""
+    from pyarrow import PythonFile
+    from pyarrow.fs import FileInfo, FileSystemHandler, FileType
+
+    class S3StoreHandler(FileSystemHandler):
+        def __init__(self, c):
+            self.client = c
+
+        def __eq__(self, other):
+            return isinstance(other, S3StoreHandler) and other.client is self.client
+
+        def __ne__(self, other):
+            return not self.__eq__(other)
+
+        def get_type_name(self):
+            return "vecgo+s3"
+
+        def normalize_path(self, path):
+            return path.lstrip("/")
+
+        # ---------------------------------------------------- info
+        def _info_one(self, path):
+            bucket, key = _split(path)
+            if not key:
+                try:
+                    self.client.head_bucket(Bucket=bucket)
+                    return FileInfo(path, FileType.Directory)
+                except Exception:  # noqa: BLE001 — any miss is NotFound
+                    return FileInfo(path, FileType.NotFound)
+            try:
+                head = self.client.head_object(Bucket=bucket, Key=key)
+                return FileInfo(path, FileType.File, size=head["ContentLength"],
+                                mtime=head.get("LastModified"))
+            except Exception:  # noqa: BLE001
+                pass
+            resp = self.client.list_objects_v2(
+                Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
+            )
+            if resp.get("KeyCount", 0) > 0:
+                return FileInfo(path, FileType.Directory)
+            return FileInfo(path, FileType.NotFound)
+
+        def get_file_info(self, paths):
+            return [self._info_one(p) for p in paths]
+
+        def get_file_info_selector(self, selector):
+            base = selector.base_dir
+            info = self._info_one(base)
+            if info.type == FileType.NotFound:
+                if selector.allow_not_found:
+                    return []
+                raise FileNotFoundError(base)
+            bucket, key = _split(base)
+            prefix = key.rstrip("/") + "/" if key else ""
+            kwargs = dict(Bucket=bucket, Prefix=prefix)
+            if not selector.recursive:
+                kwargs["Delimiter"] = "/"
+            infos, token = [], None
+            while True:
+                resp = self.client.list_objects_v2(
+                    **kwargs, **({"ContinuationToken": token} if token else {})
+                )
+                for cp in resp.get("CommonPrefixes", []):
+                    p = cp["Prefix"].rstrip("/")
+                    infos.append(FileInfo(f"{bucket}/{p}", FileType.Directory))
+                for obj in resp.get("Contents", []):
+                    k = obj["Key"]
+                    if k.endswith("/"):  # directory marker
+                        continue
+                    infos.append(FileInfo(f"{bucket}/{k}", FileType.File,
+                                          size=obj["Size"],
+                                          mtime=obj.get("LastModified")))
+                token = resp.get("NextContinuationToken")
+                if not token:
+                    return infos
+
+        # ---------------------------------------------------- mutate
+        def create_dir(self, path, recursive):
+            bucket, key = _split(path)
+            if recursive:
+                try:
+                    self.client.head_bucket(Bucket=bucket)
+                except Exception:  # noqa: BLE001 — bucket missing → create
+                    self.client.create_bucket(Bucket=bucket)
+            if key:
+                self.client.put_object(Bucket=bucket, Key=key.rstrip("/") + "/",
+                                       Body=b"")
+
+        def _keys_under(self, bucket, prefix):
+            token, keys = None, []
+            while True:
+                resp = self.client.list_objects_v2(
+                    Bucket=bucket, Prefix=prefix,
+                    **({"ContinuationToken": token} if token else {}),
+                )
+                keys += [o["Key"] for o in resp.get("Contents", [])]
+                token = resp.get("NextContinuationToken")
+                if not token:
+                    return keys
+
+        def delete_dir(self, path):
+            bucket, key = _split(path)
+            prefix = key.rstrip("/") + "/" if key else ""
+            for k in self._keys_under(bucket, prefix):
+                self.client.delete_object(Bucket=bucket, Key=k)
+
+        def delete_dir_contents(self, path, missing_dir_ok):
+            if not _split(path)[1] and not missing_dir_ok:
+                raise ValueError(f"refusing to clear bucket root {path!r}")
+            self.delete_dir(path)
+
+        def delete_root_dir_contents(self):
+            raise NotImplementedError("bucket-wide wipe is not a store operation")
+
+        def delete_file(self, path):
+            bucket, key = _split(path)
+            self.client.head_object(Bucket=bucket, Key=key)  # raise if absent
+            self.client.delete_object(Bucket=bucket, Key=key)
+
+        def move(self, src, dest):
+            # copy+delete: no rename on object stores (s3_store.go has none)
+            self.copy_file(src, dest)
+            self.delete_file(src)
+
+        def copy_file(self, src, dest):
+            sb, sk = _split(src)
+            db, dk = _split(dest)
+            self.client.copy_object(
+                Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk}
+            )
+
+        # ---------------------------------------------------- streams
+        def open_input_stream(self, path):
+            bucket, key = _split(path)
+            body = self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+            return PythonFile(io.BytesIO(body), mode="r")
+
+        open_input_file = open_input_stream
+
+        def open_output_stream(self, path, metadata):
+            bucket, key = _split(path)
+            return PythonFile(_PutOnClose(self.client, bucket, key), mode="w")
+
+        def open_append_stream(self, path, metadata):
+            raise NotImplementedError("S3 objects are immutable; no append")
+
+    return S3StoreHandler(client)
+
+
+def register_s3_store(scheme: str = "s3", *, client=None, **boto_kwargs):
+    """Build a boto3 S3 client (or take one) and register it for
+    `scheme://bucket/…` paths — the plug-in call a deployment makes once
+    at startup (the BlobStore registration shape, store.go:33-67).
+    Returns the pyarrow FileSystem for direct use; unregister by popping
+    the scheme from plans.manifest._FS_REGISTRY (tests do)."""
+    import boto3
+    from pyarrow.fs import PyFileSystem
+
+    fs = PyFileSystem(make_s3_handler(client or boto3.client("s3", **boto_kwargs)))
+    register_filesystem(scheme, lambda rest: (fs, rest))
+    return fs
