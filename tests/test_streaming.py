@@ -134,6 +134,52 @@ def test_session_window_matches_gaps_and_islands(spark, sf_dir):
     assert gi_sessions == sw_sessions
 
 
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """session_agg run as a real STREAM (availableNow, watermark, state
+    merging sessions across micro-batches) must agree with the batch
+    gaps-and-islands twin. Watermark semantics: append mode only emits a
+    session once the watermark passes its close (last event + gap), so
+    the stream's output is a subset of the batch sessions — every emitted
+    session must match exactly, and all but the tail near max(ts) must
+    have closed (2h watermark ≫ 30m gap → only sessions still open in
+    the final 2.5h can be withheld)."""
+    import __spark_entry__ as entry
+
+    gi = entry._events_sessionization(spark, sf_dir)
+    batch = {
+        (r["user_id"], r["ws"]): (r["we"], r["n_events"]) for r in gi.collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "evsrc_sess")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "2").parquet(src)
+    # session_window's `we` is last-event + gap (the close time), not the
+    # last EVENT time the batch twin reports — compare max(ts) instead
+    out = session_agg(
+        stream, "ts", "30 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("mx")],
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["ws"]): (r["mx"], r["n_events"])
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert batch[k] == v, f"session {k}: stream {v} != batch {batch[k]}"
+    assert len(got) >= len(batch) * 0.8
+
+
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState keyed dedup: a key seen in batch 1 must be
     dropped when it reappears in batch 2 (state outlives the batch)."""
