@@ -522,6 +522,45 @@ def _ann_ivf_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "score")
 
 
+def _ann_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes persisted at compaction (writer.go:57-519 stores codes per
+    segment): compact(cluster_by=model, quantize=books) writes the m-byte
+    _pq_code column into the clustered layout; search_quantized(nprobe=3,
+    refine=110, codes="pq") probe-prunes files, ADC-gathers the STORED
+    codes against the per-query distance table, exact-reranks to top-10 —
+    reproducing ann_ivf_pq_rerank bit-for-bit, so it shares that oracle."""
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    q = _query_vector(spark, sf_dir)
+    model = ivf.train_ivf(
+        load_table(spark, sf_dir, "embeddings"), "embedding", nlist=8, max_iter=10,
+        trainer="driver", max_train_rows=20_000, order_col="vec_id",
+        cache_key=f"{sf_dir}:embeddings:ivf8",
+    )
+    books = pqz.train_pq(
+        load_table(spark, sf_dir, "embeddings"), "embedding", m=8, k=256, iters=8,
+        max_train_rows=20_000, cache_key=f"{sf_dir}:embeddings:pq8x256",
+    )
+    tmp = tempfile.mkdtemp(prefix="vecgo_pqrest_")
+    try:
+        path = f"{tmp}/tbl"
+        tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
+        tbl.insert(emb)
+        tbl.commit()
+        tbl.compact(cluster_by=model, quantize=books)
+        rows = tbl.search_quantized(q, k=10, nprobe=3, refine=110, codes="pq").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
 def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority style 3-way join: broadcast the filtered customer
     dim, shuffle-join orders⋈lineitem, integer-cents revenue agg."""
@@ -967,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
         "ann_ivf_at_rest": _ann_ivf_at_rest,
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "tpch_q3_shipping_priority": _tpch_q3,
         "stats_numeric_profile": _stats_numeric,
         "stats_histogram": _stats_histogram,
@@ -1235,9 +1275,10 @@ def _ann_oracles() -> dict[str, str]:
         "knn_opq_adc": knn_opq_adc,
         "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
         "ann_ivf_at_rest": ann_ivf,  # the at-rest path must reproduce ann_ivf exactly
-        # stored codes == fresh encode, so the at-rest SQ8 pipeline must
-        # reproduce the probe→ADC→rerank oracle exactly
+        # stored codes == fresh encode, so the at-rest SQ8/PQ pipelines
+        # must reproduce the probe→ADC→rerank oracles exactly
         "ann_ivf_sq8_at_rest": ann_ivf_sq8_rerank,
+        "ann_ivf_pq_at_rest": ann_ivf_pq_rerank,
     }
 
 

@@ -101,6 +101,45 @@ def test_insert_after_quantize_stays_searchable(spark, tdir, table):
     assert got == [9100]
 
 
+def test_pq_codes_at_rest_match_encode_path(spark, tmp_path):
+    """compact(quantize=PQCodebooks) stores m-length codes; stored-code
+    ADC == encode-at-query ADC, and refine restores the exact top-k."""
+    from vecgo_spark.plans.table import PQCODE_COL
+    from vecgo_spark.quantization import pq as pqz
+
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(200)]
+    t = VectorTable.create(spark, str(tmp_path / "tpq"), dim=DIM, metric="l2")
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    t.insert(df)
+    t.commit()
+    books = pqz.train_pq(t.df(), "vector", m=4, k=16, iters=5, order_col="id")
+    t.compact(cluster_by=2, quantize=books)
+    assert t.manifest.meta["pq"] == {
+        "m": 4, "k": 16, "path": t.manifest.meta["pq"]["path"]}
+    raw = t.df(keep_codes=True)
+    assert PQCODE_COL in raw.columns
+    assert len(raw.limit(1).collect()[0][PQCODE_COL]) == 4
+
+    q = [0.1] * DIM
+    expect = (
+        pqz.encode(books, t.df(), "vector")
+        .select("id", pqz.adc_score(books, q, "pq_codes").alias("score"))
+        .orderBy(F.col("score").asc(), F.col("id").asc())
+        .limit(10)
+        .collect()
+    )
+    got = t.search_quantized(q, k=10, codes="pq").collect()
+    assert [(r["id"], r["score"]) for r in got] == [(r["id"], r["score"]) for r in expect]
+    # reopened-table path: codes + codebooks come back from disk
+    t2 = VectorTable.open(spark, str(tmp_path / "tpq"))
+    got2 = t2.search_quantized(q, k=10, codes="pq").collect()
+    assert [(r["id"], r["score"]) for r in got2] == [(r["id"], r["score"]) for r in expect]
+    exact = [r["id"] for r in t.search(q, k=10).collect()]
+    refined = [r["id"] for r in t.search_quantized(q, k=10, refine=200, codes="pq").collect()]
+    assert refined == exact
+
+
 def test_plain_compact_drops_sq(spark, tmp_path):
     rng = np.random.default_rng(13)
     t = VectorTable.create(spark, str(tmp_path / "t3"), dim=DIM, metric="l2")

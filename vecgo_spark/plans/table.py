@@ -66,7 +66,8 @@ SEG_DIR = "_segments"
 TOMB_DIR = "_tombstones"
 INDEX_DIR = "_index"
 CLUSTER_COL = "_cluster"
-QCODE_COL = "_q_code"  # at-rest scalar-quantized codes (ARRAY<INT>)
+QCODE_COL = "_q_code"    # at-rest scalar-quantized codes (ARRAY<INT>, dim)
+PQCODE_COL = "_pq_code"  # at-rest product-quantized codes (ARRAY<INT>, m)
 
 
 class VectorTable:
@@ -185,13 +186,15 @@ class VectorTable:
             df = df.withColumn(
                 CLUSTER_COL, ivfmod.assign_expr(self._load_ivf(), self.vector_col)
             )
-        if "sq" in self.manifest.meta and self.vector_col in df.columns:
+        if self.vector_col in df.columns:
             # quantized-index maintenance on the write path: encode new
-            # rows with the trained bounds so search_quantized stays
+            # rows with the trained artifacts so search_quantized stays
             # correct without a recompaction
-            from vecgo_spark.quantization import scalar as sqz
-
-            df = df.withColumn(QCODE_COL, sqz.encode(self._load_sq(), self.vector_col))
+            df = self._with_codes(
+                df,
+                self._load_sq() if "sq" in self.manifest.meta else None,
+                self._load_pq() if "pq" in self.manifest.meta else None,
+            )
         df = df.withColumn("_lsn", F.lit(lsn).cast("long"))
         name = f"seg-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
@@ -212,7 +215,7 @@ class VectorTable:
         declared dim for the vector part)."""
         dim = self.manifest.meta.get("dim")
         return collect_segment_stats(
-            written, exclude=(self.vector_col, "_lsn", QCODE_COL),
+            written, exclude=(self.vector_col, "_lsn", QCODE_COL, PQCODE_COL),
             vector_col=self.vector_col if dim else None,
             dim=int(dim) if dim else None,
         )
@@ -374,7 +377,7 @@ class VectorTable:
         base = base.drop("_lsn", CLUSTER_COL)
         # internal layout columns stay hidden from scans; the quantized
         # search path asks for them explicitly
-        return base if keep_codes else base.drop(QCODE_COL)
+        return base if keep_codes else base.drop(QCODE_COL, PQCODE_COL)
 
     def _empty_schema(self):
         from pyspark.sql.types import LongType, StructField, StructType
@@ -519,9 +522,10 @@ class VectorTable:
         self._check_writable()
         t0 = time.perf_counter()
         dropped = len(self.manifest.segments)
-        sq_params = self._resolve_quantizer(quantize)
+        sq_params, pq_books = self._resolve_quantizer(quantize)
         if cluster_by is None:
-            v = self._compact_plain(target_segments, sq_params=sq_params)
+            v = self._compact_plain(target_segments, sq_params=sq_params,
+                                    pq_books=pq_books)
             self._obs("on_compaction", time.perf_counter() - t0, dropped,
                       len(self.manifest.segments))
             return v
@@ -542,10 +546,7 @@ class VectorTable:
         lsn = self.manifest.lsn + 1
         version = self.manifest.version + 1
         live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
-        if sq_params is not None:
-            from vecgo_spark.quantization import scalar as sqz
-
-            live = live.withColumn(QCODE_COL, sqz.encode(sq_params, self.vector_col))
+        live = self._with_codes(live, sq_params, pq_books)
         assigned = live.withColumn(
             CLUSTER_COL, ivfmod.assign_expr(model, self.vector_col)
         ).withColumn("_part", F.col(CLUSTER_COL))
@@ -595,7 +596,7 @@ class VectorTable:
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
-        self._record_sq_meta(meta, sq_params, version)
+        self._record_sq_meta(meta, sq_params, pq_books, version)
         new = Manifest(
             version=version, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),
@@ -610,36 +611,77 @@ class VectorTable:
         return new.version
 
     def _resolve_quantizer(self, quantize):
-        """quantize= argument → trained ScalarParams (or None). Training
-        is the one distributed min/max agg over the live snapshot — the
-        same deterministic bounds a per-query train would produce."""
+        """quantize= argument → (ScalarParams | None, PQCodebooks | None).
+        Scalar training is one distributed min/max agg over the live
+        snapshot; PQ trains on the deterministic ORDER BY id sample —
+        the same artifacts a per-query train would produce."""
         if quantize is None:
-            return None
+            return None, None
+        from vecgo_spark.quantization import pq as pqz
         from vecgo_spark.quantization import scalar as sqz
 
         if isinstance(quantize, sqz.ScalarParams):
-            return quantize
+            return quantize, None
+        if isinstance(quantize, pqz.PQCodebooks):
+            return None, quantize
         levels = {"sq8": 255, "int4": 15}.get(quantize)
-        if levels is None:
-            raise ValueError(f"quantize must be 'sq8', 'int4' or ScalarParams, got {quantize!r}")
-        return sqz.train_scalar(self.df(), self.vector_col, levels=levels)
+        if levels is not None:
+            return sqz.train_scalar(self.df(), self.vector_col, levels=levels), None
+        if quantize == "pq":
+            return None, pqz.train_pq(self.df(), self.vector_col, order_col=self.id_col)
+        raise ValueError(
+            f"quantize must be 'sq8', 'int4', 'pq', ScalarParams or PQCodebooks, got {quantize!r}")
 
-    def _record_sq_meta(self, meta: dict, sq_params, version: int) -> None:
-        """Persist trained bounds under _index/ and point the manifest at
-        them — or, when this rewrite carries no codes, drop any stale sq
-        entry (the rewritten files no longer contain the code column)."""
+    def _record_sq_meta(self, meta: dict, sq_params, pq_books, version: int) -> None:
+        """Persist trained quantizer artifacts under _index/ and point the
+        manifest at them — or, when this rewrite carries no codes, drop any
+        stale entry (the rewritten files no longer contain the column)."""
         if sq_params is None:
             meta.pop("sq", None)
-            return
-        rel = os.path.join(INDEX_DIR, f"sq-v{version:08d}.json")
-        fs_makedirs(os.path.join(self.path, INDEX_DIR))
-        fs_write_text(
-            os.path.join(self.path, rel),
-            json.dumps({"levels": sq_params.levels,
-                        "mins": list(sq_params.mins), "maxs": list(sq_params.maxs)}),
+        else:
+            rel = os.path.join(INDEX_DIR, f"sq-v{version:08d}.json")
+            fs_makedirs(os.path.join(self.path, INDEX_DIR))
+            fs_write_text(
+                os.path.join(self.path, rel),
+                json.dumps({"levels": sq_params.levels,
+                            "mins": list(sq_params.mins), "maxs": list(sq_params.maxs)}),
+            )
+            meta["sq"] = {"levels": sq_params.levels, "path": rel}
+            self._sq_cache = (rel, sq_params)
+        if pq_books is None:
+            meta.pop("pq", None)
+        else:
+            rel = os.path.join(INDEX_DIR, f"pq-v{version:08d}.json")
+            fs_makedirs(os.path.join(self.path, INDEX_DIR))
+            fs_write_text(
+                os.path.join(self.path, rel),
+                json.dumps({
+                    "codebooks": pq_books.codebooks.tolist(),
+                    "rotation": None if pq_books.rotation is None
+                    else pq_books.rotation.tolist(),
+                }),
+            )
+            meta["pq"] = {"m": pq_books.m, "k": pq_books.k, "path": rel}
+            self._pq_cache = (rel, pq_books)
+
+    def _load_pq(self):
+        """PQCodebooks from the manifest's pq entry (cached per version)."""
+        import numpy as np
+
+        from vecgo_spark.quantization import pq as pqz
+
+        info = self.manifest.meta["pq"]
+        cache = getattr(self, "_pq_cache", None)
+        if cache is not None and cache[0] == info["path"]:
+            return cache[1]
+        d = json.loads(fs_read_text(os.path.join(self.path, info["path"])))
+        books = pqz.PQCodebooks(
+            codebooks=np.array(d["codebooks"], dtype=np.float64),
+            rotation=None if d.get("rotation") is None
+            else np.array(d["rotation"], dtype=np.float64),
         )
-        meta["sq"] = {"levels": sq_params.levels, "path": rel}
-        self._sq_cache = (rel, sq_params)
+        self._pq_cache = (info["path"], books)
+        return books
 
     def _load_sq(self):
         """ScalarParams from the manifest's sq entry (cached per version)."""
@@ -659,17 +701,26 @@ class VectorTable:
     def search_quantized(
         self, query: Sequence[float], k: int = 10, filter=None,
         nprobe: int | None = None, refine: int | None = None,
+        codes: str | None = None,
     ) -> DataFrame:
         """ANN search scored from the AT-REST quantized codes — no encode
         pass over the corpus at query time (the reference's quantized flat
         segments score stored codes, flat/segment.go:447-753). Optional
         nprobe rides the materialized IVF layout (probe == file pruning);
         optional refine reranks the coarse ADC top-`refine` against the
-        full-precision vectors, the WithRefineFactor two-stage pipeline."""
+        full-precision vectors, the WithRefineFactor two-stage pipeline.
+        codes picks the stored family ("sq" scalar / "pq" product);
+        default: whichever the table carries (sq wins when both)."""
         from vecgo_spark.operators import knn as knnmod
-        from vecgo_spark.quantization import scalar as sqz
 
-        params = self._load_sq()  # raises KeyError if never quantized
+        if codes is None:
+            codes = "sq" if "sq" in self.manifest.meta else "pq"
+        if codes == "sq":
+            from vecgo_spark.quantization import scalar as sqz
+
+            params = self._load_sq()  # raises KeyError if never quantized
+        else:
+            books = self._load_pq()
         q = list(query)
         if nprobe is not None:
             from vecgo_spark.operators import ivf as ivfmod
@@ -682,9 +733,14 @@ class VectorTable:
         cond = to_condition(filter)
         if cond is not None:
             base = base.where(cond)
+        if codes == "sq":
+            score = sqz.adc_sq_l2(params, q, F.col(QCODE_COL))
+        else:
+            from vecgo_spark.quantization import pq as pqz
+
+            score = pqz.adc_score(books, q, F.col(PQCODE_COL))
         coarse = (
-            base.select(self.id_col,
-                        sqz.adc_sq_l2(params, q, F.col(QCODE_COL)).alias("score"))
+            base.select(self.id_col, score.alias("score"))
             .orderBy(F.col("score").asc(), F.col(self.id_col).asc())
             .limit(refine or k)
         )
@@ -693,12 +749,20 @@ class VectorTable:
         return knnmod.rerank(coarse, self.df(), q, k=k, metric=self.metric,
                              id_col=self.id_col, vector_col=self.vector_col)
 
-    def _compact_plain(self, target_segments: int, sq_params=None) -> int:
-        live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
+    def _with_codes(self, df: DataFrame, sq_params, pq_books) -> DataFrame:
         if sq_params is not None:
             from vecgo_spark.quantization import scalar as sqz
 
-            live = live.withColumn(QCODE_COL, sqz.encode(sq_params, self.vector_col))
+            df = df.withColumn(QCODE_COL, sqz.encode(sq_params, self.vector_col))
+        if pq_books is not None:
+            from vecgo_spark.quantization import pq as pqz
+
+            df = pqz.encode(pq_books, df, self.vector_col, codes_col=PQCODE_COL)
+        return df
+
+    def _compact_plain(self, target_segments: int, sq_params=None, pq_books=None) -> int:
+        live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
+        live = self._with_codes(live, sq_params, pq_books)
         lsn = self.manifest.lsn + 1
         version = self.manifest.version + 1
         name = f"seg-{lsn:08d}-compact-{uuid.uuid4().hex[:8]}"
@@ -716,7 +780,7 @@ class VectorTable:
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
         meta.pop("ivf", None)  # a plain rewrite drops the clustered layout
-        self._record_sq_meta(meta, sq_params, version)
+        self._record_sq_meta(meta, sq_params, pq_books, version)
         new = Manifest(
             version=version, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),
