@@ -447,97 +447,28 @@ def _ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       id_col="vec_id", vector_col="embedding")
 
 
-def _ann_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF materialized into the table LAYOUT at compaction — the
-    reference builds partitions at segment build/compaction
-    (compaction.go:102-152) and probe-pruned search touches only probed
-    partitions. Here: scratch VectorTable ← embeddings,
-    compact(cluster_by=model) writes one SEGMENT per cluster, and
-    search(nprobe=3) prunes the other clusters' files driver-side before
-    spark.read opens anything (file-count assertion in
-    tests/test_ivf_at_rest.py). Same deterministic model as ann_ivf → the
-    same DuckDB oracle replays assignment+probe+top-k."""
+_AT_REST_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
+
+
+def _at_rest_table(spark: SparkSession, sf_dir: str):
+    """Scratch VectorTable carrying the FULL at-rest layout — IVF cluster
+    partitions + SQ8 codes + PQ codes in one compaction — built ONCE per
+    session per sf_dir and shared by every at-rest query. That is the
+    honest cost model: the reference builds indexes at segment build /
+    compaction (compaction.go:102-152, writer.go:57-519) and amortizes
+    them over every subsequent search; only the searches differ per query.
+    The temp dir lives until interpreter exit (atexit cleanup)."""
+    import atexit
     import shutil
     import tempfile
 
     from vecgo_spark.plans.table import VectorTable
 
+    if sf_dir in _AT_REST_TABLES:
+        return VectorTable.open(spark, _AT_REST_TABLES[sf_dir])
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
-    q = _query_vector(spark, sf_dir)
-    model = ivf.train_ivf(
-        load_table(spark, sf_dir, "embeddings"), "embedding", nlist=8, max_iter=10,
-        trainer="driver", max_train_rows=20_000, order_col="vec_id",
-        cache_key=f"{sf_dir}:embeddings:ivf8",
-    )
-    tmp = tempfile.mkdtemp(prefix="vecgo_ivfrest_")
-    try:
-        path = f"{tmp}/tbl"
-        tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
-        tbl.insert(emb)
-        tbl.commit()
-        tbl.compact(cluster_by=model)
-        rows = tbl.search(q, k=10, nprobe=3).collect()  # materialize pre-rm
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    out = spark.createDataFrame(rows, "id long, score double")
-    return out.select(F.col("id").alias("vec_id"), "score")
-
-
-def _ann_ivf_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantized codes persisted at compaction, scored at rest — the
-    reference stores SQ8 codes inside flat segments (writer.go:57-519) and
-    quantized search reads them back (flat/segment.go:447-753). Here:
-    compact(cluster_by=model, quantize="sq8") writes the _q_code column
-    into the cluster-partitioned layout, then search_quantized(nprobe=3,
-    refine=40) probe-prunes FILES, ADC-scores the STORED codes (no encode
-    pass over the corpus), and exact-reranks to top-10 — reproducing
-    ann_ivf_sq8_rerank bit-for-bit, so it shares that oracle."""
-    import shutil
-    import tempfile
-
-    from vecgo_spark.plans.table import VectorTable
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
-    )
-    q = _query_vector(spark, sf_dir)
-    model = ivf.train_ivf(
-        load_table(spark, sf_dir, "embeddings"), "embedding", nlist=8, max_iter=10,
-        trainer="driver", max_train_rows=20_000, order_col="vec_id",
-        cache_key=f"{sf_dir}:embeddings:ivf8",
-    )
-    tmp = tempfile.mkdtemp(prefix="vecgo_sqrest_")
-    try:
-        path = f"{tmp}/tbl"
-        tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
-        tbl.insert(emb)
-        tbl.commit()
-        tbl.compact(cluster_by=model, quantize="sq8")
-        rows = tbl.search_quantized(q, k=10, nprobe=3, refine=40).collect()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    out = spark.createDataFrame(rows, "id long, score double")
-    return out.select(F.col("id").alias("vec_id"), "score")
-
-
-def _ann_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ codes persisted at compaction (writer.go:57-519 stores codes per
-    segment): compact(cluster_by=model, quantize=books) writes the m-byte
-    _pq_code column into the clustered layout; search_quantized(nprobe=3,
-    refine=110, codes="pq") probe-prunes files, ADC-gathers the STORED
-    codes against the per-query distance table, exact-reranks to top-10 —
-    reproducing ann_ivf_pq_rerank bit-for-bit, so it shares that oracle."""
-    import shutil
-    import tempfile
-
-    from vecgo_spark.plans.table import VectorTable
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
-    )
-    q = _query_vector(spark, sf_dir)
     model = ivf.train_ivf(
         load_table(spark, sf_dir, "embeddings"), "embedding", nlist=8, max_iter=10,
         trainer="driver", max_train_rows=20_000, order_col="vec_id",
@@ -547,16 +478,57 @@ def _ann_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), "embedding", m=8, k=256, iters=8,
         max_train_rows=20_000, cache_key=f"{sf_dir}:embeddings:pq8x256",
     )
-    tmp = tempfile.mkdtemp(prefix="vecgo_pqrest_")
-    try:
-        path = f"{tmp}/tbl"
-        tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
-        tbl.insert(emb)
-        tbl.commit()
-        tbl.compact(cluster_by=model, quantize=books)
-        rows = tbl.search_quantized(q, k=10, nprobe=3, refine=110, codes="pq").collect()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="vecgo_atrest_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
+    tbl.insert(emb)
+    tbl.commit()
+    tbl.compact(cluster_by=model, quantize=("sq8", books))
+    _AT_REST_TABLES[sf_dir] = path
+    return tbl
+
+
+def _ann_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF materialized into the table LAYOUT at compaction — the
+    reference builds partitions at segment build/compaction
+    (compaction.go:102-152) and probe-pruned search touches only probed
+    partitions: search(nprobe=3) prunes the other clusters' files
+    driver-side before spark.read opens anything (file-count assertion in
+    tests/test_ivf_at_rest.py). Same deterministic model as ann_ivf → the
+    same DuckDB oracle replays assignment+probe+top-k."""
+    tbl = _at_rest_table(spark, sf_dir)
+    rows = tbl.search(_query_vector(spark, sf_dir), k=10, nprobe=3).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
+def _ann_ivf_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized codes persisted at compaction, scored at rest — the
+    reference stores SQ8 codes inside flat segments (writer.go:57-519) and
+    quantized search reads them back (flat/segment.go:447-753):
+    search_quantized(nprobe=3, refine=40) probe-prunes FILES, ADC-scores
+    the STORED _q_code column (no encode pass over the corpus), and
+    exact-reranks to top-10 — reproducing ann_ivf_sq8_rerank bit-for-bit,
+    so it shares that oracle."""
+    tbl = _at_rest_table(spark, sf_dir)
+    rows = tbl.search_quantized(
+        _query_vector(spark, sf_dir), k=10, nprobe=3, refine=40, codes="sq"
+    ).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
+def _ann_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes persisted at compaction (writer.go:57-519 stores codes per
+    segment): search_quantized(nprobe=3, refine=110, codes="pq")
+    probe-prunes files, ADC-gathers the STORED _pq_code column against the
+    per-query distance table, exact-reranks to top-10 — reproducing
+    ann_ivf_pq_rerank bit-for-bit, so it shares that oracle."""
+    tbl = _at_rest_table(spark, sf_dir)
+    rows = tbl.search_quantized(
+        _query_vector(spark, sf_dir), k=10, nprobe=3, refine=110, codes="pq"
+    ).collect()
     out = spark.createDataFrame(rows, "id long, score double")
     return out.select(F.col("id").alias("vec_id"), "score")
 

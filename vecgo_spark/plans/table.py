@@ -620,6 +620,14 @@ class VectorTable:
         from vecgo_spark.quantization import pq as pqz
         from vecgo_spark.quantization import scalar as sqz
 
+        if isinstance(quantize, (tuple, list)):
+            # one scalar + one PQ family may ride the same layout; the
+            # last spec of each kind wins
+            sq = pq = None
+            for spec in quantize:
+                s, p = self._resolve_quantizer(spec)
+                sq, pq = s or sq, p or pq
+            return sq, pq
         if isinstance(quantize, sqz.ScalarParams):
             return quantize, None
         if isinstance(quantize, pqz.PQCodebooks):
