@@ -143,6 +143,20 @@ def test_hash_sample_is_pure_filter(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_simhash_signature_stays_jvm_side(spark, sf_dir):
+    """The SimHash signature stage must be pure Column aggregation — no
+    Python/Arrow nodes (per-batch kernels were the one remaining Python
+    hot spot) and exactly one wide exchange for the groupBy(id)."""
+    from vecgo_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = spark_plan(simhash(docs))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in plan
+    assert "HashAggregate" in plan
+
+
 def test_exact_percentiles_no_global_window(spark, sf_dir):
     """The selection plan's row_number windows must be per-partition
     (hashpartitioning(pid)) — a global-window implementation would put
