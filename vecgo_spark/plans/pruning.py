@@ -101,7 +101,9 @@ def collect_segment_stats(
     row = df.agg(*aggs).first()
     n_rows = int(row["__n"] or 0)
 
-    out: dict[str, Any] = {}
+    # the row count rides the stats pass for free — callers (segment
+    # builds) use it instead of issuing a separate count() job
+    out: dict[str, Any] = {"__rows": n_rows}
     for c in cols:
         cs: dict[str, Any] = {
             "min": row[f"{c}__min"],

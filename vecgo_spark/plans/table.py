@@ -203,22 +203,26 @@ class VectorTable:
         if persisted is not None:
             persisted.unpersist()
         written = self.spark.read.parquet(full)
-        rows = written.count()
-        stats = self._segment_stats(written)
+        stats, rows = self._segment_stats(written)
+        if rows is None:
+            rows = written.count()
         size = fs_du(full)
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
         return rows, size
 
-    def _segment_stats(self, written: DataFrame) -> dict:
-        """All commit-time stats for the new segment in two agg jobs:
+    def _segment_stats(self, written: DataFrame) -> tuple[dict, int | None]:
+        """(stats, row_count) for the new segment in two agg jobs:
         scalar pruning stats + vector centroid/radius (requires a
-        declared dim for the vector part)."""
+        declared dim for the vector part). The row count rides the
+        stats pass — no separate count() job per segment build."""
         dim = self.manifest.meta.get("dim")
-        return collect_segment_stats(
+        stats = collect_segment_stats(
             written, exclude=(self.vector_col, "_lsn", QCODE_COL, PQCODE_COL),
             vector_col=self.vector_col if dim else None,
             dim=int(dim) if dim else None,
         )
+        rows = stats.pop("__rows", None)
+        return stats, (int(rows) if rows is not None else None)
 
     def _next_lsn(self) -> int:
         # one counter across BOTH pending lists: a delete followed by an
@@ -782,8 +786,9 @@ class VectorTable:
             .write.mode("error").parquet(full)
         )
         written = self.spark.read.parquet(full)
-        rows = written.count()
-        stats = self._segment_stats(written)
+        stats, rows = self._segment_stats(written)
+        if rows is None:
+            rows = written.count()
         size = fs_du(full)
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
@@ -825,8 +830,9 @@ class VectorTable:
         full = os.path.join(self.path, rel)
         merged_src.sortWithinPartitions(self.id_col).write.mode("error").parquet(full)
         written = self.spark.read.parquet(full)
-        rows = written.count()
-        stats = self._segment_stats(written)
+        stats, rows = self._segment_stats(written)
+        if rows is None:
+            rows = written.count()
         size = fs_du(full)
         keep = [s for s in self.manifest.segments if s.path not in picked]
         new = Manifest(
