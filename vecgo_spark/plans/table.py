@@ -166,10 +166,7 @@ class VectorTable:
         lsn = self._next_lsn()
         if not assign_ids and self.id_col not in df.columns:
             raise ValueError(f"missing id column {self.id_col!r}; use assign_ids=True")
-        if dim is not None and self.vector_col in df.columns:
-            bad = df.where(F.size(F.col(self.vector_col)) != dim).limit(1).count()
-            if bad:
-                raise ValueError(f"vector dimension mismatch (expected {dim})")
+        validate_dim = dim is not None and self.vector_col in df.columns
         persisted = None
         if assign_ids:
             df, persisted = self._assign_ids(df)
@@ -195,11 +192,29 @@ class VectorTable:
                 self._load_sq() if "sq" in self.manifest.meta else None,
                 self._load_pq() if "pq" in self.manifest.meta else None,
             )
-        df = df.withColumn("_lsn", F.lit(lsn).cast("long"))
+        lsn_col = F.lit(lsn).cast("long")
+        if validate_dim:
+            # dim validation fused into the write job (no separate scan of
+            # the source): assert_true evaluates per row while the segment
+            # is written, yields NULL on success so coalesce keeps _lsn;
+            # NULL vectors pass, as the standalone pre-check allowed
+            v = F.col(self.vector_col)
+            chk = F.assert_true(
+                v.isNull() | (F.size(v) == dim),
+                F.lit(f"vector dimension mismatch (expected {dim})"),
+            )
+            lsn_col = F.coalesce(chk.cast("long"), lsn_col)
+        df = df.withColumn("_lsn", lsn_col)
         name = f"seg-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
         full = os.path.join(self.path, rel)
-        df.write.mode("error").parquet(full)
+        try:
+            df.write.mode("error").parquet(full)
+        except Exception as e:  # noqa: BLE001 — surface the fused check
+            fs_rmtree(full)  # drop the partial segment; nothing was published
+            if "vector dimension mismatch" in str(e):
+                raise ValueError(f"vector dimension mismatch (expected {dim})") from e
+            raise
         if persisted is not None:
             persisted.unpersist()
         written = self.spark.read.parquet(full)
