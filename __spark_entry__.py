@@ -762,6 +762,33 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the n-gram heuristic of the
+    training-pipeline family; complements the stopword heuristic inside
+    docs_quality_filter): distinct trigrams of space-padded text
+    intersected with per-language profiles, argmax with a fixed
+    priority-order tiebreak. Pure Column set arithmetic — integer scores,
+    zero shuffles, bit-exact in the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = textfn.langid_ngram_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"s_{lang}") for lang in ("en", "de", "fr", "es")],
+        textfn.langid_ngram_pick(scores).alias("lang"),
+    ).orderBy("doc_id")
+
+
+def _doc_langid_ngram_oracle() -> str:
+    s = textfn.langid_ngram_scores_sql("text")
+    pick = textfn.langid_ngram_pick_sql({k: f"s_{k}" for k in s})
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in s.items())
+    return f"""
+    SELECT doc_id, s_en, s_de, s_fr, s_es, {pick} AS lang
+    FROM (SELECT doc_id, {inner} FROM documents)
+    ORDER BY doc_id
+    """
+
+
 _MM_MAGICS = [
     ("image/png", b"\x89PNG"),
     ("image/gif", b"GIF8"),
@@ -993,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_versions": _time_travel,
         "text_stats": _text_stats,
         "docs_quality_filter": _docs_quality_filter,
+        "doc_langid_ngram": _doc_langid_ngram,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_features": _multimodal_features,
         "dedup_exact": _dedup_exact,
@@ -1520,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_quality_filter": textfn.quality_filter_sql(),
+        "doc_langid_ngram": _doc_langid_ngram_oracle(),
         "doc_fingerprint": f"""
             SELECT doc_id,
                    {hashing.doc_fingerprint_sql('text', 16)} AS fingerprint,

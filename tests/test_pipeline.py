@@ -163,3 +163,33 @@ def test_vocab_top_terms_counts(spark):
     got = [(r["term"], r["doc_freq"]) for r in pipeline.vocab_top_terms(df, k=2).collect()]
     # document frequency (distinct per doc): alpha=3, beta=2, gamma=1
     assert got == [("alpha", 3), ("beta", 2)]
+
+
+def test_langid_ngram_known_languages(spark):
+    """The trigram-profile heuristic must identify clearly-marked en/de/
+    fr/es text, fall back to 'unk' when nothing matches, and be a pure
+    no-shuffle Column plan."""
+    from pyspark.sql import functions as F
+
+    from vecgo_spark.functions import text as textfn
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and the cat"),
+        (2, "der hund und die katze gehen in den garten und singen"),
+        (3, "le chat est sur la table et il est tres content de la maison"),
+        (4, "el perro y el gato que estan en la casa quieren comer"),
+        (5, ""),
+        (6, None),
+        (7, "zzzz qqqq xxxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = textfn.langid_ngram_scores(F.col("text"))
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", textfn.langid_ngram_pick(scores).alias("lang")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unk", 6: "unk", 7: "unk"}
+    plan = df.select("doc_id", textfn.langid_ngram_pick(scores).alias("lang"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -77,6 +77,76 @@ def langid_stopword(text: Column | str, threshold: float = 0.08) -> Column:
     return F.when(ratio >= F.lit(threshold), F.lit("en")).otherwise(F.lit("unk"))
 
 
+# Character-trigram profiles for the n-gram language heuristic: the most
+# frequent trigrams of each language over space-padded text, from public
+# character-frequency tables. Scoring = |distinct text trigrams ∩ profile|
+# — integer set arithmetic, so the heuristic is exactly reproducible in
+# any engine with list intersection.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ed ", " an", "and", "nd ", " of", "of ",
+           " in", "ing", "ng ", " to", "to ", "er ", " co", "at ", "ion",
+           "on ", "ent", "tio", "es ", " re", "is "),
+    "de": ("er ", "en ", "ch ", " de", "der", "ie ", "die", " di", "ein",
+           " ei", "ne ", "sch", "che", "nde", "den", "in ", "te ", " un",
+           "und", "ung", "ich", " ge", "gen", "ten"),
+    "fr": (" de", "de ", "es ", "ent", "nt ", "le ", " le", "la ", " la",
+           "on ", "re ", " pa", "ion", "ne ", "que", " qu", "ue ", "ns ",
+           "ait", "les", " et", "et ", "ur ", " so"),
+    "es": (" de", "de ", "os ", "la ", " la", "el ", " el", "as ", "en ",
+           " en", "que", " qu", "ue ", "nte", "ado", "ar ", " co", "cio",
+           "res", " se", "sta", " es", "ien", "nes"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tiebreak priority
+
+
+def _norm_for_trigrams(text: Column | str) -> Column:
+    """Lowercase, collapse whitespace runs to single spaces, pad with one
+    boundary space each side (so word-boundary trigrams like ' th'/'he '
+    exist). Empty/NULL text normalizes to a too-short string → no trigrams."""
+    c = F.col(text) if isinstance(text, str) else text
+    inner = F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "[\\x00-\\x20]+", " "))
+    return F.concat(F.lit(" "), inner, F.lit(" "))
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """ARRAY<STRING> of DISTINCT character trigrams of the normalized text."""
+    norm = _norm_for_trigrams(text)
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - F.lit(2)),
+        lambda i: F.substring(norm, i, F.lit(3)),
+    )
+    return F.when(F.length(norm) >= 3, F.array_distinct(tris)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def langid_ngram_scores(text: Column | str) -> dict[str, Column]:
+    """{lang: trigram-profile overlap count} — one intersection per
+    profile over the shared distinct-trigram array."""
+    tris = char_trigrams(text)
+    return {
+        lang: F.size(F.array_intersect(
+            tris, F.array(*[F.lit(t) for t in profile])
+        ))
+        for lang, profile in LANG_TRIGRAM_PROFILES.items()
+    }
+
+
+def langid_ngram_pick(scores: dict[str, Column]) -> Column:
+    """argmax over profile scores in fixed priority order (first wins on
+    ties); all-zero → 'unk'. The chained CASE encodes the tiebreak
+    identically in Spark and the SQL twin."""
+    out = F.lit(_LANG_ORDER[-1])
+    for lang in reversed(_LANG_ORDER[:-1]):
+        later = [scores[x] for x in _LANG_ORDER[_LANG_ORDER.index(lang) + 1:]]
+        cond = scores[lang] >= later[0]
+        for c in later[1:]:
+            cond = cond & (scores[lang] >= c)
+        out = F.when(cond, F.lit(lang)).otherwise(out)
+    allzero = sum(scores[x] for x in _LANG_ORDER) == 0
+    return F.when(allzero, F.lit("unk")).otherwise(out)
+
+
 def quality_filter(
     docs, text_col: str = "text", id_col: str = "doc_id",
     min_quality: float = 0.55, min_tokens: int = 20, max_tokens: int = 100_000,
@@ -165,6 +235,44 @@ def langid_stopword_sql(col: str, threshold: float = 0.08) -> str:
     return (
         f"(CASE WHEN COALESCE({stopword_ratio_sql(col)}, 0.0) >= {threshold!r} "
         f"THEN 'en' ELSE 'unk' END)"
+    )
+
+
+def char_trigrams_sql(col: str) -> str:
+    """DuckDB twin of char_trigrams (range(1, n-1) == sequence(1, n-2))."""
+    norm = f"(' ' || trim(regexp_replace(lower(COALESCE({col}, '')), '[\\x00-\\x20]+', ' ', 'g')) || ' ')"
+    tris = f"list_transform(range(1, length({norm}) - 1), i -> substr({norm}, CAST(i AS INT), 3))"
+    return (
+        f"(CASE WHEN length({norm}) >= 3 THEN list_distinct({tris}) "
+        f"ELSE []::VARCHAR[] END)"
+    )
+
+
+def langid_ngram_scores_sql(col: str) -> dict[str, str]:
+    tris = char_trigrams_sql(col)
+    return {
+        lang: (
+            "CAST(len(list_intersect({t}, [{p}])) AS INT)".format(
+                t=tris, p=", ".join(f"'{x}'" for x in profile))
+        )
+        for lang, profile in LANG_TRIGRAM_PROFILES.items()
+    }
+
+
+def langid_ngram_pick_sql(score_refs: dict[str, str]) -> str:
+    """CASE chain identical to langid_ngram_pick (same priority order,
+    same >= tiebreak, all-zero → 'unk'). Pass column REFERENCES (e.g.
+    's_en') so the scores are computed once in an inner SELECT."""
+    total = " + ".join(score_refs[x] for x in _LANG_ORDER)
+    cases = []
+    for i, lang in enumerate(_LANG_ORDER[:-1]):
+        later = _LANG_ORDER[i + 1:]
+        cond = " AND ".join(f"{score_refs[lang]} >= {score_refs[x]}" for x in later)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return (
+        f"(CASE WHEN {total} = 0 THEN 'unk' "
+        + " ".join(cases)
+        + f" ELSE '{_LANG_ORDER[-1]}' END)"
     )
 
 
