@@ -92,6 +92,34 @@ def test_refine_restores_exact_order_topk(table):
     assert refined == exact
 
 
+def test_search_quantized_respects_filter(table):
+    """A metadata filter composes with the stored-code scorer: results ==
+    the same scorer over the filtered exact snapshot."""
+    q = [0.1] * DIM
+    got = [r["id"] for r in
+           table.search_quantized(q, k=5, filter="id >= 100").collect()]
+    assert got and all(i >= 100 for i in got)
+    params = table._load_sq()
+    expect = [
+        r["id"] for r in table.df().where("id >= 100")
+        .select("id", sqz.adc_sq_l2(params, q, sqz.encode(params, "vector")).alias("s"))
+        .orderBy(F.col("s").asc(), F.col("id").asc()).limit(5).collect()
+    ]
+    assert got == expect
+
+
+def test_sq_scoring_plan_stays_jvm_side(table):
+    """The scalar ADC over stored codes must be pure Column arithmetic —
+    no Python/Arrow nodes anywhere in the coarse plan."""
+    plan = (
+        table.search_quantized([0.0] * DIM, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
 def test_insert_after_quantize_stays_searchable(spark, tdir, table):
     v = [3.0] * DIM
     table.insert(spark.createDataFrame([(9100, v)], "id long, vector array<double>"))
