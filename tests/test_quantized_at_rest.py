@@ -168,6 +168,23 @@ def test_pq_codes_at_rest_match_encode_path(spark, tmp_path):
     assert refined == exact
 
 
+def test_vacuum_keeps_live_quantizer_artifacts(spark, tmp_path):
+    """Retention GC must treat sq/pq artifacts like the IVF centroids —
+    referenced by the live manifest, never collected."""
+    rng = np.random.default_rng(23)
+    t = VectorTable.create(spark, str(tmp_path / "tv"), dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(DIM).tolist()) for i in range(60)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.compact(quantize="sq8")
+    t.compact(quantize="sq8")  # second version so vacuum has one to drop
+    t.vacuum(keep_versions=1)
+    assert os.path.exists(os.path.join(str(tmp_path / "tv"),
+                                       t.manifest.meta["sq"]["path"]))
+    assert t.search_quantized([0.0] * DIM, k=3).count() == 3
+
+
 def test_plain_compact_drops_sq(spark, tmp_path):
     rng = np.random.default_rng(13)
     t = VectorTable.create(spark, str(tmp_path / "t3"), dim=DIM, metric="l2")

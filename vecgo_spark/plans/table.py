@@ -880,8 +880,9 @@ class VectorTable:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
             referenced.update(m.tombstone_files)
-            if "ivf" in m.meta:
-                referenced.add(m.meta["ivf"]["path"])
+            for idx in ("ivf", "sq", "pq"):  # every index artifact family
+                if idx in m.meta:
+                    referenced.add(m.meta[idx]["path"])
         removed_manifests = []
         for v in versions:
             if v not in keep:
