@@ -181,14 +181,18 @@ def minhash_lsh_pairs(
     # persisted: consumed by 4 band projections + both verify joins
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes).persist()
     rows_per_band = num_hashes // num_bands
-    # candidates: same band content in some band
+    # candidates: same band content in some band. The band key is the
+    # 60-bit stable hash of the joined signature row — an 8-byte join key
+    # instead of a variable-length string, so the banding shuffle carries
+    # ~1/5 the key bytes at 100 TB. A hash collision can only ADD a
+    # candidate pair (identically in the SQL twin, which uses the same
+    # md5-derived hash), and the verify phase filters it out unless the
+    # signatures genuinely agree — recall can only go up.
     bands = []
     for bidx in range(num_bands):
         cols = [f"m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            sigs.select("id", F.lit(bidx).alias("band"),
-                        F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("key"))
-        )
+        key = stable_hash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        bands.append(sigs.select("id", F.lit(bidx).alias("band"), key.alias("key")))
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
@@ -234,7 +238,8 @@ def minhash_lsh_pairs_sql(
     band_selects = []
     for bidx in range(num_bands):
         cols = [f"m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        key = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        joined = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        key = stable_hash64_sql(f"({joined})")
         band_selects.append(f"SELECT id, {bidx} AS band, {key} AS key FROM sigs")
     banded = " UNION ALL ".join(band_selects)
     match_count = " + ".join(
