@@ -413,9 +413,18 @@ def ngram_jaccard_pairs(
     one such shingle shared by d docs alone generates C(d,2) join rows) are
     excluded from BOTH the intersection and the set sizes — i.e. Jaccard
     over the non-boilerplate shingle sets, the standard MinHash-practice
-    cutoff. The SQL oracle applies the identical cutoff."""
+    cutoff. The SQL oracle applies the identical cutoff.
+
+    The self-join carries the 60-bit stable hash of each shingle, not the
+    string — an 8-byte shuffle key (the standard hashed-shingle practice;
+    a collision merges two shingles identically on both engines, so the
+    oracle stays exact and the Jaccard perturbation is ~n²/2^60)."""
     # persisted: both sides of the shingle self-join + the sizes agg
-    sh = _doc_shingles(docs, id_col, text_col, n).persist()
+    sh = (
+        _doc_shingles(docs, id_col, text_col, n)
+        .select("id", stable_hash64(F.col("shingle")).alias("shingle"))
+        .persist()
+    )
     sh = _drop_hot(sh, ["shingle"], max_shingle_df, "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -440,9 +449,10 @@ def ngram_jaccard_pairs_sql(
     toks = f"list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '')"
     sh_list = shingles_sql(f"({toks})", n)
     return f"""
-    WITH sh0 AS (
-        SELECT DISTINCT {id_col} AS id, unnest({sh_list}) AS shingle FROM {docs_table}
+    WITH shs AS (
+        SELECT DISTINCT {id_col} AS id, unnest({sh_list}) AS shingle_s FROM {docs_table}
     ),
+    sh0 AS (SELECT id, {stable_hash64_sql('shingle_s')} AS shingle FROM shs),
     hotsh AS (SELECT shingle FROM sh0 GROUP BY shingle
               HAVING count(*) > {max_shingle_df or 'NULL'}),
     sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hotsh)),
