@@ -115,6 +115,21 @@ def _scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(fs.to_column()).select("doc_id", "lang", "source", "n_chars")
 
 
+def _scan_filter_in_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining predicate operators through the FilterSet model:
+    `in` membership + `ne` (with vecgo's missing-field ⇒ no-match
+    IsNotNull guard, filter.go semantics) + `lte`, all pushed to the scan
+    as ordinary Catalyst filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    fs = (
+        FilterSet()
+        .isin("source", ["src3", "src7", "src11"])
+        .ne("lang", "de")
+        .lte("n_chars", 5000)
+    )
+    return docs.where(fs.to_column()).select("doc_id", "lang", "source", "n_chars")
+
+
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # All money/rate columns are exact 2-decimal values. Per-row double math
@@ -982,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_threshold": _knn_threshold,
         "point_get": _point_get,
         "scan_filter": _scan_filter,
+        "scan_filter_in_ne": _scan_filter_in_ne,
         "tpch_q1_pricing_summary": _tpch_q1,
         "topk_per_group": _topk_per_group,
         "topk_per_group_salted": _topk_per_group_salted,
@@ -1334,6 +1350,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang IS NOT NULL AND lang = 'en'
               AND n_chars IS NOT NULL AND n_chars > 200
               AND text IS NOT NULL AND contains(text, 'spark')
+        """,
+        "scan_filter_in_ne": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE source IS NOT NULL AND source IN ('src3', 'src7', 'src11')
+              AND lang IS NOT NULL AND lang != 'de'
+              AND n_chars IS NOT NULL AND n_chars <= 5000
         """,
         "tpch_q1_pricing_summary": """
             WITH c AS (
