@@ -291,17 +291,20 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     inst = _spread(docs, id_col, text_col).select(
         "id", F.explode(tokenize_expr(F.col("text"))).alias("term")
     )
-    # hash once per instance; the 60 bit probes below read this column
+    # hash once per instance; the 60 bit probes below read this column.
+    # vote_j = (#ones − #zeros) > 0 ⇔ 2·Σbit_j > n, so the aggregation is
+    # 60 branchless shift-and sums plus one count
     hashed = inst.select("id", stable_hash64("term", seed=0).alias("h"))
-    votes = hashed.groupBy("id").agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(SIMHASH_BITS)
-    ])
+    votes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+          for j in range(SIMHASH_BITS)],
+    )
     sim = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(
+            F.col(f"s{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return votes.select("id", sim.alias("simhash"))
 
