@@ -168,6 +168,34 @@ def test_pq_codes_at_rest_match_encode_path(spark, tmp_path):
     assert refined == exact
 
 
+def test_opq_rotation_roundtrips_through_layout(spark, tmp_path):
+    """An OPQ model (rotation != None) persisted at compaction must score
+    identically after reopening from disk — rotation survives the JSON
+    roundtrip and applies to both encode and the query distance table."""
+    from vecgo_spark.quantization import pq as pqz
+
+    rng = np.random.default_rng(19)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(150)]
+    path = str(tmp_path / "topq")
+    t = VectorTable.create(spark, path, dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    opq = pqz.train_opq(t.df(), "vector", m=4, k=16, iters=4, opq_iters=2,
+                        order_col="id")
+    assert opq.rotation is not None
+    t.compact(quantize=opq)
+    q = [0.3] * DIM
+    expect = [(r["id"], r["score"]) for r in
+              t.search_quantized(q, k=10, codes="pq").collect()]
+    t2 = VectorTable.open(spark, path)
+    got = [(r["id"], r["score"]) for r in
+           t2.search_quantized(q, k=10, codes="pq").collect()]
+    assert got == expect
+    loaded = t2._load_pq()
+    assert np.allclose(loaded.rotation, opq.rotation)
+    assert np.array_equal(loaded.codebooks, opq.codebooks)
+
+
 def test_vacuum_keeps_live_quantizer_artifacts(spark, tmp_path):
     """Retention GC must treat sq/pq artifacts like the IVF centroids —
     referenced by the live manifest, never collected."""
