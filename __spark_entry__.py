@@ -534,6 +534,21 @@ def _ann_ivf_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "score")
 
 
+def _ann_ivf_batch_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query ANN served FROM the materialized layout: the stored
+    _cluster column is the assignment, so the batch probe equi-join runs
+    with no re-assignment pass over the corpus — broadcast probe explode,
+    cluster equi-join, per-query top-k. Same deterministic model as
+    ann_ivf_batch → shares its oracle."""
+    tbl = _at_rest_table(spark, sf_dir)
+    queries = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector")
+    )
+    rows = tbl.batch_search(queries, k=10, nprobe=3).collect()
+    out = spark.createDataFrame(rows, "qid long, id long, score double, rank int")
+    return out.select("qid", F.col("id").alias("vec_id"), "score", "rank")
+
+
 def _ann_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codes persisted at compaction (writer.go:57-519 stores codes per
     segment): search_quantized(nprobe=3, refine=110, codes="pq")
@@ -1022,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_at_rest": _ann_ivf_at_rest,
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "tpch_q3_shipping_priority": _tpch_q3,
         "stats_numeric_profile": _stats_numeric,
         "stats_histogram": _stats_histogram,
@@ -1295,6 +1311,7 @@ def _ann_oracles() -> dict[str, str]:
         # must reproduce the probe→ADC→rerank oracles exactly
         "ann_ivf_sq8_at_rest": ann_ivf_sq8_rerank,
         "ann_ivf_pq_at_rest": ann_ivf_pq_rerank,
+        "ann_ivf_batch_at_rest": ann_ivf_batch,
     }
 
 

@@ -97,6 +97,27 @@ def test_insert_after_index_stays_searchable(spark, tdir, table):
     assert "_cluster" in seg.stats
 
 
+def test_batch_search_at_rest_matches_fresh_assign(spark, table):
+    """Batch ANN over the stored _cluster column must equal the
+    assign-then-batch pipeline (the at-rest layout replaces the
+    re-assignment pass, nothing else)."""
+    queries = spark.createDataFrame(
+        [(0, [0.3] * DIM), (1, [-0.7] * DIM)], "qid long, qvector array<double>"
+    )
+    got = sorted(
+        (r["qid"], r["rank"], r["id"], r["score"])
+        for r in table.batch_search(queries, k=5, nprobe=2).collect()
+    )
+    model = table._load_ivf()
+    assigned = ivf.assign(table.df(), model, "vector")
+    expect = sorted(
+        (r["qid"], r["rank"], r["id"], r["score"])
+        for r in ivf.batch_search(assigned, model, queries, k=5, nprobe=2,
+                                  id_col="id", vector_col="vector").collect()
+    )
+    assert got == expect
+
+
 def test_vacuum_keeps_live_index(table, tdir):
     import os
 

@@ -356,6 +356,7 @@ class VectorTable:
         segments: list[SegmentMeta] | None = None,
         include_pending: bool = False,
         keep_codes: bool = False,
+        keep_cluster: bool = False,
     ) -> DataFrame:
         """The live snapshot as a DataFrame: manifest file list (pruned by
         stats when a FilterSet is given; optionally restricted to an
@@ -393,9 +394,11 @@ class VectorTable:
         cond = to_condition(filter)
         if cond is not None:
             base = base.where(cond)
-        base = base.drop("_lsn", CLUSTER_COL)
-        # internal layout columns stay hidden from scans; the quantized
-        # search path asks for them explicitly
+        base = base.drop("_lsn")
+        # internal layout columns stay hidden from scans; the quantized /
+        # batch search paths ask for them explicitly
+        if not keep_cluster:
+            base = base.drop(CLUSTER_COL)
         return base if keep_codes else base.drop(QCODE_COL, PQCODE_COL)
 
     def _empty_schema(self):
@@ -451,6 +454,28 @@ class VectorTable:
             base = self.df(segments=best)
         return knn.search(base, query, k=k, metric=self.metric, filter=filter,
                           id_col=self.id_col, vector_col=self.vector_col, **kw)
+
+    def batch_search(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 1,
+        qid_col: str = "qid", qvector_col: str = "qvector",
+    ) -> DataFrame:
+        """Many-query ANN against the AT-REST layout: the stored _cluster
+        column IS the assignment (written at compaction / on the insert
+        path), so the batch probe equi-join runs with no re-assignment
+        pass over the corpus — probe explode on the broadcast query side,
+        cluster_id equi-join, per-query top-k (the distributed BatchSearch
+        shape, engine.go:1305-1376, over compaction.go's partitions)."""
+        from vecgo_spark.operators import ivf as ivfmod
+
+        if "ivf" not in self.manifest.meta:
+            raise ValueError("batch_search needs the materialized IVF layout; "
+                             "run compact(cluster_by=...) first")
+        base = self.df(keep_cluster=True)
+        return ivfmod.batch_search(
+            base, self._load_ivf(), queries, k=k, nprobe=nprobe,
+            id_col=self.id_col, vector_col=self.vector_col,
+            cluster_col=CLUSTER_COL, qid_col=qid_col, qvector_col=qvector_col,
+        )
 
     def _load_ivf(self):
         """IVFModel from the manifest's index entry (cached per version)."""
