@@ -120,3 +120,72 @@ def test_large_listing_paginates(s3):
     assert mf.fs_du(prefix) == 1100
     mf.fs_rmtree(prefix)
     assert mf.fs_listdir(prefix) == []
+
+
+def test_transient_error_fails_closed_not_notfound(s3):
+    """A non-404 S3 failure (throttle/auth/network) must PROPAGATE, never
+    read as NotFound — fs_exists backs save_manifest's concurrent-commit
+    guard, and a transient error mapped to 'absent' would let a manifest
+    version be overwritten (lost update)."""
+    from botocore.exceptions import ClientError
+
+    class _Proxy:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name in ("head_object", "head_bucket"):
+                def boom(**kw):
+                    raise ClientError(
+                        {"Error": {"Code": "SlowDown", "Message": "throttled"},
+                         "ResponseMetadata": {"HTTPStatusCode": 503}},
+                        name,
+                    )
+                return boom
+            return getattr(self._inner, name)
+
+    from vecgo_spark.plans.blobstore_s3 import register_s3_store as reg
+    reg("s3throttle", client=_Proxy(s3))
+    try:
+        with pytest.raises(Exception, match="SlowDown|throttled"):
+            mf.fs_exists(f"s3throttle://{BUCKET}/t0/whatever.json")
+    finally:
+        mf._FS_REGISTRY.pop("s3throttle", None)
+
+
+def test_aborted_write_publishes_nothing(s3):
+    """An exception mid-write must leave NO object behind (the reference's
+    whole-payload Put publishes nothing on failure) — a truncated manifest
+    would corrupt the newest version."""
+    from pyarrow import fs as pafs
+
+    fs, root = mf._fs_for(f"s3://{BUCKET}/t-abort")
+    key = f"{BUCKET}/t-abort/manifest.json"
+    with pytest.raises(RuntimeError, match="writer died"):
+        with fs.open_output_stream(key) as f:
+            f.write(b'{"version":')
+            raise RuntimeError("writer died")
+    assert fs.get_file_info(key).type == pafs.FileType.NotFound
+    # and the normal path still publishes
+    with fs.open_output_stream(key) as f:
+        f.write(b"{}")
+    assert fs.get_file_info(key).type == pafs.FileType.File
+
+
+def test_delete_dir_contents_semantics(s3):
+    from pyarrow import fs as pafs
+
+    fs, _ = mf._fs_for(f"s3://{BUCKET}/t-ddc")
+    mf.fs_makedirs(f"s3://{BUCKET}/t-ddc/sub")
+    mf.fs_write_text(f"s3://{BUCKET}/t-ddc/sub/a.json", "{}")
+    # bucket root is ALWAYS refused, regardless of missing_dir_ok
+    with pytest.raises(Exception, match="bucket root"):
+        fs.delete_dir_contents(BUCKET, missing_dir_ok=True)
+    # missing dir: error by default, tolerated with missing_dir_ok
+    with pytest.raises(FileNotFoundError):
+        fs.delete_dir_contents(f"{BUCKET}/t-ddc/nope")
+    fs.delete_dir_contents(f"{BUCKET}/t-ddc/nope", missing_dir_ok=True)
+    # present dir: contents removed
+    fs.delete_dir_contents(f"{BUCKET}/t-ddc/sub")
+    assert mf.fs_listdir(f"s3://{BUCKET}/t-ddc/sub") == []
+    assert fs.get_file_info(f"{BUCKET}/t-ddc/sub/a.json").type == pafs.FileType.NotFound

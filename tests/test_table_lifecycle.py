@@ -245,3 +245,78 @@ def test_metrics_observer_callbacks(spark, tdir):
     assert comp["created"] == 2            # cluster_by=2 -> 2 segments
     assert obs.events[4][1]["index_type"] == "ivf"
     assert obs.events[5][1]["k"] == 3
+
+
+# ------------------------------------------------- declared metadata schema
+
+def test_schema_rejects_wrong_type(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2, schema={"price": "float"})
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0], "cheap")], "id long, vector array<float>, price string")
+    with pytest.raises(TypeError, match="price"):
+        t.insert(bad)
+    # nothing staged, nothing published
+    t.commit()
+    assert t.count() == 0
+
+
+def test_schema_widens_int_to_float_and_normalizes_long(spark, tdir):
+    t = VectorTable.create(
+        spark, tdir, dim=2, schema={"price": "float", "qty": "int"})
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7, 3)], "id long, vector array<float>, price int, qty int")
+    t.insert(df)
+    t.commit()
+    out = t.df()
+    types = dict(out.dtypes)
+    assert types["price"] == "double"  # int -> float upgrade (schema.go:89)
+    assert types["qty"] == "bigint"    # integrals normalize to one at-rest type
+    r = out.collect()[0]
+    assert r["price"] == 7.0 and r["qty"] == 3
+
+
+def test_schema_passthrough_and_missing(spark, tdir):
+    t = VectorTable.create(spark, tdir, dim=2, schema={"price": "float"})
+    # undeclared column passes through untouched; missing declared field OK
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], "x")], "id long, vector array<float>, tag string")
+    t.insert(df)
+    t.commit()
+    out = t.df()
+    assert out.collect()[0]["tag"] == "x"
+    assert "price" not in out.columns
+
+
+def test_schema_null_column_is_valid(spark, tdir):
+    from pyspark.sql import functions as F
+
+    t = VectorTable.create(spark, tdir, dim=2, schema={"price": "float"})
+    df = spark.createDataFrame([(2, [1.0, 2.0])], "id long, vector array<float>")
+    # NULL-typed column is always valid (schema.go:81-83) and lands as the
+    # declared at-rest type
+    t.insert(df.withColumn("price", F.lit(None)))
+    t.commit()
+    out = t.df()
+    assert dict(out.dtypes)["price"] == "double"
+    assert out.collect()[0]["price"] is None
+
+
+def test_schema_bool_string_array_kinds(spark, tdir):
+    t = VectorTable.create(
+        spark, tdir, dim=2,
+        schema={"ok": "bool", "name": "string", "tags": "array"})
+    good = spark.createDataFrame(
+        [(1, [1.0, 2.0], True, "a", ["x", "y"])],
+        "id long, vector array<float>, ok boolean, name string, tags array<string>")
+    t.insert(good)
+    t.commit()
+    assert t.count() == 1
+    bad = spark.createDataFrame(
+        [(2, [1.0, 2.0], 1)], "id long, vector array<float>, ok long")
+    with pytest.raises(TypeError, match="ok"):
+        t.insert(bad)
+
+
+def test_schema_unknown_type_rejected_at_create(spark, tdir):
+    with pytest.raises(ValueError, match="unknown type"):
+        VectorTable.create(spark, tdir, dim=2, schema={"x": "decimal"})

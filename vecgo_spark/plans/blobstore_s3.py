@@ -34,8 +34,28 @@ S3 semantics encoded here:
 from __future__ import annotations
 
 import io
+import sys
 
 from vecgo_spark.plans.manifest import register_filesystem
+
+
+def _is_not_found(exc: BaseException) -> bool:
+    """True only for a definitive 404-class S3 answer. Anything else —
+    throttling, auth, network — must propagate: fs_exists backs the
+    manifest commit guard (manifest.py save_manifest), and a transient
+    error read as "absent" would void the conditional-put discipline and
+    allow a manifest version to be silently overwritten (lost update).
+    Commit safety fails closed."""
+    try:
+        from botocore.exceptions import ClientError
+    except ImportError:  # pragma: no cover — botocore absent
+        return False
+    if not isinstance(exc, ClientError):
+        return False
+    err = exc.response.get("Error", {})
+    status = exc.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+    return status == 404 or str(err.get("Code", "")) in (
+        "404", "NotFound", "NoSuchKey", "NoSuchBucket")
 
 
 def _split(path: str) -> tuple[str, str]:
@@ -49,17 +69,30 @@ def _split(path: str) -> tuple[str, str]:
 
 class _PutOnClose(io.BytesIO):
     """Whole-object PUT on close — S3 objects are immutable, so the write
-    stream is a buffer and the upload is the commit point."""
+    stream is a buffer and the upload is the commit point.
+
+    Error discipline: if the close happens while a NEW exception is
+    unwinding (one that was not already being handled when the stream was
+    opened — e.g. the writer raised mid-`with`), the PUT is suppressed and
+    nothing is published, matching the reference's whole-payload Put which
+    leaves no object on failure. A plain abort() is also exposed."""
 
     def __init__(self, client, bucket: str, key: str):
         super().__init__()
         self._client, self._bucket, self._key = client, bucket, key
+        self._exc_at_open = sys.exc_info()[1]
+        self._aborted = False
+
+    def abort(self) -> None:
+        self._aborted = True
 
     def close(self):
         if not self.closed:
-            self._client.put_object(
-                Bucket=self._bucket, Key=self._key, Body=self.getvalue()
-            )
+            exc = sys.exc_info()[1]
+            if not self._aborted and (exc is None or exc is self._exc_at_open):
+                self._client.put_object(
+                    Bucket=self._bucket, Key=self._key, Body=self.getvalue()
+                )
         super().close()
 
 
@@ -87,19 +120,25 @@ def make_s3_handler(client):
 
         # ---------------------------------------------------- info
         def _info_one(self, path):
+            # only a definitive 404 maps to NotFound; transient errors
+            # (throttle/auth/network) re-raise so the manifest commit
+            # guard fails closed instead of overwriting (see _is_not_found)
             bucket, key = _split(path)
             if not key:
                 try:
                     self.client.head_bucket(Bucket=bucket)
                     return FileInfo(path, FileType.Directory)
-                except Exception:  # noqa: BLE001 — any miss is NotFound
+                except Exception as e:  # noqa: BLE001
+                    if not _is_not_found(e):
+                        raise
                     return FileInfo(path, FileType.NotFound)
             try:
                 head = self.client.head_object(Bucket=bucket, Key=key)
                 return FileInfo(path, FileType.File, size=head["ContentLength"],
                                 mtime=head.get("LastModified"))
-            except Exception:  # noqa: BLE001
-                pass
+            except Exception as e:  # noqa: BLE001
+                if not _is_not_found(e):
+                    raise
             resp = self.client.list_objects_v2(
                 Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
             )
@@ -172,9 +211,22 @@ def make_s3_handler(client):
                 self.client.delete_object(Bucket=bucket, Key=k)
 
         def delete_dir_contents(self, path, missing_dir_ok):
-            if not _split(path)[1] and not missing_dir_ok:
-                raise ValueError(f"refusing to clear bucket root {path!r}")
-            self.delete_dir(path)
+            # bucket-root clears are ALWAYS refused (that is what
+            # delete_root_dir_contents is for); missing_dir_ok means
+            # "tolerate a missing directory", nothing else
+            bucket, key = _split(path)
+            if not key:
+                raise ValueError(f"refusing to clear bucket root {path!r}; "
+                                 "use delete_root_dir_contents")
+            info = self._info_one(path)
+            if info.type == FileType.NotFound:
+                if missing_dir_ok:
+                    return
+                raise FileNotFoundError(path)
+            prefix = key.rstrip("/") + "/"
+            for k in self._keys_under(bucket, prefix):
+                if k != prefix:  # keep the directory's own marker object
+                    self.client.delete_object(Bucket=bucket, Key=k)
 
         def delete_root_dir_contents(self):
             raise NotImplementedError("bucket-wide wipe is not a store operation")

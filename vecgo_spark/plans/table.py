@@ -69,6 +69,44 @@ CLUSTER_COL = "_cluster"
 QCODE_COL = "_q_code"    # at-rest scalar-quantized codes (ARRAY<INT>, dim)
 PQCODE_COL = "_pq_code"  # at-rest product-quantized codes (ARRAY<INT>, m)
 
+# Declared metadata-schema field types (metadata/schema.go:7-17). "any"
+# accepts everything; undeclared fields always pass through (schema.go:46-49).
+FIELD_TYPES = ("any", "int", "float", "string", "bool", "array")
+
+
+def _schema_check(dt, want: str):
+    """(ok, cast_to | None) for a Spark column type against a declared field
+    type — the column-typed equivalent of the reference's per-document kind
+    check (metadata/schema.go:80-99): NULL columns are always valid, Float
+    accepts Int (the int→float upgrade, schema.go:89), everything else must
+    match its kind. Integrals normalize to long and floats to double so
+    segment files written by different inserts carry one parquet type."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.NullType):
+        # NULL is always valid (schema.go:81-83); cast to the declared
+        # concrete type so the column is parquet-writable and the at-rest
+        # type matches later typed inserts
+        return True, {"int": "long", "float": "double", "string": "string",
+                      "bool": "boolean"}.get(want)
+    if want == "any":
+        return True, None
+    integral = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if want == "int":
+        return integral, (None if isinstance(dt, T.LongType) else "long") if integral else None
+    if want == "float":
+        floaty = isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType))
+        if floaty or integral:
+            return True, None if isinstance(dt, T.DoubleType) else "double"
+        return False, None
+    if want == "string":
+        return isinstance(dt, T.StringType), None
+    if want == "bool":
+        return isinstance(dt, T.BooleanType), None
+    if want == "array":
+        return isinstance(dt, T.ArrayType), None
+    return False, None
+
 
 class VectorTable:
     """A versioned vector collection. One instance == one pinned snapshot
@@ -89,16 +127,28 @@ class VectorTable:
     def create(
         spark: SparkSession, path: str, dim: int | None = None,
         metric: str = "l2", id_col: str = "id", vector_col: str = "vector",
+        schema: dict[str, str] | None = None,
     ) -> "VectorTable":
+        """schema declares typed metadata fields (WithSchema,
+        metadata/schema.go:39-99): {"price": "float", "brand": "string"}.
+        Declared fields are validated on every insert (wrong kind rejected,
+        int widened to float/long-normalized); undeclared fields pass
+        through with whatever type Spark infers (dynamic passthrough)."""
         if metric not in knn.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
+        if schema:
+            for k, v in schema.items():
+                if v not in FIELD_TYPES:
+                    raise ValueError(
+                        f"schema field {k!r}: unknown type {v!r} (one of {FIELD_TYPES})")
         if list_versions(path):
             raise FileExistsError(f"table already exists at {path}")
         fs_makedirs(path)
         m = Manifest(
             version=1, lsn=0, next_id=1, created_at=time.time(),
             meta={"dim": dim, "metric": metric, "id_col": id_col,
-                  "vector_col": vector_col, "has_upserts": False},
+                  "vector_col": vector_col, "has_upserts": False,
+                  **({"schema": dict(schema)} if schema else {})},
         )
         save_manifest(path, m)
         return VectorTable(spark, path, m)
@@ -166,6 +216,7 @@ class VectorTable:
         lsn = self._next_lsn()
         if not assign_ids and self.id_col not in df.columns:
             raise ValueError(f"missing id column {self.id_col!r}; use assign_ids=True")
+        df = self._apply_schema(df)
         validate_dim = dim is not None and self.vector_col in df.columns
         persisted = None
         if assign_ids:
@@ -224,6 +275,29 @@ class VectorTable:
         size = fs_du(full)
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
         return rows, size
+
+    def _apply_schema(self, df: DataFrame) -> DataFrame:
+        """Enforce the declared metadata schema on an incoming batch
+        (Schema.Validate, metadata/schema.go:42-58). Column types are known
+        at plan time, so this is a static check + widening casts — no data
+        pass. Missing declared fields are allowed (they read as NULL and
+        never match filters, the reference's missing-field semantics);
+        undeclared columns pass through untouched."""
+        schema = self.manifest.meta.get("schema")
+        if not schema:
+            return df
+        for name, want in schema.items():
+            if name not in df.columns:
+                continue
+            dt = df.schema[name].dataType
+            ok, cast = _schema_check(dt, want)
+            if not ok:
+                raise TypeError(
+                    f"field {name!r} has invalid type {dt.simpleString()}, "
+                    f"expected {want}")
+            if cast:
+                df = df.withColumn(name, F.col(name).cast(cast))
+        return df
 
     def _segment_stats(self, written: DataFrame) -> tuple[dict, int | None]:
         """(stats, row_count) for the new segment in two agg jobs:
@@ -791,9 +865,13 @@ class VectorTable:
             from vecgo_spark.quantization import pq as pqz
 
             score = pqz.adc_score(books, q, F.col(PQCODE_COL))
+        # nulls_last: rows with NULL vectors (allowed by the fused dim
+        # check) carry NULL codes → NULL ADC scores, which must never
+        # occupy the top-k ahead of real matches (Spark default is
+        # NULLS FIRST on asc) — mirrors the cosine null guard in knn.py
         coarse = (
             base.select(self.id_col, score.alias("score"))
-            .orderBy(F.col("score").asc(), F.col(self.id_col).asc())
+            .orderBy(F.col("score").asc_nulls_last(), F.col(self.id_col).asc())
             .limit(refine or k)
         )
         if refine is None:

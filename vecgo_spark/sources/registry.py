@@ -27,18 +27,25 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone on EVERY load, not just for events: our own
+    # sessions (vecgo_spark.session.get_spark) already construct with UTC,
+    # but an externally-built session would otherwise flip timezone only
+    # when the events table happened to load first — order-dependent
+    # timestamp behavior across queries. Every query loads a table before
+    # any time arithmetic, so this keeps the session uniformly UTC.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as TIMESTAMP(NANOS) (rejected by Spark's
         # reader unless nanosAsLong) and as timestamp[us] with no zone
         # (read as TIMESTAMP_NTZ). Normalize both to the session TIMESTAMP
         # type so downstream time arithmetic (unix_micros, window(),
-        # session windows) resolves; pin the session to UTC first so the
-        # NTZ->TIMESTAMP cast is deterministic and matches DuckDB's
-        # UTC-naive timestamps regardless of host timezone.
+        # session windows) resolves; UTC makes the NTZ->TIMESTAMP cast
+        # deterministic and matches DuckDB's UTC-naive timestamps
+        # regardless of host timezone.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
