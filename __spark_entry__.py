@@ -349,25 +349,19 @@ def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ: learned rotation + PQ, ADC scoring + exact rerank
-    (opq.go:15-305). Deterministic training (see _knn_pq_adc) → the oracle
-    re-trains the identical rotation+codebooks; rotation, encode and ADC
-    all run with bit-equal sequential-fold arithmetic in DuckDB."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = _query_vector(spark, sf_dir)
-    cache = f"{sf_dir}:embeddings:opq8x256"
-    if cache in pqz._PQ_CACHE:
-        opq = pqz._PQ_CACHE[cache]
-    else:
-        opq = pqz.train_opq(emb, "embedding", m=8, k=256, iters=6, opq_iters=3,
-                            max_train_rows=20_000, order_col="vec_id")
-        pqz._PQ_CACHE[cache] = opq
-    enc = pqz.encode(opq, emb, "embedding")
-    coarse = (
-        enc.select("vec_id", pqz.adc_score(opq, q, "pq_codes").alias("score"))
-        .orderBy(F.col("score").asc(), F.col("vec_id").asc())
-        .limit(110)
-    )
-    return knn.rerank(coarse, emb, q, k=10, metric="l2", id_col="vec_id", vector_col="embedding")
+    (opq.go:15-305), SERVED FROM THE AT-REST LAYOUT — rotation+codebooks
+    are trained once at compaction and persisted under _index/
+    (the reference persists codes per segment, writer.go:57-519), so the
+    query scores STORED rotated codes with no train/encode pass.
+    Deterministic training (see _knn_pq_adc) → the oracle re-trains the
+    identical rotation+codebooks; rotation, encode and ADC all run with
+    bit-equal sequential-fold arithmetic in DuckDB."""
+    tbl = _at_rest_opq_table(spark, sf_dir)
+    rows = tbl.search_quantized(
+        _query_vector(spark, sf_dir), k=10, refine=110, codes="pq"
+    ).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
 
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +498,49 @@ def _at_rest_table(spark: SparkSession, sf_dir: str):
     return tbl
 
 
+_AT_REST_OPQ_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
+
+
+def _at_rest_opq_table(spark: SparkSession, sf_dir: str):
+    """Scratch VectorTable whose PQ family is OPQ — learned rotation +
+    codebooks trained ONCE, persisted under _index/ at compaction (the
+    rotation rides the same pq-v*.json artifact; roundtrip pinned by
+    tests/test_quantized_at_rest.py), codes stored in the layout. A
+    separate table from _at_rest_table because one layout carries one PQ
+    family (last-wins in compact(quantize=)), and the plain-PQ at-rest
+    queries keep theirs. Shares the session-cached IVF model so the
+    cluster partitions line up with the rest of the at-rest family."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    if sf_dir in _AT_REST_OPQ_TABLES:
+        return VectorTable.open(spark, _AT_REST_OPQ_TABLES[sf_dir])
+    emb_src = load_table(spark, sf_dir, "embeddings")
+    emb = emb_src.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    model = ivf.train_ivf(
+        emb_src, "embedding", nlist=8, max_iter=10, trainer="driver",
+        max_train_rows=20_000, order_col="vec_id",
+        cache_key=f"{sf_dir}:embeddings:ivf8",
+    )
+    opq = pqz.train_opq(
+        emb_src, "embedding", m=8, k=256, iters=6, opq_iters=3,
+        max_train_rows=20_000, order_col="vec_id",
+        cache_key=f"{sf_dir}:embeddings:opq8x256",
+    )
+    tmp = tempfile.mkdtemp(prefix="vecgo_atrest_opq_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
+    tbl.insert(emb)
+    tbl.commit()
+    tbl.compact(cluster_by=model, quantize=opq)
+    _AT_REST_OPQ_TABLES[sf_dir] = path
+    return tbl
+
+
 def _ann_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF materialized into the table LAYOUT at compaction — the
     reference builds partitions at segment build/compaction
@@ -556,6 +593,21 @@ def _ann_ivf_pq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query distance table, exact-reranks to top-10 — reproducing
     ann_ivf_pq_rerank bit-for-bit, so it shares that oracle."""
     tbl = _at_rest_table(spark, sf_dir)
+    rows = tbl.search_quantized(
+        _query_vector(spark, sf_dir), k=10, nprobe=3, refine=110, codes="pq"
+    ).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
+def _ann_ivf_opq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full OPQ serving pipeline at rest: probe-prune FILES via the
+    materialized IVF partitions, ADC-gather the STORED rotated codes
+    against the per-query (rotated) distance table, exact-rerank to
+    top-10 — IVF probe pruning (flat/segment.go:447-753) layered on OPQ
+    codes (opq.go:15-305), all from the compacted layout with zero
+    train/encode work at query time."""
+    tbl = _at_rest_opq_table(spark, sf_dir)
     rows = tbl.search_quantized(
         _query_vector(spark, sf_dir), k=10, nprobe=3, refine=110, codes="pq"
     ).collect()
@@ -1075,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_at_rest": _ann_ivf_at_rest,
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "knn_sq8_adc": _knn_sq8_adc,
         "knn_sq8_rerank": _knn_sq8_rerank,
@@ -1325,6 +1378,30 @@ def _ann_oracles() -> dict[str, str]:
         LIMIT 10
     """
 
+    ann_ivf_opq_at_rest = f"""
+        WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        {pqz.books_cte_sql(opq_b)},
+        {pqz.rotation_cte_sql(opq_b)},
+        q AS (SELECT {pqz.rotate_sql("q0.qv")} AS qv FROM q0, rot),
+        {pqz.adc_table_cte_sql(opq_b, "q.qv", from_sql="q, books")},
+        er AS (
+            SELECT vec_id, {pqz.rotate_sql("embedding::DOUBLE[]")} AS vr
+            FROM embeddings, rot
+            WHERE {ivf.assign_sql(ivf_m, "embedding")} IN ({probes3})
+        ),
+        coarse AS (
+            SELECT er.vec_id, {pqz.adc_score_sql(opq_b, "er.vr")} AS score
+            FROM er, books, tbl
+            ORDER BY score ASC, er.vec_id ASC
+            LIMIT 110
+        )
+        SELECT e.vec_id, {sq_l2_sql("e.embedding", "q0.qv")} AS score
+        FROM embeddings e, q0, coarse c
+        WHERE e.vec_id = c.vec_id
+        ORDER BY score ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
     ann_ivf_pq_rerank = f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         {pqz.books_cte_sql(pq_b)},
@@ -1359,6 +1436,7 @@ def _ann_oracles() -> dict[str, str]:
         # must reproduce the probe→ADC→rerank oracles exactly
         "ann_ivf_sq8_at_rest": ann_ivf_sq8_rerank,
         "ann_ivf_pq_at_rest": ann_ivf_pq_rerank,
+        "ann_ivf_opq_at_rest": ann_ivf_opq_at_rest,
         "ann_ivf_batch_at_rest": ann_ivf_batch,
     }
 

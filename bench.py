@@ -49,6 +49,10 @@ def main() -> None:
         entrymod._at_rest_table(spark, sf_dir)
     except Exception:
         pass
+    try:
+        entrymod._at_rest_opq_table(spark, sf_dir)
+    except Exception:
+        pass
 
     # Per-query fault isolation: one broken query must never erase the
     # suite's number — record its error string and keep timing the rest.

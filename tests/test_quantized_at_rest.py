@@ -196,6 +196,42 @@ def test_opq_rotation_roundtrips_through_layout(spark, tmp_path):
     assert np.array_equal(loaded.codebooks, opq.codebooks)
 
 
+def test_opq_full_serving_pipeline_at_rest(spark, tmp_path):
+    """IVF partitions + OPQ codes in one compaction — the knn_opq_adc /
+    ann_ivf_opq_at_rest serving shape: nprobe prunes files, the STORED
+    rotated codes score identically to a fresh rotate+encode pass, and a
+    full-window refine restores the exact top-k."""
+    from vecgo_spark.quantization import pq as pqz
+
+    rng = np.random.default_rng(29)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(240)]
+    t = VectorTable.create(spark, str(tmp_path / "topqs"), dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    opq = pqz.train_opq(t.df(), "vector", m=4, k=16, iters=4, opq_iters=2,
+                        order_col="id")
+    t.compact(cluster_by=4, quantize=opq)
+
+    q = [0.2] * DIM
+    expect = (
+        pqz.encode(opq, t.df(), "vector")
+        .select("id", pqz.adc_score(opq, q, "pq_codes").alias("score"))
+        .orderBy(F.col("score").asc(), F.col("id").asc())
+        .limit(10)
+        .collect()
+    )
+    got = t.search_quantized(q, k=10, codes="pq").collect()
+    assert [(r["id"], r["score"]) for r in got] == [(r["id"], r["score"]) for r in expect]
+    # probe == file pruning even with the OPQ family riding the layout
+    probed = t.search_quantized(q, k=5, nprobe=1, codes="pq")
+    assert set(probed.inputFiles()) < set(t.df().inputFiles())
+    assert probed.count() == 5
+    exact = [r["id"] for r in t.search(q, k=10).collect()]
+    refined = [r["id"] for r in
+               t.search_quantized(q, k=10, refine=240, codes="pq").collect()]
+    assert refined == exact
+
+
 def test_vacuum_keeps_live_quantizer_artifacts(spark, tmp_path):
     """Retention GC must treat sq/pq artifacts like the IVF centroids —
     referenced by the live manifest, never collected."""

@@ -175,12 +175,18 @@ def train_opq(
     opq_iters: int = 5,
     max_train_rows: int = 50_000,
     seed: int = 42,
+    cache_key: str | None = None,
     order_col: str | None = None,
 ) -> PQCodebooks:
     """OPQ-NP: alternate (encode under R) / (Procrustes R = UVᵀ of XᵀX̂)
     — opq.go:15-305 runs the same SVD iteration."""
+    if cache_key is not None and cache_key in _PQ_CACHE:
+        return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
-    return train_opq_np(x, m=m, k=k, iters=iters, opq_iters=opq_iters, seed=seed)
+    out = train_opq_np(x, m=m, k=k, iters=iters, opq_iters=opq_iters, seed=seed)
+    if cache_key is not None:
+        _PQ_CACHE[cache_key] = out
+    return out
 
 
 def _encode_np(x: np.ndarray, books: np.ndarray) -> np.ndarray:
