@@ -320,3 +320,23 @@ def test_schema_bool_string_array_kinds(spark, tdir):
 def test_schema_unknown_type_rejected_at_create(spark, tdir):
     with pytest.raises(ValueError, match="unknown type"):
         VectorTable.create(spark, tdir, dim=2, schema={"x": "decimal"})
+
+
+def test_manifest_count_matches_scan_in_every_state(spark, tdir):
+    """count() answers from SegmentMeta.rows (zero jobs) only when that is
+    exact — no tombstones, no upserts; it must agree with the full
+    visibility scan in every lifecycle state."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)], "id long, vector array<float>"))
+    t.commit()
+    assert t.count() == t.df().count() == 20          # manifest fast path
+    t.delete([0, 1, 2, 999])                          # one id never existed
+    t.commit()
+    assert t.count() == t.df().count() == 17          # tombstones → scan path
+    t.insert(spark.createDataFrame(               # colliding id → upsert
+        [(3, [9.0, 9.0])], "id long, vector array<float>"))
+    t.commit()
+    assert t.count() == t.df().count() == 17          # upserts → scan path
+    t.compact()
+    assert t.count() == t.df().count() == 17          # compacted → fast again

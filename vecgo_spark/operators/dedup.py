@@ -319,28 +319,73 @@ def simhash_pairs(
     pigeonhole any pair within max_hamming shares ≥1 exact chunk, so the
     join only compares within chunk buckets (no O(n²) at scale). Chunk
     buckets above max_bucket (mass-identical boilerplate) are dropped —
-    mirrored in the SQL oracle, which uses the same banded plan."""
+    mirrored in the SQL oracle, which uses the same banded plan.
+
+    A pair sharing several chunks would surface once per shared bucket;
+    instead of a pair-sized `.distinct()` exchange, each pair is emitted
+    only at its MINIMAL surviving matching chunk — an in-row predicate
+    over the two signatures (both present in the joined row), since the
+    hot-bucket set is collected once and pushed back as per-chunk literal
+    key sets. Same output set, one less shuffle over the candidate pairs.
+    The hot set is tiny by construction (only buckets above cap — the same
+    boundedness _drop_hot's broadcast relies on), and the dropped-group
+    count is logged, never silent."""
     # persisted: consumed by every chunk projection of the banded join
     sigs = simhash(docs, id_col, text_col).persist()
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
+
+    def key_at(col, cidx):
+        return F.shiftright(col, cidx * chunk_bits).bitwiseAND(F.lit(mask))
+
     chunks = None
     for cidx in range(n_chunks):
         c = sigs.select(
             "id", "simhash", F.lit(cidx).alias("chunk"),
-            F.shiftright("simhash", cidx * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
+            key_at(F.col("simhash"), cidx).alias("key"),
         )
         chunks = c if chunks is None else chunks.unionByName(c)
-    chunks = _drop_hot(chunks, ["chunk", "key"], max_bucket, "SimHash chunk bucket")
+    hot_keys: dict[int, list[int]] = {}
+    if max_bucket is not None:
+        hot_rows = (
+            chunks.groupBy("chunk", "key").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket).select("chunk", "key").collect()
+        )
+        if hot_rows:
+            _log.info("dropping %d hot SimHash chunk buckets (> %d rows each)",
+                      len(hot_rows), max_bucket)
+        for r in hot_rows:
+            hot_keys.setdefault(r["chunk"], []).append(r["key"])
+        drop = None
+        for cidx, keys in hot_keys.items():
+            cond = (F.col("chunk") == cidx) & F.col("key").isin(keys)
+            drop = cond if drop is None else drop | cond
+        if drop is not None:
+            chunks = chunks.where(~drop)
+
+    def alive_match(cidx):
+        """Keys equal at chunk cidx AND that bucket survived the cap —
+        the two rows share the bucket, so one membership test suffices."""
+        m = key_at(F.col("a.simhash"), cidx) == key_at(F.col("b.simhash"), cidx)
+        keys = hot_keys.get(cidx)
+        if keys:
+            m = m & ~key_at(F.col("a.simhash"), cidx).isin(keys)
+        return m
+
+    # emitted at chunk c ⇔ no earlier surviving chunk also matches
+    earlier = None
+    for cidx in range(n_chunks - 1):
+        cond = (F.col("a.chunk") > cidx) & alive_match(cidx)
+        earlier = cond if earlier is None else earlier | cond
     cand = (
         chunks.alias("a")
         .join(chunks.alias("b"),
               (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key"))
               & (F.col("a.id") < F.col("b.id")))
+        .where(~earlier)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-        .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)

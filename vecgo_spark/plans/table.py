@@ -221,9 +221,6 @@ class VectorTable:
         persisted = None
         if assign_ids:
             df, persisted = self._assign_ids(df)
-        else:
-            # explicit ids may collide with existing rows → upsert semantics
-            self.manifest.meta["has_upserts"] = True
         if "ivf" in self.manifest.meta and self.vector_col in df.columns:
             # index maintenance on the write path: new rows are assigned to
             # their IVF partition at insert, so probe-pruned search stays
@@ -272,9 +269,35 @@ class VectorTable:
         stats, rows = self._segment_stats(written)
         if rows is None:
             rows = written.count()
+        if not assign_ids and not self._ids_provably_fresh(stats, rows):
+            # explicit ids may collide with existing rows → upsert
+            # semantics (latest-LSN-wins dedup on read)
+            self.manifest.meta["has_upserts"] = True
         size = fs_du(full)
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
         return rows, size
+
+    def _ids_provably_fresh(self, stats: dict, rows: int) -> bool:
+        """True iff the just-written segment's id stats PROVE no collision
+        with any visible segment — dense range (rows == max-min+1, no
+        nulls, so no intra-segment duplicates) that is disjoint from every
+        committed and pending segment's id range. Free: reads only stats
+        already collected by the write pass. Keeps has_upserts False for
+        the common bulk-load pattern (sequential explicit ids), which in
+        turn keeps count() a zero-job manifest sum."""
+        s = stats.get(self.id_col)
+        if not s or s.get("min") is None or s.get("null_count", 1) != 0:
+            return False
+        lo, hi = int(s["min"]), int(s["max"])
+        if rows != hi - lo + 1:
+            return False
+        for seg in list(self.manifest.segments) + list(self._pending):
+            o = (seg.stats or {}).get(self.id_col)
+            if not o or o.get("min") is None:
+                return False  # unknown range → cannot prove disjoint
+            if int(o["min"]) <= hi and lo <= int(o["max"]):
+                return False
+        return True
 
     def _apply_schema(self, df: DataFrame) -> DataFrame:
         """Enforce the declared metadata schema on an incoming batch
@@ -489,6 +512,14 @@ class VectorTable:
         return out
 
     def count(self) -> int:
+        """Live-row count. When the snapshot carries no tombstones and no
+        upserts, segment stats are exact (every write path counts rows into
+        SegmentMeta.rows) → answer from the manifest with zero Spark jobs,
+        the reference's O(#segments) Stats stance (engine.go:2124-2171).
+        Tombstones/upserts change visibility per row → scan."""
+        m = self.manifest
+        if not m.tombstone_files and not m.meta.get("has_upserts", False):
+            return sum(s.rows for s in m.segments)
         return self.df().count()
 
     def segment_priorities(self, query: Sequence[float]):
