@@ -1074,6 +1074,14 @@ def _doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.doc_novelty(docs, n=3)
 
 
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition profile: duplicate-line /
+    duplicate-n-gram fractions + top-n-gram mass, the standard template-
+    spam quality signals for pretraining corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.repetition_profile(docs, n=3).orderBy("doc_id")
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced corpus mixing: 25 docs per source, chosen by stable-hash
     order — reproducible across engines/partitionings."""
@@ -1111,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_bernoulli": _sample_hash_bernoulli,
         "pack_sequences_budget": _pack_sequences_budget,
         "doc_novelty": _doc_novelty,
+        "doc_repetition": _doc_repetition,
         "stratified_sample_per_source": _stratified_sample,
         "vocab_top_terms": _vocab_top_terms,
         "tpch_q5_local_supplier": _tpch_q5,
@@ -1808,6 +1817,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences_budget": pipeline.pack_sequences_sql(512, n_shards=8),
         "doc_novelty": pipeline.doc_novelty_sql(n=3),
+        "doc_repetition": (
+            f"SELECT * FROM ({pipeline.repetition_profile_sql(n=3)}) ORDER BY doc_id"
+        ),
         "stratified_sample_per_source": f"""
             SELECT doc_id, source, lang, n_chars
             FROM ({pipeline.stratified_sample_pred_sql("source", 25)})

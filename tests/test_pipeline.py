@@ -193,3 +193,39 @@ def test_langid_ngram_known_languages(spark):
     assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unk", 6: "unk", 7: "unk"}
     plan = df.select("doc_id", textfn.langid_ngram_pick(scores).alias("lang"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_profile_planted(spark):
+    """Hand-computable fixtures: a template-spam doc, a clean doc, a
+    doc with repeated lines, and a too-short doc."""
+    rows = [
+        # 6 tokens: grams = [a b a, b a b, a b a, b a b] → t=4, d=2,
+        # mode=2 → dup=0.5, top=0.5
+        (1, "a b a b a b"),
+        # all-distinct grams, one line
+        (2, "one two three four five"),
+        # 4 non-empty lines, 2 distinct → dup_line_frac=0.5
+        (3, "x x x\ny y y\nx x x\ny y y"),
+        (4, "too short"),  # < 3 tokens → no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pipeline.repetition_profile(docs, n=3).collect()}
+    assert out[1]["n_ngrams"] == 4
+    assert out[1]["dup_ngram_frac"] == 0.5
+    assert out[1]["top_ngram_frac"] == 0.5
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == pytest.approx(1 / 3)
+    assert out[3]["n_lines"] == 4 and out[3]["dup_line_frac"] == 0.5
+    assert out[4]["n_ngrams"] == 0
+    assert out[4]["dup_ngram_frac"] == 0.0 and out[4]["top_ngram_frac"] == 0.0
+
+
+def test_repetition_profile_plan_stays_jvm_and_shuffle_free(spark):
+    """The profile must stay a pure per-row projection: no Python nodes,
+    no Exchange anywhere (embarrassingly parallel at 100 TB)."""
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = (pipeline.repetition_profile(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert node not in plan

@@ -178,44 +178,83 @@ def minhash_lsh_pairs(
     tests/test_dedup.py). Buckets larger than max_bucket (near-identical
     boilerplate floods) are dropped from candidate generation — mirrored
     in the SQL oracle so parity holds by construction."""
-    # persisted: consumed by 4 band projections + both verify joins
+    # persisted: consumed by the num_bands band projections
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes).persist()
     rows_per_band = num_hashes // num_bands
     # candidates: same band content in some band. The band key is the
     # 60-bit stable hash of the joined signature row — an 8-byte join key
-    # instead of a variable-length string, so the banding shuffle carries
-    # ~1/5 the key bytes at 100 TB. A hash collision can only ADD a
+    # instead of a variable-length string. A hash collision can only ADD a
     # candidate pair (identically in the SQL twin, which uses the same
     # md5-derived hash), and the verify phase filters it out unless the
     # signatures genuinely agree — recall can only go up.
-    bands = []
-    for bidx in range(num_bands):
-        cols = [f"m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        key = stable_hash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        bands.append(sigs.select("id", F.lit(bidx).alias("band"), key.alias("key")))
+    #
+    # Band rows CARRY the full signature (num_hashes longs — a bounded,
+    # fixed-width payload), which buys two whole stages back: every band
+    # key is recomputable in-row from the joined signatures, so (a) a pair
+    # sharing several bands is emitted exactly once, at its MINIMAL
+    # surviving band — no pair-sized .distinct() exchange — and (b) the
+    # match-count verification runs in-row — no back-joins against sigs.
+    # One union, one self-join shuffle, nothing else. The hot-bucket set
+    # (tiny by construction — only buckets above cap, the same bound
+    # _drop_hot's broadcast relies on) is collected once and pushed back
+    # as per-band literal key sets; dropped-group counts are logged.
+    mcols = [f"m{i}" for i in range(num_hashes)]
+
+    def key_at(prefix: str, bidx: int):
+        cols = [f"{prefix}m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        return stable_hash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+
+    bands = [
+        sigs.select("id", *mcols, F.lit(bidx).alias("band"), key_at("", bidx).alias("key"))
+        for bidx in range(num_bands)
+    ]
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    banded = _drop_hot(banded, ["band", "key"], max_bucket, "LSH band bucket")
-    cand = (
+    hot_keys: dict[int, list[int]] = {}
+    if max_bucket is not None:
+        hot_rows = (
+            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket).select("band", "key").collect()
+        )
+        if hot_rows:
+            _log.info("dropping %d hot LSH band buckets (> %d rows each)",
+                      len(hot_rows), max_bucket)
+        for r in hot_rows:
+            hot_keys.setdefault(r["band"], []).append(r["key"])
+        drop = None
+        for bidx, keys in hot_keys.items():
+            cond = (F.col("band") == bidx) & F.col("key").isin(keys)
+            drop = cond if drop is None else drop | cond
+        if drop is not None:
+            banded = banded.where(~drop)
+
+    def alive_match(bidx: int):
+        """Band keys equal at bidx AND that bucket survived the cap — the
+        two rows share the bucket, so one membership test suffices."""
+        m = key_at("a.", bidx) == key_at("b.", bidx)
+        keys = hot_keys.get(bidx)
+        if keys:
+            m = m & ~key_at("a.", bidx).isin(keys)
+        return m
+
+    # emitted at band b ⇔ no earlier surviving band also matches
+    earlier = None
+    for bidx in range(num_bands - 1):
+        cond = (F.col("a.band") > bidx) & alive_match(bidx)
+        earlier = cond if earlier is None else earlier | cond
+    match_count = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
         banded.alias("a")
         .join(banded.alias("b"),
               (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    # verify: count matching signature positions
-    a = sigs.alias("sa")
-    b = sigs.alias("sb")
-    match_count = sum(
-        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return (
-        cand.join(a, cand["id_a"] == F.col("sa.id"))
-        .join(b, cand["id_b"] == F.col("sb.id"))
-        .select("id_a", "id_b", match_count.alias("match_count"))
+        .where(~earlier)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                match_count.alias("match_count"))
         .where(F.col("match_count") >= min_matches)
     )
 

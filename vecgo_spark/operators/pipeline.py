@@ -308,3 +308,109 @@ def vocab_top_terms_sql(
         SELECT unnest(list_distinct({toks})) AS term FROM {docs_table}
     ) GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT {k}
     """
+
+
+# ------------------------------------------------- repetition profiling
+
+
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Per-document repetition profile — the Gopher-style quality signals
+    (duplicate-line fraction, duplicate n-gram fraction, top-n-gram mass)
+    used to drop template/boilerplate-heavy documents from pretraining
+    corpora. Beyond the reference surface (its quality layer stops at
+    metadata filters).
+
+    Columns: n_lines, dup_line_frac (1 − distinct/total over non-empty
+    raw lines), n_ngrams, dup_ngram_frac (1 − distinct/total over word
+    n-gram INSTANCES), top_ngram_frac (most frequent n-gram's share of
+    all instances). Zero-denominator cases are 0.0 by definition.
+
+    Scale posture: the whole profile is in-row Column HOFs — ZERO
+    shuffles, embarrassingly parallel over a 100 TB scan. Distinct
+    counts are linear (array_distinct); the n-gram mode (a per-key count
+    elsewhere) is a linear run-length fold over the SORTED gram array
+    (array_sort + F.aggregate with a struct accumulator), so no per-row
+    quadratic scan and no explode/groupBy chain either."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
+    toks = tokenize_expr(F.col(text_col))
+    win = F.size(toks) - (n - 1)
+    grams = F.when(
+        win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(win, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # max multiplicity = longest equal-run in the sorted array: one linear
+    # fold. prev='' is safe — grams are non-empty by construction.
+    zero = F.lit(0).cast("int")
+    mode_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    t = F.size(grams)
+    d = F.size(F.array_distinct(grams))
+    nl = F.size(lines)
+    return docs.select(
+        F.col(id_col),
+        nl.alias("n_lines"),
+        F.when(
+            nl > 0,
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / nl.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        t.alias("n_ngrams"),
+        F.when(t > 0, F.lit(1.0) - d.cast("double") / t.cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+        F.when(t > 0, mode_count.cast("double") / t.cast("double"))
+        .otherwise(F.lit(0.0)).alias("top_ngram_frac"),
+    )
+
+
+def repetition_profile_sql(
+    docs_table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB twin: in-row list ops (the oracle runs at small SF, so the
+    quadratic in-row mode count is fine there; the Spark plan uses the
+    distributed count chain). Identical integer counts → identical double
+    divisions on both sides."""
+    from vecgo_spark.functions.hashing import shingles_sql
+
+    toks = _TOKS_SQL.format(c=text_col)
+    lines = f"list_filter(string_split({text_col}, chr(10)), l -> l != '')"
+    grams = shingles_sql(f"({toks})", n)
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, {lines} AS lines, {grams} AS grams FROM {docs_table}
+    )
+    SELECT {id_col},
+           CAST(len(lines) AS INT) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                           / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS dup_line_frac,
+           CAST(len(grams) AS INT) AS n_ngrams,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE)
+                ELSE 0.0 END AS dup_ngram_frac,
+           CASE WHEN len(grams) > 0
+                THEN CAST(list_max(list_transform(list_distinct(grams),
+                          g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE)
+                ELSE 0.0 END AS top_ngram_frac
+    FROM base
+    """
