@@ -1024,6 +1024,48 @@ def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS → LEFT SEMI join
+    with a non-equi correlation (l_shipdate > o_orderdate — the testdata
+    carries no commit/receipt dates), then a small groupBy. The semi join
+    never widens rows and stops probing an order at its first match."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped_late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        shipped_late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: events.props is a JSON string; pull
+    $.k out (JVM-side get_json_object — no Python), aggregate per
+    event_type in exact integer arithmetic + an exact distinct-user
+    count (partial aggregation on both)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-7 percentiles of o_totalprice via distributed selection
     (range repartition + bounded per-partition windows; stats.py
@@ -1124,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": _vocab_top_terms,
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q18_large_orders": _tpch_q18,
+        "tpch_q4_order_priority": _tpch_q4,
         "stats_percentiles": _stats_percentiles,
         "knn_range": _knn_range,
         # -- new in round 4 ----------------------------------------------
@@ -1133,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_1h30m": _events_sliding_1h30m,
         "events_sessionization": _events_sessionization,
         "events_asof_join": _events_asof_join,
+        "events_json_props": _events_json_props,
         "ann_ivf_at_rest": _ann_ivf_at_rest,
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
@@ -1799,6 +1843,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
             LIMIT 100
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "stats_percentiles": stats.exact_percentiles_sql(
             "orders", "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99]),

@@ -92,13 +92,37 @@ COMMENTARY = {
         "cents inside codegen."
     ),
     "dedup_simhash": (
-        "SimHash near-dup: signatures are now FULLY JVM-side — "
+        "SimHash near-dup: signatures are FULLY JVM-side — "
         "explode(tokens) → md5-derived 60-bit hash → 60 conditional "
         "`sum`s in ONE `HashAggregate` pair (partial map-side, final "
         "after a single `hashpartitioning(id)` exchange); no "
-        "Python/Arrow nodes anywhere in the signature stage. The "
-        "banded chunk join that follows is the pigeonhole candidate "
-        "join with the hot-bucket cap."
+        "Python/Arrow nodes anywhere in the signature stage. The banded "
+        "chunk join is the pigeonhole candidate join with the hot-bucket "
+        "cap, and pair dedup is an IN-ROW min-surviving-chunk predicate "
+        "over the two joined signatures — there must be NO exchange "
+        "between the chunk join and the hamming filter (the pair-sized "
+        "`.distinct()` is gone)."
+    ),
+    "dedup_minhash_lsh": (
+        "MinHash-LSH near-dup: ONE aggregation builds the 16-hash "
+        "signatures (H min()s over a single (id,hash) shuffle), then ONE "
+        "self-join on the banded 60-bit keys. Band rows carry the full "
+        "signature, so min-surviving-band pair dedup AND the "
+        "match-count verification are in-row expressions — no pair "
+        "`.distinct()`, no back-joins against the signature table."
+    ),
+    "doc_repetition": (
+        "Intra-doc repetition profile (Gopher-style): the ENTIRE plan is "
+        "a per-row projection — no Exchange, no Python nodes. The n-gram "
+        "mode comes from a linear run-length fold over `array_sort` "
+        "output; distinct fractions from `array_distinct`. "
+        "Embarrassingly parallel over a 100 TB scan."
+    ),
+    "tpch_q4_order_priority": (
+        "EXISTS decorrelated to a LEFT SEMI join keyed on o_orderkey "
+        "with the non-equi shipdate correlation as the join residual; "
+        "the semi join never widens rows and AQE picks broadcast vs "
+        "shuffle by size (broadcast at bench SF, shuffled at 100 TB)."
     ),
 }
 

@@ -170,3 +170,39 @@ def test_exact_percentiles_no_global_window(spark, sf_dir):
     cached = getattr(exact_percentiles, "last_cached", None)
     if cached is not None:
         cached.unpersist()
+
+
+def test_simhash_pairs_no_exchange_after_chunk_join(spark, sf_dir):
+    """Pair dedup is an in-row min-surviving-chunk predicate: the plan
+    must contain NO aggregate/exchange between the banded self-join and
+    the hamming filter (the pair-sized .distinct() is gone). Concretely:
+    every HashAggregate in the plan belongs to the signature stage or the
+    hot-bucket count — none may group on the pair columns."""
+    from vecgo_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = spark_plan(simhash_pairs(docs))
+    assert "id_a" in plan  # sanity: the pair projection exists
+    for ln in plan.splitlines():
+        if "HashAggregate" in ln:
+            assert "id_a" not in ln and "id_b" not in ln
+
+
+def test_minhash_pairs_single_join_no_backjoin(spark, sf_dir):
+    """Band rows carry the signatures, so the whole candidate+verify
+    pipeline is ONE self-join: exactly one join node in the plan, no
+    pair-column aggregate, no Python nodes."""
+    from vecgo_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    import re
+
+    plan = spark_plan(minhash_lsh_pairs(docs))
+    joins = set(re.findall(
+        r"\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    assert len(joins) == 1, joins
+    for ln in plan.splitlines():
+        if "HashAggregate" in ln:
+            assert "id_a" not in ln and "id_b" not in ln
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

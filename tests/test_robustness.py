@@ -56,8 +56,13 @@ def test_manifest_referencing_missing_segment_errors(spark, tmp_path):
             os.remove(os.path.join(dp, f))
     os.rmdir(seg) if not os.listdir(seg) else None
     reopened = VectorTable.open(spark, t.path)
+    # count() is metadata-only on a tombstone-free snapshot (answers from
+    # SegmentMeta.rows, like an Iceberg/Delta manifest count) — it still
+    # reports the committed number without touching files...
+    assert reopened.count() == 2
+    # ...but any DATA read must surface the missing segment
     with pytest.raises(Exception):  # AnalysisException: path does not exist
-        reopened.count()
+        reopened.df().count()
 
 
 def test_open_missing_table_errors(spark, tmp_path):
