@@ -133,3 +133,47 @@ def test_numeric_moments_collected(spark):
     assert cs["sumsq"] == sum(v * v for v in vals)
     assert cs["mean"] == pytest.approx(np.mean(vals))
     assert cs["stddev"] == pytest.approx(np.std(vals))
+
+
+def test_observed_stats_equal_two_pass_stats(spark, tmp_path):
+    """observe_segment_stats (pass 1 riding the write job) must produce
+    the SAME manifest stats as the standalone two-pass collector over the
+    written files — min/max/nulls/values/moments/histograms/bloom/vector
+    profile, everything the pruner reads."""
+    import numpy as np
+
+    from vecgo_spark.plans.pruning import (
+        collect_segment_stats,
+        observe_segment_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, float(rng.normal(50, 20)), f"cat{i % 5}", f"wide{i}",
+         [float(x) for x in rng.standard_normal(4)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, price double, category string, tag string, vector array<double>")
+    dest = str(tmp_path / "seg")
+    obs_df, fin = observe_segment_stats(df, vector_col="vector", dim=4)
+    obs_df.write.parquet(dest)
+    written = spark.read.parquet(dest)
+    got = fin(written)
+    want = collect_segment_stats(written, vector_col="vector", dim=4)
+    # float sums may differ in accumulation order between the two runs —
+    # everything else must be identical, the sums equal to 1e-9 rel
+    def norm(d):
+        out = {}
+        for col, cs in d.items():
+            if not isinstance(cs, dict):
+                out[col] = cs
+                continue
+            out[col] = {k: (round(v, 6) if isinstance(v, float) else v)
+                        for k, v in cs.items() if k != "bloom"}
+            if "bloom" in cs:
+                out[col]["bloom"] = cs["bloom"]["bits"]
+            if "centroid" in cs:
+                out[col]["centroid"] = [round(x, 6) for x in cs["centroid"]]
+        return out
+    assert norm(got) == norm(want)

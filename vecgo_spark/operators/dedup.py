@@ -741,22 +741,22 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the round's starting label as `old` so the fixpoint test
+        # below is a plain filter+count over the materialized checkpoint —
+        # no join back against the previous labels
         stepped = labels.join(nbr, "id", "left").select(
-            "id", F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+            "id", F.col("comp").alias("old"),
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
         )
         parent = labels.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
         jumped = (
             stepped.join(parent, stepped["comp"] == parent["pid"], "left")
-            .select("id", F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp"))).alias("comp"))
+            .select("id", "old",
+                    F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp"))).alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.withColumnRenamed("comp", "new_comp")
-            .join(labels, "id")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("comp") != F.col("old")).count()
+        labels = jumped.select("id", "comp")
         if changed == 0:
             break
     return labels

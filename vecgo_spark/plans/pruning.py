@@ -40,42 +40,31 @@ def collect_stats(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, Any
     return collect_segment_stats(df, exclude=exclude)
 
 
-def collect_segment_stats(
-    df: DataFrame, exclude: tuple[str, ...] = (),
-    vector_col: str | None = None, dim: int | None = None,
-) -> dict[str, Any]:
-    """ALL per-segment commit-time stats in exactly TWO agg jobs
-    (≙ StatsCollector.Add/Finalize, stats_collector.go:110-615):
-
-      pass 1  per scalar column: min / max / null_count / ≤16-value set
-              (CanPruneCategorical, stats.go:449-483); per vector column:
-              per-dim sums + count (→ centroid).
-      pass 2  everything that depends on pass-1 results: 8-bin linear
-              histogram + 16-bin LOG histogram with per-bin min/max
-              (stats_collector.go:446-529), Bloom position sets for
-              >16-distinct strings (bloom.go; bounded collect_sets), and
-              vector radius / mean / max norm against the centroid.
-
-    Segment builds run these two scans instead of six — on a 100 TB
-    ingest the stats overhead is two streaming passes per segment, same
-    as the reference's single-pass collector + finalize."""
+def _pass1_spec(
+    schema, exclude: tuple[str, ...], vector_col: str | None, dim: int | None,
+) -> tuple[list[str], list[str], list[str], bool]:
+    names = [f.name for f in schema.fields]
     cols = [
-        f.name for f in df.schema.fields
+        f.name for f in schema.fields
         if f.name not in exclude
         and isinstance(f.dataType, (NumericType, StringType, BooleanType))
     ]
     string_cols = [
-        f.name for f in df.schema.fields
+        f.name for f in schema.fields
         if f.name in cols and isinstance(f.dataType, StringType)
     ]
-    do_vec = vector_col is not None and dim and vector_col in df.columns
-    if not cols and not do_vec:
-        return {}
-
-    # ---- pass 1
     numeric_cols = [
-        c for c in cols if isinstance(df.schema[c].dataType, NumericType)
+        f.name for f in schema.fields
+        if f.name in cols and isinstance(f.dataType, NumericType)
     ]
+    do_vec = bool(vector_col is not None and dim and vector_col in names)
+    return cols, string_cols, numeric_cols, do_vec
+
+
+def _pass1_aggs(
+    cols: list[str], string_cols: list[str], numeric_cols: list[str],
+    do_vec: bool, vector_col: str | None, dim: int | None,
+) -> list:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
@@ -98,9 +87,15 @@ def collect_segment_stats(
     if do_vec:
         v = F.col(vector_col).cast("array<double>")
         aggs += [F.sum(v[i]).alias(f"__vs{i}") for i in range(dim)]
-    row = df.agg(*aggs).first()
-    n_rows = int(row["__n"] or 0)
+    return aggs
 
+
+def _pass1_finalize(
+    row, cols: list[str], string_cols: list[str], numeric_cols: list[str],
+    do_vec: bool, dim: int | None,
+) -> tuple[dict[str, Any], list[float] | None]:
+    """row is any mapping alias → value (an agg Row or Observation.get)."""
+    n_rows = int(row["__n"] or 0)
     # the row count rides the stats pass for free — callers (segment
     # builds) use it instead of issuing a separate count() job
     out: dict[str, Any] = {"__rows": n_rows}
@@ -126,11 +121,77 @@ def collect_segment_stats(
     centroid = None
     if do_vec and n_rows > 0 and row["__vs0"] is not None:
         centroid = [float(row[f"__vs{i}"]) / n_rows for i in range(dim)]
+    return out, centroid
 
+
+def collect_segment_stats(
+    df: DataFrame, exclude: tuple[str, ...] = (),
+    vector_col: str | None = None, dim: int | None = None,
+) -> dict[str, Any]:
+    """ALL per-segment commit-time stats in exactly TWO agg jobs
+    (≙ StatsCollector.Add/Finalize, stats_collector.go:110-615):
+
+      pass 1  per scalar column: min / max / null_count / ≤16-value set
+              (CanPruneCategorical, stats.go:449-483); per vector column:
+              per-dim sums + count (→ centroid).
+      pass 2  everything that depends on pass-1 results: 8-bin linear
+              histogram + 16-bin LOG histogram with per-bin min/max
+              (stats_collector.go:446-529), Bloom position sets for
+              >16-distinct strings (bloom.go; bounded collect_sets), and
+              vector radius / mean / max norm against the centroid.
+
+    Segment builds fuse pass 1 INTO the write job via observe_segment_stats
+    (no extra scan), so a 100 TB ingest pays write + ONE stats pass —
+    matching the reference's single-pass collector + finalize."""
+    cols, string_cols, numeric_cols, do_vec = _pass1_spec(
+        df.schema, exclude, vector_col, dim)
+    if not cols and not do_vec:
+        return {}
+    row = df.agg(*_pass1_aggs(cols, string_cols, numeric_cols,
+                              do_vec, vector_col, dim)).first()
+    out, centroid = _pass1_finalize(row, cols, string_cols, numeric_cols, do_vec, dim)
+    return _pass2_apply(df, out, centroid, cols, string_cols, numeric_cols, vector_col)
+
+
+def observe_segment_stats(
+    df: DataFrame, exclude: tuple[str, ...] = (),
+    vector_col: str | None = None, dim: int | None = None,
+):
+    """Fuse pass 1 into the caller's next ACTION on df (a segment write):
+    returns (df_with_observation, finalize) where finalize(written_df)
+    reads the observed metrics — available once the write job ran, at
+    zero extra scans — and runs only pass 2 over the written files.
+    The reference collects stats streaming inside the segment writer
+    (stats_collector.go:110-445); this is the Spark-native equivalent."""
+    from pyspark.sql import Observation
+
+    cols, string_cols, numeric_cols, do_vec = _pass1_spec(
+        df.schema, exclude, vector_col, dim)
+    if not cols and not do_vec:
+        return df, lambda written: {}
+    obs = Observation()
+    df = df.observe(obs, *_pass1_aggs(cols, string_cols, numeric_cols,
+                                      do_vec, vector_col, dim))
+
+    def finalize(written: DataFrame) -> dict[str, Any]:
+        row = obs.get
+        out, centroid = _pass1_finalize(
+            row, cols, string_cols, numeric_cols, do_vec, dim)
+        return _pass2_apply(written, out, centroid, cols, string_cols,
+                            numeric_cols, vector_col)
+
+    return df, finalize
+
+
+def _pass2_apply(
+    df: DataFrame, out: dict[str, Any], centroid: list[float] | None,
+    cols: list[str], string_cols: list[str], numeric_cols: list[str],
+    vector_col: str | None,
+) -> dict[str, Any]:
     # ---- pass 2 (only when something depends on pass-1 results)
     hist_cols = [
         c for c in cols
-        if isinstance(df.schema[c].dataType, NumericType)
+        if c in numeric_cols
         and out[c]["min"] is not None
         and out[c]["max"] is not None
         and float(out[c]["max"]) > float(out[c]["min"])

@@ -256,6 +256,10 @@ class VectorTable:
         name = f"seg-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
         full = os.path.join(self.path, rel)
+        # pass-1 stats ride the write job itself (Observation — no extra
+        # scan of the new segment); only histogram/bloom/radius pass 2
+        # re-reads the written files
+        df, stats_fin = self._observe_stats(df)
         try:
             df.write.mode("error").parquet(full)
         except Exception as e:  # noqa: BLE001 — surface the fused check
@@ -266,7 +270,8 @@ class VectorTable:
         if persisted is not None:
             persisted.unpersist()
         written = self.spark.read.parquet(full)
-        stats, rows = self._segment_stats(written)
+        stats = stats_fin(written)
+        rows = stats.pop("__rows", None)
         if rows is None:
             rows = written.count()
         if not assign_ids and not self._ids_provably_fresh(stats, rows):
@@ -336,6 +341,20 @@ class VectorTable:
         rows = stats.pop("__rows", None)
         return stats, (int(rows) if rows is not None else None)
 
+    def _observe_stats(self, df: DataFrame):
+        """Attach pass-1 stats to the segment write job (observe_segment_
+        stats): the write IS the stats scan, as in the reference's
+        streaming StatsCollector inside the segment writer
+        (stats_collector.go:110-445)."""
+        from vecgo_spark.plans.pruning import observe_segment_stats
+
+        dim = self.manifest.meta.get("dim")
+        return observe_segment_stats(
+            df, exclude=(self.vector_col, "_lsn", QCODE_COL, PQCODE_COL),
+            vector_col=self.vector_col if dim else None,
+            dim=int(dim) if dim else None,
+        )
+
     def _next_lsn(self) -> int:
         # one counter across BOTH pending lists: a delete followed by an
         # insert in the same uncommitted batch must give the segment a
@@ -394,13 +413,17 @@ class VectorTable:
         name = f"tomb-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(TOMB_DIR, name)
         full = os.path.join(self.path, rel)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
             self.df().where(to_condition(filter))
             .select(F.col(self.id_col).cast("long").alias(self.id_col))
             .withColumn("_lsn", F.lit(lsn).cast("long"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))  # rides the write job
             .write.mode("error").parquet(full)
         )
-        n = self.spark.read.parquet(full).count()
+        n = int(obs.get["n"])
         if n == 0:
             fs_rmtree(full)
             return 0
@@ -929,13 +952,14 @@ class VectorTable:
         name = f"seg-{lsn:08d}-compact-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
         full = os.path.join(self.path, rel)
-        (
+        live, stats_fin = self._observe_stats(
             live.repartitionByRange(target_segments, F.col(self.id_col))
             .sortWithinPartitions(self.id_col)
-            .write.mode("error").parquet(full)
         )
+        live.write.mode("error").parquet(full)
         written = self.spark.read.parquet(full)
-        stats, rows = self._segment_stats(written)
+        stats = stats_fin(written)
+        rows = stats.pop("__rows", None)
         if rows is None:
             rows = written.count()
         size = fs_du(full)
@@ -977,9 +1001,12 @@ class VectorTable:
         name = f"seg-{max_lsn:08d}-tier-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(SEG_DIR, name)
         full = os.path.join(self.path, rel)
-        merged_src.sortWithinPartitions(self.id_col).write.mode("error").parquet(full)
+        merged, stats_fin = self._observe_stats(
+            merged_src.sortWithinPartitions(self.id_col))
+        merged.write.mode("error").parquet(full)
         written = self.spark.read.parquet(full)
-        stats, rows = self._segment_stats(written)
+        stats = stats_fin(written)
+        rows = stats.pop("__rows", None)
         if rows is None:
             rows = written.count()
         size = fs_du(full)
