@@ -1124,6 +1124,18 @@ def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.repetition_profile(docs, n=3).orderBy("doc_id")
 
 
+def _corpus_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform corpus mixing: every source hash-downsampled to ≈ the
+    smallest source's size — deterministic thresholds derived from one
+    tiny per-source count, applied as a pushable filter. The n_chars
+    pre-filter skews the per-source counts (the synthetic corpus is
+    perfectly balanced) so the thresholds actually bite."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") % 7 != 0)
+    return pipeline.balance_sources(docs).select(
+        "doc_id", "source", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced corpus mixing: 25 docs per source, chosen by stable-hash
     order — reproducible across engines/partitionings."""
@@ -1163,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": _doc_novelty,
         "doc_repetition": _doc_repetition,
         "stratified_sample_per_source": _stratified_sample,
+        "corpus_balance_sources": _corpus_balance,
         "vocab_top_terms": _vocab_top_terms,
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q18_large_orders": _tpch_q18,
@@ -1892,6 +1905,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "vocab_top_terms": pipeline.vocab_top_terms_sql(k=50),
+        "corpus_balance_sources": f"""
+            SELECT doc_id, source, lang, n_chars
+            FROM ({pipeline.balance_sources_pred_cte_sql(
+                "(SELECT * FROM documents WHERE n_chars % 7 <> 0)")})
+            ORDER BY doc_id
+        """,
     }
     out.update(_ann_oracles())
     return out

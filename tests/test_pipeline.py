@@ -229,3 +229,59 @@ def test_repetition_profile_plan_stays_jvm_and_shuffle_free(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
         assert node not in plan
+
+
+def test_repetition_profile_matches_python_model(spark):
+    """Property: for arbitrary small docs the in-row fold profile equals
+    an independent Python reference (collections.Counter model)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["a", "b", "cc", "ddd", "e"])
+    docs_strategy = st.lists(
+        st.lists(words, min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=6,
+    )
+
+    @given(texts=docs_strategy)
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               pipeline.repetition_profile(df, n=2).collect()}
+        for i, t in enumerate(texts):
+            toks = [w for w in t.lower().split() if w]
+            grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+            r = got[i]
+            assert r["n_ngrams"] == len(grams)
+            if grams:
+                c = Counter(grams)
+                assert r["dup_ngram_frac"] == 1.0 - len(c) / len(grams)
+                assert r["top_ngram_frac"] == max(c.values()) / len(grams)
+            else:
+                assert r["dup_ngram_frac"] == 0.0 == r["top_ngram_frac"]
+
+    check()
+
+
+def test_balance_sources_downsamples_to_smallest(spark):
+    """Skewed sources → every source lands within hash noise of the
+    smallest source's size; the smallest source is kept whole; output is
+    partitioning-independent (pure deterministic-hash filter)."""
+    rows = [(i, "big") for i in range(2000)] + \
+           [(10_000 + i, "mid") for i in range(600)] + \
+           [(20_000 + i, "small") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = pipeline.balance_sources(docs)
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert counts["small"] == 200                 # kept whole
+    for s in ("big", "mid"):
+        assert 150 <= counts[s] <= 250            # ≈200 within hash noise
+    # repartitioning must not change the surviving id set
+    again = {r["doc_id"] for r in
+             pipeline.balance_sources(docs.repartition(13)).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}

@@ -414,3 +414,45 @@ def repetition_profile_sql(
                 ELSE 0.0 END AS top_ngram_frac
     FROM base
     """
+
+
+# ---------------------------------------------------- corpus mixing
+
+
+def balance_sources(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id", seed: int = 0,
+) -> DataFrame:
+    """Uniform corpus mixing: downsample every source to ≈ the smallest
+    source's size via the deterministic hash rule, yielding a balanced,
+    engine-/partitioning-independent mix (no upsampling — the smallest
+    source is kept whole). The standard rebalancing step when one crawl
+    dominates a pretraining corpus.
+
+    Per-source keep thresholds derive from ONE tiny groupBy(source)
+    count (collected driver-side — O(#sources), the same boundedness a
+    broadcast join would assume) and apply as a literal map over the same
+    60-bit hash hash_sample uses, so the SQL oracle reproduces the exact
+    surviving id set. At 100 TB: scan + filter, zero wide shuffles."""
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    m = min(counts.values())
+    thr = {s: (m * _HASH_BUCKETS) // n for s, n in counts.items()}
+    h = stable_hash64(F.col(id_col).cast("string"), seed=seed) % _HASH_BUCKETS
+    tmap = F.create_map(*[F.lit(x) for kv in thr.items() for x in kv])
+    return df.where(h < tmap[F.col(source_col)])
+
+
+def balance_sources_pred_cte_sql(
+    docs_table: str = "documents", source_col: str = "source",
+    id_col: str = "doc_id", seed: int = 0,
+) -> str:
+    """CTE + join predicate twin: thresholds re-derived IN SQL from the
+    same counts with exact integer arithmetic ((m*B)//n), so both engines
+    keep the identical id set."""
+    h = stable_hash64_sql(f"CAST(d.{id_col} AS VARCHAR)", seed=seed)
+    return f"""
+    WITH cnt AS (SELECT {source_col}, count(*) AS n FROM {docs_table} GROUP BY {source_col}),
+    mn AS (SELECT min(n) AS m FROM cnt),
+    thr AS (SELECT {source_col}, (mn.m * {_HASH_BUCKETS}) // n AS t FROM cnt, mn)
+    SELECT d.* FROM {docs_table} d JOIN thr USING ({source_col})
+    WHERE ({h} % {_HASH_BUCKETS}) < thr.t
+    """
