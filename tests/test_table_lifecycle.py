@@ -340,3 +340,19 @@ def test_manifest_count_matches_scan_in_every_state(spark, tdir):
     assert t.count() == t.df().count() == 17          # upserts → scan path
     t.compact()
     assert t.count() == t.df().count() == 17          # compacted → fast again
+
+
+def test_auto_ids_never_collide_with_explicit_ids(spark, tdir):
+    """An explicit-id insert must advance the auto-id counter past its
+    max id, or a later assign_ids=True insert would mint a duplicate
+    (the reference's nextID invariant, engine.go:866)."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "id long, vector array<float>"))
+    t.commit()
+    t.insert(spark.createDataFrame(
+        [([2.0, 2.0],), ([3.0, 3.0],)], "vector array<float>"), assign_ids=True)
+    t.commit()
+    ids = [r["id"] for r in t.df().select("id").collect()]
+    assert len(ids) == len(set(ids)) == 4
+    assert min(i for i in ids if i not in (100, 101)) >= 102

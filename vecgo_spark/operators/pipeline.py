@@ -433,7 +433,12 @@ def balance_sources(
     broadcast join would assume) and apply as a literal map over the same
     60-bit hash hash_sample uses, so the SQL oracle reproduces the exact
     surviving id set. At 100 TB: scan + filter, zero wide shuffles."""
-    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    # NULL sources drop out (Spark map keys cannot be null; the SQL twin's
+    # JOIN USING(source) drops them identically)
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+              if r[0] is not None}
+    if not counts:
+        return df.where(F.lit(False))
     m = min(counts.values())
     thr = {s: (m * _HASH_BUCKETS) // n for s, n in counts.items()}
     h = stable_hash64(F.col(id_col).cast("string"), seed=seed) % _HASH_BUCKETS

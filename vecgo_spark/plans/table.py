@@ -274,10 +274,17 @@ class VectorTable:
         rows = stats.pop("__rows", None)
         if rows is None:
             rows = written.count()
-        if not assign_ids and not self._ids_provably_fresh(stats, rows):
-            # explicit ids may collide with existing rows → upsert
-            # semantics (latest-LSN-wins dedup on read)
-            self.manifest.meta["has_upserts"] = True
+        if not assign_ids:
+            if not self._ids_provably_fresh(stats, rows):
+                # explicit ids may collide with existing rows → upsert
+                # semantics (latest-LSN-wins dedup on read)
+                self.manifest.meta["has_upserts"] = True
+            # keep the auto-id counter ahead of every explicit id, or a
+            # later assign_ids=True insert would mint a colliding id
+            # (the reference's nextID invariant, engine.go:866)
+            s = stats.get(self.id_col) or {}
+            if s.get("max") is not None:
+                self.manifest.next_id = max(self.manifest.next_id, int(s["max"]) + 1)
         size = fs_du(full)
         self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
         return rows, size
