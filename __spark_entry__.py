@@ -1199,7 +1199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_rerank": _knn_sq8_rerank,
         "knn_int4_adc": _knn_int4_adc,
         "knn_bq_hamming": _knn_bq_hamming,
-        "knn_hamming_registered": _knn_hamming_registered,
         "knn_rabitq": _knn_rabitq,
         "knn_pq_adc": _knn_pq_adc,
         "knn_opq_adc": _knn_opq_adc,
@@ -1214,11 +1213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_antijoin": _tombstone_antijoin,
         "upsert_latest_wins": _upsert_latest_wins,
         "time_travel_versions": _time_travel,
+        # -- driver window ends here (first 50 entries; recount with
+        # scripts/verify_driver.py after ANY insertion above) ------------
         "stats_numeric_profile": _stats_numeric,
         "stats_histogram": _stats_histogram,
         "stats_categorical_profile": _stats_categorical,
         "stats_vector_profile": _stats_vector,
-        # -- driver window ends here (first 50 entries) ------------------
+        "knn_hamming_registered": _knn_hamming_registered,
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),

@@ -356,3 +356,35 @@ def test_auto_ids_never_collide_with_explicit_ids(spark, tdir):
     ids = [r["id"] for r in t.df().select("id").collect()]
     assert len(ids) == len(set(ids)) == 4
     assert min(i for i in ids if i not in (100, 101)) >= 102
+
+
+def test_duplicate_ids_in_one_batch_still_upsert(spark, tdir):
+    """[5,5,7,8] is 4 rows spanning 4 values — density alone would
+    'prove' freshness; the exact pass-2 ndv must catch the in-batch
+    duplicate so latest-LSN-wins dedup stays on."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    df = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (5, [2.0, 0.0]), (7, [3.0, 0.0]), (8, [4.0, 0.0])],
+        "id long, vector array<float>")
+    t.insert(df)
+    t.commit()
+    assert t.manifest.meta.get("has_upserts") is True
+    assert t.count() == 3                      # 5 collapses to one row
+    assert t.get(5).count() == 1
+
+
+def test_schema_null_array_and_any_columns_writable(spark, tdir):
+    """All-NULL columns declared 'array'/'any' must land as a concrete
+    parquet-writable type, not void."""
+    from pyspark.sql import functions as F
+
+    t = VectorTable.create(
+        spark, tdir, dim=2, schema={"tags": "array", "extra": "any"})
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vector array<float>")
+    t.insert(df.withColumn("tags", F.lit(None)).withColumn("extra", F.lit(None)))
+    t.commit()
+    out = t.df()
+    assert dict(out.dtypes)["tags"] == "array<string>"
+    assert dict(out.dtypes)["extra"] == "string"
+    row = out.collect()[0]
+    assert row["tags"] is None and row["extra"] is None

@@ -239,10 +239,10 @@ def minhash_lsh_pairs(
         return m
 
     # emitted at band b ⇔ no earlier surviving band also matches
-    earlier = None
+    # (with a single band there is no earlier band — nothing to dedup)
+    earlier = F.lit(False)
     for bidx in range(num_bands - 1):
-        cond = (F.col("a.band") > bidx) & alive_match(bidx)
-        earlier = cond if earlier is None else earlier | cond
+        earlier = earlier | ((F.col("a.band") > bidx) & alive_match(bidx))
     match_count = sum(
         F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
         for i in range(num_hashes)
@@ -413,10 +413,10 @@ def simhash_pairs(
         return m
 
     # emitted at chunk c ⇔ no earlier surviving chunk also matches
-    earlier = None
+    # (with a single chunk there is no earlier chunk — nothing to dedup)
+    earlier = F.lit(False)
     for cidx in range(n_chunks - 1):
-        cond = (F.col("a.chunk") > cidx) & alive_match(cidx)
-        earlier = cond if earlier is None else earlier | cond
+        earlier = earlier | ((F.col("a.chunk") > cidx) & alive_match(cidx))
     cand = (
         chunks.alias("a")
         .join(chunks.alias("b"),

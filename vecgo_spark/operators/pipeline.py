@@ -455,7 +455,8 @@ def balance_sources_pred_cte_sql(
     keep the identical id set."""
     h = stable_hash64_sql(f"CAST(d.{id_col} AS VARCHAR)", seed=seed)
     return f"""
-    WITH cnt AS (SELECT {source_col}, count(*) AS n FROM {docs_table} GROUP BY {source_col}),
+    WITH cnt AS (SELECT {source_col}, count(*) AS n FROM {docs_table}
+                 WHERE {source_col} IS NOT NULL GROUP BY {source_col}),
     mn AS (SELECT min(n) AS m FROM cnt),
     thr AS (SELECT {source_col}, (mn.m * {_HASH_BUCKETS}) // n AS t FROM cnt, mn)
     SELECT d.* FROM {docs_table} d JOIN thr USING ({source_col})

@@ -34,6 +34,7 @@ S3 semantics encoded here:
 from __future__ import annotations
 
 import io
+import logging
 import sys
 
 from vecgo_spark.plans.manifest import register_filesystem
@@ -75,7 +76,11 @@ class _PutOnClose(io.BytesIO):
     unwinding (one that was not already being handled when the stream was
     opened — e.g. the writer raised mid-`with`), the PUT is suppressed and
     nothing is published, matching the reference's whole-payload Put which
-    leaves no object on failure. A plain abort() is also exposed."""
+    leaves no object on failure. Suppression is NEVER silent: close-time
+    detection cannot distinguish a failed write from an (exotic) caller
+    closing inside an unrelated except-block, so the suppressed key is
+    logged at WARNING — an intentional cancel should use abort(), which
+    is silent."""
 
     def __init__(self, client, bucket: str, key: str):
         super().__init__()
@@ -89,10 +94,18 @@ class _PutOnClose(io.BytesIO):
     def close(self):
         if not self.closed:
             exc = sys.exc_info()[1]
-            if not self._aborted and (exc is None or exc is self._exc_at_open):
+            if self._aborted:
+                pass  # explicit cancel — publish nothing, silently
+            elif exc is None or exc is self._exc_at_open:
                 self._client.put_object(
                     Bucket=self._bucket, Key=self._key, Body=self.getvalue()
                 )
+            else:
+                logging.getLogger(__name__).warning(
+                    "suppressing S3 PUT of s3://%s/%s (%d bytes): stream "
+                    "closed while %s was unwinding; call abort() to cancel "
+                    "silently", self._bucket, self._key,
+                    self.getbuffer().nbytes, type(exc).__name__)
         super().close()
 
 

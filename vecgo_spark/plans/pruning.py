@@ -127,6 +127,7 @@ def _pass1_finalize(
 def collect_segment_stats(
     df: DataFrame, exclude: tuple[str, ...] = (),
     vector_col: str | None = None, dim: int | None = None,
+    ndv_col: str | None = None,
 ) -> dict[str, Any]:
     """ALL per-segment commit-time stats in exactly TWO agg jobs
     (≙ StatsCollector.Add/Finalize, stats_collector.go:110-615):
@@ -137,8 +138,11 @@ def collect_segment_stats(
       pass 2  everything that depends on pass-1 results: 8-bin linear
               histogram + 16-bin LOG histogram with per-bin min/max
               (stats_collector.go:446-529), Bloom position sets for
-              >16-distinct strings (bloom.go; bounded collect_sets), and
-              vector radius / mean / max norm against the centroid.
+              >16-distinct strings (bloom.go; bounded collect_sets),
+              vector radius / mean / max norm against the centroid, and
+              an EXACT distinct count for ndv_col (the id column — the
+              upsert-freshness proof needs distinctness, which min/max/
+              count alone cannot establish).
 
     Segment builds fuse pass 1 INTO the write job via observe_segment_stats
     (no extra scan), so a 100 TB ingest pays write + ONE stats pass —
@@ -150,19 +154,23 @@ def collect_segment_stats(
     row = df.agg(*_pass1_aggs(cols, string_cols, numeric_cols,
                               do_vec, vector_col, dim)).first()
     out, centroid = _pass1_finalize(row, cols, string_cols, numeric_cols, do_vec, dim)
-    return _pass2_apply(df, out, centroid, cols, string_cols, numeric_cols, vector_col)
+    return _pass2_apply(df, out, centroid, cols, string_cols, numeric_cols,
+                        vector_col, ndv_col)
 
 
 def observe_segment_stats(
     df: DataFrame, exclude: tuple[str, ...] = (),
     vector_col: str | None = None, dim: int | None = None,
+    ndv_col: str | None = None,
 ):
     """Fuse pass 1 into the caller's next ACTION on df (a segment write):
     returns (df_with_observation, finalize) where finalize(written_df)
     reads the observed metrics — available once the write job ran, at
     zero extra scans — and runs only pass 2 over the written files.
     The reference collects stats streaming inside the segment writer
-    (stats_collector.go:110-445); this is the Spark-native equivalent."""
+    (stats_collector.go:110-445); this is the Spark-native equivalent.
+    countDistinct is not a legal observed metric, so the ndv_col count
+    lives in pass 2."""
     from pyspark.sql import Observation
 
     cols, string_cols, numeric_cols, do_vec = _pass1_spec(
@@ -178,7 +186,7 @@ def observe_segment_stats(
         out, centroid = _pass1_finalize(
             row, cols, string_cols, numeric_cols, do_vec, dim)
         return _pass2_apply(written, out, centroid, cols, string_cols,
-                            numeric_cols, vector_col)
+                            numeric_cols, vector_col, ndv_col)
 
     return df, finalize
 
@@ -186,7 +194,7 @@ def observe_segment_stats(
 def _pass2_apply(
     df: DataFrame, out: dict[str, Any], centroid: list[float] | None,
     cols: list[str], string_cols: list[str], numeric_cols: list[str],
-    vector_col: str | None,
+    vector_col: str | None, ndv_col: str | None = None,
 ) -> dict[str, Any]:
     # ---- pass 2 (only when something depends on pass-1 results)
     hist_cols = [
@@ -238,9 +246,14 @@ def _pass2_apply(
             F.avg(nrm).alias("__vmean_norm"),
             F.max(nrm).alias("__vmax_norm"),
         ]
+    do_ndv = ndv_col is not None and ndv_col in out and out["__rows"] > 1
+    if do_ndv:
+        aggs2.append(F.countDistinct(ndv_col).alias("__ndv"))
     if not aggs2:
         return out
     row2 = df.agg(*aggs2).first()
+    if do_ndv:
+        out[ndv_col]["ndv"] = int(row2["__ndv"] or 0)
 
     for c in hist_cols:
         out[c]["histogram"] = [int(row2[f"{c}__h{b}"] or 0) for b in range(bins)]

@@ -56,7 +56,6 @@ from vecgo_spark.plans.manifest import (
     save_manifest,
 )
 from vecgo_spark.plans.pruning import (
-    collect_segment_stats,
     estimate_selectivity,
     prune_segments,
     segment_priority,
@@ -86,9 +85,12 @@ def _schema_check(dt, want: str):
     if isinstance(dt, T.NullType):
         # NULL is always valid (schema.go:81-83); cast to the declared
         # concrete type so the column is parquet-writable and the at-rest
-        # type matches later typed inserts
+        # type matches later typed inserts. An all-NULL column carries no
+        # element/type information, so 'array' and 'any' land as the
+        # widest parquet-writable representations (void is unwritable)
         return True, {"int": "long", "float": "double", "string": "string",
-                      "bool": "boolean"}.get(want)
+                      "bool": "boolean", "array": "array<string>",
+                      "any": "string"}.get(want)
     if want == "any":
         return True, None
     integral = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
@@ -291,18 +293,19 @@ class VectorTable:
 
     def _ids_provably_fresh(self, stats: dict, rows: int) -> bool:
         """True iff the just-written segment's id stats PROVE no collision
-        with any visible segment — dense range (rows == max-min+1, no
-        nulls, so no intra-segment duplicates) that is disjoint from every
-        committed and pending segment's id range. Free: reads only stats
-        already collected by the write pass. Keeps has_upserts False for
-        the common bulk-load pattern (sequential explicit ids), which in
-        turn keeps count() a zero-job manifest sum."""
+        with any visible segment: no nulls, EXACT distinct count == rows
+        (the pass-2 ndv — min/max/count alone cannot rule out duplicates
+        inside the batch, e.g. [5,5,7,8] is 4 rows spanning 4 values),
+        and an id range disjoint from every committed and pending
+        segment. Free: reads only stats the write pass already collected.
+        Keeps has_upserts False for the common bulk-load pattern, which
+        in turn keeps count() a zero-job manifest sum."""
         s = stats.get(self.id_col)
         if not s or s.get("min") is None or s.get("null_count", 1) != 0:
             return False
+        if rows > 1 and s.get("ndv") != rows:
+            return False  # duplicates inside the batch, or ndv unavailable
         lo, hi = int(s["min"]), int(s["max"])
-        if rows != hi - lo + 1:
-            return False
         for seg in list(self.manifest.segments) + list(self._pending):
             o = (seg.stats or {}).get(self.id_col)
             if not o or o.get("min") is None:
@@ -334,25 +337,12 @@ class VectorTable:
                 df = df.withColumn(name, F.col(name).cast(cast))
         return df
 
-    def _segment_stats(self, written: DataFrame) -> tuple[dict, int | None]:
-        """(stats, row_count) for the new segment in two agg jobs:
-        scalar pruning stats + vector centroid/radius (requires a
-        declared dim for the vector part). The row count rides the
-        stats pass — no separate count() job per segment build."""
-        dim = self.manifest.meta.get("dim")
-        stats = collect_segment_stats(
-            written, exclude=(self.vector_col, "_lsn", QCODE_COL, PQCODE_COL),
-            vector_col=self.vector_col if dim else None,
-            dim=int(dim) if dim else None,
-        )
-        rows = stats.pop("__rows", None)
-        return stats, (int(rows) if rows is not None else None)
-
     def _observe_stats(self, df: DataFrame):
         """Attach pass-1 stats to the segment write job (observe_segment_
         stats): the write IS the stats scan, as in the reference's
         streaming StatsCollector inside the segment writer
-        (stats_collector.go:110-445)."""
+        (stats_collector.go:110-445). The id column gets an exact ndv in
+        pass 2 — the upsert-freshness proof requires distinctness."""
         from vecgo_spark.plans.pruning import observe_segment_stats
 
         dim = self.manifest.meta.get("dim")
@@ -360,6 +350,7 @@ class VectorTable:
             df, exclude=(self.vector_col, "_lsn", QCODE_COL, PQCODE_COL),
             vector_col=self.vector_col if dim else None,
             dim=int(dim) if dim else None,
+            ndv_col=self.id_col,
         )
 
     def _next_lsn(self) -> int:
