@@ -1046,6 +1046,75 @@ def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect ratio (TPC-H Q14 shape): broadcast part dim,
+    conditional aggregation in exact integer cents, ONE final double
+    division of two exact longs — the only float op, so the oracle is
+    bit-equal despite the cross-row SUM."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev_e4)
+                  .otherwise(F.lit(0))).alias("promo_e4"),
+            F.sum(rev_e4).alias("total_e4"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_e4").cast("double")
+         / F.col("total_e4").cast("double")).alias("promo_revenue_pct"),
+        "promo_e4", "total_e4",
+    )
+
+
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): quarter of orders ⋈
+    returned lineitems ⋈ customer, nation broadcast, revenue in exact
+    integer cents, top 20 by lost revenue."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: percent_rank + ntile(4) of event value
+    within each event_type, deterministic (value, event_id) tiebreak so
+    both rank position and tile assignment are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "event_id", "event_type", "value",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: events.props is a JSON string; pull
     $.k out (JVM-side get_json_object — no Python), aggregate per
@@ -1180,6 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q18_large_orders": _tpch_q18,
         "tpch_q4_order_priority": _tpch_q4,
+        "tpch_q14_promo_revenue": _tpch_q14,
+        "tpch_q10_returned_items": _tpch_q10,
+        "events_value_quartiles": _events_value_quartiles,
         "stats_percentiles": _stats_percentiles,
         "knn_range": _knn_range,
         # -- new in round 4 ----------------------------------------------
@@ -1197,16 +1269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "knn_sq8_adc": _knn_sq8_adc,
         "knn_sq8_rerank": _knn_sq8_rerank,
-        "knn_int4_adc": _knn_int4_adc,
         "knn_bq_hamming": _knn_bq_hamming,
-        "knn_rabitq": _knn_rabitq,
         "knn_pq_adc": _knn_pq_adc,
         "knn_opq_adc": _knn_opq_adc,
         "ann_ivf": _ann_ivf,
         "ann_lsh": _ann_lsh,
         "ann_ivf_batch": _ann_ivf_batch,
         "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
-        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
         "bm25_search": _bm25_search,
         "hybrid_rrf": _hybrid_rrf,
         "hybrid_rrf_filtered": _hybrid_rrf_filtered,
@@ -1220,6 +1289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_categorical_profile": _stats_categorical,
         "stats_vector_profile": _stats_vector,
         "knn_hamming_registered": _knn_hamming_registered,
+        "knn_int4_adc": _knn_int4_adc,
+        "knn_rabitq": _knn_rabitq,
+        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),
@@ -1868,6 +1940,48 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "tpch_q14_promo_revenue": """
+            WITH agg AS (
+                SELECT
+                    CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+                        CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                        ELSE 0 END) AS BIGINT) AS promo_e4,
+                    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                        AS total_e4
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1996-03-01'
+            )
+            SELECT 100.0 * CAST(promo_e4 AS DOUBLE) / CAST(total_e4 AS DOUBLE)
+                       AS promo_revenue_pct,
+                   promo_e4, total_e4
+            FROM agg
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "events_value_quartiles": """
+            SELECT event_id, event_type, value,
+                   percent_rank() OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS pct_rank,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS INT) AS quartile
+            FROM events
+            ORDER BY event_id
         """,
         "events_json_props": """
             SELECT event_type,
