@@ -364,6 +364,23 @@ def _knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "score")
 
 
+def _ann_hnsw_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition HNSW batch ANN (SURVEY §7.3 stretch; hnsw.go
+    semantics re-expressed Spark-first): each corpus partition builds its
+    own graph inside one mapInPandas pass, the broadcast query batch is
+    beam-searched against every partition graph, and a bounded per-query
+    window merges candidates. Approximate + RNG level assignment → not
+    SQL-expressible; recall floors + partition invariance are pinned in
+    tests/test_hnsw.py."""
+    from vecgo_spark.operators import hnsw as hnswmod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector")
+    )
+    return hnswmod.batch_search(emb, queries, k=10, ef_search=96)
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH buckets + multiprobe (the data-independent
     ANN scale path; no training job at all). Rows-only; bucket parity +
@@ -1292,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_int4_adc": _knn_int4_adc,
         "knn_rabitq": _knn_rabitq,
         "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
+        "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),

