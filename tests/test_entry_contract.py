@@ -1,0 +1,50 @@
+"""Driver-contract invariants of __spark_entry__ that no query edit may
+silently break: the external harness checks exactly the FIRST 50
+queries() entries, and every registered query needs a DuckDB oracle
+unless its rows-only status is deliberate and documented."""
+
+import os
+import re
+
+import __spark_entry__ as entrymod
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "__spark_entry__.py")
+
+# approximate/RNG operators that are rows-only BY DESIGN — adding a name
+# here requires a docstring justification on the query function
+ROWS_ONLY_BY_DESIGN = {"ann_hnsw_batch"}
+
+
+def test_window_marker_sits_at_entry_50():
+    """The '-- driver window ends here' comment must be the true 50-entry
+    boundary — the round-4 review caught it drifting after insertions."""
+    src = open(_SRC).read()
+    start = src.find("def queries(")
+    marker = src.find("driver window ends here", start)
+    assert marker > start, "window marker missing"
+    keys = re.findall(r'"([a-z0-9_]+)":\s*_', src[start:marker])
+    assert len(keys) == 50, (
+        f"{len(keys)} entries precede the window marker — move the marker "
+        "or rotate queries so exactly 50 sit inside the checked window")
+
+
+def test_every_query_has_oracle_unless_rows_only_by_design():
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles <= qs, f"oracles without queries: {sorted(oracles - qs)}"
+    rows_only = qs - oracles
+    assert rows_only == ROWS_ONLY_BY_DESIGN, (
+        f"undocumented rows-only queries: "
+        f"{sorted(rows_only - ROWS_ONLY_BY_DESIGN)}; "
+        f"stale allowlist: {sorted(ROWS_ONLY_BY_DESIGN - rows_only)}")
+
+
+def test_window_carries_every_rows_only_and_new_query():
+    """rows-only entries must be OUT of the window (they would burn a ⊕
+    slot on a weaker check) — the window is 50/50 oracle-checked."""
+    keys = list(entrymod.queries())
+    window = set(keys[:50])
+    assert not (window & ROWS_ONLY_BY_DESIGN)
+    oracles = set(entrymod.oracle_sql())
+    assert window <= oracles
