@@ -381,6 +381,26 @@ def _ann_hnsw_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hnswmod.batch_search(emb, queries, k=10, ef_search=96)
 
 
+def _ann_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graphs PERSISTED into the table layout (the reference
+    snapshots its graph to disk and reloads it): per-segment pickled
+    graphs under _index/hnsw-v*/ built once over the shared at-rest
+    table's cluster segments; search loads the stored blobs, beam-probes
+    each graph, and exact-reranks against the live snapshot (visibility
+    enforced). Approximate + RNG → rows-only; recall/delta/visibility
+    pinned in tests/test_hnsw.py."""
+    from vecgo_spark.operators import hnsw as hnswmod
+
+    tbl = _at_rest_table(spark, sf_dir)
+    if "hnsw" not in tbl.manifest.meta:
+        hnswmod.build_at_rest(tbl)
+    rows = hnswmod.search_at_rest(
+        tbl, _query_vector(spark, sf_dir), k=10, ef_search=128
+    ).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH buckets + multiprobe (the data-independent
     ANN scale path; no training job at all). Rows-only; bucket parity +
@@ -1310,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rabitq": _knn_rabitq,
         "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
+        "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),

@@ -87,3 +87,67 @@ def test_plan_uses_mapinpandas_no_corpus_collect(corpus, queries):
 def test_empty_corpus(spark, queries):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert hnsw.batch_search(empty, queries, k=5).count() == 0
+
+
+# ------------------------------------------------------------- at rest
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(400)]
+    t = VectorTable.create(spark, str(tmp_path / "thnsw"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    return t
+
+
+def test_at_rest_build_and_search_matches_exact(spark, table):
+    v = hnsw.build_at_rest(table, m=8, ef_construction=64)
+    assert table.manifest.version == v
+    q = [0.2] * 8
+    exact = [r["id"] for r in table.search(q, k=10).collect()]
+    got = [r["id"] for r in
+           hnsw.search_at_rest(table, q, k=10, ef_search=128).collect()]
+    assert len(set(exact) & set(got)) >= 9  # recall floor on stored graphs
+    # reopened table serves from the persisted blobs
+    from vecgo_spark.plans.table import VectorTable
+
+    t2 = VectorTable.open(spark, table.path)
+    got2 = [r["id"] for r in
+            hnsw.search_at_rest(t2, q, k=10, ef_search=128).collect()]
+    assert got2 == got
+
+
+def test_at_rest_delta_segments_and_deletes(spark, table):
+    hnsw.build_at_rest(table)
+    probe = [5.0] * 8
+    # rows committed AFTER the build take the exact delta leg
+    table.insert(spark.createDataFrame(
+        [(9000, probe)], "id long, vector array<double>"))
+    table.commit()
+    got = [r["id"] for r in hnsw.search_at_rest(table, probe, k=3).collect()]
+    assert got[0] == 9000
+    # deletes after the build never surface (rerank enforces visibility)
+    table.delete([9000])
+    table.commit()
+    got = [r["id"] for r in hnsw.search_at_rest(table, probe, k=3).collect()]
+    assert 9000 not in got
+
+
+def test_at_rest_artifact_survives_vacuum(spark, table):
+    import os
+
+    hnsw.build_at_rest(table)
+    rel = table.manifest.meta["hnsw"]["path"]
+    table.compact()          # graphs reference pre-compaction segments...
+    table.vacuum(keep_versions=1)
+    # ...which are all gone now: the artifact may be GC'd with them, and
+    # search degrades gracefully to the exact delta leg
+    got = hnsw.search_at_rest(table, [0.0] * 8, k=5).collect()
+    assert len(got) == 5
+    # rebuild over the compacted layout works and persists
+    hnsw.build_at_rest(table)
+    assert os.path.isdir(os.path.join(table.path, table.manifest.meta["hnsw"]["path"]))
+    assert hnsw.search_at_rest(table, [0.0] * 8, k=5).count() == 5

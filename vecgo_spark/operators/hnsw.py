@@ -49,16 +49,30 @@ class HNSWGraph:
         self.ef_construction = ef_construction
         self._ml = 1.0 / np.log(m)
         self._rng = np.random.default_rng(seed)
-        self.vecs: list[np.ndarray] = []
+        # vectors live in one growing matrix: _dist fancy-indexes rows
+        # instead of stacking python lists per beam expansion
+        self._mat = np.empty((0, dim), dtype=np.float64)
+        self._n = 0
         self.levels: list[int] = []
         # links[node][level] -> list[int]
         self.links: list[list[list[int]]] = []
         self.entry: int | None = None
 
+    @property
+    def vecs(self):
+        return self._mat[: self._n]
+
+    def _append_vec(self, vec: np.ndarray) -> None:
+        if self._n == self._mat.shape[0]:
+            grown = np.empty((max(64, self._mat.shape[0] * 2), self.dim))
+            grown[: self._n] = self._mat[: self._n]
+            self._mat = grown
+        self._mat[self._n] = vec
+        self._n += 1
+
     # ---------------------------------------------------------- internals
     def _dist(self, q: np.ndarray, idx: list[int]) -> np.ndarray:
-        arr = np.stack([self.vecs[i] for i in idx])
-        d = arr - q
+        d = self._mat[idx] - q
         return np.einsum("ij,ij->i", d, d)
 
     def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int
@@ -117,9 +131,9 @@ class HNSWGraph:
         return [e for _, e in out]
 
     def add(self, vec: np.ndarray) -> None:
-        node = len(self.vecs)
+        node = self._n
         lvl = int(-np.log(self._rng.uniform(1e-12, 1.0)) * self._ml)
-        self.vecs.append(vec)
+        self._append_vec(vec)
         self.levels.append(lvl)
         self.links.append([[] for _ in range(lvl + 1)])
         if self.entry is None:
@@ -220,3 +234,155 @@ def batch_search(
         .where(F.col("rank") <= k)
         .select("qid", id_col, "score", "rank")
     )
+
+
+# ------------------------------------------------------------- at rest
+
+def _graph_blob(graph: HNSWGraph, ids: list[int]) -> bytes:
+    import pickle
+
+    return pickle.dumps({
+        "ids": ids,
+        "mat": np.ascontiguousarray(graph.vecs),
+        "levels": graph.levels,
+        "links": graph.links,
+        "entry": graph.entry,
+    }, protocol=4)
+
+
+def _graph_from_blob(blob: bytes) -> tuple["HNSWGraph", list[int]]:
+    import pickle
+
+    d = pickle.loads(blob)
+    mat = np.asarray(d["mat"], dtype=np.float64)
+    g = HNSWGraph(mat.shape[1] if mat.size else 1)
+    g._mat = mat
+    g._n = mat.shape[0]
+    g.levels = d["levels"]
+    g.links = d["links"]
+    g.entry = d["entry"]
+    return g, d["ids"]
+
+
+def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
+    """Persist per-SEGMENT HNSW graphs into the table layout — the
+    reference snapshots its HNSW graph to disk and reloads it
+    (internal/index/hnsw + the engine's snapshot persistence); here each
+    committed segment gets its own graph, built in parallel executor
+    tasks (one applyInPandas group per segment, rows sorted by id for a
+    deterministic build) and stored as a pickled blob under
+    _index/hnsw-v*/. The manifest's next version records the artifact
+    dir, the graph params and the EXACT segment list indexed — so
+    search_at_rest() can serve indexed segments from their graphs and
+    fall back to an exact scan for segments committed after the build
+    (the delta leg). Returns the new manifest version."""
+    import os as _os
+    import time as _time
+
+    from vecgo_spark.plans.manifest import Manifest, save_manifest
+    from vecgo_spark.plans.table import INDEX_DIR
+
+    tbl._check_writable()
+    man = tbl.manifest
+    segs = man.segments
+    if not segs:
+        raise ValueError("nothing to index: table has no committed segments")
+    id_col, vector_col = tbl.id_col, tbl.vector_col
+    seg_expr = None
+    for s in segs:
+        cond = F.input_file_name().contains(s.path)
+        seg_expr = (F.when(cond, F.lit(s.path)) if seg_expr is None
+                    else seg_expr.when(cond, F.lit(s.path)))
+    raw = (
+        tbl._segment_df(segs)
+        .where(F.col(vector_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
+        .withColumn("_seg", seg_expr)
+    )
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("id")
+        graph: HNSWGraph | None = None
+        ids: list[int] = []
+        for rid, vec in zip(pdf["id"], pdf["v"]):
+            vv = np.asarray(vec, dtype=np.float64)
+            if graph is None:
+                graph = HNSWGraph(vv.shape[0], m=m,
+                                  ef_construction=ef_construction)
+            graph.add(vv)
+            ids.append(int(rid))
+        blob = _graph_blob(graph, ids) if graph is not None else b""
+        return pd.DataFrame({"seg": [key[0]], "blob": [blob]})
+
+    version = man.version + 1
+    rel = _os.path.join(INDEX_DIR, f"hnsw-v{version:08d}")
+    (
+        raw.groupBy("_seg").applyInPandas(build, "seg string, blob binary")
+        .write.mode("error").parquet(_os.path.join(tbl.path, rel))
+    )
+    new = Manifest(
+        version=version, lsn=man.lsn, next_id=man.next_id,
+        created_at=_time.time(), segments=list(segs),
+        tombstone_files=list(man.tombstone_files),
+        meta={**man.meta,
+              "hnsw": {"path": rel, "m": m, "ef_construction": ef_construction,
+                       "segments": [s.path for s in segs]}},
+    )
+    save_manifest(tbl.path, new)
+    tbl.manifest = new
+    return version
+
+
+def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64) -> DataFrame:
+    """Approximate top-k served from the STORED graphs: probed segments
+    load their pickled graph (small blob scan, one mapInPandas), beam
+    search emits k candidates per graph; segments committed AFTER the
+    build take the exact-scan delta leg; the union exact-reranks against
+    the live snapshot — which also enforces tombstone/upsert visibility
+    for rows deleted or rewritten since the graphs were built."""
+    import os as _os
+
+    from vecgo_spark.operators import knn
+
+    info = tbl.manifest.meta.get("hnsw")
+    if info is None:
+        raise KeyError("table has no HNSW index; run hnsw.build_at_rest first")
+    q = np.asarray(list(query), dtype=np.float64)
+    spark = tbl.spark
+    current = {s.path for s in tbl.manifest.segments}
+    live_indexed = sorted(set(info["segments"]) & current)
+    bq = spark.sparkContext.broadcast(q)
+    legs = []
+    if live_indexed:
+        blobs = spark.read.parquet(_os.path.join(tbl.path, info["path"])).where(
+            F.col("seg").isin(live_indexed) & (F.length("blob") > 0)
+        )
+
+        def probe(batches):
+            qv = bq.value
+            for pdf in batches:
+                rows = []
+                for blob in pdf["blob"]:
+                    g, ids = _graph_from_blob(bytes(blob))
+                    for d, node in g.search(qv, k, ef_search=ef_search):
+                        rows.append((ids[node], float(d)))
+                yield pd.DataFrame(rows, columns=["id", "score"])
+
+        legs.append(blobs.mapInPandas(probe, f"id long, score double")
+                    .withColumnRenamed("id", tbl.id_col))
+    delta = [s for s in tbl.manifest.segments if s.path not in set(info["segments"])]
+    if delta:
+        ddf = tbl.df(segments=delta)
+        legs.append(
+            ddf.select(tbl.id_col,
+                       knn.score_expr("l2", tbl.vector_col, list(q)).alias("score"))
+            .orderBy(F.col("score").asc(), F.col(tbl.id_col).asc())
+            .limit(k)
+        )
+    if not legs:
+        return tbl.spark.createDataFrame([], f"{tbl.id_col} long, score double")
+    coarse = legs[0]
+    for leg in legs[1:]:
+        coarse = coarse.unionByName(leg)
+    return knn.rerank(coarse, tbl.df(), list(q), k=k, metric=tbl.metric,
+                      id_col=tbl.id_col, vector_col=tbl.vector_col)

@@ -1039,7 +1039,7 @@ class VectorTable:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
             referenced.update(m.tombstone_files)
-            for idx in ("ivf", "sq", "pq"):  # every index artifact family
+            for idx in ("ivf", "sq", "pq", "hnsw"):  # every index artifact family
                 if idx in m.meta:
                     referenced.add(m.meta[idx]["path"])
         removed_manifests = []
