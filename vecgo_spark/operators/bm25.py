@@ -55,14 +55,10 @@ def bm25_release() -> None:
 
 def _spread_src(docs: DataFrame) -> DataFrame:
     """Spread a narrow source (one small file ⇒ one task) before the
-    CPU-heavy regex tokenizer; inputFiles() approximates scan width
-    without forcing an RDD conversion of the plan."""
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_in = len(docs.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
-        n_in = 0
-    return docs.repartition(cores) if n_in < cores else docs
+    CPU-heavy regex tokenizer."""
+    from vecgo_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(docs)
 
 
 def tokenize_expr(text_col: Column | str) -> Column:

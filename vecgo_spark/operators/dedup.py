@@ -33,22 +33,12 @@ from vecgo_spark.oracles import cosine_sql
 
 
 def _spread(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, text) spread across the cluster: a small parquet file arrives
-    as 1-2 partitions, which would serialize the Arrow/Python signature
-    stages; a round-robin repartition costs one tiny shuffle and buys full
-    parallelism. At 100 TB the input is already many partitions and AQE
-    coalesces as needed."""
-    sdf = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    target = sdf.sparkSession.sparkContext.defaultParallelism
-    # len(inputFiles()) approximates scan width without df.rdd, which would
-    # force a full RDD conversion of the plan just to read a partition count
-    try:
-        n_in = len(sdf.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
-        n_in = 0
-    if n_in < target:
-        sdf = sdf.repartition(target)
-    return sdf
+    """(id, text) spread across the cluster before the signature stages
+    (see util.ensure_parallelism)."""
+    from vecgo_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
 
 
 def _drop_hot(

@@ -77,15 +77,18 @@ class HNSWGraph:
 
     def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int
                       ) -> list[tuple[float, int]]:
-        """Classic ef beam: returns up to ef (dist, node) sorted asc."""
+        """Classic ef beam: returns up to ef (dist, node) sorted asc.
+        cand is a min-heap, best a negated max-heap capped at ef —
+        O(log ef) per admitted candidate, not a re-sort per pop."""
+        import heapq
+
         visited = {entry}
         d0 = float(self._dist(q, [entry])[0])
-        cand = [(d0, entry)]          # min-heap emulated by sort-on-pop
-        best = [(d0, entry)]          # current ef best, sorted asc
+        cand = [(d0, entry)]           # min-heap on distance
+        best = [(-d0, entry)]          # max-heap (negated): worst of the ef best
         while cand:
-            cand.sort()
-            d, c = cand.pop(0)
-            if d > best[-1][0] and len(best) >= ef:
+            d, c = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
                 break
             nbrs = [n for n in self.links[c][level] if n not in visited]
             if not nbrs:
@@ -94,13 +97,13 @@ class HNSWGraph:
             dists = self._dist(q, nbrs)
             for dn, n in zip(dists, nbrs):
                 dn = float(dn)
-                if len(best) < ef or dn < best[-1][0]:
-                    cand.append((dn, n))
-                    best.append((dn, n))
-                    best.sort()
-                    if len(best) > ef:
-                        best.pop()
-        return best
+                if len(best) < ef:
+                    heapq.heappush(cand, (dn, n))
+                    heapq.heappush(best, (-dn, n))
+                elif dn < -best[0][0]:
+                    heapq.heappush(cand, (dn, n))
+                    heapq.heapreplace(best, (-dn, n))
+        return sorted((-nd, n) for nd, n in best)
 
     def _select_neighbors(self, q: np.ndarray, cand: list[tuple[float, int]],
                           cap: int) -> list[int]:
@@ -111,15 +114,14 @@ class HNSWGraph:
         rejected candidates (keepPruned)."""
         out: list[tuple[float, int]] = []
         for d, e in sorted(cand):
-            keep = True
-            for _, s in out:
-                if float(self._dist(self.vecs[e], [s])[0]) < d:
-                    keep = False
-                    break
-            if keep:
-                out.append((d, e))
-                if len(out) >= cap:
-                    break
+            if out:
+                # one vectorized distance call against ALL kept neighbors
+                sel = [s for _, s in out]
+                if float(self._dist(self._mat[e], sel).min()) < d:
+                    continue
+            out.append((d, e))
+            if len(out) >= cap:
+                break
         if len(out) < cap:
             chosen = {s for _, s in out}
             for d, e in sorted(cand):
@@ -195,16 +197,10 @@ def batch_search(
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, qmat))
     # graph construction is the serial per-partition cost — spread a
-    # narrow input (small parquet arrives as 1-2 partitions) across the
-    # cluster so builds run in parallel; at 100 TB the input is already
-    # wide and this is a no-op
-    target = spark.sparkContext.defaultParallelism
-    try:
-        n_in = len(corpus.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
-        n_in = 0
-    if n_in < target:
-        corpus = corpus.repartition(target)
+    # narrow input so builds run in parallel (util.ensure_parallelism)
+    from vecgo_spark.operators.util import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     out_schema = "qid long, " + f"{id_col} long, score double"
 
     def part(batches):
@@ -283,6 +279,13 @@ def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
     from vecgo_spark.plans.table import INDEX_DIR
 
     tbl._check_writable()
+    if tbl.metric != "l2":
+        # the stored graphs beam-search squared-L2 geometry; serving a
+        # dot/cosine table from them would pool the WRONG candidates
+        # (rerank cannot repair a candidate set that never contained the
+        # high-similarity rows) — fail loudly instead
+        raise ValueError(
+            f"HNSW at-rest index supports metric='l2' tables, got {tbl.metric!r}")
     man = tbl.manifest
     segs = man.segments
     if not segs:
@@ -290,7 +293,9 @@ def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
     id_col, vector_col = tbl.id_col, tbl.vector_col
     seg_expr = None
     for s in segs:
-        cond = F.input_file_name().contains(s.path)
+        # the trailing "/" anchors the match at a path-component boundary:
+        # cluster dirs _part=1 and _part=10 are substring-ambiguous without it
+        cond = F.input_file_name().contains(s.path.rstrip("/") + "/")
         seg_expr = (F.when(cond, F.lit(s.path)) if seg_expr is None
                     else seg_expr.when(cond, F.lit(s.path)))
     raw = (

@@ -766,6 +766,7 @@ class VectorTable:
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
+        meta.pop("hnsw", None)  # compaction replaces every indexed segment
         self._record_sq_meta(meta, sq_params, pq_books, version)
         new = Manifest(
             version=version, lsn=lsn,
@@ -964,6 +965,10 @@ class VectorTable:
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
         meta.pop("ivf", None)  # a plain rewrite drops the clustered layout
+        # every indexed segment is being replaced → the per-segment graph
+        # index is dead; dropping the entry lets callers rebuild and lets
+        # vacuum collect the stale blobs
+        meta.pop("hnsw", None)
         self._record_sq_meta(meta, sq_params, pq_books, version)
         new = Manifest(
             version=version, lsn=lsn,
