@@ -197,6 +197,14 @@ def _pass2_apply(
     vector_col: str | None, ndv_col: str | None = None,
 ) -> dict[str, Any]:
     # ---- pass 2 (only when something depends on pass-1 results)
+    #
+    # Data-dependent values (bin bounds, the centroid) ride a broadcast
+    # ONE-ROW params DataFrame instead of being baked in as literals: a
+    # literal-bearing plan generates fresh codegen source per segment
+    # (every build paid a ~2s whole-stage compile); with params as column
+    # references the plan is structurally identical across segments of
+    # the same schema and the codegen cache hits. Arithmetic is unchanged
+    # — the same python-computed doubles flow in, as columns.
     hist_cols = [
         c for c in cols
         if c in numeric_cols
@@ -206,17 +214,32 @@ def _pass2_apply(
     ]
     bloom_cols = [c for c in string_cols if "values" not in out[c]]
     bins = 8
+    params_fields: list[str] = []
+    params_values: list[Any] = []
+
+    def pcol(name: str, value: Any, ddl: str = "double") -> F.Column:
+        params_fields.append(f"`{name}` {ddl}")
+        params_values.append(value)
+        return F.col(name)
+
     aggs2 = []
     for c in hist_cols:
         lo, hi = float(out[c]["min"]), float(out[c]["max"])
-        pos = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+        loc = pcol(f"__p_{c}_lo", lo)
+        spanc = pcol(f"__p_{c}_span", hi - lo)
+        pos = (F.col(c).cast("double") - loc) / spanc
         idx = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(pos * bins).cast("int")))
         for b in range(bins):
             aggs2.append(
                 F.sum(F.when(F.col(c).isNotNull() & (idx == b), 1).otherwise(0))
                 .alias(f"{c}__h{b}")
             )
-        lidx = _log_bin_expr(F.col(c), lo, hi)
+        tlo, thi = _log_t_py(lo), _log_t_py(hi)
+        tloc = pcol(f"__p_{c}_tlo", tlo)
+        tspanc = pcol(f"__p_{c}_tspan", (thi - tlo) or 1.0)
+        t = F.signum(F.col(c).cast("double")) * F.log1p(F.abs(F.col(c).cast("double")))
+        lidx = F.least(F.lit(LOG_BINS - 1), F.greatest(
+            F.lit(0), F.floor((t - tloc) / tspanc * LOG_BINS).cast("int")))
         for b in range(LOG_BINS):
             inb = F.col(c).isNotNull() & (lidx == b)
             aggs2 += [
@@ -233,7 +256,7 @@ def _pass2_apply(
             )
     if centroid is not None:
         v = F.col(vector_col).cast("array<double>")
-        cent = F.array(*[F.lit(x) for x in centroid])
+        cent = pcol("__p_cent", [float(x) for x in centroid], "array<double>")
         d2 = F.aggregate(
             F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)), F.lit(0.0),
             lambda acc, x: acc + x,
@@ -251,6 +274,10 @@ def _pass2_apply(
         aggs2.append(F.countDistinct(ndv_col).alias("__ndv"))
     if not aggs2:
         return out
+    if params_values:
+        pdf = df.sparkSession.createDataFrame(
+            [tuple(params_values)], ", ".join(params_fields))
+        df = df.crossJoin(F.broadcast(pdf))
     row2 = df.agg(*aggs2).first()
     if do_ndv:
         out[ndv_col]["ndv"] = int(row2["__ndv"] or 0)
@@ -288,14 +315,6 @@ def _log_t_py(v: float) -> float:
     """Signed log transform: sign(v)·log1p(|v|) — monotone over ℝ, log-
     compresses both tails (the reference's log-scale binning stance)."""
     return math.copysign(math.log1p(abs(v)), v)
-
-
-def _log_bin_expr(c: F.Column, lo: float, hi: float) -> F.Column:
-    tlo, thi = _log_t_py(lo), _log_t_py(hi)
-    span = (thi - tlo) or 1.0
-    t = F.signum(c.cast("double")) * F.log1p(F.abs(c.cast("double")))
-    pos = (t - F.lit(tlo)) / F.lit(span)
-    return F.least(F.lit(LOG_BINS - 1), F.greatest(F.lit(0), F.floor(pos * LOG_BINS).cast("int")))
 
 
 def _log_bin_py(v: float, lo: float, hi: float) -> int:
