@@ -124,6 +124,14 @@ COMMENTARY = {
         "the semi join never widens rows and AQE picks broadcast vs "
         "shuffle by size (broadcast at bench SF, shuffled at 100 TB)."
     ),
+    "ann_hnsw_batch": (
+        "Per-partition HNSW batch ANN: ONE `MapInPandas` over the corpus "
+        "(each partition builds + searches its own graph — the corpus "
+        "never leaves its partitions until the bounded k-per-query "
+        "candidate emit), then a per-query `Window` rank over the tiny "
+        "candidate stream. No rangepartitioning (no global sort), no "
+        "corpus collect, no second pass."
+    ),
 }
 
 
