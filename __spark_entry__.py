@@ -1260,13 +1260,68 @@ def _vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the external driver's correctness harness checks the
-    # FIRST 50 entries.  The window therefore carries (a) queries that have
-    # not yet earned a driver-green row and (b) regression canaries that have
-    # historically broken on driver-side testdata regeneration (events, the
-    # at-rest family).  Three-round-stable, pytest-pinned queries rotate to
-    # the tail; scripts/verify_driver.py still checks all of them locally.
+    # FIRST 50 entries.  Standing rotation policy (round-5 verdict item #1):
+    # the window carries the queries whose driver evidence is OLDEST, plus the
+    # regression canaries that have historically broken on driver-side
+    # testdata regeneration (events, the at-rest family).  Queries with a
+    # fresh driver-green row from the previous round rotate to the tail;
+    # scripts/verify_driver.py still checks all of them locally each round.
     return {
-        # -- never driver-checked before round 4 -------------------------
+        # -- r3-evidenced; rotated back in for fresh driver rows (r5) ----
+        "stats_numeric_profile": _stats_numeric,
+        "stats_histogram": _stats_histogram,
+        "stats_categorical_profile": _stats_categorical,
+        "stats_vector_profile": _stats_vector,
+        "knn_hamming_registered": _knn_hamming_registered,
+        "knn_int4_adc": _knn_int4_adc,
+        "knn_rabitq": _knn_rabitq,
+        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
+        "knn_l2": _knn("l2"),
+        "knn_dot": _knn("dot"),
+        "knn_cosine": _knn("cosine"),
+        "knn_l2_filtered": _knn_l2_filtered,
+        "knn_l2_projected": _knn_l2_projected,
+        "knn_batch": _knn_batch,
+        "knn_threshold": _knn_threshold,
+        "point_get": _point_get,
+        "scan_filter": _scan_filter,
+        "scan_filter_in_ne": _scan_filter_in_ne,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "tpch_rollup": _tpch_rollup,
+        "topk_per_group": _topk_per_group,
+        "topk_per_group_salted": _topk_per_group_salted,
+        "text_stats": _text_stats,
+        "docs_quality_filter": _docs_quality_filter,
+        "doc_langid_ngram": _doc_langid_ngram,
+        # -- regression canaries kept inside the driver window -----------
+        "events_tumbling_1h": _events_tumbling_1h,
+        "events_sliding_1h30m": _events_sliding_1h30m,
+        "events_sessionization": _events_sessionization,
+        "events_asof_join": _events_asof_join,
+        "events_json_props": _events_json_props,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
+        "knn_sq8_rerank": _knn_sq8_rerank,
+        "knn_bq_hamming": _knn_bq_hamming,
+        "knn_opq_adc": _knn_opq_adc,
+        "ann_ivf": _ann_ivf,
+        "ann_lsh": _ann_lsh,
+        "ann_ivf_batch": _ann_ivf_batch,
+        "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
+        "bm25_search": _bm25_search,
+        "hybrid_rrf": _hybrid_rrf,
+        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
+        "tombstone_antijoin": _tombstone_antijoin,
+        "upsert_latest_wins": _upsert_latest_wins,
+        "time_travel_versions": _time_travel,
+        # -- driver window ends here (first 50 entries; recount with
+        # scripts/verify_driver.py after ANY insertion above) ------------
+        # -- r4-evidenced (CORRECTNESS_r04 ⊕); rotated out this round ----
         "multimodal_features": _multimodal_features,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -1291,65 +1346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quartiles": _events_value_quartiles,
         "stats_percentiles": _stats_percentiles,
         "knn_range": _knn_range,
-        # -- new in round 4 ----------------------------------------------
         "schema_typed_filter": _schema_typed_filter,
-        # -- regression canaries kept inside the driver window -----------
-        "events_tumbling_1h": _events_tumbling_1h,
-        "events_sliding_1h30m": _events_sliding_1h30m,
-        "events_sessionization": _events_sessionization,
-        "events_asof_join": _events_asof_join,
-        "events_json_props": _events_json_props,
-        "ann_ivf_at_rest": _ann_ivf_at_rest,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "knn_sq8_adc": _knn_sq8_adc,
-        "knn_sq8_rerank": _knn_sq8_rerank,
-        "knn_bq_hamming": _knn_bq_hamming,
         "knn_pq_adc": _knn_pq_adc,
-        "knn_opq_adc": _knn_opq_adc,
-        "ann_ivf": _ann_ivf,
-        "ann_lsh": _ann_lsh,
-        "ann_ivf_batch": _ann_ivf_batch,
-        "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
-        "bm25_search": _bm25_search,
-        "hybrid_rrf": _hybrid_rrf,
-        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
-        "tombstone_antijoin": _tombstone_antijoin,
-        "upsert_latest_wins": _upsert_latest_wins,
-        "time_travel_versions": _time_travel,
-        # -- driver window ends here (first 50 entries; recount with
-        # scripts/verify_driver.py after ANY insertion above) ------------
-        "stats_numeric_profile": _stats_numeric,
-        "stats_histogram": _stats_histogram,
-        "stats_categorical_profile": _stats_categorical,
-        "stats_vector_profile": _stats_vector,
-        "knn_hamming_registered": _knn_hamming_registered,
-        "knn_int4_adc": _knn_int4_adc,
-        "knn_rabitq": _knn_rabitq,
-        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
-        "knn_l2": _knn("l2"),
-        "knn_dot": _knn("dot"),
-        "knn_cosine": _knn("cosine"),
-        "knn_l2_filtered": _knn_l2_filtered,
-        "knn_l2_projected": _knn_l2_projected,
-        "knn_batch": _knn_batch,
-        "knn_threshold": _knn_threshold,
-        "point_get": _point_get,
-        "scan_filter": _scan_filter,
-        "scan_filter_in_ne": _scan_filter_in_ne,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q6_forecast_revenue": _tpch_q6,
-        "tpch_rollup": _tpch_rollup,
-        "topk_per_group": _topk_per_group,
-        "topk_per_group_salted": _topk_per_group_salted,
-        "text_stats": _text_stats,
-        "docs_quality_filter": _docs_quality_filter,
-        "doc_langid_ngram": _doc_langid_ngram,
     }
 
 
