@@ -388,3 +388,80 @@ def test_schema_null_array_and_any_columns_writable(spark, tdir):
     assert dict(out.dtypes)["extra"] == "string"
     row = out.collect()[0]
     assert row["tags"] is None and row["extra"] is None
+
+
+def _forbid_scan(t):
+    """Make any df()-based fallback explode so a test can PROVE count()
+    answered from the manifest alone (zero Spark jobs)."""
+    def boom(*a, **kw):  # noqa: ANN001
+        raise AssertionError("count() fell back to a scan")
+    t.df = boom
+    return t
+
+
+def test_count_zero_job_with_dense_tombstones(spark, tdir):
+    """Dense-interval tombstone over dense-interval segments → count()
+    answers from manifest interval arithmetic, no scan (the time-travel
+    query's per-version counts become zero-job)."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(40)], "id long, vector array<float>"))
+    t.commit()
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(40, 60)], "id long, vector array<float>"))
+    t.delete(list(range(10)))
+    t.commit()
+    assert t.df().count() == 50
+    assert _forbid_scan(t).count() == 50
+
+
+def test_count_zero_job_after_delete_where(spark, tdir):
+    """delete_where's Observation records the same tombstone id stats the
+    driver-side delete() path does, so a dense predicate delete keeps
+    count() manifest-only."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    rows = [(i, [float(i), 0.0], "A" if i < 5 else "B") for i in range(20)]
+    t.insert(spark.createDataFrame(rows, "id long, vector array<float>, category string"))
+    t.commit()
+    n = t.delete_where("category = 'A'")   # ids 0..4 — a dense interval
+    assert n == 5
+    t.commit()
+    assert t.df().count() == 15
+    assert _forbid_scan(t).count() == 15
+
+
+def test_count_falls_back_on_overlapping_or_sparse_tombstones(spark, tdir):
+    """Overlapping tombstones (double delete) or a sparse id set cannot be
+    proven from intervals → count() must take the scan path, not guess."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)], "id long, vector array<float>"))
+    t.commit()
+    t.delete([3, 4, 5])
+    t.commit()
+    t.delete([5, 6])                       # overlaps the first tombstone
+    t.commit()
+    assert t._manifest_count(t.manifest) is None
+    assert t.count() == 16                 # {3,4,5}∪{5,6} hidden; scan exact
+    t2 = VectorTable.create(spark, str(tdir) + "2", dim=2)
+    t2.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)], "id long, vector array<float>"))
+    t2.commit()
+    t2.delete([2, 9, 17])                  # sparse → dense=False
+    t2.commit()
+    assert t2._manifest_count(t2.manifest) is None
+    assert t2.count() == 17
+
+
+def test_empty_explicit_id_insert_keeps_fast_count(spark, tdir):
+    """A 0-row explicit-id batch cannot collide with anything; it must not
+    flip has_upserts and permanently disable the zero-job count path."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)], "id long, vector array<float>"))
+    t.commit()
+    empty = spark.createDataFrame([], "id long, vector array<float>")
+    t.insert(empty)
+    t.commit()
+    assert t.manifest.meta.get("has_upserts", False) is False
+    assert _forbid_scan(t).count() == 5

@@ -50,6 +50,14 @@ class Manifest:
     segments: list[SegmentMeta] = field(default_factory=list)
     tombstone_files: list[str] = field(default_factory=list)
     meta: dict[str, Any] = field(default_factory=dict)  # dim, metric, schema…
+    # per-tombstone-file id stats, keyed by the relpath in tombstone_files:
+    # {"ids": exact distinct count, "min": …, "max": …, "lsn": …,
+    #  "dense": max-min+1 == ids}. Known for free at delete() time
+    # (driver-side id list) or from the delete_where Observation; lets
+    # count() answer tombstoned snapshots from the manifest alone when the
+    # id sets are provably dense intervals. Absent for pre-upgrade
+    # manifests → readers fall back to a scan.
+    tombstone_stats: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = asdict(self)
@@ -59,6 +67,7 @@ class Manifest:
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
         d["segments"] = [SegmentMeta(**m) for m in d.get("segments", [])]
+        d.setdefault("tombstone_stats", {})
         return Manifest(**d)
 
 

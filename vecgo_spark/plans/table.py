@@ -121,6 +121,7 @@ class VectorTable:
         self.writable = writable
         self._pending: list[SegmentMeta] = []
         self._pending_tombs: list[str] = []
+        self._pending_tomb_stats: dict[str, Any] = {}
         self._observer = None
 
     # ------------------------------------------------------------ lifecycle
@@ -300,6 +301,8 @@ class VectorTable:
         segment. Free: reads only stats the write pass already collected.
         Keeps has_upserts False for the common bulk-load pattern, which
         in turn keeps count() a zero-job manifest sum."""
+        if rows == 0:
+            return True  # a 0-row segment cannot collide with anything
         s = stats.get(self.id_col)
         if not s or s.get("min") is None or s.get("null_count", 1) != 0:
             return False
@@ -387,18 +390,27 @@ class VectorTable:
         return assigned, df
 
     def delete(self, ids: Sequence[int]) -> None:
-        """Tombstone ids (idempotent; BatchDelete engine.go:1186-1302)."""
+        """Tombstone ids (idempotent; BatchDelete engine.go:1186-1302).
+        The id list is driver-side, so exact tombstone id stats (count /
+        min / max / dense-interval flag) are free — they ride the manifest
+        and let count() stay zero-job on tombstoned snapshots."""
         t0 = time.perf_counter()
         self._check_writable()
         lsn = self._next_lsn()
         name = f"tomb-{lsn:08d}-{uuid.uuid4().hex[:8]}"
         rel = os.path.join(TOMB_DIR, name)
+        uniq = sorted({int(i) for i in ids})
         df = self.spark.createDataFrame(
-            [(int(i), lsn) for i in ids], f"{self.id_col} long, _lsn long"
+            [(i, lsn) for i in uniq], f"{self.id_col} long, _lsn long"
         )
         df.write.mode("error").parquet(os.path.join(self.path, rel))
         self._pending_tombs.append(rel)
-        self._obs("on_delete", time.perf_counter() - t0, len(list(ids)))
+        if uniq:
+            self._pending_tomb_stats[rel] = {
+                "ids": len(uniq), "min": uniq[0], "max": uniq[-1], "lsn": lsn,
+                "dense": uniq[-1] - uniq[0] + 1 == len(uniq),
+            }
+        self._obs("on_delete", time.perf_counter() - t0, len(uniq))
 
     def delete_where(self, filter: FilterSet | str) -> int:
         """Delete by predicate. The tombstone parquet is written straight
@@ -418,14 +430,24 @@ class VectorTable:
             self.df().where(to_condition(filter))
             .select(F.col(self.id_col).cast("long").alias(self.id_col))
             .withColumn("_lsn", F.lit(lsn).cast("long"))
-            .observe(obs, F.count(F.lit(1)).alias("n"))  # rides the write job
+            # count + min/max ride the write job; df() emits one row per
+            # live id, so n here IS the distinct-id count and the dense
+            # test max-min+1 == n is sound
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.min(self.id_col).alias("lo"), F.max(self.id_col).alias("hi"))
             .write.mode("error").parquet(full)
         )
-        n = int(obs.get["n"])
+        got = obs.get
+        n = int(got["n"])
         if n == 0:
             fs_rmtree(full)
             return 0
         self._pending_tombs.append(rel)
+        lo, hi = int(got["lo"]), int(got["hi"])
+        self._pending_tomb_stats[rel] = {
+            "ids": n, "min": lo, "max": hi, "lsn": lsn,
+            "dense": hi - lo + 1 == n,
+        }
         self._obs("on_delete", time.perf_counter() - t0, n)
         return n
 
@@ -445,10 +467,12 @@ class VectorTable:
             segments=m.segments + self._pending,
             tombstone_files=m.tombstone_files + self._pending_tombs,
             meta=dict(m.meta),
+            tombstone_stats={**m.tombstone_stats, **self._pending_tomb_stats},
         )
         save_manifest(self.path, new)
         self.manifest = new
         self._pending, self._pending_tombs = [], []
+        self._pending_tomb_stats = {}
         self._obs("on_flush", time.perf_counter() - t0, staged_rows, new.version)
         return new.version
 
@@ -537,11 +561,57 @@ class VectorTable:
         upserts, segment stats are exact (every write path counts rows into
         SegmentMeta.rows) → answer from the manifest with zero Spark jobs,
         the reference's O(#segments) Stats stance (engine.go:2124-2171).
-        Tombstones/upserts change visibility per row → scan."""
+        Tombstoned snapshots still answer from the manifest when the id
+        sets are provably dense intervals (see _manifest_count); otherwise
+        visibility is per-row → scan."""
         m = self.manifest
-        if not m.tombstone_files and not m.meta.get("has_upserts", False):
-            return sum(s.rows for s in m.segments)
+        if not m.meta.get("has_upserts", False):
+            if not m.tombstone_files:
+                return sum(s.rows for s in m.segments)
+            fast = self._manifest_count(m)
+            if fast is not None:
+                return fast
         return self.df().count()
+
+    def _manifest_count(self, m) -> int | None:
+        """Zero-job live-row count for tombstoned snapshots, or None when
+        the manifest can't prove it. Sound because integer interval stats
+        pin the exact id SET: a segment with max-min+1 == ndv == rows holds
+        precisely the ids [min, max] (and with has_upserts False, segment
+        id sets are pairwise disjoint); a dense tombstone likewise holds
+        exactly [min, max]. A row is hidden iff some tombstone holds its id
+        with tombstone lsn >= the row's lsn (the read filter
+        `_lsn > _tomb_lsn`); per-row lsn <= SegmentMeta.lsn always, and a
+        tombstone that predates a merged segment was either applied at the
+        merge (leaving a hole → density fails → fall back) or misses it, so
+        comparing against SegmentMeta.lsn never over-hides. Requiring
+        pairwise-disjoint dense tombstones rules out double-counting an id
+        hidden by two tombstones."""
+        tstats = [m.tombstone_stats.get(t) for t in m.tombstone_files]
+        if any(s is None or not s.get("dense") for s in tstats):
+            return None
+        tstats = sorted(tstats, key=lambda s: s["min"])
+        for a, b in zip(tstats, tstats[1:]):
+            if b["min"] <= a["max"]:
+                return None  # overlapping tombstones → per-id max-lsn wins
+        total = 0
+        for seg in m.segments:
+            if seg.rows == 0:
+                continue
+            s = (seg.stats or {}).get(self.id_col)
+            # pass-2 ndv is only collected for rows > 1; a 1-row segment is
+            # trivially dense when min == max
+            if (not s or s.get("min") is None or s.get("null_count", 1) != 0
+                    or (seg.rows > 1 and s.get("ndv") != seg.rows)
+                    or int(s["max"]) - int(s["min"]) + 1 != seg.rows):
+                return None  # id set not a provable dense interval
+            lo, hi = int(s["min"]), int(s["max"])
+            live = seg.rows
+            for t in tstats:
+                if t["lsn"] >= seg.lsn:
+                    live -= max(0, min(hi, t["max"]) - max(lo, t["min"]) + 1)
+            total += live
+        return total
 
     def segment_priorities(self, query: Sequence[float]):
         """Segments nearest-first by the centroid/radius distance LOWER
@@ -1022,6 +1092,7 @@ class VectorTable:
             segments=keep + [SegmentMeta(path=rel, rows=rows, lsn=max_lsn, bytes=size, stats=stats)],
             tombstone_files=list(self.manifest.tombstone_files),
             meta=dict(self.manifest.meta),
+            tombstone_stats=dict(self.manifest.tombstone_stats),
         )
         save_manifest(self.path, new)
         self.manifest = new
