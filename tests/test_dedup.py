@@ -282,3 +282,31 @@ def test_minhash_candidate_recall_vs_bruteforce(spark):
     got13 = {(r["id_a"], r["id_b"])
              for r in dedup.minhash_lsh_pairs(docs, min_matches=13).collect()}
     assert got13 == want13
+
+
+def test_hot_bucket_fallback_matches_literal_path(spark, monkeypatch):
+    """When the hot-bucket key count exceeds MAX_HOT_LITERALS, the pair
+    pipelines must switch to the plan-bounded broadcast-anti-join +
+    pair-distinct fallback and return the SAME pair set as the literal
+    path (and the collect stays LIMIT-bounded either way)."""
+    boiler = "copyright footer text appended to every generated document"
+    rows = [(i, f"{boiler}") for i in range(30)]           # one giant bucket
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight"),
+             (200, "completely unrelated text about spark shuffle behavior")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lit_mh = {tuple(r) for r in dedup.minhash_lsh_pairs(
+        docs, min_matches=8, max_bucket=5).collect()}
+    lit_sh = {tuple(r) for r in dedup.simhash_pairs(
+        docs, max_hamming=3, max_bucket=5).collect()}
+
+    monkeypatch.setattr(dedup, "MAX_HOT_LITERALS", 0)      # force fallback
+    fb_mh = {tuple(r) for r in dedup.minhash_lsh_pairs(
+        docs, min_matches=8, max_bucket=5).collect()}
+    fb_sh = {tuple(r) for r in dedup.simhash_pairs(
+        docs, max_hamming=3, max_bucket=5).collect()}
+
+    assert fb_mh == lit_mh
+    assert fb_sh == lit_sh
+    assert (100, 101) in {(a, b) for a, b, _ in fb_mh}

@@ -465,3 +465,54 @@ def test_empty_explicit_id_insert_keeps_fast_count(spark, tdir):
     t.commit()
     assert t.manifest.meta.get("has_upserts", False) is False
     assert _forbid_scan(t).count() == 5
+
+
+def test_concrete_type_pinned_across_batches(spark, tdir):
+    """One parquet type per declared column across segments: the first
+    typed write pins it; later batches widen losslessly into it or are
+    rejected — never two segments with conflicting parquet types (the
+    union read would become footer-order-dependent)."""
+    from pyspark.sql import functions as F
+
+    t = VectorTable.create(
+        spark, tdir, dim=2, schema={"x": "any", "tags": "array"})
+    base = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vector array<float>")
+    t.insert(base
+             .withColumn("x", F.lit(7).cast("double"))
+             .withColumn("tags", F.array(F.lit(1.5))))       # pins double / array<double>
+    t.commit()
+    t2 = spark.createDataFrame([(2, [3.0, 4.0])], "id long, vector array<float>")
+    t.insert(t2
+             .withColumn("x", F.lit(9))                       # long → widens to double
+             .withColumn("tags", F.array(F.lit(2))))          # array<int> → array<double>
+    t.commit()
+    out = VectorTable.open(spark, tdir).df()
+    assert dict(out.dtypes)["x"] == "double"
+    assert dict(out.dtypes)["tags"] == "array<double>"
+    assert sorted(r["x"] for r in out.collect()) == [7.0, 9.0]
+    bad = spark.createDataFrame([(3, [5.0, 6.0])], "id long, vector array<float>")
+    with pytest.raises(TypeError, match="already stores"):
+        t.insert(bad.withColumn("x", F.lit("seven")))         # string ↛ double
+
+
+def test_all_null_first_write_pins_default_and_rejects_conflict(spark, tdir):
+    """An all-NULL 'any' column pins the writable default (string); a
+    later long batch must be REJECTED, not silently written as a second
+    conflicting parquet type (the round-4 advice scenario)."""
+    from pyspark.sql import functions as F
+
+    t = VectorTable.create(spark, tdir, dim=2, schema={"x": "any"})
+    base = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vector array<float>")
+    t.insert(base.withColumn("x", F.lit(None)))
+    t.commit()
+    assert t.manifest.meta["schema_concrete"]["x"] == "string"
+    nxt = spark.createDataFrame([(2, [3.0, 4.0])], "id long, vector array<float>")
+    with pytest.raises(TypeError, match="already stores"):
+        t.insert(nxt.withColumn("x", F.lit(5)))
+    # a string batch is fine, and the pin survives reopen via the manifest
+    t.insert(nxt.withColumn("x", F.lit("five")))
+    t.commit()
+    reopened = VectorTable.open(spark, tdir)
+    assert reopened.manifest.meta["schema_concrete"]["x"] == "string"
+    assert sorted(r["x"] for r in reopened.df().collect()
+                  if r["x"] is not None) == ["five"]

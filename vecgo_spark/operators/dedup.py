@@ -150,6 +150,28 @@ def minhash_signatures(
 
 MAX_BUCKET = 1024  # band-bucket / chunk-bucket size cap (see _drop_hot)
 
+# cap on hot-bucket keys embedded as plan literals: the hot-key COUNT is
+# bounded only by rows/max_bucket (linear in corpus size on a
+# boilerplate-heavy corpus), so above this the literal-isin plan and the
+# driver collect both stop being "tiny by construction" and the pair
+# pipeline falls back to a broadcast anti-join + pair-distinct, which
+# stays plan-bounded at any hot-key count
+MAX_HOT_LITERALS = 2048
+
+
+def _collect_hot(grouped: DataFrame, group_cols: list[str], max_bucket: int):
+    """(hot_rows | None, hot_df): hot (group, key) rows as driver-side
+    literals when there are at most MAX_HOT_LITERALS of them, else None —
+    the collect itself is LIMIT-bounded, never corpus-proportional."""
+    hot_df = (
+        grouped.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket).select(*group_cols)
+    )
+    rows = hot_df.limit(MAX_HOT_LITERALS + 1).collect()
+    if len(rows) > MAX_HOT_LITERALS:
+        return None, hot_df
+    return rows, hot_df
+
 
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -202,22 +224,28 @@ def minhash_lsh_pairs(
     for b in bands[1:]:
         banded = banded.unionByName(b)
     hot_keys: dict[int, list[int]] = {}
+    literal_path = True
     if max_bucket is not None:
-        hot_rows = (
-            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > max_bucket).select("band", "key").collect()
-        )
-        if hot_rows:
-            _log.info("dropping %d hot LSH band buckets (> %d rows each)",
-                      len(hot_rows), max_bucket)
-        for r in hot_rows:
-            hot_keys.setdefault(r["band"], []).append(r["key"])
-        drop = None
-        for bidx, keys in hot_keys.items():
-            cond = (F.col("band") == bidx) & F.col("key").isin(keys)
-            drop = cond if drop is None else drop | cond
-        if drop is not None:
-            banded = banded.where(~drop)
+        hot_rows, hot_df = _collect_hot(banded, ["band", "key"], max_bucket)
+        if hot_rows is None:
+            # boilerplate-heavy corpus: too many hot buckets for plan
+            # literals → broadcast anti-join + pair-distinct fallback
+            _log.info("more than %d hot LSH band buckets — taking the "
+                      "broadcast anti-join fallback", MAX_HOT_LITERALS)
+            literal_path = False
+            banded = banded.join(F.broadcast(hot_df), ["band", "key"], "left_anti")
+        else:
+            if hot_rows:
+                _log.info("dropping %d hot LSH band buckets (> %d rows each)",
+                          len(hot_rows), max_bucket)
+            for r in hot_rows:
+                hot_keys.setdefault(r["band"], []).append(r["key"])
+            drop = None
+            for bidx, keys in hot_keys.items():
+                cond = (F.col("band") == bidx) & F.col("key").isin(keys)
+                drop = cond if drop is None else drop | cond
+            if drop is not None:
+                banded = banded.where(~drop)
 
     def alive_match(bidx: int):
         """Band keys equal at bidx AND that bucket survived the cap — the
@@ -237,16 +265,25 @@ def minhash_lsh_pairs(
         F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    return (
+    joined = (
         banded.alias("a")
         .join(banded.alias("b"),
               (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
               & (F.col("a.id") < F.col("b.id")))
-        .where(~earlier)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                match_count.alias("match_count"))
+    )
+    if literal_path:
+        joined = joined.where(~earlier)
+    pairs = (
+        joined.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      match_count.alias("match_count"))
         .where(F.col("match_count") >= min_matches)
     )
+    if not literal_path:
+        # in-row minimal-band dedup needs the hot-key sets in the plan;
+        # without them a pair surfaces once per shared band → one
+        # pair-sized distinct (identical rows: match_count is band-free)
+        pairs = pairs.distinct()
+    return pairs
 
 
 def minhash_lsh_pairs_sql(
@@ -376,22 +413,26 @@ def simhash_pairs(
         )
         chunks = c if chunks is None else chunks.unionByName(c)
     hot_keys: dict[int, list[int]] = {}
+    literal_path = True
     if max_bucket is not None:
-        hot_rows = (
-            chunks.groupBy("chunk", "key").agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > max_bucket).select("chunk", "key").collect()
-        )
-        if hot_rows:
-            _log.info("dropping %d hot SimHash chunk buckets (> %d rows each)",
-                      len(hot_rows), max_bucket)
-        for r in hot_rows:
-            hot_keys.setdefault(r["chunk"], []).append(r["key"])
-        drop = None
-        for cidx, keys in hot_keys.items():
-            cond = (F.col("chunk") == cidx) & F.col("key").isin(keys)
-            drop = cond if drop is None else drop | cond
-        if drop is not None:
-            chunks = chunks.where(~drop)
+        hot_rows, hot_df = _collect_hot(chunks, ["chunk", "key"], max_bucket)
+        if hot_rows is None:
+            _log.info("more than %d hot SimHash chunk buckets — taking the "
+                      "broadcast anti-join fallback", MAX_HOT_LITERALS)
+            literal_path = False
+            chunks = chunks.join(F.broadcast(hot_df), ["chunk", "key"], "left_anti")
+        else:
+            if hot_rows:
+                _log.info("dropping %d hot SimHash chunk buckets (> %d rows each)",
+                          len(hot_rows), max_bucket)
+            for r in hot_rows:
+                hot_keys.setdefault(r["chunk"], []).append(r["key"])
+            drop = None
+            for cidx, keys in hot_keys.items():
+                cond = (F.col("chunk") == cidx) & F.col("key").isin(keys)
+                drop = cond if drop is None else drop | cond
+            if drop is not None:
+                chunks = chunks.where(~drop)
 
     def alive_match(cidx):
         """Keys equal at chunk cidx AND that bucket survived the cap —
@@ -412,12 +453,18 @@ def simhash_pairs(
         .join(chunks.alias("b"),
               (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key"))
               & (F.col("a.id") < F.col("b.id")))
-        .where(~earlier)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
     )
+    if literal_path:
+        cand = cand.where(~earlier)
+    cand = cand.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                       F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)
+    out = cand.select("id_a", "id_b", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)
+    if not literal_path:
+        # without the hot sets in the plan a pair surfaces once per shared
+        # surviving chunk → pair-distinct fallback (hamming is chunk-free)
+        out = out.distinct()
+    return out
 
 
 def simhash_pairs_sql(

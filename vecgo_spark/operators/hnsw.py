@@ -234,30 +234,70 @@ def batch_search(
 
 # ------------------------------------------------------------- at rest
 
-def _graph_blob(graph: HNSWGraph, ids: list[int]) -> bytes:
-    import pickle
+_GRAPH_FORMAT = 1  # bump on any layout change; loaders reject unknown versions
 
-    return pickle.dumps({
-        "ids": ids,
-        "mat": np.ascontiguousarray(graph.vecs),
-        "levels": graph.levels,
-        "links": graph.links,
-        "entry": graph.entry,
-    }, protocol=4)
+
+def _graph_blob(graph: HNSWGraph, ids: list[int]) -> bytes:
+    """Explicit versioned snapshot encoding (the reference snapshots its
+    graph with a versioned binary format rather than language-native
+    serialization): numpy .npz of flat arrays — vectors, per-node levels,
+    and the adjacency lists flattened CSR-style (node-major, level-minor).
+    No pickle: the blob is data, never code, so a tampered table layout
+    cannot execute anything at load, and the format survives Python/numpy
+    upgrades."""
+    import io
+
+    n = len(graph.levels)
+    flat: list[int] = []
+    offsets = [0]
+    for node in range(n):
+        for level in range(graph.levels[node] + 1):
+            flat.extend(graph.links[node][level])
+            offsets.append(len(flat))
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        format=np.int64(_GRAPH_FORMAT),
+        ids=np.asarray(ids, dtype=np.int64),
+        mat=np.ascontiguousarray(graph.vecs, dtype=np.float64),
+        levels=np.asarray(graph.levels, dtype=np.int32),
+        link_offsets=np.asarray(offsets, dtype=np.int64),
+        link_data=np.asarray(flat, dtype=np.int32),
+        entry=np.int64(-1 if graph.entry is None else graph.entry),
+    )
+    return buf.getvalue()
 
 
 def _graph_from_blob(blob: bytes) -> tuple["HNSWGraph", list[int]]:
-    import pickle
+    import io
 
-    d = pickle.loads(blob)
-    mat = np.asarray(d["mat"], dtype=np.float64)
+    with np.load(io.BytesIO(blob), allow_pickle=False) as d:
+        fmt = int(d["format"])
+        if fmt != _GRAPH_FORMAT:
+            raise ValueError(f"unsupported hnsw graph format v{fmt} "
+                             f"(reader supports v{_GRAPH_FORMAT})")
+        mat = np.asarray(d["mat"], dtype=np.float64)
+        levels = [int(x) for x in d["levels"]]
+        offsets = d["link_offsets"]
+        flat = d["link_data"]
+        entry = int(d["entry"])
+        ids = [int(x) for x in d["ids"]]
+    links: list[list[list[int]]] = []
+    li = 0
+    for node in range(len(levels)):
+        per_node = []
+        for _level in range(levels[node] + 1):
+            lo, hi = int(offsets[li]), int(offsets[li + 1])
+            per_node.append([int(x) for x in flat[lo:hi]])
+            li += 1
+        links.append(per_node)
     g = HNSWGraph(mat.shape[1] if mat.size else 1)
     g._mat = mat
     g._n = mat.shape[0]
-    g.levels = d["levels"]
-    g.links = d["links"]
-    g.entry = d["entry"]
-    return g, d["ids"]
+    g.levels = levels
+    g.links = links
+    g.entry = None if entry < 0 else entry
+    return g, ids
 
 
 def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
@@ -266,7 +306,7 @@ def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
     (internal/index/hnsw + the engine's snapshot persistence); here each
     committed segment gets its own graph, built in parallel executor
     tasks (one applyInPandas group per segment, rows sorted by id for a
-    deterministic build) and stored as a pickled blob under
+    deterministic build) and stored as a versioned .npz blob under
     _index/hnsw-v*/. The manifest's next version records the artifact
     dir, the graph params and the EXACT segment list indexed — so
     search_at_rest() can serve indexed segments from their graphs and
@@ -340,7 +380,7 @@ def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
 
 def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64) -> DataFrame:
     """Approximate top-k served from the STORED graphs: probed segments
-    load their pickled graph (small blob scan, one mapInPandas), beam
+    load their stored graph (small blob scan, one mapInPandas), beam
     search emits k candidates per graph; segments committed AFTER the
     build take the exact-scan delta leg; the union exact-reranks against
     the live snapshot — which also enforces tombstone/upsert visibility

@@ -74,8 +74,13 @@ def train_ivf(
     the driver — the reference's own stance (kmeans.go runs in-process on
     the segment being built); one collect job instead of ~max_iter
     distributed rounds, right when the corpus or sample is small."""
-    if cache_key is not None and cache_key in _MODEL_CACHE:
-        return _MODEL_CACHE[cache_key]
+    if cache_key is not None:
+        # hyperparameters ride the key — a reused key with different
+        # settings must never serve the first call's centroids
+        cache_key = (f"{cache_key}|ivf:k{nlist}:m{metric}:s{seed}:i{max_iter}"
+                     f":t{trainer}:n{max_train_rows}:o{order_col}")
+        if cache_key in _MODEL_CACHE:
+            return _MODEL_CACHE[cache_key]
     if nlist is None:
         nlist = default_nlist(df.count())
     if trainer == "driver":

@@ -110,6 +110,22 @@ def _schema_check(dt, want: str):
     return False, None
 
 
+_WIDENS = {("tinyint", "long"), ("smallint", "long"), ("int", "long"),
+           ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+           ("long", "double"), ("float", "double")}
+
+
+def _widens_to(src: str, dst: str) -> bool:
+    """True iff a cast src → dst (simpleString names) is lossless, so an
+    incoming batch may be silently widened into the table's pinned
+    concrete type. Element-wise for arrays."""
+    if (src, dst) in _WIDENS:
+        return True
+    if src.startswith("array<") and dst.startswith("array<"):
+        return _widens_to(src[6:-1], dst[6:-1])
+    return False
+
+
 class VectorTable:
     """A versioned vector collection. One instance == one pinned snapshot
     plus (for the latest version) write ability."""
@@ -327,6 +343,16 @@ class VectorTable:
         schema = self.manifest.meta.get("schema")
         if not schema:
             return df
+        from pyspark.sql import types as T
+
+        # one parquet type per declared column across ALL segments: the
+        # first batch that carries real type information pins the concrete
+        # type in table meta; later batches cast to it (lossless widenings
+        # only) or are rejected — without this, an all-NULL 'any'/'array'
+        # first write (string / array<string>) followed by a typed insert
+        # would leave segments with conflicting parquet types and make the
+        # union read footer-order-dependent.
+        concrete = self.manifest.meta.setdefault("schema_concrete", {})
         for name, want in schema.items():
             if name not in df.columns:
                 continue
@@ -336,8 +362,28 @@ class VectorTable:
                 raise TypeError(
                     f"field {name!r} has invalid type {dt.simpleString()}, "
                     f"expected {want}")
+            if isinstance(dt, T.NullType):
+                # no type information in the batch — follow the pinned
+                # concrete type when one exists, else pin the writable
+                # default so every later batch is validated against it
+                df = df.withColumn(name, F.col(name).cast(
+                    concrete.setdefault(name, cast)))
+                continue
             if cast:
                 df = df.withColumn(name, F.col(name).cast(cast))
+            got = df.schema[name].dataType.simpleString()
+            pinned = concrete.get(name)
+            if pinned is None:
+                concrete[name] = got
+            elif pinned != got:
+                if _widens_to(got, pinned):
+                    # lossless widening into the stored type (e.g. long →
+                    # double, array<int> → array<double>)
+                    df = df.withColumn(name, F.col(name).cast(pinned))
+                else:
+                    raise TypeError(
+                        f"field {name!r} arrives as {got} but the table "
+                        f"already stores it as {pinned}")
         return df
 
     def _observe_stats(self, df: DataFrame):

@@ -131,8 +131,10 @@ def train_pq(
     """Train m sub-codebooks on a bounded sample (Train, pq.go:68-145).
     order_col pins the sample to ORDER BY order_col LIMIT n → reproducible
     codebooks (required for oracle-checked queries)."""
-    if cache_key is not None and cache_key in _PQ_CACHE:
-        return _PQ_CACHE[cache_key]
+    if cache_key is not None:
+        cache_key = f"{cache_key}|pq:m{m}:k{k}:i{iters}:n{max_train_rows}:s{seed}:o{order_col}"
+        if cache_key in _PQ_CACHE:
+            return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
     out = train_pq_np(x, m=m, k=k, iters=iters, seed=seed)
     if cache_key is not None:
@@ -180,8 +182,13 @@ def train_opq(
 ) -> PQCodebooks:
     """OPQ-NP: alternate (encode under R) / (Procrustes R = UVᵀ of XᵀX̂)
     — opq.go:15-305 runs the same SVD iteration."""
-    if cache_key is not None and cache_key in _PQ_CACHE:
-        return _PQ_CACHE[cache_key]
+    if cache_key is not None:
+        # fold the hyperparameters in: a key reused with different settings
+        # must never serve the first call's codebooks
+        cache_key = (f"{cache_key}|opq:m{m}:k{k}:i{iters}:oi{opq_iters}"
+                     f":n{max_train_rows}:s{seed}:o{order_col}")
+        if cache_key in _PQ_CACHE:
+            return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
     out = train_opq_np(x, m=m, k=k, iters=iters, opq_iters=opq_iters, seed=seed)
     if cache_key is not None:
