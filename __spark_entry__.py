@@ -383,8 +383,8 @@ def _ann_hnsw_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW graphs PERSISTED into the table layout (the reference
-    snapshots its graph to disk and reloads it): per-segment pickled
-    graphs under _index/hnsw-v*/ built once over the shared at-rest
+    snapshots its graph to disk and reloads it): per-segment versioned
+    .npz graph blobs under _index/hnsw-v*/ built once over the shared at-rest
     table's cluster segments; search loads the stored blobs, beam-probes
     each graph, and exact-reranks against the live snapshot (visibility
     enforced). Approximate + RNG → rows-only; recall/delta/visibility
@@ -396,6 +396,29 @@ def _ann_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         hnswmod.build_at_rest(tbl)
     rows = hnswmod.search_at_rest(
         tbl, _query_vector(spark, sf_dir), k=10, ef_search=128
+    ).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
+def _ann_vamana_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vamana (DiskANN-flavored) graphs PERSISTED into the table layout —
+    the reference's disk-resident index family (internal/segment/diskann/
+    writer.go: medoid entry, random init, two-pass robustPrune
+    α=1.0→1.2, back-edges; search segment.go:487-560): per-segment
+    versioned .npz blobs under _index/vamana-v*/ built once over the
+    shared at-rest table's cluster segments; search loads the stored
+    blobs, greedy-beams each graph from its medoid, and exact-reranks
+    against the live snapshot (visibility enforced). Approximate + RNG
+    (random graph init) → rows-only; recall/delta/visibility/degree
+    invariants pinned in tests/test_vamana.py."""
+    from vecgo_spark.operators import vamana as vamod
+
+    tbl = _at_rest_table(spark, sf_dir)
+    if "vamana" not in tbl.manifest.meta:
+        vamod.build_at_rest(tbl, r=24, l=48)
+    rows = vamod.search_at_rest(
+        tbl, _query_vector(spark, sf_dir), k=10, l_search=96
     ).collect()
     out = spark.createDataFrame(rows, "id long, score double")
     return out.select(F.col("id").alias("vec_id"), "score")
@@ -1382,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": _knn_pq_adc,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
+        "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
     }
 
 

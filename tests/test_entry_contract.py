@@ -13,7 +13,7 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 # approximate/RNG operators that are rows-only BY DESIGN — adding a name
 # here requires a docstring justification on the query function
-ROWS_ONLY_BY_DESIGN = {"ann_hnsw_batch", "ann_hnsw_at_rest"}
+ROWS_ONLY_BY_DESIGN = {"ann_hnsw_batch", "ann_hnsw_at_rest", "ann_vamana_at_rest"}
 
 
 def test_window_marker_sits_at_entry_50():

@@ -1,0 +1,106 @@
+"""Per-segment Vamana / DiskANN-flavored at-rest index
+(operators/vamana.py): recall floors vs brute force, degree invariant,
+blob roundtrip, delta-leg + tombstone visibility, compact/vacuum artifact
+lifecycle. Reference semantics: internal/segment/diskann/writer.go
+(medoid entry, random init, two-pass robustPrune α=1.0→1.2, back-edges)."""
+
+import numpy as np
+import pytest
+
+from vecgo_spark.operators import vamana
+
+
+def test_build_recall_degree_and_roundtrip():
+    rng = np.random.default_rng(3)
+    n = 1200
+    X = rng.normal(size=(n, 16))
+    g = vamana.VamanaGraph(X, r=24, l=48, alpha=1.2, seed=0)
+    g.build()
+    assert max(len(x) for x in g.links) <= 24          # ≤R after final sweep
+    hits = 0
+    Q = rng.normal(size=(25, 16))
+    for q in Q:
+        bf = np.argsort(((X - q) ** 2).sum(1))[:10]
+        got = [m for _, m in g.search(q, 10)]
+        hits += len(set(bf) & set(got))
+    assert hits / 250 >= 0.9
+    blob = vamana.graph_blob(g, list(range(n)))
+    g2, ids = vamana.graph_from_blob(blob)
+    assert ids == list(range(n))
+    q = rng.normal(size=16)
+    assert g.search(q, 10) == g2.search(q, 10)         # loader is faithful
+    # a blob from a future format version is rejected, not mis-read
+    import unittest.mock as mock
+
+    with mock.patch.object(vamana, "_GRAPH_FORMAT", 99):
+        future = vamana.graph_blob(g, list(range(n)))
+    with pytest.raises(ValueError, match="format"):
+        vamana.graph_from_blob(future)
+
+
+def test_medoid_entry_is_closest_to_centroid():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(200, 8))
+    g = vamana.VamanaGraph(X)
+    c = X.mean(axis=0)
+    assert g.entry == int(np.argmin(((X - c) ** 2).sum(1)))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(400)]
+    t = VectorTable.create(spark, str(tmp_path / "tvam"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    return t
+
+
+def test_at_rest_build_search_delta_and_deletes(spark, table):
+    v = vamana.build_at_rest(table, r=24, l=48)
+    assert table.manifest.version == v
+    q = [0.2] * 8
+    exact = [r["id"] for r in table.search(q, k=10).collect()]
+    got = [r["id"] for r in
+           vamana.search_at_rest(table, q, k=10, l_search=96).collect()]
+    assert len(set(exact) & set(got)) >= 9             # recall floor
+    probe = [5.0] * 8
+    table.insert(spark.createDataFrame(
+        [(9000, probe)], "id long, vector array<double>"))
+    table.commit()
+    got = [r["id"] for r in vamana.search_at_rest(table, probe, k=3).collect()]
+    assert got[0] == 9000                              # exact delta leg
+    table.delete([9000])
+    table.commit()
+    got = [r["id"] for r in vamana.search_at_rest(table, probe, k=3).collect()]
+    assert 9000 not in got                             # rerank visibility
+
+
+def test_compact_drops_index_and_vacuum_collects_blobs(spark, table):
+    import os
+
+    vamana.build_at_rest(table)
+    rel = table.manifest.meta["vamana"]["path"]
+    table.compact()
+    assert "vamana" not in table.manifest.meta
+    with pytest.raises(KeyError):
+        vamana.search_at_rest(table, [0.0] * 8, k=5)
+    table.vacuum(keep_versions=1)
+    assert not os.path.isdir(os.path.join(table.path, rel))
+    vamana.build_at_rest(table)
+    table.vacuum(keep_versions=1)
+    assert os.path.isdir(os.path.join(table.path, table.manifest.meta["vamana"]["path"]))
+    assert vamana.search_at_rest(table, [0.0] * 8, k=5).count() == 5
+
+
+def test_at_rest_rejects_non_l2_metric(spark, tmp_path):
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "tdot"), dim=4, metric="dot")
+    t.insert(spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])],
+                                   "id long, vector array<double>"))
+    t.commit()
+    with pytest.raises(ValueError, match="metric"):
+        vamana.build_at_rest(t)

@@ -1,0 +1,155 @@
+"""Shared scaffolding for persisted per-segment graph indexes.
+
+Two graph families use it: per-segment HNSW (operators/hnsw.py — the
+reference's in-memory index, internal/index/hnsw) and per-segment Vamana
+(operators/vamana.py — the reference's DiskANN at-rest index,
+internal/segment/diskann/writer.go). Both follow the same Spark-first
+shape the reference's segment builder follows natively:
+
+  build:  one applyInPandas group per committed segment (parallel executor
+          tasks, rows sorted by id for a deterministic build) → one
+          versioned .npz blob per segment under _index/<family>-v*/;
+          the NEXT manifest version records the artifact dir, the build
+          params and the EXACT segment list indexed.
+  search: probed segments load their stored graph (small blob scan, one
+          mapInPandas), beam search emits k candidates per graph; segments
+          committed AFTER the build take an exact-scan delta leg; the
+          union exact-reranks against the live snapshot — which also
+          enforces tombstone/upsert visibility for rows deleted or
+          rewritten since the graphs were built.
+
+Scale posture: blobs are per-segment (bounded by segment size), the probe
+is a narrow scan of only the indexed segments' blobs, and candidate
+volume is bounded by segments × k before the rerank.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_graphs_at_rest(
+    tbl,
+    family: str,
+    params: dict,
+    build_blob: Callable[[list[int], np.ndarray], bytes],
+) -> int:
+    """Build one graph blob per committed segment and publish a manifest
+    version whose meta[family] records {path, segments, **params}.
+    build_blob(ids, block) runs inside the executor task."""
+    from vecgo_spark.plans.manifest import Manifest, save_manifest
+    from vecgo_spark.plans.table import INDEX_DIR
+
+    tbl._check_writable()
+    if tbl.metric != "l2":
+        # the stored graphs beam-search squared-L2 geometry; serving a
+        # dot/cosine table from them would pool the WRONG candidates
+        # (rerank cannot repair a candidate set that never contained the
+        # high-similarity rows) — fail loudly instead
+        raise ValueError(
+            f"{family} at-rest index supports metric='l2' tables, got {tbl.metric!r}")
+    man = tbl.manifest
+    segs = man.segments
+    if not segs:
+        raise ValueError("nothing to index: table has no committed segments")
+    id_col, vector_col = tbl.id_col, tbl.vector_col
+    seg_expr = None
+    for s in segs:
+        # the trailing "/" anchors the match at a path-component boundary:
+        # cluster dirs _part=1 and _part=10 are substring-ambiguous without it
+        cond = F.input_file_name().contains(s.path.rstrip("/") + "/")
+        seg_expr = (F.when(cond, F.lit(s.path)) if seg_expr is None
+                    else seg_expr.when(cond, F.lit(s.path)))
+    raw = (
+        tbl._segment_df(segs)
+        .where(F.col(vector_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
+        .withColumn("_seg", seg_expr)
+    )
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("id")
+        blob = b""
+        if len(pdf):
+            block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            blob = build_blob([int(r) for r in pdf["id"]], block)
+        return pd.DataFrame({"seg": [key[0]], "blob": [blob]})
+
+    version = man.version + 1
+    rel = os.path.join(INDEX_DIR, f"{family}-v{version:08d}")
+    (
+        raw.groupBy("_seg").applyInPandas(build, "seg string, blob binary")
+        .write.mode("error").parquet(os.path.join(tbl.path, rel))
+    )
+    new = Manifest(
+        version=version, lsn=man.lsn, next_id=man.next_id,
+        created_at=time.time(), segments=list(segs),
+        tombstone_files=list(man.tombstone_files),
+        meta={**man.meta,
+              family: {"path": rel, "segments": [s.path for s in segs], **params}},
+        tombstone_stats=dict(man.tombstone_stats),
+    )
+    save_manifest(tbl.path, new)
+    tbl.manifest = new
+    return version
+
+
+def search_graphs_at_rest(
+    tbl,
+    family: str,
+    query,
+    k: int,
+    probe_blob: Callable[[bytes, np.ndarray, int], list[tuple[int, float]]],
+) -> DataFrame:
+    """Serve approximate top-k from the stored graphs + exact delta leg +
+    live-snapshot rerank. probe_blob(blob, q, k) → [(row_id, score)] runs
+    inside the executor task for each stored graph."""
+    from vecgo_spark.operators import knn
+
+    info = tbl.manifest.meta.get(family)
+    if info is None:
+        raise KeyError(f"table has no {family} index; build it first")
+    q = np.asarray(list(query), dtype=np.float64)
+    spark = tbl.spark
+    current = {s.path for s in tbl.manifest.segments}
+    live_indexed = sorted(set(info["segments"]) & current)
+    bq = spark.sparkContext.broadcast(q)
+    legs = []
+    if live_indexed:
+        blobs = spark.read.parquet(os.path.join(tbl.path, info["path"])).where(
+            F.col("seg").isin(live_indexed) & (F.length("blob") > 0)
+        )
+
+        def probe(batches):
+            qv = bq.value
+            for pdf in batches:
+                rows = []
+                for blob in pdf["blob"]:
+                    rows.extend(probe_blob(bytes(blob), qv, k))
+                yield pd.DataFrame(rows, columns=["id", "score"])
+
+        legs.append(blobs.mapInPandas(probe, "id long, score double")
+                    .withColumnRenamed("id", tbl.id_col))
+    delta = [s for s in tbl.manifest.segments if s.path not in set(info["segments"])]
+    if delta:
+        ddf = tbl.df(segments=delta)
+        legs.append(
+            ddf.select(tbl.id_col,
+                       knn.score_expr("l2", tbl.vector_col, list(q)).alias("score"))
+            .orderBy(F.col("score").asc(), F.col(tbl.id_col).asc())
+            .limit(k)
+        )
+    if not legs:
+        return tbl.spark.createDataFrame([], f"{tbl.id_col} long, score double")
+    coarse = legs[0]
+    for leg in legs[1:]:
+        coarse = coarse.unionByName(leg)
+    return knn.rerank(coarse, tbl.df(), list(q), k=k, metric=tbl.metric,
+                      id_col=tbl.id_col, vector_col=tbl.vector_col)

@@ -386,131 +386,28 @@ def _graph_from_blob(blob: bytes) -> tuple["HNSWGraph", list[int]]:
 def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
     """Persist per-SEGMENT HNSW graphs into the table layout — the
     reference snapshots its HNSW graph to disk and reloads it
-    (internal/index/hnsw + the engine's snapshot persistence); here each
-    committed segment gets its own graph, built in parallel executor
-    tasks (one applyInPandas group per segment, rows sorted by id for a
-    deterministic build) and stored as a versioned .npz blob under
-    _index/hnsw-v*/. The manifest's next version records the artifact
-    dir, the graph params and the EXACT segment list indexed — so
-    search_at_rest() can serve indexed segments from their graphs and
-    fall back to an exact scan for segments committed after the build
-    (the delta leg). Returns the new manifest version."""
-    import os as _os
-    import time as _time
+    (internal/index/hnsw + the engine's snapshot persistence); build /
+    delta-leg / rerank mechanics in operators/graph_at_rest.py. Returns
+    the new manifest version."""
+    from vecgo_spark.operators.graph_at_rest import build_graphs_at_rest
 
-    from vecgo_spark.plans.manifest import Manifest, save_manifest
-    from vecgo_spark.plans.table import INDEX_DIR
+    def build_blob(ids, block):
+        graph = HNSWGraph(block.shape[1], m=m, ef_construction=ef_construction)
+        graph.add_batch(block)
+        return _graph_blob(graph, ids)
 
-    tbl._check_writable()
-    if tbl.metric != "l2":
-        # the stored graphs beam-search squared-L2 geometry; serving a
-        # dot/cosine table from them would pool the WRONG candidates
-        # (rerank cannot repair a candidate set that never contained the
-        # high-similarity rows) — fail loudly instead
-        raise ValueError(
-            f"HNSW at-rest index supports metric='l2' tables, got {tbl.metric!r}")
-    man = tbl.manifest
-    segs = man.segments
-    if not segs:
-        raise ValueError("nothing to index: table has no committed segments")
-    id_col, vector_col = tbl.id_col, tbl.vector_col
-    seg_expr = None
-    for s in segs:
-        # the trailing "/" anchors the match at a path-component boundary:
-        # cluster dirs _part=1 and _part=10 are substring-ambiguous without it
-        cond = F.input_file_name().contains(s.path.rstrip("/") + "/")
-        seg_expr = (F.when(cond, F.lit(s.path)) if seg_expr is None
-                    else seg_expr.when(cond, F.lit(s.path)))
-    raw = (
-        tbl._segment_df(segs)
-        .where(F.col(vector_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
-        .withColumn("_seg", seg_expr)
-    )
-
-    def build(key, pdf):
-        pdf = pdf.sort_values("id")
-        graph: HNSWGraph | None = None
-        ids: list[int] = []
-        if len(pdf):
-            block = np.array([np.asarray(v, dtype=np.float64)
-                              for v in pdf["v"]])
-            graph = HNSWGraph(block.shape[1], m=m,
-                              ef_construction=ef_construction)
-            graph.add_batch(block)
-            ids = [int(r) for r in pdf["id"]]
-        blob = _graph_blob(graph, ids) if graph is not None else b""
-        return pd.DataFrame({"seg": [key[0]], "blob": [blob]})
-
-    version = man.version + 1
-    rel = _os.path.join(INDEX_DIR, f"hnsw-v{version:08d}")
-    (
-        raw.groupBy("_seg").applyInPandas(build, "seg string, blob binary")
-        .write.mode("error").parquet(_os.path.join(tbl.path, rel))
-    )
-    new = Manifest(
-        version=version, lsn=man.lsn, next_id=man.next_id,
-        created_at=_time.time(), segments=list(segs),
-        tombstone_files=list(man.tombstone_files),
-        meta={**man.meta,
-              "hnsw": {"path": rel, "m": m, "ef_construction": ef_construction,
-                       "segments": [s.path for s in segs]}},
-    )
-    save_manifest(tbl.path, new)
-    tbl.manifest = new
-    return version
+    return build_graphs_at_rest(
+        tbl, "hnsw", {"m": m, "ef_construction": ef_construction}, build_blob)
 
 
 def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64) -> DataFrame:
-    """Approximate top-k served from the STORED graphs: probed segments
-    load their stored graph (small blob scan, one mapInPandas), beam
-    search emits k candidates per graph; segments committed AFTER the
-    build take the exact-scan delta leg; the union exact-reranks against
-    the live snapshot — which also enforces tombstone/upsert visibility
-    for rows deleted or rewritten since the graphs were built."""
-    import os as _os
+    """Approximate top-k served from the STORED graphs, with the exact
+    delta leg for post-build segments and the live-snapshot rerank that
+    enforces tombstone/upsert visibility (graph_at_rest.py)."""
+    from vecgo_spark.operators.graph_at_rest import search_graphs_at_rest
 
-    from vecgo_spark.operators import knn
+    def probe_blob(blob, qv, kk):
+        g, ids = _graph_from_blob(blob)
+        return [(ids[node], float(d)) for d, node in g.search(qv, kk, ef_search=ef_search)]
 
-    info = tbl.manifest.meta.get("hnsw")
-    if info is None:
-        raise KeyError("table has no HNSW index; run hnsw.build_at_rest first")
-    q = np.asarray(list(query), dtype=np.float64)
-    spark = tbl.spark
-    current = {s.path for s in tbl.manifest.segments}
-    live_indexed = sorted(set(info["segments"]) & current)
-    bq = spark.sparkContext.broadcast(q)
-    legs = []
-    if live_indexed:
-        blobs = spark.read.parquet(_os.path.join(tbl.path, info["path"])).where(
-            F.col("seg").isin(live_indexed) & (F.length("blob") > 0)
-        )
-
-        def probe(batches):
-            qv = bq.value
-            for pdf in batches:
-                rows = []
-                for blob in pdf["blob"]:
-                    g, ids = _graph_from_blob(bytes(blob))
-                    for d, node in g.search(qv, k, ef_search=ef_search):
-                        rows.append((ids[node], float(d)))
-                yield pd.DataFrame(rows, columns=["id", "score"])
-
-        legs.append(blobs.mapInPandas(probe, f"id long, score double")
-                    .withColumnRenamed("id", tbl.id_col))
-    delta = [s for s in tbl.manifest.segments if s.path not in set(info["segments"])]
-    if delta:
-        ddf = tbl.df(segments=delta)
-        legs.append(
-            ddf.select(tbl.id_col,
-                       knn.score_expr("l2", tbl.vector_col, list(q)).alias("score"))
-            .orderBy(F.col("score").asc(), F.col(tbl.id_col).asc())
-            .limit(k)
-        )
-    if not legs:
-        return tbl.spark.createDataFrame([], f"{tbl.id_col} long, score double")
-    coarse = legs[0]
-    for leg in legs[1:]:
-        coarse = coarse.unionByName(leg)
-    return knn.rerank(coarse, tbl.df(), list(q), k=k, metric=tbl.metric,
-                      id_col=tbl.id_col, vector_col=tbl.vector_col)
+    return search_graphs_at_rest(tbl, "hnsw", query, k, probe_blob)

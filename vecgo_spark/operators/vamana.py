@@ -1,0 +1,292 @@
+"""Per-segment Vamana (DiskANN-flavored) at-rest graph index.
+
+The reference's disk-resident ANN segment builds a single-layer Vamana
+graph (internal/segment/diskann/writer.go:390-460 buildGraph): medoid
+entry point (closest row to the centroid, writer.go:395-406), random
+R-regular initialization (writer.go:416-429), then TWO passes — α=1.0
+first, α=1.2 second (writer.go:431-436) — where each node greedy-searches
+from the medoid with beam L (writer.go:447 greedySearch), replaces its
+out-edges via robustPrune (writer.go:450, 571-625: closest-first, keep c
+only while α·d(c, kept) ≥ d(c, node)), and pushes back-edges that
+re-prune on overflow (writer.go:452-455, 627-643 addBackEdge). Search
+greedy-beams from the medoid (segment.go:487-560).
+
+That ALGORITHM is re-expressed here in numpy with original structure —
+nothing is translated from the Go — and packaged the Spark-first way
+shared with the HNSW family (operators/graph_at_rest.py): one graph per
+committed segment built inside applyInPandas, persisted as a versioned
+.npz blob under _index/vamana-v*/, served with a small blob scan +
+mapInPandas beam, an exact delta leg for post-build segments, and a
+live-snapshot rerank that enforces tombstone/upsert visibility.
+
+Build vectorization: node→corpus distances come from block gemms (the
+whole segment matrix is known up front, so each block of nodes gets its
+distance rows in one matmul — the same trick as HNSWGraph.add_batch);
+the greedy beam then reads distances by fancy index, and robustPrune
+computes its candidate-pairwise matrix with a single gemm per call.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+_GRAPH_FORMAT = 1  # bump on any layout change; loaders reject unknown versions
+
+
+class VamanaGraph:
+    """Single-layer Vamana graph over a FIXED vector set (the per-segment
+    build knows every row up front — mirroring the reference's segment
+    writer, which also builds over a complete batch)."""
+
+    def __init__(self, vecs: np.ndarray, r: int = 32, l: int = 64,
+                 alpha: float = 1.2, seed: int = 0):
+        self.mat = np.ascontiguousarray(vecs, dtype=np.float64)
+        self.n = self.mat.shape[0]
+        self.r = r
+        self.l = l
+        self.alpha = alpha
+        self._rng = np.random.default_rng(seed)
+        self.links: list[list[int]] = [[] for _ in range(self.n)]
+        # medoid entry point: row closest to the centroid (writer.go:395)
+        if self.n:
+            c = self.mat.mean(axis=0)
+            d = self.mat - c
+            self.entry = int(np.argmin(np.einsum("ij,ij->i", d, d)))
+        else:
+            self.entry = -1
+        self._sq = np.einsum("ij,ij->i", self.mat, self.mat) if self.n else None
+        # stamped visited scratch (one allocation per graph)
+        self._stamps = np.zeros(max(1, self.n), dtype=np.int64)
+        self._stamp = 0
+        self._drow: np.ndarray | None = None  # build-time distance row
+
+    # ------------------------------------------------------------ distances
+
+    def _dists_from(self, i: int, idx) -> np.ndarray:
+        """Squared L2 from node i to the given node indexes (gram form —
+        one gemv against precomputed norms)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        d = self._sq[idx] + self._sq[i] - 2.0 * (self.mat[idx] @ self.mat[i])
+        return np.maximum(d, 0.0)
+
+    # ------------------------------------------------------------- search
+
+    def _beam(self, q: np.ndarray, ef: int) -> list[tuple[float, int]]:
+        """Greedy beam from the medoid: expand the closest unexpanded of
+        the ef best until none remains (greedySearch semantics,
+        writer.go:330-389) — implemented with the min-heap/max-heap pair
+        rather than the reference's sort-per-iteration."""
+        import heapq
+
+        if self.entry < 0:
+            return []
+        self._stamp += 1
+        stamp = self._stamp
+        stamps = self._stamps
+        drow = self._drow
+        mat = self.mat
+        e = self.entry
+        stamps[e] = stamp
+        if drow is not None:
+            d0 = float(drow[e])
+        else:
+            diff = mat[e] - q
+            d0 = float(diff @ diff)
+        cand = [(d0, e)]
+        best = [(-d0, e)]
+        links = self.links
+        while cand:
+            d, c = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
+                break
+            nbrs = [n for n in links[c] if stamps[n] != stamp]
+            if not nbrs:
+                continue
+            for n in nbrs:
+                stamps[n] = stamp
+            if drow is not None:
+                dists = drow[nbrs]
+            else:
+                d2 = mat[nbrs] - q
+                dists = np.einsum("ij,ij->i", d2, d2)
+            for dn, n in zip(dists, nbrs):
+                dn = float(dn)
+                if len(best) < ef:
+                    heapq.heappush(cand, (dn, n))
+                    heapq.heappush(best, (-dn, n))
+                elif dn < -best[0][0]:
+                    heapq.heappush(cand, (dn, n))
+                    heapq.heapreplace(best, (-dn, n))
+        return sorted((-nd, n) for nd, n in best)
+
+    def search(self, q: np.ndarray, k: int, l: int | None = None
+               ) -> list[tuple[float, int]]:
+        q = np.asarray(q, dtype=np.float64)
+        return self._beam(q, max(l or self.l, k))[:k]
+
+    # -------------------------------------------------------------- build
+
+    def _robust_prune(self, node: int, cand_ids: set[int], alpha: float,
+                      d_node) -> list[int]:
+        """robustPrune (writer.go:571-625): candidates ∪ current neighbors
+        minus self, closest-first; keep c only while α·d(c, kept) ≥
+        d(c, node) for every kept neighbor; stop at R. d_node(idx) returns
+        node→idx distances (the build passes the precomputed row).
+        Vectorized: one candidate-pairwise gemm + a running min that
+        tracks min over kept of d(c, kept)·α vs d(c, node)."""
+        ids = sorted((cand_ids | set(self.links[node])) - {node})
+        if not ids:
+            return []
+        idx = np.asarray(ids, dtype=np.int64)
+        dn = d_node(idx)
+        order = np.argsort(dn, kind="stable")
+        P = self.mat[idx]
+        sq = self._sq[idx]
+        D = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (P @ P.T), 0.0)
+        kept: list[int] = []
+        amin = None  # running min over kept of α·D[:, kept_pos]
+        for pos in order:
+            if kept and amin[pos] < dn[pos]:
+                continue
+            kept.append(int(pos))
+            if len(kept) >= self.r:
+                break
+            col = alpha * D[:, pos]
+            amin = col if amin is None else np.minimum(amin, col)
+        return [ids[p] for p in kept]
+
+    def _add_back_edge(self, src: int, dst: int, alpha: float) -> None:
+        """addBackEdge (writer.go:627-643): append, re-prune on overflow
+        treating the current adjacency as the candidate set. The overflow
+        slack (prune only past r + r/2, down to r) batches ~3× fewer
+        prune calls than the reference's prune-at-r+1 without changing
+        the invariant — adjacency never exceeds 1.5R during build and
+        ends ≤ R after each node's own robustPrune pass."""
+        if dst in self.links[src]:
+            return
+        self.links[src].append(dst)
+        if len(self.links[src]) > self.r + self.r // 2:
+            self.links[src] = self._robust_prune(
+                src, set(self.links[src]), alpha,
+                lambda idx: self._dists_from(src, idx))
+
+    def build(self, block: int | None = None) -> None:
+        """Random R-regular init, then two robustPrune passes (α=1.0 then
+        α=self.alpha — writer.go:416-457). Per block of nodes, ONE gemm
+        yields every node→corpus distance row, so the beam and the prune
+        read distances by index."""
+        n = self.n
+        if n == 0:
+            return
+        for i in range(n):
+            if n > 1:
+                others = self._rng.permutation(n - 1)[: self.r]
+                self.links[i] = [int(o) if o < i else int(o) + 1 for o in others]
+        for alpha in (1.0, self.alpha):
+            s = 0
+            while s < n:
+                b = block or int(min(1024, max(64, 8_000_000 // max(n, 1))))
+                hi = min(s + b, n)
+                blk = self.mat[s:hi]
+                bsq = self._sq[s:hi]
+                D = np.maximum(
+                    self._sq[None, :] + bsq[:, None] - 2.0 * (blk @ self.mat.T), 0.0)
+                for i in range(s, hi):
+                    row = D[i - s]
+                    self._drow = row
+                    try:
+                        found = self._beam(self.mat[i], self.l)
+                    finally:
+                        self._drow = None
+                    cand = {node for _, node in found}
+                    self.links[i] = self._robust_prune(
+                        i, cand, alpha, lambda idx: row[idx])
+                    for nb in self.links[i]:
+                        self._add_back_edge(nb, i, alpha)
+                s = hi
+        # the back-edge slack can leave up to 1.5R links on nodes whose
+        # last event was an overflow-free append; restore the reference's
+        # ≤R degree invariant with one final prune sweep
+        for i in range(n):
+            if len(self.links[i]) > self.r:
+                self.links[i] = self._robust_prune(
+                    i, set(self.links[i]), self.alpha,
+                    lambda idx: self._dists_from(i, idx))
+
+
+# --------------------------------------------------------------- blobs
+
+def graph_blob(graph: VamanaGraph, ids: list[int]) -> bytes:
+    """Explicit versioned .npz snapshot (flat arrays, CSR adjacency) — the
+    same no-pickle stance as the HNSW family."""
+    flat: list[int] = []
+    offsets = [0]
+    for node in range(graph.n):
+        flat.extend(graph.links[node])
+        offsets.append(len(flat))
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        format=np.int64(_GRAPH_FORMAT),
+        ids=np.asarray(ids, dtype=np.int64),
+        mat=graph.mat,
+        link_offsets=np.asarray(offsets, dtype=np.int64),
+        link_data=np.asarray(flat, dtype=np.int32),
+        entry=np.int64(graph.entry),
+        r=np.int64(graph.r),
+        l=np.int64(graph.l),
+    )
+    return buf.getvalue()
+
+
+def graph_from_blob(blob: bytes) -> tuple[VamanaGraph, list[int]]:
+    with np.load(io.BytesIO(blob), allow_pickle=False) as d:
+        fmt = int(d["format"])
+        if fmt != _GRAPH_FORMAT:
+            raise ValueError(f"unsupported vamana graph format v{fmt} "
+                             f"(reader supports v{_GRAPH_FORMAT})")
+        mat = np.asarray(d["mat"], dtype=np.float64)
+        offsets = d["link_offsets"]
+        flat = d["link_data"]
+        entry = int(d["entry"])
+        r, l = int(d["r"]), int(d["l"])
+        ids = [int(x) for x in d["ids"]]
+    g = VamanaGraph(mat, r=r, l=l)
+    g.links = [[int(x) for x in flat[int(offsets[i]):int(offsets[i + 1])]]
+               for i in range(mat.shape[0])]
+    g.entry = entry
+    return g, ids
+
+
+# -------------------------------------------------------------- at rest
+
+def build_at_rest(tbl, r: int = 32, l: int = 64, alpha: float = 1.2) -> int:
+    """Persist per-SEGMENT Vamana graphs into the table layout (the
+    reference writes one DiskANN graph per segment file — writer.go
+    Flush); build / delta-leg / rerank mechanics in graph_at_rest.py.
+    Returns the new manifest version."""
+    from vecgo_spark.operators.graph_at_rest import build_graphs_at_rest
+
+    def build_blob(ids, block):
+        g = VamanaGraph(block, r=r, l=l, alpha=alpha)
+        g.build()
+        return graph_blob(g, ids)
+
+    return build_graphs_at_rest(
+        tbl, "vamana", {"r": r, "l": l, "alpha": alpha}, build_blob)
+
+
+def search_at_rest(tbl, query, k: int = 10, l_search: int = 64) -> DataFrame:
+    """Approximate top-k from the stored Vamana graphs + exact delta leg +
+    live-snapshot rerank (graph_at_rest.py; search semantics
+    segment.go:487-560)."""
+    from vecgo_spark.operators.graph_at_rest import search_graphs_at_rest
+
+    def probe_blob(blob, qv, kk):
+        g, ids = graph_from_blob(blob)
+        return [(ids[node], float(d)) for d, node in g.search(qv, kk, l=l_search)]
+
+    return search_graphs_at_rest(tbl, "vamana", query, k, probe_blob)

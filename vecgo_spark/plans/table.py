@@ -883,6 +883,7 @@ class VectorTable:
         meta["has_upserts"] = False
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
         meta.pop("hnsw", None)  # compaction replaces every indexed segment
+        meta.pop("vamana", None)
         self._record_sq_meta(meta, sq_params, pq_books, version)
         new = Manifest(
             version=version, lsn=lsn,
@@ -1085,6 +1086,7 @@ class VectorTable:
         # index is dead; dropping the entry lets callers rebuild and lets
         # vacuum collect the stale blobs
         meta.pop("hnsw", None)
+        meta.pop("vamana", None)
         self._record_sq_meta(meta, sq_params, pq_books, version)
         new = Manifest(
             version=version, lsn=lsn,
@@ -1161,7 +1163,7 @@ class VectorTable:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
             referenced.update(m.tombstone_files)
-            for idx in ("ivf", "sq", "pq", "hnsw"):  # every index artifact family
+            for idx in ("ivf", "sq", "pq", "hnsw", "vamana"):  # every index artifact family
                 if idx in m.meta:
                     referenced.add(m.meta[idx]["path"])
         removed_manifests = []
