@@ -1190,6 +1190,120 @@ def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue with an OR-of-ANDs brand/size/quantity predicate
+    (TPC-H Q19 shape, adapted to the columns this dataset carries):
+    broadcast part dim, compound predicate evaluated post-join, revenue in
+    exact integer e4 cents → the one double division is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        j.where(cond)
+        .agg(F.sum(rev_e4).alias("revenue_e4"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .select("revenue_e4", "n_lines",
+                (F.col("revenue_e4").cast("double") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customers (TPC-H Q22 shape): threshold = average
+    positive account balance, customers above it with NO orders, grouped
+    by nation. The threshold compare is cross-multiplied exact-cent
+    integers (c_e2 · cnt > sum_e2), so no cross-row double AVG enters the
+    oracle hash; the tiny agg row broadcasts, orders anti-joins."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "c_e2", F.round(F.col("c_acctbal") * 100).cast("long"))
+    thr = (
+        cust.where(F.col("c_e2") > 0)
+        .agg(F.sum("c_e2").alias("sum_e2"), F.count(F.lit(1)).alias("cnt"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rich = (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_e2") * F.col("cnt") > F.col("sum_e2"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             F.sum("c_e2").alias("acctbal_e2"))
+        .select("c_nationkey", "n_custs",
+                (F.col("acctbal_e2").cast("double") / F.lit(100.0)).alias("total_acctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+def _doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into 64-token windows
+    with stride 48 (16-token overlap) — the standard long-document →
+    context-window preprocessing step. Pure per-row HOFs (split →
+    sequence → posexplode → slice → array_join): zero shuffles, scales
+    embarrassingly; the same whitespace tokenizer every dedup operator
+    uses (bm25.tokenize_expr)."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    C, S = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize_expr(F.col("text")).alias("toks")
+    ).withColumn("n_tokens", F.size("toks")).where(F.col("n_tokens") > 0)
+    starts = F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)), F.lit(S))
+    return (
+        toks.select("doc_id", "toks", "n_tokens",
+                    F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("toks", F.col("start") + 1, F.lit(C)), " ").alias("chunk_text"),
+            F.least(F.lit(C), F.col("n_tokens") - F.col("start")).cast("int").alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase funnel conversion within 30 minutes, per user: for
+    each view, the NEXT purchase timestamp comes from a min() over the
+    forward window frame (one shuffle on user_id, no self-join); a view
+    converts iff 0 < next_purchase − ts ≤ 30 min. The Δ>0 guard makes the
+    result independent of same-timestamp tie order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    nxt = F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    views = (
+        ev.withColumn("next_purchase", nxt)
+        .where(F.col("event_type") == "view")
+        .withColumn(
+            "converted",
+            (F.col("next_purchase") > F.col("ts"))
+            & (F.col("next_purchase") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+    )
+    return (
+        views.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"),
+             F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("n_conversions"))
+        .withColumn("conv_pct",
+                    F.col("n_conversions").cast("double") / F.col("n_views").cast("double"))
+        .orderBy("user_id")
+    )
+
+
 def _events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window breadth: percent_rank + ntile(4) of event value
     within each event_type, deterministic (value, event_id) tiebreak so
@@ -1403,6 +1517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_typed_filter": _schema_typed_filter,
         "knn_sq8_adc": _knn_sq8_adc,
         "knn_pq_adc": _knn_pq_adc,
+        # -- new in round 5 (rotate INTO the window next round) ----------
+        "tpch_q19_discounted_revenue": _tpch_q19,
+        "tpch_q22_idle_customers": _tpch_q22,
+        "doc_chunking_overlap": _doc_chunking_overlap,
+        "events_funnel_conversion": _events_funnel_conversion,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -2053,6 +2172,86 @@ def oracle_sql() -> dict[str, str]:
                        AS promo_revenue_pct,
                    promo_e4, total_e4
             FROM agg
+        """,
+        "tpch_q19_discounted_revenue": """
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                       AS revenue_e4,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22_idle_customers": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS c_e2
+                FROM customer
+            ),
+            thr AS (
+                SELECT CAST(sum(c_e2) AS BIGINT) AS sum_e2,
+                       count(*) AS cnt
+                FROM c WHERE c_e2 > 0
+            )
+            SELECT c.c_nationkey, count(*) AS n_custs,
+                   CAST(CAST(sum(c.c_e2) AS BIGINT) AS DOUBLE) / 100.0
+                       AS total_acctbal
+            FROM c, thr
+            WHERE c.c_e2 * thr.cnt > thr.sum_e2
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c.c_nationkey
+            ORDER BY c.c_nationkey
+        """,
+        "doc_chunking_overlap": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                           '[\\x00-\\x20]+'), t -> t != '') AS toks
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, toks, len(toks) AS n_tokens
+                FROM toks WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(start // 48 AS INT) AS chunk_idx,
+                   array_to_string(list_slice(toks, CAST(start AS BIGINT) + 1,
+                                              CAST(start AS BIGINT) + 64), ' ')
+                       AS chunk_text,
+                   CAST(least(64, n_tokens - start) AS INT) AS chunk_tokens
+            FROM sized,
+                 unnest(range(0, CAST(n_tokens AS BIGINT), 48)) AS t(start)
+            ORDER BY doc_id, chunk_idx
+        """,
+        "events_funnel_conversion": """
+            WITH nxt AS (
+                SELECT user_id, ts, event_type,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS next_purchase
+                FROM events
+            ),
+            v AS (
+                SELECT user_id,
+                       (next_purchase > ts
+                        AND next_purchase <= ts + INTERVAL 30 MINUTE) AS converted
+                FROM nxt WHERE event_type = 'view'
+            )
+            SELECT user_id, count(*) AS n_views,
+                   CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_conversions,
+                   CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS conv_pct
+            FROM v GROUP BY user_id ORDER BY user_id
         """,
         "tpch_q10_returned_items": """
             SELECT c.c_custkey, c.c_name, n.n_name,

@@ -93,9 +93,10 @@ COMMENTARY = {
     ),
     "dedup_simhash": (
         "SimHash near-dup: signatures are FULLY JVM-side — "
-        "explode(tokens) → md5-derived 60-bit hash → 60 conditional "
-        "`sum`s in ONE `HashAggregate` pair (partial map-side, final "
-        "after a single `hashpartitioning(id)` exchange); no "
+        "explode(tokens) → md5-derived 60-bit hash → 20 SWAR-packed "
+        "`sum`s (3 bit-counters per long, unpacked in-row) in ONE "
+        "`HashAggregate` pair (partial map-side, final after a single "
+        "`hashpartitioning(id)` exchange); no "
         "Python/Arrow nodes anywhere in the signature stage. The banded "
         "chunk join is the pigeonhole candidate join with the hot-bucket "
         "cap, and pair dedup is an IN-ROW min-surviving-chunk predicate "
@@ -123,6 +124,33 @@ COMMENTARY = {
         "with the non-equi shipdate correlation as the join residual; "
         "the semi join never widens rows and AQE picks broadcast vs "
         "shuffle by size (broadcast at bench SF, shuffled at 100 TB)."
+    ),
+    "tpch_q19_discounted_revenue": (
+        "OR-of-ANDs brand/size/quantity predicate: part broadcasts "
+        "(`BroadcastHashJoin`), the compound predicate evaluates "
+        "post-join inside codegen, revenue accumulates in exact integer "
+        "e4 cents with map-side partial aggregation before the "
+        "single-row exchange."
+    ),
+    "tpch_q22_idle_customers": (
+        "Derived-threshold anti-join: the positive-balance average is a "
+        "ONE-ROW aggregate that broadcasts (`BroadcastNestedLoopJoin` of "
+        "a single row — no customer shuffle for the threshold), the "
+        "threshold compare is cross-multiplied exact cents inside "
+        "codegen, and no-orders is a `LeftAnti` hash join on o_custkey."
+    ),
+    "doc_chunking_overlap": (
+        "Context-window chunking: split → sequence → posexplode → slice "
+        "— per-row generators only, ZERO exchanges before the display "
+        "sort and no Python nodes; 1000 executors chunk a 100 TB corpus "
+        "with no coordination."
+    ),
+    "events_funnel_conversion": (
+        "Funnel conversion: next-purchase comes from a min() over the "
+        "FORWARD window frame — exactly one `hashpartitioning(user_id)` "
+        "exchange, no self-join of events against events (the O(|E|²) "
+        "pair blow-up is structurally impossible); the per-user rollup "
+        "reuses the same partitioning."
     ),
     "ann_hnsw_batch": (
         "Per-partition HNSW batch ANN: ONE `MapInPandas` over the corpus "

@@ -206,3 +206,31 @@ def test_minhash_pairs_single_join_no_backjoin(spark, sf_dir):
             assert "id_a" not in ln and "id_b" not in ln
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_doc_chunking_is_per_row_generate(spark, sf_dir):
+    """Chunking must be generator-only: no Exchange before the display
+    sort (drop the orderBy and there must be NO exchange at all), no
+    Python nodes — 1000 executors chunk independently."""
+    import __spark_entry__ as em
+
+    df = em.queries()["doc_chunking_overlap"](spark, sf_dir)
+    plan = spark_plan(df.limit(10))          # limit displaces the orderBy sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # count exchanges excluding the TakeOrdered/limit machinery: a pure
+    # generate pipeline has none
+    body = plan.split("TakeOrderedAndProject")[0] if "TakeOrderedAndProject" in plan else plan
+    assert "hashpartitioning" not in body and "rangepartitioning" not in body
+
+
+def test_funnel_single_user_exchange_no_self_join(spark, sf_dir):
+    """The funnel must ride ONE hashpartitioning(user_id) exchange (the
+    forward-frame window) with the per-user rollup reusing it — and no
+    join node anywhere (a view×purchase self-join would be O(|E|²) on a
+    hot user)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["events_funnel_conversion"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
