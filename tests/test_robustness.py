@@ -187,3 +187,65 @@ def test_hamming_registered_metric(spark):
     got = [(r["id"], r["score"]) for r in
            knn.search(df, [0b1111, 0b0000], k=4, metric="hamming").collect()]
     assert got == [(1, 0), (2, 1), (4, 1), (3, 8)]
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_manifest_count_interval_arithmetic_matches_set_model(data):
+    """_manifest_count (zero-job tombstoned live count) vs a brute-force
+    id-set model, over random segment layouts and tombstone batches —
+    whenever the interval fast path claims an answer, it must equal the
+    exact per-row visibility count (row hidden iff some tombstone holds
+    its id with tombstone lsn >= the segment's lsn). Pure driver logic:
+    no SparkSession in the loop."""
+    from vecgo_spark.plans.manifest import Manifest, SegmentMeta
+    from vecgo_spark.plans.table import VectorTable
+
+    lsn = 0
+    segs, seg_ids = [], []
+    base = 0
+    for _ in range(data.draw(st.integers(1, 4))):
+        lsn += 1
+        width = data.draw(st.integers(1, 30))
+        if data.draw(st.booleans()):
+            ids = set(range(base, base + width))          # dense
+        else:
+            ids = set(data.draw(st.sets(
+                st.integers(base, base + width * 2), min_size=1, max_size=width)))
+        stats = {"id": {"min": min(ids), "max": max(ids), "null_count": 0,
+                        **({"ndv": len(ids)} if len(ids) > 1 else {})}}
+        segs.append(SegmentMeta(path=f"s{lsn}", rows=len(ids), lsn=lsn, stats=stats))
+        seg_ids.append((lsn, ids))
+        base = max(ids) + 1 + data.draw(st.integers(0, 5))
+    tombs, tomb_stats = [], {}
+    tomb_sets = []
+    for _ in range(data.draw(st.integers(0, 3))):
+        lsn += 1
+        tids = set(data.draw(st.sets(st.integers(0, base), min_size=1, max_size=15)))
+        rel = f"t{lsn}"
+        tombs.append(rel)
+        tomb_stats[rel] = {"ids": len(tids), "min": min(tids), "max": max(tids),
+                           "lsn": lsn, "dense": max(tids) - min(tids) + 1 == len(tids)}
+        tomb_sets.append((lsn, tids))
+    m = Manifest(version=1, lsn=lsn, next_id=base, created_at=0.0,
+                 segments=segs, tombstone_files=tombs,
+                 meta={"id_col": "id"}, tombstone_stats=tomb_stats)
+    tbl = VectorTable.__new__(VectorTable)   # logic-only instance
+    tbl.manifest = m
+    # exact model: segment id sets are disjoint (has_upserts False), every
+    # row's lsn == its segment's lsn
+    live = 0
+    for seg_lsn, ids in seg_ids:
+        for i in ids:
+            if not any(i in tids and t_lsn >= seg_lsn for t_lsn, tids in tomb_sets):
+                live += 1
+    fast = tbl._manifest_count(m)
+    if fast is not None:
+        assert fast == live
+    all_dense = all(ts["dense"] for ts in tomb_stats.values())
+    segs_dense = all(max(ids) - min(ids) + 1 == len(ids) for _, ids in seg_ids)
+    sorted_t = sorted(tomb_stats.values(), key=lambda t: t["min"])
+    disjoint = all(b["min"] > a["max"] for a, b in zip(sorted_t, sorted_t[1:]))
+    if all_dense and segs_dense and disjoint:
+        assert fast is not None, "fast path must fire on provably-dense layouts"

@@ -104,3 +104,38 @@ def test_at_rest_rejects_non_l2_metric(spark, tmp_path):
     t.commit()
     with pytest.raises(ValueError, match="metric"):
         vamana.build_at_rest(t)
+
+
+def test_robust_prune_invariants_hypothesis():
+    """robustPrune invariants over random candidate sets: output ⊆
+    candidates∪neighbors minus self, ≤ R, the closest candidate is always
+    kept first, and every kept c satisfies the α-diversity rule against
+    the previously-kept set (writer.go:571-625 — no keepPruned refill)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    @given(st.integers(0, 2**32 - 1), st.integers(2, 40), st.integers(2, 12))
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def run(seed, n_cand, r):
+        rng = np.random.default_rng(seed)
+        n = n_cand + 5
+        X = rng.normal(size=(n, 6))
+        g = vamana.VamanaGraph(X, r=r, l=16, alpha=1.2, seed=0)
+        node = 0
+        cand = set(int(x) for x in rng.choice(
+            np.arange(1, n), size=min(n_cand, n - 1), replace=False))
+        kept = g._robust_prune(node, cand, 1.2, lambda idx: g._dists_from(node, idx))
+        assert len(kept) <= r
+        assert set(kept) <= cand
+        assert node not in kept
+        dn = {c: float(g._dists_from(node, [c])[0]) for c in cand}
+        assert kept[0] == min(cand, key=lambda c: (dn[c], c)) or \
+            dn[kept[0]] == min(dn.values())
+        for i, c in enumerate(kept):
+            for s in kept[:i]:
+                dcs = float(np.sum((X[c] - X[s]) ** 2))
+                assert 1.2 * dcs >= dn[c] - 1e-9
+    run()

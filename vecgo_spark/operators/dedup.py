@@ -781,6 +781,16 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # size the per-round shuffles to the EDGE count, not the session
+    # default: near-dup graphs are a small fraction of the corpus, and a
+    # 32-partition shuffle over a few hundred label rows costs ~0.5s of
+    # pure task overhead per round. The count is free (edges are already
+    # materialized by the checkpoint). At 100 TB the edge set is large →
+    # the cap keeps full parallelism.
+    n_edges = edges.count()
+    nparts = max(2, min(int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
+    edges = edges.repartition(nparts, "src").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
