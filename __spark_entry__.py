@@ -1304,6 +1304,109 @@ def _events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade volume (TPC-H Q7 shape): supplier nation ×
+    customer nation revenue by year for two nations, dims broadcast
+    (nation twice under different aliases), revenue in exact integer e4
+    cents → the closing division is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+               | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(rev_e4).alias("rev_e4"))
+        .select("supp_nation", "cust_nation", "l_year",
+                (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): NATION_3 suppliers' share
+    of ECONOMY-part revenue sold to AMERICA-region customers, by order
+    year. The deepest join tree in the suite (lineitem ⋈ orders ⋈ part ⋈
+    supplier ⋈ customer ⋈ nation×2 ⋈ region); all dims broadcast, both
+    numerator and denominator accumulate exact e4 cents so the one
+    share division is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cnat = (nat.join(F.broadcast(region), nat["n_regionkey"] == region["r_regionkey"])
+            .select(F.col("n_nationkey").alias("c_nk")))
+    snat = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    agg = (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_e4)
+                   .otherwise(F.lit(0))).alias("nation_e4"),
+             F.sum(rev_e4).alias("total_e4"))
+    )
+    return (
+        agg.select("o_year", "nation_e4", "total_e4",
+                   (F.col("nation_e4").cast("double")
+                    / F.col("total_e4").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def _embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced subsampling: assign every embedding to its nearest
+    k-means centroid (the SAME deterministic driver-Lloyd's model the IVF
+    family trains — one artifact, many consumers), then keep at most 50
+    vectors per cluster chosen by stable-hash order — the cluster-balanced
+    data-mixing step of a training pipeline (over-represented topics are
+    downsampled, rare topics kept whole). One shuffle for the per-cluster
+    window; membership independent of partitioning (md5-derived order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    assigned = ivf.assign(emb, model, "embedding")
+    h = hashing.stable_hash64(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("vec_id", F.col("cluster_id").cast("int").alias("cluster_id"))
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
 def _events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window breadth: percent_rank + ntile(4) of event value
     within each event_type, deterministic (value, event_id) tiebreak so
@@ -1522,6 +1625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_customers": _tpch_q22,
         "doc_chunking_overlap": _doc_chunking_overlap,
         "events_funnel_conversion": _events_funnel_conversion,
+        "tpch_q7_nation_volume": _tpch_q7,
+        "tpch_q8_market_share": _tpch_q8,
+        "embedding_cluster_balance": _embedding_cluster_balance,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -1776,7 +1882,28 @@ def _ann_oracles() -> dict[str, str]:
         LIMIT 10
     """
 
+    from vecgo_spark.functions.hashing import stable_hash64_sql
+
+    embedding_cluster_balance = f"""
+        WITH assigned AS (
+            SELECT vec_id,
+                   CAST({ivf.assign_sql(ivf_m, "embedding")} AS INT) AS cluster_id
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY {stable_hash64_sql("CAST(vec_id AS VARCHAR)")} ASC,
+                                vec_id ASC) AS rn
+            FROM assigned
+        )
+        SELECT vec_id, cluster_id FROM ranked WHERE rn <= 50
+        ORDER BY cluster_id, vec_id
+    """
+
     return {
+        "embedding_cluster_balance": embedding_cluster_balance,
         "ann_ivf": ann_ivf,
         "ann_lsh": ann_lsh,
         "ann_ivf_batch": ann_ivf_batch,
@@ -2252,6 +2379,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE) AS conv_pct
             FROM v GROUP BY user_id ORDER BY user_id
+        """,
+        "tpch_q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+                SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                       n1.n_name AS supp_nation,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                JOIN region r ON n2.n_regionkey = r.r_regionkey
+                JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
+                  AND p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4
+                                 ELSE 0 END) AS BIGINT) AS nation_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4
+                                 ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
         """,
         "tpch_q10_returned_items": """
             SELECT c.c_custkey, c.c_name, n.n_name,

@@ -79,7 +79,11 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # flush before the (slow) session teardown: the round-4 driver capture
+    # lost the JSON tail when output raced the process shutdown
+    print(json.dumps(out), flush=True)
+    import sys
+    sys.stdout.flush()
     spark.stop()
 
 
