@@ -220,3 +220,16 @@ def test_add_batch_matches_recall_and_build_throughput():
         got = [m for _, m in g.search(q, 10)]
         hits += len(set(bf) & set(got))
     assert hits / 300 >= 0.85
+
+
+def test_batch_search_at_rest_matches_single(spark, table):
+    """HNSW batch at-rest probing matches per-query search_at_rest."""
+    hnsw.build_at_rest(table, m=8, ef_construction=64)
+    qs = spark.createDataFrame(
+        [(0, [0.2] * 8), (7, [3.0] * 8)], "qid long, qvector array<double>")
+    batch = hnsw.batch_search_at_rest(table, qs, k=5, ef_search=128)
+    got = {(r["qid"], r["rank"]): r["id"] for r in batch.collect()}
+    for qid, qv in ((0, [0.2] * 8), (7, [3.0] * 8)):
+        single = [r["id"] for r in
+                  hnsw.search_at_rest(table, qv, k=5, ef_search=128).collect()]
+        assert [got[(qid, rk)] for rk in range(1, 6)] == single

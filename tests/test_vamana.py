@@ -139,3 +139,28 @@ def test_robust_prune_invariants_hypothesis():
                 dcs = float(np.sum((X[c] - X[s]) ** 2))
                 assert 1.2 * dcs >= dn[c] - 1e-9
     run()
+
+
+def test_batch_search_at_rest_matches_single(spark, table):
+    """Batch at-rest probing (one blob load per segment for the whole
+    query batch) must agree with per-query search_at_rest, and the rerank
+    must keep enforcing delta/tombstone visibility."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vamana.build_at_rest(table, r=24, l=48)
+    qs = spark.createDataFrame(
+        [(0, [0.2] * 8), (1, [5.0] * 8)], "qid long, qvector array<double>")
+    batch = vamana.batch_search_at_rest(table, qs, k=5, l_search=96)
+    got = {(r["qid"], r["rank"]): r["id"] for r in batch.collect()}
+    for qid, qv in ((0, [0.2] * 8), (1, [5.0] * 8)):
+        single = [r["id"] for r in
+                  vamana.search_at_rest(table, qv, k=5, l_search=96).collect()]
+        assert [got[(qid, rk)] for rk in range(1, 6)] == single
+    # a post-build insert must win via the delta leg in batch mode too
+    table.insert(spark.createDataFrame(
+        [(9000, [5.0] * 8)], "id long, vector array<double>"))
+    table.commit()
+    batch2 = vamana.batch_search_at_rest(table, qs, k=3, l_search=96)
+    top1 = {r["qid"]: r["id"] for r in batch2.where(F.col("rank") == 1).collect()}
+    assert top1[1] == 9000

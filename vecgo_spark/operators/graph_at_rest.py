@@ -101,6 +101,86 @@ def build_graphs_at_rest(
     return version
 
 
+def batch_search_graphs_at_rest(
+    tbl,
+    family: str,
+    queries: DataFrame,
+    k: int,
+    probe_batch_blob,
+    qid_col: str = "qid",
+    qvec_col: str = "qvector",
+) -> DataFrame:
+    """Many queries against the stored graphs in ONE blob scan — each
+    stored graph is loaded once and probed for the whole broadcast query
+    batch (the QPS-serving amortization: blob deserialization is per
+    segment, not per query). Segments committed after the build take the
+    exact broadcast-theta-join delta leg; a per-query exact rerank against
+    the live snapshot enforces tombstone/upsert visibility.
+    probe_batch_blob(blob, qids, qmat, k) → [(qid, row_id, score)].
+    Returns (qid, id, score, rank) with rank ≤ k per query."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    from vecgo_spark.operators import knn
+
+    info = tbl.manifest.meta.get(family)
+    if info is None:
+        raise KeyError(f"table has no {family} index; build it first")
+    spark = tbl.spark
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+    current = {s.path for s in tbl.manifest.segments}
+    live_indexed = sorted(set(info["segments"]) & current)
+    legs = []
+    if live_indexed:
+        blobs = spark.read.parquet(os.path.join(tbl.path, info["path"])).where(
+            F.col("seg").isin(live_indexed) & (F.length("blob") > 0)
+        )
+
+        def probe(batches):
+            q_ids, q_mat = bq.value
+            for pdf in batches:
+                rows = []
+                for blob in pdf["blob"]:
+                    rows.extend(probe_batch_blob(bytes(blob), q_ids, q_mat, k))
+                yield pd.DataFrame(rows, columns=["qid", "id", "score"])
+
+        legs.append(blobs.mapInPandas(probe, "qid long, id long, score double"))
+    delta = [s for s in tbl.manifest.segments if s.path not in set(info["segments"])]
+    if delta:
+        legs.append(
+            knn.batch_search(
+                tbl.df(segments=delta), queries, k=k, metric="l2",
+                id_col=tbl.id_col, vector_col=tbl.vector_col,
+                qid_col=qid_col, qvector_col=qvec_col,
+            ).select(F.col(qid_col).alias("qid"),
+                     F.col(tbl.id_col).alias("id"), "score")
+        )
+    if not legs:
+        return spark.createDataFrame([], f"qid long, {tbl.id_col} long, score double, rank int")
+    coarse = legs[0]
+    for leg in legs[1:]:
+        coarse = coarse.unionByName(leg)
+    # exact per-query rerank against the LIVE snapshot: inner join drops
+    # tombstoned rows, latest-LSN rows rescore upserts
+    cand = coarse.select("qid", "id").distinct()
+    qdf = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qv"))
+    exact = (
+        cand.join(tbl.df().select(F.col(tbl.id_col).alias("id"), tbl.vector_col), "id")
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", "id",
+                knn.score_expr("l2", tbl.vector_col, F.col("_qv")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").asc(), F.col("id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("id").alias(tbl.id_col), "score", "rank")
+    )
+
+
 def search_graphs_at_rest(
     tbl,
     family: str,

@@ -400,6 +400,26 @@ def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
         tbl, "hnsw", {"m": m, "ef_construction": ef_construction}, build_blob)
 
 
+def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
+                         ef_search: int = 64, qid_col: str = "qid",
+                         qvec_col: str = "qvector") -> DataFrame:
+    """Batch QPS serving from the stored graphs: each per-segment graph
+    blob is deserialized ONCE and beam-probed for the whole broadcast
+    query batch (graph_at_rest.batch_search_graphs_at_rest)."""
+    from vecgo_spark.operators.graph_at_rest import batch_search_graphs_at_rest
+
+    def probe_batch(blob, qids, qmat, kk):
+        g, ids = _graph_from_blob(blob)
+        out = []
+        for qid, qv in zip(qids, qmat):
+            out.extend((qid, ids[node], float(d))
+                       for d, node in g.search(qv, kk, ef_search=ef_search))
+        return out
+
+    return batch_search_graphs_at_rest(tbl, "hnsw", queries, k, probe_batch,
+                                       qid_col=qid_col, qvec_col=qvec_col)
+
+
 def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64) -> DataFrame:
     """Approximate top-k served from the STORED graphs, with the exact
     delta leg for post-build segments and the live-snapshot rerank that

@@ -279,6 +279,25 @@ def build_at_rest(tbl, r: int = 32, l: int = 64, alpha: float = 1.2) -> int:
         tbl, "vamana", {"r": r, "l": l, "alpha": alpha}, build_blob)
 
 
+def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
+                         l_search: int = 64, qid_col: str = "qid",
+                         qvec_col: str = "qvector") -> DataFrame:
+    """Batch QPS serving from the stored Vamana graphs — one blob load
+    per segment for the whole broadcast query batch."""
+    from vecgo_spark.operators.graph_at_rest import batch_search_graphs_at_rest
+
+    def probe_batch(blob, qids, qmat, kk):
+        g, ids = graph_from_blob(blob)
+        out = []
+        for qid, qv in zip(qids, qmat):
+            out.extend((qid, ids[node], float(d))
+                       for d, node in g.search(qv, kk, l=l_search))
+        return out
+
+    return batch_search_graphs_at_rest(tbl, "vamana", queries, k, probe_batch,
+                                       qid_col=qid_col, qvec_col=qvec_col)
+
+
 def search_at_rest(tbl, query, k: int = 10, l_search: int = 64) -> DataFrame:
     """Approximate top-k from the stored Vamana graphs + exact delta leg +
     live-snapshot rerank (graph_at_rest.py; search semantics
