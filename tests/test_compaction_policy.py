@@ -81,3 +81,58 @@ def test_size_tiered_policy_buckets():
     assert task is not None
     assert {s.path for s in task.segments} == {"s0", "s1", "s2"}
     assert pol.pick(small[:2] + big) is None  # tier below min_tier
+
+
+def test_partial_compaction_gcs_fully_applied_tombstones(spark, tmp_path):
+    """A tombstone whose every surviving segment either post-dates it or
+    was merged after it was applied must be GC'd from the manifest by
+    maybe_compact (the reference's consolidation drops tombstones); a
+    tombstone newer than a surviving segment must stay, and reads must be
+    identical either way."""
+    t = VectorTable.create(spark, str(tmp_path / "tgc"), dim=2, metric="l2")
+    _insert_batch(spark, t, range(10))        # seg lsn 1
+    _insert_batch(spark, t, range(10, 20))    # seg lsn 2
+    t.delete([3, 13])                         # tombstone lsn 3
+    t.commit()
+    assert len(t.manifest.tombstone_files) == 1
+
+    class PickAll:
+        def pick(self, segments):
+            return CompactionTask(segments=list(segments))
+
+    t.maybe_compact(PickAll())
+    # every segment was merged with the tombstone applied → dropped
+    assert t.manifest.tombstone_files == []
+    assert t.manifest.tombstone_stats == {}
+    assert sorted(r["id"] for r in t.df().collect()) == [i for i in range(20)
+                                                         if i not in (3, 13)]
+    assert t.count() == 18
+    # a tombstone NEWER than the merged segment must survive the next merge
+    _insert_batch(spark, t, range(20, 30))
+    t.delete([0, 21])
+    t.commit()
+    t.maybe_compact(PickAll())
+    # the new merge applied it → second pass may drop it again
+    assert t.manifest.tombstone_files == []
+    assert sorted(r["id"] for r in t.df().collect()) == sorted(
+        i for i in range(30) if i not in (0, 3, 13, 21))
+
+
+def test_tombstone_kept_when_partial_merge_misses_a_segment(spark, tmp_path):
+    """If an original segment older than the tombstone survives the merge
+    untouched, the tombstone must be KEPT (it still hides rows there)."""
+    t = VectorTable.create(spark, str(tmp_path / "tkeep"), dim=2, metric="l2")
+    _insert_batch(spark, t, range(10))        # seg lsn 1  (has id 3)
+    _insert_batch(spark, t, range(10, 20))    # seg lsn 2
+    _insert_batch(spark, t, range(20, 30))    # seg lsn 3
+    t.delete([3, 13])                         # tombstone lsn 4
+    t.commit()
+
+    class PickNewestTwo:
+        def pick(self, segments):
+            return CompactionTask(segments=sorted(segments, key=lambda s: s.lsn)[-2:])
+
+    t.maybe_compact(PickNewestTwo())
+    assert len(t.manifest.tombstone_files) == 1   # seg lsn 1 still needs it
+    ids = sorted(r["id"] for r in t.df().collect())
+    assert 3 not in ids and 13 not in ids and len(ids) == 28

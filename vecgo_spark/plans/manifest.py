@@ -39,6 +39,11 @@ class SegmentMeta:
     # per-column stats for file pruning: {col: {"min":…, "max":…,
     # "null_count":…, "distinct_approx":…}}
     stats: dict[str, Any] = field(default_factory=dict)
+    # high-water LSN of tombstones ALREADY APPLIED when this segment was
+    # produced by a partial merge (0 = original append segment, whose rows
+    # all carry exactly `lsn`). Lets maybe_compact GC tombstones that can
+    # no longer hide any surviving row.
+    tomb_lsn_applied: int = 0
 
 
 @dataclass

@@ -1132,19 +1132,55 @@ class VectorTable:
             rows = written.count()
         size = fs_du(full)
         keep = [s for s in self.manifest.segments if s.path not in picked]
+        applied = max((self._tomb_lsn(t) for t in self.manifest.tombstone_files),
+                      default=0)
+        segments = keep + [SegmentMeta(path=rel, rows=rows, lsn=max_lsn,
+                                       bytes=size, stats=stats,
+                                       tomb_lsn_applied=applied)]
+        # tombstone GC: a tombstone T can be dropped when NO surviving
+        # segment can still hold a row it hides — an original append
+        # segment is safe iff every row's lsn (== segment lsn) exceeds
+        # T's, a merged segment iff T was already applied at its merge
+        # (tomb_lsn_applied >= T.lsn). Same consolidation the reference's
+        # compaction performs; keeps the read anti-join and the manifest
+        # from growing without bound under partial compactions.
+        live_tombs, live_stats = [], {}
+        for t in self.manifest.tombstone_files:
+            t_lsn = self._tomb_lsn(t)
+            droppable = all(
+                (s.tomb_lsn_applied >= t_lsn) if s.tomb_lsn_applied
+                else (s.lsn > t_lsn)
+                for s in segments
+            )
+            if not droppable:
+                live_tombs.append(t)
+                if t in self.manifest.tombstone_stats:
+                    live_stats[t] = self.manifest.tombstone_stats[t]
         new = Manifest(
             version=self.manifest.version + 1,
             lsn=self.manifest.lsn,
             next_id=self.manifest.next_id,
             created_at=time.time(),
-            segments=keep + [SegmentMeta(path=rel, rows=rows, lsn=max_lsn, bytes=size, stats=stats)],
-            tombstone_files=list(self.manifest.tombstone_files),
+            segments=segments,
+            tombstone_files=live_tombs,
             meta=dict(self.manifest.meta),
-            tombstone_stats=dict(self.manifest.tombstone_stats),
+            tombstone_stats=live_stats,
         )
         save_manifest(self.path, new)
         self.manifest = new
         return new.version
+
+    def _tomb_lsn(self, rel: str) -> int:
+        """Tombstone file's LSN — from its manifest stats when present,
+        else parsed from the `tomb-{lsn:08d}-…` filename."""
+        st = self.manifest.tombstone_stats.get(rel)
+        if st and "lsn" in st:
+            return int(st["lsn"])
+        name = os.path.basename(rel)
+        try:
+            return int(name.split("-")[1])
+        except (IndexError, ValueError):
+            return 1 << 62  # unknown → treat as newest, never dropped
 
     def vacuum(self, keep_versions: int = 2, keep_duration: float | None = None) -> dict:
         """GC old manifests + files unreferenced by the kept versions
