@@ -164,3 +164,39 @@ def test_batch_search_at_rest_matches_single(spark, table):
     batch2 = vamana.batch_search_at_rest(table, qs, k=3, l_search=96)
     top1 = {r["qid"]: r["id"] for r in batch2.where(F.col("rank") == 1).collect()}
     assert top1[1] == 9000
+
+
+def test_filtered_at_rest_selectivity_strategies(spark, tmp_path):
+    """Filtered at-rest search: a selective predicate takes the exact
+    brute-force path (results == exact filtered top-k, recall 1.0); a
+    broad predicate takes oversampled probe + post-filter (every result
+    satisfies the predicate, high overlap with exact)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vecgo_spark.filters import FilterSet
+    from vecgo_spark.operators import knn
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).tolist(),
+             "rare" if i % 40 == 0 else "common") for i in range(400)]
+    t = VectorTable.create(spark, str(tmp_path / "tfil"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>, category string"))
+    t.commit()
+    vamana.build_at_rest(t, r=24, l=48)
+    q = [0.1] * 8
+
+    def exact(fs):
+        return [r["id"] for r in knn.search(
+            t.df(fs), q, k=5, metric="l2", id_col="id", vector_col="vector"
+        ).collect()]
+
+    rare = FilterSet().eq("category", "rare")       # 2.5% → brute-force path
+    got = [r["id"] for r in vamana.search_at_rest(t, q, k=5, filter=rare).collect()]
+    assert got == exact(rare)
+    common = FilterSet().eq("category", "common")   # 97.5% → post-filter path
+    got_c = [r["id"] for r in
+             vamana.search_at_rest(t, q, k=5, l_search=96, filter=common).collect()]
+    assert all(i % 40 != 0 for i in got_c)          # predicate enforced
+    assert len(set(got_c) & set(exact(common))) >= 4

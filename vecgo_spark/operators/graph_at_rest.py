@@ -181,22 +181,61 @@ def batch_search_graphs_at_rest(
     )
 
 
+# below this estimated match fraction a filtered graph search degrades into
+# post-filtering a candidate pool that mostly fails the predicate — brute
+# force the (small) filtered subset instead. The reference's HNSW filtered
+# search uses the same cutover (hnsw.go:1118, threshold 0.3).
+FILTER_SELECTIVITY_CUTOVER = 0.3
+
+
 def search_graphs_at_rest(
     tbl,
     family: str,
     query,
     k: int,
     probe_blob: Callable[[bytes, np.ndarray, int], list[tuple[int, float]]],
+    filter=None,
+    oversample: int = 4,
 ) -> DataFrame:
     """Serve approximate top-k from the stored graphs + exact delta leg +
     live-snapshot rerank. probe_blob(blob, q, k) → [(row_id, score)] runs
-    inside the executor task for each stored graph."""
+    inside the executor task for each stored graph.
+
+    With `filter` (a FilterSet), the strategy is selectivity-driven like
+    the reference's filtered HNSW search (hnsw.go:1118): when manifest
+    stats estimate fewer than FILTER_SELECTIVITY_CUTOVER of rows match,
+    the filtered subset is small → exact-scan it (recall 1.0, and the
+    predicate pushes down to the parquet scan); otherwise probe the graphs
+    for k·oversample candidates and apply the predicate at the exact
+    rerank (post-filter — most candidates survive, so recall holds)."""
+    from vecgo_spark.filters import FilterSet, to_condition
     from vecgo_spark.operators import knn
+    from vecgo_spark.plans.pruning import estimate_selectivity
 
     info = tbl.manifest.meta.get(family)
     if info is None:
         raise KeyError(f"table has no {family} index; build it first")
     q = np.asarray(list(query), dtype=np.float64)
+    probe_k = k
+    cond = None
+    if filter is not None:
+        cond = to_condition(filter)
+        if isinstance(filter, FilterSet):
+            segs = tbl.manifest.segments
+            total = sum(s.rows for s in segs) or 1
+            matched = sum(estimate_selectivity(s.stats, s.rows, filter) * s.rows
+                          for s in segs)
+            if matched / total < FILTER_SELECTIVITY_CUTOVER:
+                # brute-force the filtered subset (predicate-aware path)
+                exact = tbl.df(filter).select(
+                    tbl.id_col,
+                    knn.score_expr(tbl.metric, tbl.vector_col, list(q)).alias("score"))
+                return (exact.orderBy(F.col("score").asc()
+                                      if knn.metric_ascending(tbl.metric)
+                                      else F.col("score").desc(),
+                                      F.col(tbl.id_col).asc())
+                        .limit(k))
+        probe_k = k * max(1, oversample)
     spark = tbl.spark
     current = {s.path for s in tbl.manifest.segments}
     live_indexed = sorted(set(info["segments"]) & current)
@@ -212,7 +251,7 @@ def search_graphs_at_rest(
             for pdf in batches:
                 rows = []
                 for blob in pdf["blob"]:
-                    rows.extend(probe_blob(bytes(blob), qv, k))
+                    rows.extend(probe_blob(bytes(blob), qv, probe_k))
                 yield pd.DataFrame(rows, columns=["id", "score"])
 
         legs.append(blobs.mapInPandas(probe, "id long, score double")
@@ -220,16 +259,21 @@ def search_graphs_at_rest(
     delta = [s for s in tbl.manifest.segments if s.path not in set(info["segments"])]
     if delta:
         ddf = tbl.df(segments=delta)
+        if cond is not None:
+            ddf = ddf.where(cond)
         legs.append(
             ddf.select(tbl.id_col,
                        knn.score_expr("l2", tbl.vector_col, list(q)).alias("score"))
             .orderBy(F.col("score").asc(), F.col(tbl.id_col).asc())
-            .limit(k)
+            .limit(probe_k)
         )
     if not legs:
         return tbl.spark.createDataFrame([], f"{tbl.id_col} long, score double")
     coarse = legs[0]
     for leg in legs[1:]:
         coarse = coarse.unionByName(leg)
-    return knn.rerank(coarse, tbl.df(), list(q), k=k, metric=tbl.metric,
+    base = tbl.df()
+    if cond is not None:
+        base = base.where(cond)  # post-filter at the exact rerank
+    return knn.rerank(coarse, base, list(q), k=k, metric=tbl.metric,
                       id_col=tbl.id_col, vector_col=tbl.vector_col)

@@ -420,14 +420,19 @@ def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
                                        qid_col=qid_col, qvec_col=qvec_col)
 
 
-def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64) -> DataFrame:
+def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64,
+                   filter=None) -> DataFrame:
     """Approximate top-k served from the STORED graphs, with the exact
     delta leg for post-build segments and the live-snapshot rerank that
-    enforces tombstone/upsert visibility (graph_at_rest.py)."""
+    enforces tombstone/upsert visibility. With `filter`, the strategy is
+    selectivity-driven like the reference's filtered HNSW search
+    (hnsw.go:1118 threshold 0.3): brute-force the filtered subset when it
+    is small, else oversampled probe + post-filtered rerank
+    (graph_at_rest.py)."""
     from vecgo_spark.operators.graph_at_rest import search_graphs_at_rest
 
     def probe_blob(blob, qv, kk):
         g, ids = _graph_from_blob(blob)
         return [(ids[node], float(d)) for d, node in g.search(qv, kk, ef_search=ef_search)]
 
-    return search_graphs_at_rest(tbl, "hnsw", query, k, probe_blob)
+    return search_graphs_at_rest(tbl, "hnsw", query, k, probe_blob, filter=filter)

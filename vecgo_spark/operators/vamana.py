@@ -298,14 +298,17 @@ def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
                                        qid_col=qid_col, qvec_col=qvec_col)
 
 
-def search_at_rest(tbl, query, k: int = 10, l_search: int = 64) -> DataFrame:
+def search_at_rest(tbl, query, k: int = 10, l_search: int = 64,
+                   filter=None) -> DataFrame:
     """Approximate top-k from the stored Vamana graphs + exact delta leg +
     live-snapshot rerank (graph_at_rest.py; search semantics
-    segment.go:487-560)."""
+    segment.go:487-560). `filter` takes the selectivity-driven
+    predicate-aware vs post-filter strategy shared with the HNSW
+    family."""
     from vecgo_spark.operators.graph_at_rest import search_graphs_at_rest
 
     def probe_blob(blob, qv, kk):
         g, ids = graph_from_blob(blob)
         return [(ids[node], float(d)) for d, node in g.search(qv, kk, l=l_search)]
 
-    return search_graphs_at_rest(tbl, "vamana", query, k, probe_blob)
+    return search_graphs_at_rest(tbl, "vamana", query, k, probe_blob, filter=filter)

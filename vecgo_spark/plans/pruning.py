@@ -254,6 +254,17 @@ def _pass2_apply(
                     F.pmod(stable_hash64(F.col(c), seed=s), F.lit(BLOOM_M))
                 ).alias(f"{c}__b{s}")
             )
+    # exact per-value frequencies for low-cardinality strings (the values
+    # are known from pass 1): turns categorical-eq selectivity estimates
+    # from the uniform 1/|values| guess into the exact match fraction —
+    # the filtered ANN strategy cutover (graph_at_rest.py) depends on it.
+    # Values ride params columns like the other data-dependent inputs.
+    valcount_cols = [c for c in string_cols if out[c].get("values")]
+    for c in valcount_cols:
+        for i, v in enumerate(out[c]["values"]):
+            vc = pcol(f"__p_{c}_v{i}", v, "string")
+            aggs2.append(
+                F.sum(F.when(F.col(c) == vc, 1).otherwise(0)).alias(f"{c}__vc{i}"))
     if centroid is not None:
         v = F.col(vector_col).cast("array<double>")
         cent = pcol("__p_cent", [float(x) for x in centroid], "array<double>")
@@ -291,6 +302,11 @@ def _pass2_apply(
                  "min": row2[f"{c}__lmin{b}"], "max": row2[f"{c}__lmax{b}"]}
                 for b in range(LOG_BINS)
             ],
+        }
+    for c in valcount_cols:
+        out[c]["value_counts"] = {
+            v: int(row2[f"{c}__vc{i}"] or 0)
+            for i, v in enumerate(out[c]["values"])
         }
     for c in bloom_cols:
         bits = bytearray(BLOOM_M // 8)
@@ -386,8 +402,16 @@ def estimate_selectivity(stats: dict[str, Any], rows: int, fs: "FilterSet") -> f
         hist = cs.get("histogram")
         lo, hi = cs.get("min"), cs.get("max")
         s = non_null
-        if f.op == "eq" and vals:
+        counts = cs.get("value_counts")
+        if f.op == "eq" and counts:
+            s = counts.get(f.value, 0) / rows      # exact match fraction
+        elif f.op == "eq" and vals:
             s = non_null / len(vals) if f.value in vals else 0.0
+        elif f.op == "in" and counts:
+            try:
+                s = sum(counts.get(x, 0) for x in f.value) / rows
+            except TypeError:
+                s = non_null
         elif f.op == "in" and vals:
             try:
                 present = sum(1 for x in f.value if x in vals)
