@@ -152,6 +152,25 @@ COMMENTARY = {
         "pair blow-up is structurally impossible); the per-user rollup "
         "reuses the same partitioning."
     ),
+    "tpch_q7_nation_volume": (
+        "Nation-pair volume: supplier/customer/nation dims all broadcast "
+        "(`BroadcastHashJoin` ×4 — nation appears twice under different "
+        "aliases), lineitem joins orders on the fact key; exact-cent "
+        "revenue aggregates with map-side partials."
+    ),
+    "tpch_q8_market_share": (
+        "Deepest join tree in the suite: lineitem ⋈ orders shuffles on "
+        "the fact key once; part/supplier/customer/nation×2/region ALL "
+        "broadcast — seven joins, one wide exchange. Numerator and "
+        "denominator are conditional exact-cent sums in ONE aggregate "
+        "(no second pass)."
+    ),
+    "embedding_cluster_balance": (
+        "Cluster-balanced subsampling: nearest-centroid assignment is a "
+        "pure Column argmin over literal centroids (no Python, no join), "
+        "then ONE hashpartitioning(cluster_id) window ranks by stable "
+        "hash; the per-cluster cap is a filter on row_number."
+    ),
     "ann_hnsw_batch": (
         "Per-partition HNSW batch ANN: ONE `MapInPandas` over the corpus "
         "(each partition builds + searches its own graph — the corpus "
