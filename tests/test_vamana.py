@@ -25,7 +25,8 @@ def test_build_recall_degree_and_roundtrip():
         hits += len(set(bf) & set(got))
     assert hits / 250 >= 0.9
     blob = vamana.graph_blob(g, list(range(n)))
-    g2, ids = vamana.graph_from_blob(blob)
+    g2, ids, pq = vamana.graph_from_blob(blob)
+    assert pq is None
     assert ids == list(range(n))
     q = rng.normal(size=16)
     assert g.search(q, 10) == g2.search(q, 10)         # loader is faithful
@@ -36,6 +37,36 @@ def test_build_recall_degree_and_roundtrip():
         future = vamana.graph_blob(g, list(range(n)))
     with pytest.raises(ValueError, match="format"):
         vamana.graph_from_blob(future)
+
+
+def test_pq_blob_roundtrip_and_adc_recall():
+    """PQ-coded blobs: codes+codebooks instead of vectors (the DiskANN
+    compressed layout) — the blob shrinks by ~d·8/m, the ADC beam finds a
+    candidate pool whose 2k oversample contains the true top-k, and the
+    loader hands back the codebooks for table construction."""
+    from vecgo_spark.quantization.pq import PQCodebooks, adc_table, train_pq_np
+
+    rng = np.random.default_rng(4)
+    n = 1200
+    X = rng.normal(size=(n, 16))
+    g = vamana.VamanaGraph(X, r=24, l=48, alpha=1.2, seed=0)
+    g.build()
+    books = train_pq_np(X, m=8, k=32, iters=8, seed=0)
+    full = vamana.graph_blob(g, list(range(n)))
+    small = vamana.graph_blob(g, list(range(n)), pq=books)
+    # the vector payload shrinks d·8/m ×; links now dominate the blob,
+    # so the whole-blob ratio is ~2× at this (n, d, R)
+    assert len(small) < len(full) / 2
+    g2, ids, pq2 = vamana.graph_from_blob(small)
+    assert pq2 is not None and g2.codes is not None and g2.codes.shape == (n, 8)
+    hits = 0
+    Q = rng.normal(size=(25, 16))
+    for q in Q:
+        bf = set(np.argsort(((X - q) ** 2).sum(1))[:10])
+        table = np.asarray(adc_table(pq2, list(q)))
+        got = {node for _, node in g2.search_adc(table, 40, l=128)}
+        hits += len(bf & got)
+    assert hits / 250 >= 0.9                   # 4k ADC pool covers true top-k
 
 
 def test_medoid_entry_is_closest_to_centroid():
@@ -200,3 +231,38 @@ def test_filtered_at_rest_selectivity_strategies(spark, tmp_path):
              vamana.search_at_rest(t, q, k=5, l_search=96, filter=common).collect()]
     assert all(i % 40 != 0 for i in got_c)          # predicate enforced
     assert len(set(got_c) & set(exact(common))) >= 4
+
+
+def test_pq_at_rest_end_to_end(spark, tmp_path):
+    """PQ-coded at-rest serving: build with codebooks, probe via ADC,
+    exact rerank recovers the true top-k (recall floor); delta leg and
+    tombstone visibility unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vecgo_spark.plans.table import VectorTable
+    from vecgo_spark.quantization.pq import train_pq_np
+
+    rng = np.random.default_rng(6)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(400)]
+    t = VectorTable.create(spark, str(tmp_path / "tpq"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    X = np.array([r[1] for r in rows])
+    books = train_pq_np(X, m=4, k=32, iters=8, seed=0)
+    vamana.build_at_rest(t, r=24, l=48, pq=books)
+    assert t.manifest.meta["vamana"]["pq"] is True
+    q = [0.2] * 8
+    exact = [r["id"] for r in t.search(q, k=10).collect()]
+    got = [r["id"] for r in
+           vamana.search_at_rest(t, q, k=10, l_search=96).collect()]
+    assert len(set(exact) & set(got)) >= 8     # ADC pool + exact rerank
+    probe = [5.0] * 8
+    t.insert(spark.createDataFrame([(9000, probe)], "id long, vector array<double>"))
+    t.commit()
+    got = [r["id"] for r in vamana.search_at_rest(t, probe, k=3).collect()]
+    assert got[0] == 9000
+    t.delete([9000])
+    t.commit()
+    got = [r["id"] for r in vamana.search_at_rest(t, probe, k=3).collect()]
+    assert 9000 not in got

@@ -62,6 +62,8 @@ class VamanaGraph:
         self._stamps = np.zeros(max(1, self.n), dtype=np.int64)
         self._stamp = 0
         self._drow: np.ndarray | None = None  # build-time distance row
+        # set by the PQ-blob loader: n×m uint8 codes (serve via search_adc)
+        self.codes: np.ndarray | None = None
 
     # ------------------------------------------------------------ distances
 
@@ -74,7 +76,25 @@ class VamanaGraph:
 
     # ------------------------------------------------------------- search
 
-    def _beam(self, q: np.ndarray, ef: int) -> list[tuple[float, int]]:
+    def search_adc(self, table: np.ndarray, k: int, l: int | None = None
+                   ) -> list[tuple[float, int]]:
+        """Beam search with PQ asymmetric distances — the reference
+        DiskANN's serving mode (quantized in-memory distance, exact
+        rerank downstream; compression.go + segment.go:487-560). `table`
+        is the per-query m×k ADC lookup (quantization.pq.adc_table);
+        node distances gather from self.codes, so the probe never needs
+        the full vectors."""
+        assert self.codes is not None, "graph carries no PQ codes"
+        cols = np.arange(table.shape[0])
+        codes = self.codes
+
+        def dfn(idx):
+            return table[cols, codes[np.asarray(idx, dtype=np.int64)]].sum(axis=1)
+
+        return self._beam(None, max(l or self.l, k), dists_fn=dfn)[:k]
+
+    def _beam(self, q: np.ndarray | None, ef: int, dists_fn=None
+              ) -> list[tuple[float, int]]:
         """Greedy beam from the medoid: expand the closest unexpanded of
         the ef best until none remains (greedySearch semantics,
         writer.go:330-389) — implemented with the min-heap/max-heap pair
@@ -90,7 +110,9 @@ class VamanaGraph:
         mat = self.mat
         e = self.entry
         stamps[e] = stamp
-        if drow is not None:
+        if dists_fn is not None:
+            d0 = float(dists_fn([e])[0])
+        elif drow is not None:
             d0 = float(drow[e])
         else:
             diff = mat[e] - q
@@ -107,7 +129,9 @@ class VamanaGraph:
                 continue
             for n in nbrs:
                 stamps[n] = stamp
-            if drow is not None:
+            if dists_fn is not None:
+                dists = dists_fn(nbrs)
+            elif drow is not None:
                 dists = drow[nbrs]
             else:
                 d2 = mat[nbrs] - q
@@ -219,64 +243,118 @@ class VamanaGraph:
 
 # --------------------------------------------------------------- blobs
 
-def graph_blob(graph: VamanaGraph, ids: list[int]) -> bytes:
+def graph_blob(graph: VamanaGraph, ids: list[int], pq=None) -> bytes:
     """Explicit versioned .npz snapshot (flat arrays, CSR adjacency) — the
-    same no-pickle stance as the HNSW family."""
+    same no-pickle stance as the HNSW family. With `pq` (PQCodebooks) the
+    blob stores m uint8 codes per node PLUS the codebooks INSTEAD of the
+    full vectors — the reference DiskANN's compressed-in-memory layout
+    (compression.go): ~d·8/m × smaller, served via ADC + exact rerank."""
     flat: list[int] = []
     offsets = [0]
     for node in range(graph.n):
         flat.extend(graph.links[node])
         offsets.append(len(flat))
+    payload: dict[str, np.ndarray] = {}
+    if pq is not None:
+        from vecgo_spark.quantization.pq import _encode_np, _rotate_np
+
+        x = graph.mat
+        if pq.rotation is not None:
+            x = _rotate_np(x, pq.rotation)
+        payload["codes"] = _encode_np(x, pq.codebooks).astype(np.uint8)
+        payload["books"] = np.ascontiguousarray(pq.codebooks, dtype=np.float64)
+        if pq.rotation is not None:
+            payload["rotation"] = np.ascontiguousarray(pq.rotation, dtype=np.float64)
+    else:
+        payload["mat"] = graph.mat
     buf = io.BytesIO()
     np.savez(
         buf,
         format=np.int64(_GRAPH_FORMAT),
         ids=np.asarray(ids, dtype=np.int64),
-        mat=graph.mat,
         link_offsets=np.asarray(offsets, dtype=np.int64),
         link_data=np.asarray(flat, dtype=np.int32),
         entry=np.int64(graph.entry),
         r=np.int64(graph.r),
         l=np.int64(graph.l),
+        **payload,
     )
     return buf.getvalue()
 
 
-def graph_from_blob(blob: bytes) -> tuple[VamanaGraph, list[int]]:
+def graph_from_blob(blob: bytes):
+    """→ (graph, ids, pq | None). A full-vector blob restores the exact
+    geometry; a PQ blob restores a codes-only graph (serve with
+    search_adc) plus its PQCodebooks."""
+    from vecgo_spark.quantization.pq import PQCodebooks
+
     with np.load(io.BytesIO(blob), allow_pickle=False) as d:
         fmt = int(d["format"])
         if fmt != _GRAPH_FORMAT:
             raise ValueError(f"unsupported vamana graph format v{fmt} "
                              f"(reader supports v{_GRAPH_FORMAT})")
-        mat = np.asarray(d["mat"], dtype=np.float64)
         offsets = d["link_offsets"]
         flat = d["link_data"]
         entry = int(d["entry"])
         r, l = int(d["r"]), int(d["l"])
         ids = [int(x) for x in d["ids"]]
+        pq = None
+        if "codes" in d.files:
+            codes = np.asarray(d["codes"], dtype=np.int64)
+            pq = PQCodebooks(
+                codebooks=np.asarray(d["books"], dtype=np.float64),
+                rotation=(np.asarray(d["rotation"], dtype=np.float64)
+                          if "rotation" in d.files else None),
+            )
+            mat = np.zeros((codes.shape[0], 1))  # placeholder; never scored
+        else:
+            codes = None
+            mat = np.asarray(d["mat"], dtype=np.float64)
     g = VamanaGraph(mat, r=r, l=l)
     g.links = [[int(x) for x in flat[int(offsets[i]):int(offsets[i + 1])]]
                for i in range(mat.shape[0])]
     g.entry = entry
-    return g, ids
+    g.codes = codes
+    return g, ids, pq
 
 
 # -------------------------------------------------------------- at rest
 
-def build_at_rest(tbl, r: int = 32, l: int = 64, alpha: float = 1.2) -> int:
+def _probe_one(g: VamanaGraph, pq, qv, k: int, l_search: int):
+    """One query against one stored graph: exact beam on full-vector
+    blobs, ADC beam with 4× candidate oversampling on PQ blobs (the
+    reference's RefineFactor stance — quantized coarse scores need a
+    wider pool for the exact rerank to recover recall)."""
+    if pq is None:
+        return g.search(qv, k, l=l_search)
+    from vecgo_spark.quantization.pq import adc_table
+
+    table = np.asarray(adc_table(pq, list(qv)), dtype=np.float64)
+    return g.search_adc(table, 4 * k, l=max(l_search, 4 * k))
+
+def build_at_rest(tbl, r: int = 32, l: int = 64, alpha: float = 1.2,
+                  pq=None) -> int:
     """Persist per-SEGMENT Vamana graphs into the table layout (the
     reference writes one DiskANN graph per segment file — writer.go
     Flush); build / delta-leg / rerank mechanics in graph_at_rest.py.
-    Returns the new manifest version."""
+    With `pq` (PQCodebooks, broadcast to the builders) the stored blobs
+    carry PQ codes instead of full vectors — the reference DiskANN's
+    compressed serving layout; probes score ADC and the exact rerank
+    recovers precision. Graph CONSTRUCTION always uses full vectors (the
+    reference also builds on full precision). Returns the new manifest
+    version."""
     from vecgo_spark.operators.graph_at_rest import build_graphs_at_rest
+
+    bpq = tbl.spark.sparkContext.broadcast(pq) if pq is not None else None
 
     def build_blob(ids, block):
         g = VamanaGraph(block, r=r, l=l, alpha=alpha)
         g.build()
-        return graph_blob(g, ids)
+        return graph_blob(g, ids, pq=bpq.value if bpq is not None else None)
 
     return build_graphs_at_rest(
-        tbl, "vamana", {"r": r, "l": l, "alpha": alpha}, build_blob)
+        tbl, "vamana",
+        {"r": r, "l": l, "alpha": alpha, "pq": pq is not None}, build_blob)
 
 
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
@@ -287,11 +365,11 @@ def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
     from vecgo_spark.operators.graph_at_rest import batch_search_graphs_at_rest
 
     def probe_batch(blob, qids, qmat, kk):
-        g, ids = graph_from_blob(blob)
+        g, ids, pq = graph_from_blob(blob)
         out = []
         for qid, qv in zip(qids, qmat):
-            out.extend((qid, ids[node], float(d))
-                       for d, node in g.search(qv, kk, l=l_search))
+            for d, node in _probe_one(g, pq, qv, kk, l_search):
+                out.append((qid, ids[node], float(d)))
         return out
 
     return batch_search_graphs_at_rest(tbl, "vamana", queries, k, probe_batch,
@@ -308,7 +386,8 @@ def search_at_rest(tbl, query, k: int = 10, l_search: int = 64,
     from vecgo_spark.operators.graph_at_rest import search_graphs_at_rest
 
     def probe_blob(blob, qv, kk):
-        g, ids = graph_from_blob(blob)
-        return [(ids[node], float(d)) for d, node in g.search(qv, kk, l=l_search)]
+        g, ids, pq = graph_from_blob(blob)
+        return [(ids[node], float(d))
+                for d, node in _probe_one(g, pq, qv, kk, l_search)]
 
     return search_graphs_at_rest(tbl, "vamana", query, k, probe_blob, filter=filter)
