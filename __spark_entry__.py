@@ -408,15 +408,20 @@ def _ann_vamana_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     α=1.0→1.2, back-edges; search segment.go:487-560): per-segment
     versioned .npz blobs under _index/vamana-v*/ built once over the
     shared at-rest table's cluster segments; search loads the stored
-    blobs, greedy-beams each graph from its medoid, and exact-reranks
-    against the live snapshot (visibility enforced). Approximate + RNG
+    blobs (PQ-coded: m uint8 codes per node + codebooks — the DiskANN
+    compressed serving layout), ADC-beams each graph from its medoid,
+    and exact-reranks against the live snapshot (visibility enforced). Approximate + RNG
     (random graph init) → rows-only; recall/delta/visibility/degree
     invariants pinned in tests/test_vamana.py."""
     from vecgo_spark.operators import vamana as vamod
 
     tbl = _at_rest_table(spark, sf_dir)
     if "vamana" not in tbl.manifest.meta:
-        vamod.build_at_rest(tbl, r=24, l=48)
+        books = pqz.train_pq(
+            load_table(spark, sf_dir, "embeddings"), "embedding", m=8, k=256,
+            iters=8, max_train_rows=20_000,
+            cache_key=f"{sf_dir}:embeddings:pq8x256")
+        vamod.build_at_rest(tbl, r=24, l=48, pq=books)
     rows = vamod.search_at_rest(
         tbl, _query_vector(spark, sf_dir), k=10, l_search=96
     ).collect()
