@@ -443,9 +443,10 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: KMeans partitions + nprobe cluster pruning + exact scoring
-    (flat/segment.go:447-753). KMeans state not SQL-expressible →
-    rows-only check; full-probe==exact equivalence + recall floors are in
-    tests/test_ivf.py."""
+    (flat/segment.go:447-753). Deterministic driver-Lloyd's training lets
+    the DuckDB oracle embed the SAME centroids as literals → full ⊕ check
+    (the rows-only note predates oracle_artifacts); full-probe==exact
+    equivalence + recall floors in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
@@ -475,7 +476,8 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full flat-segment search pipeline composed end to
     end (flat/segment.go:447-753): IVF probe pruning → SQ8 ADC coarse
-    scoring on codes → exact rerank. KMeans state → rows-only check."""
+    scoring on codes → exact rerank. Oracle-⊕ via literal centroids +
+    the SQ params CTE (deterministic training)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
@@ -499,8 +501,9 @@ def _ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     layers in its flat segments (flat/segment.go:447-753 probe pruning +
     pq.go:468-500 ADC): IVF probe pruning cuts the scan to nprobe/nlist of
     the corpus, PQ ADC scores only the surviving codes, exact rerank
-    restores full-precision ordering. KMeans state → rows-only check;
-    recall floor in tests/test_ivf.py."""
+    restores full-precision ordering. Oracle-⊕ via literal centroids +
+    codebook CTEs (deterministic training); recall floor in
+    tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
