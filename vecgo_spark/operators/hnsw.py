@@ -22,10 +22,12 @@ cost is amortized over the whole query batch, which is where the graph
 wins: Q queries pay ONE build per partition. A one-off single query
 should use knn.search (exact) or the IVF at-rest layout instead.
 
-Scale posture: no driver collect of corpus data; partition graphs are
-built and dropped inside the task (nothing persisted — the at-rest
-serving path remains IVF + quantized codes); candidate volume is
-bounded by partitions × queries × k.
+Scale posture: no driver collect of corpus data; batch_search builds
+and drops partition graphs inside the task, while build_at_rest/
+search_at_rest persist per-SEGMENT graphs as versioned .npz blobs under
+_index/hnsw-v*/ (shared scaffolding: operators/graph_at_rest.py); the
+primary serving path remains IVF + quantized codes. Candidate volume is
+bounded by partitions (or segments) × queries × k.
 """
 
 from __future__ import annotations
