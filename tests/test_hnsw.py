@@ -233,3 +233,27 @@ def test_batch_search_at_rest_matches_single(spark, table):
         single = [r["id"] for r in
                   hnsw.search_at_rest(table, qv, k=5, ef_search=128).collect()]
         assert [got[(qid, rk)] for rk in range(1, 6)] == single
+
+
+def test_filtered_at_rest_shares_strategy(spark, tmp_path):
+    """The HNSW front takes the same selectivity-driven filtered-search
+    strategy as Vamana: selective predicate → exact filtered top-k."""
+    import numpy as np
+
+    from vecgo_spark.filters import FilterSet
+    from vecgo_spark.operators import knn as knnmod
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(2)
+    rows = [(i, rng.standard_normal(8).tolist(),
+             "rare" if i % 40 == 0 else "common") for i in range(400)]
+    t = VectorTable.create(spark, str(tmp_path / "thf"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>, category string"))
+    t.commit()
+    hnsw.build_at_rest(t, m=8, ef_construction=64)
+    q = [0.1] * 8
+    rare = FilterSet().eq("category", "rare")
+    got = [r["id"] for r in hnsw.search_at_rest(t, q, k=5, filter=rare).collect()]
+    exact = [r["id"] for r in knnmod.search(
+        t.df(rare), q, k=5, metric="l2", id_col="id", vector_col="vector").collect()]
+    assert got == exact

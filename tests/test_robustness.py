@@ -249,3 +249,33 @@ def test_manifest_count_interval_arithmetic_matches_set_model(data):
     disjoint = all(b["min"] > a["max"] for a, b in zip(sorted_t, sorted_t[1:]))
     if all_dense and segs_dense and disjoint:
         assert fast is not None, "fast path must fire on provably-dense layouts"
+
+
+def test_legacy_manifest_without_new_fields_loads(spark, tmp_path):
+    """Manifests written before tombstone_stats / tomb_lsn_applied existed
+    must load with safe defaults (empty stats → count() takes the scan
+    path; segments treated as original appends)."""
+    import json
+
+    from vecgo_spark.plans.manifest import load_manifest, manifest_path
+    from vecgo_spark.plans.table import VectorTable
+
+    tdir = str(tmp_path / "tlegacy")
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)], "id long, vector array<float>"))
+    t.commit()
+    t.delete([2, 3])
+    t.commit()
+    # strip the new fields from the latest manifest on disk
+    p = manifest_path(tdir, t.manifest.version)
+    d = json.loads(open(p).read())
+    d.pop("tombstone_stats", None)
+    for s in d["segments"]:
+        s.pop("tomb_lsn_applied", None)
+    open(p, "w").write(json.dumps(d))
+    reopened = VectorTable.open(spark, tdir)
+    assert reopened.manifest.tombstone_stats == {}
+    assert all(s.tomb_lsn_applied == 0 for s in reopened.manifest.segments)
+    assert reopened.count() == 6          # falls back to the exact scan
+    assert reopened._manifest_count(reopened.manifest) is None
