@@ -516,3 +516,40 @@ def test_all_null_first_write_pins_default_and_rejects_conflict(spark, tdir):
     assert reopened.manifest.meta["schema_concrete"]["x"] == "string"
     assert sorted(r["x"] for r in reopened.df().collect()
                   if r["x"] is not None) == ["five"]
+
+
+def test_null_first_then_typed_int_batch_accepted(spark, tdir):
+    """Review repro: declared 'int' column, all-NULL first batch (pins the
+    long default), then a real integer batch — Spark names LongType
+    'bigint', so the pin/compare must use one naming or valid inserts get
+    rejected as 'bigint vs long'."""
+    from pyspark.sql import functions as F
+
+    t = VectorTable.create(spark, tdir, dim=2, schema={"qty": "int", "w": "any"})
+    base = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vector array<float>")
+    t.insert(base.withColumn("qty", F.lit(None)).withColumn("w", F.lit(0.5)))
+    t.commit()
+    nxt = spark.createDataFrame([(2, [3.0, 4.0])], "id long, vector array<float>")
+    t.insert(nxt.withColumn("qty", F.lit(7)).withColumn("w", F.lit(9)))
+    t.commit()                                     # long widens into double 'w'
+    out = {r["id"]: (r["qty"], r["w"]) for r in t.df().collect()}
+    assert out[2] == (7, 9.0)
+    assert dict(t.df().dtypes)["qty"] == "bigint"
+    assert dict(t.df().dtypes)["w"] == "double"
+
+
+def test_rejected_batch_leaves_no_type_pin(spark, tdir):
+    """A batch rejected mid-validation must not pin concrete types for its
+    earlier columns — nothing was written, so nothing may constrain the
+    next insert."""
+    from pyspark.sql import functions as F
+
+    t = VectorTable.create(spark, tdir, dim=2, schema={"a": "any", "b": "int"})
+    base = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vector array<float>")
+    with pytest.raises(TypeError):
+        t.insert(base.withColumn("a", F.lit(1.5)).withColumn("b", F.lit("oops")))
+    assert "a" not in t.manifest.meta.get("schema_concrete", {})
+    # a later batch is free to pin 'a' as a string
+    t.insert(base.withColumn("a", F.lit("fine")).withColumn("b", F.lit(2)))
+    t.commit()
+    assert t.manifest.meta["schema_concrete"]["a"] == "string"

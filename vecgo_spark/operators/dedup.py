@@ -154,8 +154,9 @@ MAX_BUCKET = 1024  # band-bucket / chunk-bucket size cap (see _drop_hot)
 # bounded only by rows/max_bucket (linear in corpus size on a
 # boilerplate-heavy corpus), so above this the literal-isin plan and the
 # driver collect both stop being "tiny by construction" and the pair
-# pipeline falls back to a broadcast anti-join + pair-distinct, which
-# stays plan-bounded at any hot-key count
+# pipeline falls back to an (unhinted) anti-join + pair-distinct, which
+# stays plan-bounded at any hot-key count — AQE picks broadcast vs
+# shuffle from the hot set's actual size
 MAX_HOT_LITERALS = 2048
 
 
@@ -233,7 +234,10 @@ def minhash_lsh_pairs(
             _log.info("more than %d hot LSH band buckets — taking the "
                       "broadcast anti-join fallback", MAX_HOT_LITERALS)
             literal_path = False
-            banded = banded.join(F.broadcast(hot_df), ["band", "key"], "left_anti")
+            # NO broadcast hint: this branch fires precisely when the hot
+            # set is big (> MAX_HOT_LITERALS, linear in corpus size) — let
+            # AQE pick broadcast vs shuffle by its actual size
+            banded = banded.join(hot_df, ["band", "key"], "left_anti")
         else:
             if hot_rows:
                 _log.info("dropping %d hot LSH band buckets (> %d rows each)",
@@ -434,7 +438,8 @@ def simhash_pairs(
             _log.info("more than %d hot SimHash chunk buckets — taking the "
                       "broadcast anti-join fallback", MAX_HOT_LITERALS)
             literal_path = False
-            chunks = chunks.join(F.broadcast(hot_df), ["chunk", "key"], "left_anti")
+            # unhinted for the same reason as the minhash fallback above
+            chunks = chunks.join(hot_df, ["chunk", "key"], "left_anti")
         else:
             if hot_rows:
                 _log.info("dropping %d hot SimHash chunk buckets (> %d rows each)",
@@ -781,16 +786,6 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    # size the per-round shuffles to the EDGE count, not the session
-    # default: near-dup graphs are a small fraction of the corpus, and a
-    # 32-partition shuffle over a few hundred label rows costs ~0.5s of
-    # pure task overhead per round. The count is free (edges are already
-    # materialized by the checkpoint). At 100 TB the edge set is large →
-    # the cap keeps full parallelism.
-    n_edges = edges.count()
-    nparts = max(2, min(int(edges.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
-    edges = edges.repartition(nparts, "src").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))

@@ -356,6 +356,12 @@ def _graph_blob(graph: HNSWGraph, ids: list[int]) -> bytes:
 def _graph_from_blob(blob: bytes) -> tuple["HNSWGraph", list[int]]:
     import io
 
+    if not blob.startswith(b"PK"):
+        # .npz is a zip; anything else is a pre-npz (pickle-era) or
+        # corrupt blob — fail with an actionable message instead of a
+        # cryptic zip error inside an executor task
+        raise ValueError("unrecognized hnsw graph blob (legacy format?) — "
+                         "rebuild the index with hnsw.build_at_rest")
     with np.load(io.BytesIO(blob), allow_pickle=False) as d:
         fmt = int(d["format"])
         if fmt != _GRAPH_FORMAT:

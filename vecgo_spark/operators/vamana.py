@@ -288,6 +288,9 @@ def graph_from_blob(blob: bytes):
     search_adc) plus its PQCodebooks."""
     from vecgo_spark.quantization.pq import PQCodebooks
 
+    if not blob.startswith(b"PK"):
+        raise ValueError("unrecognized vamana graph blob (legacy format?) — "
+                         "rebuild the index with vamana.build_at_rest")
     with np.load(io.BytesIO(blob), allow_pickle=False) as d:
         fmt = int(d["format"])
         if fmt != _GRAPH_FORMAT:

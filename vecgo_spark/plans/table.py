@@ -110,9 +110,10 @@ def _schema_check(dt, want: str):
     return False, None
 
 
-_WIDENS = {("tinyint", "long"), ("smallint", "long"), ("int", "long"),
+# keyed by Spark simpleString() names — LongType prints as "bigint"
+_WIDENS = {("tinyint", "bigint"), ("smallint", "bigint"), ("int", "bigint"),
            ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
-           ("long", "double"), ("float", "double")}
+           ("bigint", "double"), ("float", "double")}
 
 
 def _widens_to(src: str, dst: str) -> bool:
@@ -353,6 +354,7 @@ class VectorTable:
         # would leave segments with conflicting parquet types and make the
         # union read footer-order-dependent.
         concrete = self.manifest.meta.setdefault("schema_concrete", {})
+        new_pins: dict[str, str] = {}  # applied only if the WHOLE batch validates
         for name, want in schema.items():
             if name not in df.columns:
                 continue
@@ -367,23 +369,25 @@ class VectorTable:
                 # concrete type when one exists, else pin the writable
                 # default so every later batch is validated against it
                 df = df.withColumn(name, F.col(name).cast(
-                    concrete.setdefault(name, cast)))
-                continue
-            if cast:
+                    concrete.get(name) or new_pins.get(name) or cast))
+            elif cast:
                 df = df.withColumn(name, F.col(name).cast(cast))
+            # pin/validate by simpleString names (LongType == "bigint")
             got = df.schema[name].dataType.simpleString()
             pinned = concrete.get(name)
             if pinned is None:
-                concrete[name] = got
+                new_pins[name] = got
             elif pinned != got:
                 if _widens_to(got, pinned):
-                    # lossless widening into the stored type (e.g. long →
-                    # double, array<int> → array<double>)
+                    # lossless widening into the stored type (e.g. bigint
+                    # → double, array<int> → array<double>)
                     df = df.withColumn(name, F.col(name).cast(pinned))
                 else:
                     raise TypeError(
                         f"field {name!r} arrives as {got} but the table "
                         f"already stores it as {pinned}")
+        # commit pins only now: a batch rejected above must leave no trace
+        concrete.update(new_pins)
         return df
 
     def _observe_stats(self, df: DataFrame):
