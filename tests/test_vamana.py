@@ -266,3 +266,20 @@ def test_pq_at_rest_end_to_end(spark, tmp_path):
     t.commit()
     got = [r["id"] for r in vamana.search_at_rest(t, probe, k=3).collect()]
     assert 9000 not in got
+
+
+def test_vectortable_graph_index_fronts(spark, table):
+    """VectorTable.build_graph_index / graph_search route to the right
+    family and default to whichever index the manifest carries."""
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="no graph index"):
+        table.graph_search([0.2] * 8, k=3)
+    v = table.build_graph_index("vamana", r=24, l=48)
+    assert table.manifest.version == v
+    got = [r["id"] for r in table.graph_search([0.2] * 8, k=5, l_search=96).collect()]
+    direct = [r["id"] for r in
+              vamana.search_at_rest(table, [0.2] * 8, k=5, l_search=96).collect()]
+    assert got == direct
+    with _pytest.raises(ValueError, match="unknown graph index"):
+        table.build_graph_index("diskann2000")

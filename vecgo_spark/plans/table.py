@@ -663,6 +663,43 @@ class VectorTable:
             total += live
         return total
 
+    # ------------------------------------------------- graph index fronts
+
+    def build_graph_index(self, kind: str = "hnsw", **kw) -> int:
+        """Persist per-segment graph indexes into the table layout — the
+        engine-level front over operators/hnsw.py / operators/vamana.py
+        (the reference picks its index per segment build options;
+        SURVEY §2.9). kind: "hnsw" (layered, in-memory-style) or "vamana"
+        (DiskANN-style; pass pq=PQCodebooks for the compressed layout).
+        Returns the new manifest version."""
+        if kind == "hnsw":
+            from vecgo_spark.operators import hnsw as mod
+        elif kind == "vamana":
+            from vecgo_spark.operators import vamana as mod
+        else:
+            raise ValueError(f"unknown graph index kind {kind!r}")
+        return mod.build_at_rest(self, **kw)
+
+    def graph_search(self, query: Sequence[float], k: int = 10,
+                     kind: str | None = None, filter=None, **kw) -> DataFrame:
+        """Approximate top-k from a persisted graph index (+ exact delta
+        leg + live-snapshot rerank; filtered search is selectivity-driven
+        — operators/graph_at_rest.py). kind defaults to whichever index
+        the manifest carries (vamana preferred when both exist)."""
+        if kind is None:
+            kind = ("vamana" if "vamana" in self.manifest.meta
+                    else "hnsw" if "hnsw" in self.manifest.meta else None)
+            if kind is None:
+                raise KeyError("table has no graph index; "
+                               "run build_graph_index first")
+        if kind == "hnsw":
+            from vecgo_spark.operators import hnsw as mod
+        elif kind == "vamana":
+            from vecgo_spark.operators import vamana as mod
+        else:
+            raise ValueError(f"unknown graph index kind {kind!r}")
+        return mod.search_at_rest(self, query, k=k, filter=filter, **kw)
+
     def segment_priorities(self, query: Sequence[float]):
         """Segments nearest-first by the centroid/radius distance LOWER
         bound (SegmentPriority, stats.go:643-677) — the probe /
