@@ -1415,6 +1415,31 @@ def _embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the standard product-analytics
+    rollup: users cohorted by the ISO week of their FIRST event; each
+    (cohort_week, week_offset) cell counts distinct users active that
+    many weeks later. Two aggregations + one user-keyed join (both sides
+    hash on user_id — co-partitioned, no extra exchange), tiny output.
+    All date arithmetic is integer (datediff/7) → oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    weekly = (ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+              .distinct())
+    return (
+        weekly.join(first, "user_id")
+        .select("cohort_week",
+                (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+                .cast("int").alias("week_offset"),
+                "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .withColumn("cohort_week", F.col("cohort_week").cast("date"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def _events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window breadth: percent_rank + ntile(4) of event value
     within each event_type, deterministic (value, event_id) tiebreak so
@@ -1636,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_typed_filter": _schema_typed_filter,
         "knn_sq8_adc": _knn_sq8_adc,
         "knn_pq_adc": _knn_pq_adc,
+        "events_retention_cohorts": _events_retention_cohorts,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -2431,6 +2457,23 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 0 END) AS DOUBLE)
                        / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share
             FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "events_retention_cohorts": """
+            WITH first AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id
+            ),
+            weekly AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                FROM events
+            )
+            SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+                   CAST(date_diff('day', f.cohort_week, wk.w) // 7 AS INT)
+                       AS week_offset,
+                   CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+            FROM weekly wk JOIN first f USING (user_id)
+            GROUP BY f.cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         "tpch_q10_returned_items": """
             SELECT c.c_custkey, c.c_name, n.n_name,
