@@ -1415,6 +1415,55 @@ def _embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average quantity. The
+    correlated avg decorrelates into a per-part aggregate joined back;
+    the threshold compare is cross-multiplied exact integers
+    (5·qty_e2·cnt < sum_qty_e2 ⇔ qty < 0.2·avg) so no double AVG enters
+    the oracle hash; one final division."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_e2", F.round(F.col("l_quantity") * 100).cast("long"))
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_e2").alias("sum_qty_e2"), F.count(F.lit(1)).alias("cnt"))
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(per_part, li["l_partkey"] == per_part["pk"])
+        .where(F.lit(5) * F.col("qty_e2") * F.col("cnt") < F.col("sum_qty_e2"))
+    )
+    agg = j.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_e2"),
+        F.count(F.lit(1)).alias("n_lines"))
+    return agg.select(
+        "price_e2", "n_lines",
+        (F.col("price_e2").cast("double") / F.lit(700.0)).alias("avg_yearly"))
+
+
+def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape): revenue
+    view → max-revenue selection via an equality join against the one-row
+    max (exact-cent revenue, so the tie semantics are integer-exact)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev_e4).alias("total_e4"))
+    best = revenue.agg(F.max("total_e4").alias("max_e4"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("total_e4") == F.col("max_e4"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_e4",
+                (F.col("total_e4").cast("double") / F.lit(10000.0)).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
 def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix — the standard product-analytics
     rollup: users cohorted by the ISO week of their FIRST event; each
@@ -1662,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_adc": _knn_sq8_adc,
         "knn_pq_adc": _knn_pq_adc,
         "events_retention_cohorts": _events_retention_cohorts,
+        "tpch_q17_small_qty_revenue": _tpch_q17,
+        "tpch_q15_top_supplier": _tpch_q15,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -2474,6 +2525,46 @@ def oracle_sql() -> dict[str, str]:
             FROM weekly wk JOIN first f USING (user_id)
             GROUP BY f.cohort_week, week_offset
             ORDER BY cohort_week, week_offset
+        """,
+        "tpch_q17_small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_extendedprice,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2
+                FROM lineitem
+            ),
+            per_part AS (
+                SELECT l_partkey AS pk,
+                       CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2,
+                       count(*) AS cnt
+                FROM li GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS price_e2,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS DOUBLE) / 700.0 AS avg_yearly
+            FROM li l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN per_part pp ON l.l_partkey = pp.pk
+            WHERE p.p_brand = 'Brand#23'
+              AND 5 * l.qty_e2 * pp.cnt < pp.sum_qty_e2
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS BIGINT) AS total_e4
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_e4,
+                   CAST(r.total_e4 AS DOUBLE) / 10000.0 AS total_revenue
+            FROM revenue r
+            JOIN supplier s ON r.supplier_no = s.s_suppkey
+            WHERE r.total_e4 = (SELECT max(total_e4) FROM revenue)
+            ORDER BY s.s_suppkey
         """,
         "tpch_q10_returned_items": """
             SELECT c.c_custkey, c.c_name, n.n_name,
