@@ -1464,6 +1464,28 @@ def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical-selection step a real dedup pipeline ends with: in
+    each near-dup cluster keep the HIGHEST-QUALITY document (ties → lowest
+    doc_id), not just the lowest id. Composes dedup_clusters with the text
+    quality score; one per-cluster window over the tiny (doc, cluster)
+    mapping. Quality arithmetic is the oracle-exact quality_score."""
+    from vecgo_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dd.dedup_clusters(docs)
+    scored = docs.select(
+        "doc_id", textfn.quality_score("text").alias("quality"))
+    j = comp.join(scored, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "canonical_id", "quality", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix — the standard product-analytics
     rollup: users cohorted by the ISO week of their FIRST event; each
@@ -1711,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_adc": _knn_sq8_adc,
         "knn_pq_adc": _knn_pq_adc,
         "events_retention_cohorts": _events_retention_cohorts,
+        "dedup_keep_best_quality": _dedup_keep_best_quality,
         "tpch_q17_small_qty_revenue": _tpch_q17,
         "tpch_q15_top_supplier": _tpch_q15,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
@@ -2006,6 +2029,11 @@ def _ann_oracles() -> dict[str, str]:
     }
 
 
+from vecgo_spark.functions.text import quality_score_sql as _qs_sql
+
+_textmod_quality = _qs_sql("text")
+
+
 def oracle_sql() -> dict[str, str]:
     sq = sq_l2_sql("e.embedding", "q.qv")
     dt = dot_sql("e.embedding", "q.qv")
@@ -2298,6 +2326,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.5),
         "embedding_neardup": dedup.embedding_neardup_pairs_sql(threshold=0.4),
         "dedup_clusters": dedup.dedup_clusters_sql(threshold=0.5),
+        "dedup_keep_best_quality": f"""
+            WITH comp AS ({dedup.dedup_clusters_sql(threshold=0.5)}),
+            scored AS (
+                SELECT doc_id, {_textmod_quality} AS quality FROM documents
+            ),
+            ranked AS (
+                SELECT c.doc_id, c.canonical_id, s.quality,
+                       row_number() OVER (
+                           PARTITION BY c.canonical_id
+                           ORDER BY s.quality DESC, c.doc_id ASC) AS rn
+                FROM comp c JOIN scored s USING (doc_id)
+            )
+            SELECT doc_id, canonical_id, quality, rn = 1 AS keep
+            FROM ranked ORDER BY doc_id
+        """,
         "bm25_search": bm25.bm25_oracle_sql(QUERY_TEXT, 10, docs_table="documents",
                                             id_col="doc_id", text_col="text"),
         "hybrid_rrf": hybrid.hybrid_oracle_sql(
