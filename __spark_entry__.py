@@ -1681,9 +1681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
-        "ann_ivf": _ann_ivf,
-        "ann_ivf_batch": _ann_ivf_batch,
-        "hybrid_rrf": _hybrid_rrf,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q17_small_qty_revenue": _tpch_q17,
+        "dedup_keep_best_quality": _dedup_keep_best_quality,
         "tombstone_antijoin": _tombstone_antijoin,
         "upsert_latest_wins": _upsert_latest_wins,
         "time_travel_versions": _time_travel,
@@ -1733,9 +1733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_adc": _knn_sq8_adc,
         "knn_pq_adc": _knn_pq_adc,
         "events_retention_cohorts": _events_retention_cohorts,
-        "dedup_keep_best_quality": _dedup_keep_best_quality,
-        "tpch_q17_small_qty_revenue": _tpch_q17,
-        "tpch_q15_top_supplier": _tpch_q15,
+        "ann_ivf": _ann_ivf,
+        "ann_ivf_batch": _ann_ivf_batch,
+        "hybrid_rrf": _hybrid_rrf,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
