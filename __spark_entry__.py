@@ -1470,10 +1470,8 @@ def _dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id), not just the lowest id. Composes dedup_clusters with the text
     quality score; one per-cluster window over the tiny (doc, cluster)
     mapping. Quality arithmetic is the oracle-exact quality_score."""
-    from vecgo_spark.operators import dedup as dd
-
     docs = load_table(spark, sf_dir, "documents")
-    comp = dd.dedup_clusters(docs)
+    comp = dedup.dedup_clusters(docs)
     scored = docs.select(
         "doc_id", textfn.quality_score("text").alias("quality"))
     j = comp.join(scored, "doc_id")
@@ -1489,24 +1487,23 @@ def _dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix — the standard product-analytics
     rollup: users cohorted by the ISO week of their FIRST event; each
-    (cohort_week, week_offset) cell counts distinct users active that
-    many weeks later. Two aggregations + one user-keyed join (both sides
-    hash on user_id — co-partitioned, no extra exchange), tiny output.
-    All date arithmetic is integer (datediff/7) → oracle-exact."""
+    (cohort_week, week_offset) cell counts users active that many weeks
+    later. ONE user-keyed aggregation carries both the first week and the
+    bounded distinct-week set (collect_set — #ISO weeks in the corpus,
+    not #events), so the only wide exchange is hashpartitioning(user_id);
+    the exploded (cohort, offset) rows are already unique per user → a
+    plain count. Integer date arithmetic (datediff/7) → oracle-exact."""
     ev = load_table(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
-    weekly = (ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
-              .distinct())
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"))
     return (
-        weekly.join(first, "user_id")
-        .select("cohort_week",
+        per_user.select("cohort_week", F.explode("weeks").alias("w"))
+        .select(F.col("cohort_week").cast("date").alias("cohort_week"),
                 (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
-                .cast("int").alias("week_offset"),
-                "user_id")
+                .cast("int").alias("week_offset"))
         .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
-        .withColumn("cohort_week", F.col("cohort_week").cast("date"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
 
@@ -2029,11 +2026,6 @@ def _ann_oracles() -> dict[str, str]:
     }
 
 
-from vecgo_spark.functions.text import quality_score_sql as _qs_sql
-
-_textmod_quality = _qs_sql("text")
-
-
 def oracle_sql() -> dict[str, str]:
     sq = sq_l2_sql("e.embedding", "q.qv")
     dt = dot_sql("e.embedding", "q.qv")
@@ -2329,7 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best_quality": f"""
             WITH comp AS ({dedup.dedup_clusters_sql(threshold=0.5)}),
             scored AS (
-                SELECT doc_id, {_textmod_quality} AS quality FROM documents
+                SELECT doc_id, {textfn.quality_score_sql("text")} AS quality FROM documents
             ),
             ranked AS (
                 SELECT c.doc_id, c.canonical_id, s.quality,

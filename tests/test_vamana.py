@@ -271,9 +271,7 @@ def test_pq_at_rest_end_to_end(spark, tmp_path):
 def test_vectortable_graph_index_fronts(spark, table):
     """VectorTable.build_graph_index / graph_search route to the right
     family and default to whichever index the manifest carries."""
-    import pytest as _pytest
-
-    with _pytest.raises(KeyError, match="no graph index"):
+    with pytest.raises(KeyError, match="no graph index"):
         table.graph_search([0.2] * 8, k=3)
     v = table.build_graph_index("vamana", r=24, l=48)
     assert table.manifest.version == v
@@ -281,5 +279,5 @@ def test_vectortable_graph_index_fronts(spark, table):
     direct = [r["id"] for r in
               vamana.search_at_rest(table, [0.2] * 8, k=5, l_search=96).collect()]
     assert got == direct
-    with _pytest.raises(ValueError, match="unknown graph index"):
+    with pytest.raises(ValueError, match="unknown graph index"):
         table.build_graph_index("diskann2000")
