@@ -234,3 +234,15 @@ def test_funnel_single_user_exchange_no_self_join(spark, sf_dir):
     plan = spark_plan(df)
     assert "Join" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_retention_cohorts_single_user_exchange(spark, sf_dir):
+    """The cohort matrix must ride ONE user-keyed exchange (the per-user
+    agg carrying first week + collect_set of weeks) — no join, no second
+    wide shuffle of events."""
+    import __spark_entry__ as em
+
+    df = em.queries()["events_retention_cohorts"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
