@@ -171,6 +171,13 @@ COMMENTARY = {
         "then ONE hashpartitioning(cluster_id) window ranks by stable "
         "hash; the per-cluster cap is a filter on row_number."
     ),
+    "events_retention_cohorts": (
+        "Cohort retention matrix: ONE user-keyed HashAggregate carries "
+        "the first week AND the bounded distinct-week set (collect_set), "
+        "exploded into (cohort, offset) cells — exactly one "
+        "hashpartitioning(user_id) exchange, no join, no second shuffle "
+        "of events; the final cell count is a small aggregate."
+    ),
     "ann_hnsw_batch": (
         "Per-partition HNSW batch ANN: ONE `MapInPandas` over the corpus "
         "(each partition builds + searches its own graph — the corpus "
