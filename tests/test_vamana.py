@@ -266,6 +266,13 @@ def test_pq_at_rest_end_to_end(spark, tmp_path):
     t.commit()
     got = [r["id"] for r in vamana.search_at_rest(t, probe, k=3).collect()]
     assert 9000 not in got
+    # the batch probe shares _probe_one → ADC path must agree with single
+    qs = spark.createDataFrame([(0, q), (1, probe)], "qid long, qvector array<double>")
+    batch = vamana.batch_search_at_rest(t, qs, k=5, l_search=96)
+    bm = {(r["qid"], r["rank"]): r["id"] for r in batch.collect()}
+    single0 = [r["id"] for r in vamana.search_at_rest(t, q, k=5, l_search=96).collect()]
+    assert [bm[(0, rk)] for rk in range(1, 6)] == single0
+    assert 9000 not in {v for (qid, _), v in bm.items() if qid == 1}
 
 
 def test_vectortable_graph_index_fronts(spark, table):
