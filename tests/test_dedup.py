@@ -310,3 +310,18 @@ def test_hot_bucket_fallback_matches_literal_path(spark, monkeypatch):
     assert fb_mh == lit_mh
     assert fb_sh == lit_sh
     assert (100, 101) in {(a, b) for a, b, _ in fb_mh}
+
+
+def test_simhash_swar_overflow_is_loud(spark, monkeypatch):
+    """ADVICE r5: the 20-bit SWAR vote lanes carry at 2^20 token instances
+    per doc — such a doc must raise, never return a corrupted signature.
+    The guard wiring is exercised with the threshold patched down (the
+    lane-carry arithmetic itself is what the real 2^20 bound proves)."""
+    monkeypatch.setattr(dedup, "SWAR_MAX_TOKENS", 8)
+    big = spark.createDataFrame([(1, "tok " * 8)], "doc_id long, text string")
+    with pytest.raises(Exception, match="lane overflow"):
+        dedup.simhash(big).collect()
+    # one instance below the boundary still computes a signature
+    ok = spark.createDataFrame([(2, "tok " * 7)], "doc_id long, text string")
+    [row] = dedup.simhash(ok).collect()
+    assert row["simhash"] is not None

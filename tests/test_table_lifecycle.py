@@ -553,3 +553,24 @@ def test_rejected_batch_leaves_no_type_pin(spark, tdir):
     t.insert(base.withColumn("a", F.lit("fine")).withColumn("b", F.lit(2)))
     t.commit()
     assert t.manifest.meta["schema_concrete"]["a"] == "string"
+
+
+def test_schema_pin_not_committed_on_failed_write(spark, tdir):
+    """ADVICE r5: a batch that validates against the declared schema but
+    fails at segment-write time (here: vector dim mismatch, caught by the
+    fused write-job assert) must leave NO concrete-type pin behind —
+    otherwise the phantom pin is persisted by the next successful commit
+    and later batches are validated against a type no segment stores."""
+    t = VectorTable.create(spark, tdir, dim=2, schema={"price": "float"})
+    bad_dim = spark.createDataFrame(
+        [(1, [1.0], 7)], "id long, vector array<float>, price int")
+    with pytest.raises(ValueError, match="dimension"):
+        t.insert(bad_dim)
+    assert "price" not in t.manifest.meta.get("schema_concrete", {})
+    # the first SUCCESSFUL write is what pins the concrete type
+    good = spark.createDataFrame(
+        [(2, [1.0, 2.0], 7)], "id long, vector array<float>, price int")
+    t.insert(good)
+    assert t.manifest.meta["schema_concrete"]["price"] == "double"
+    t.commit()
+    assert dict(t.df().dtypes)["price"] == "double"

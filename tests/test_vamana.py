@@ -288,3 +288,34 @@ def test_vectortable_graph_index_fronts(spark, table):
     assert got == direct
     with pytest.raises(ValueError, match="unknown graph index"):
         table.build_graph_index("diskann2000")
+
+
+def test_pq_restored_graph_rejects_full_vector_search():
+    """ADVICE r5: graph_from_blob restores PQ blobs with a zeros
+    placeholder matrix — the public search()/_beam full-vector path must
+    fail loudly instead of silently returning placeholder distances."""
+    from vecgo_spark.quantization.pq import train_pq_np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 8))
+    g = vamana.VamanaGraph(X, r=12, l=24, alpha=1.2, seed=0)
+    g.build()
+    books = train_pq_np(X, m=4, k=16, iters=4, seed=0)
+    blob = vamana.graph_blob(g, list(range(200)), pq=books)
+    g2, _, _ = vamana.graph_from_blob(blob)
+    with pytest.raises(RuntimeError, match="PQ blob"):
+        g2.search(X[0], 5)
+
+
+def test_adaptive_block_honors_entry_budget():
+    """ADVICE r5: the build-gemm block size must keep block × n near the
+    entry budget at ANY graph size — a fixed 64-row floor would allocate
+    512 MB per task at n=1M."""
+    from vecgo_spark.operators.graph_at_rest import adaptive_block
+
+    assert adaptive_block(100) == 1024          # capped for tiny graphs
+    assert adaptive_block(8_000_000) == 1       # floor is 1, not 64
+    for n in (10_000, 100_000, 1_000_000, 50_000_000):
+        b = adaptive_block(n)
+        assert 1 <= b <= 1024
+        assert b * n <= 8_000_000 or b == 1     # budget holds once b > 1

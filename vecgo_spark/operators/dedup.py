@@ -343,6 +343,10 @@ def minhash_lsh_pairs_sql(
 # ------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60  # stable_hash64 yields 60 usable bits
+# SWAR vote lanes are 20-bit; lane counts are bounded by the per-doc token
+# instance count, so n < 2^20 proves no lane carry (tests patch this down
+# to exercise the guard cheaply)
+SWAR_MAX_TOKENS = 1 << 20
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -390,6 +394,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             s(j) * 2 > F.col("n"), F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
+    # SWAR soundness guard: a lane holds a 20-bit count, and every lane
+    # count is <= n, so n < 2^20 proves no lane carry. A >=1M-token doc
+    # would corrupt its signature SILENTLY — fail loudly instead (JVM-side
+    # branch, evaluated once per doc row; zero cost on the sane path).
+    sim = F.when(
+        F.col("n") >= F.lit(SWAR_MAX_TOKENS),
+        F.raise_error(F.concat(
+            F.lit("simhash SWAR lane overflow: doc id="), F.col("id").cast("string"),
+            F.lit(" has "), F.col("n").cast("string"),
+            F.lit(f" token instances (>= {SWAR_MAX_TOKENS}); "
+                  "pre-truncate the document"))
+        ).cast("long"),
+    ).otherwise(sim)
     return votes.select("id", sim.alias("simhash"))
 
 

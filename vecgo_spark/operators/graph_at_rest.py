@@ -35,6 +35,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def adaptive_block(n: int, budget: int = 8_000_000, cap: int = 1024) -> int:
+    """Block row-count for the build-time distance precompute gemm: bounds
+    block × n to ~`budget` matrix entries (~64 MB float64 at the default)
+    regardless of graph size. Floor is 1, NOT a fixed row count — a
+    64-row floor at n=1M nodes would allocate a 512 MB matrix per task
+    (ADVICE r5); huge segments get tiny blocks instead."""
+    return int(min(cap, max(1, budget // max(n, 1))))
+
+
 def build_graphs_at_rest(
     tbl,
     family: str,

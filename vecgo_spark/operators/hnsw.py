@@ -223,7 +223,9 @@ class HNSWGraph:
         s = 0
         while s < n_rows:
             if block is None:
-                b = int(min(1024, max(64, 8_000_000 // max(self._n + 1024, 1))))
+                from vecgo_spark.operators.graph_at_rest import adaptive_block
+
+                b = adaptive_block(self._n + 1024)
             else:
                 b = block
             blk = X[s:s + b]

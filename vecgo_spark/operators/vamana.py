@@ -33,6 +33,8 @@ import io
 import numpy as np
 from pyspark.sql import DataFrame
 
+from vecgo_spark.operators.graph_at_rest import adaptive_block
+
 _GRAPH_FORMAT = 1  # bump on any layout change; loaders reject unknown versions
 
 
@@ -101,6 +103,14 @@ class VamanaGraph:
         rather than the reference's sort-per-iteration."""
         import heapq
 
+        if self.codes is not None and dists_fn is None:
+            # PQ-restored graph: self.mat is a zeros placeholder, so the
+            # full-vector distance path would return meaningless scores.
+            # Miswired callers must fail loudly — route through
+            # search_adc (which supplies dists_fn) instead.
+            raise RuntimeError(
+                "graph was restored from a PQ blob (no full vectors); "
+                "use search_adc with an ADC table, not search()")
         if self.entry < 0:
             return []
         self._stamp += 1
@@ -212,7 +222,7 @@ class VamanaGraph:
         for alpha in (1.0, self.alpha):
             s = 0
             while s < n:
-                b = block or int(min(1024, max(64, 8_000_000 // max(n, 1))))
+                b = block or adaptive_block(n)
                 hi = min(s + b, n)
                 blk = self.mat[s:hi]
                 bsq = self._sq[s:hi]

@@ -236,7 +236,7 @@ class VectorTable:
         lsn = self._next_lsn()
         if not assign_ids and self.id_col not in df.columns:
             raise ValueError(f"missing id column {self.id_col!r}; use assign_ids=True")
-        df = self._apply_schema(df)
+        df, new_pins = self._apply_schema(df)
         validate_dim = dim is not None and self.vector_col in df.columns
         persisted = None
         if assign_ids:
@@ -289,6 +289,10 @@ class VectorTable:
             raise
         if persisted is not None:
             persisted.unpersist()
+        if new_pins:
+            # commit concrete-type pins only now that the segment holding
+            # those types exists on disk — a failed write leaves no trace
+            self.manifest.meta.setdefault("schema_concrete", {}).update(new_pins)
         written = self.spark.read.parquet(full)
         stats = stats_fin(written)
         rows = stats.pop("__rows", None)
@@ -334,16 +338,22 @@ class VectorTable:
                 return False
         return True
 
-    def _apply_schema(self, df: DataFrame) -> DataFrame:
+    def _apply_schema(self, df: DataFrame) -> tuple[DataFrame, dict[str, str]]:
         """Enforce the declared metadata schema on an incoming batch
         (Schema.Validate, metadata/schema.go:42-58). Column types are known
         at plan time, so this is a static check + widening casts — no data
         pass. Missing declared fields are allowed (they read as NULL and
         never match filters, the reference's missing-field semantics);
-        undeclared columns pass through untouched."""
+        undeclared columns pass through untouched.
+
+        Returns (df, new_pins). The caller commits new_pins to manifest
+        meta only AFTER the segment parquet write succeeds — committing
+        here would leave a phantom type pin behind a failed write, which
+        the next successful commit would persist and later batches would
+        be validated against a type no segment actually stores."""
         schema = self.manifest.meta.get("schema")
         if not schema:
-            return df
+            return df, {}
         from pyspark.sql import types as T
 
         # one parquet type per declared column across ALL segments: the
@@ -353,8 +363,8 @@ class VectorTable:
         # first write (string / array<string>) followed by a typed insert
         # would leave segments with conflicting parquet types and make the
         # union read footer-order-dependent.
-        concrete = self.manifest.meta.setdefault("schema_concrete", {})
-        new_pins: dict[str, str] = {}  # applied only if the WHOLE batch validates
+        concrete = self.manifest.meta.get("schema_concrete", {})
+        new_pins: dict[str, str] = {}  # committed by the caller post-write
         for name, want in schema.items():
             if name not in df.columns:
                 continue
@@ -386,9 +396,7 @@ class VectorTable:
                     raise TypeError(
                         f"field {name!r} arrives as {got} but the table "
                         f"already stores it as {pinned}")
-        # commit pins only now: a batch rejected above must leave no trace
-        concrete.update(new_pins)
-        return df
+        return df, new_pins
 
     def _observe_stats(self, df: DataFrame):
         """Attach pass-1 stats to the segment write job (observe_segment_
