@@ -29,6 +29,7 @@ from vecgo_spark.quantization import binary as bqz
 from vecgo_spark.quantization import pq as pqz
 from vecgo_spark.quantization import scalar as sqz
 from vecgo_spark.sources.registry import load_table
+from vecgo_spark.streaming.windows import rolling_anomaly_sql
 
 EMB_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
 
@@ -1630,6 +1631,139 @@ def _vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.vocab_top_terms(docs, k=50)
 
 
+def _tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape, adapted:
+    no partsupp table, so supply cost is 80% of the part's retail price).
+    profit_e4 = price_e2·(100−disc_e2) − 80·retail_e2·qty, all exact
+    integers; lineitem ⋈ orders shuffles on orderkey, part/supplier/
+    nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.lit(80) * F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit_e4).alias("profit_e4"))
+        .select("nation", "o_year", "profit_e4",
+                (F.col("profit_e4").cast("double") / F.lit(10000.0)).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def _tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join so zero-order customers survive into the c_count=0 bucket
+    (adapted filter: non-urgent orders only — no o_comment column).
+    First groupBy(custkey) rides the join's exchange; the second agg is
+    over ≤ max-orders-per-customer rows — tiny."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part profile (TPC-H Q16 shape): COUNT
+    DISTINCT suppliers per (brand, type, size) over the observed
+    lineitem part↔supplier pairs (no partsupp table), excluding one
+    brand/type and negative-balance suppliers via anti-join (the
+    reference Q16's NOT IN complaints-supplier shape)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted
+    lateness: shipped > 60 days after the order date; no receipt/commit
+    dates). The classic EXISTS + NOT-EXISTS pair of lineitem self-joins
+    collapses into ONE groupBy(orderkey): an order qualifies iff it has
+    ≥2 distinct suppliers but exactly 1 distinct LATE supplier — that
+    supplier takes the blame. Single wide exchange on orderkey (the
+    self-join formulation would take three), then a tiny suppkey agg;
+    supplier names broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"),
+             F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+             F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"))
+        .where((F.col("n_supps") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+    )
+    return j.orderBy(F.col("numwait").desc(), F.col("s_name").asc()).limit(20)
+
+
+def _chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup over 64-token windows (CCNet-style
+    sub-document boilerplate removal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.chunk_dedup(docs, chunk=64)
+
+
+def _doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM bits-per-token quality score (the CCNet/KenLM
+    perplexity-filter step, model trained on the corpus itself)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.bigram_lm_score(docs)
+
+
+def _events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the event stream, integer-exact
+    cross-multiplied test (see streaming.windows.rolling_anomaly)."""
+    from vecgo_spark.streaming.windows import rolling_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomaly(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the external driver's correctness harness checks the
     # FIRST 50 entries.  Standing rotation policy (round-5 verdict item #1):
@@ -1734,6 +1868,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": _tpch_q7,
         "tpch_q8_market_share": _tpch_q8,
         "embedding_cluster_balance": _embedding_cluster_balance,
+        # -- new in round 6 (tail; rotate into the window next round) ----
+        "tpch_q9_profit_nation_year": _tpch_q9,
+        "tpch_q13_custdist": _tpch_q13,
+        "tpch_q16_supplier_variety": _tpch_q16,
+        "tpch_q21_waiting_supplier": _tpch_q21,
+        "chunk_dedup_frac": _chunk_dedup,
+        "doc_perplexity_bigram": _doc_perplexity_bigram,
+        "events_anomaly_zscore": _events_anomaly_zscore,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -2669,6 +2811,79 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT * FROM documents WHERE n_chars % 7 <> 0)")})
             ORDER BY doc_id
         """,
+        "tpch_q9_profit_nation_year": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       - 80 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                       AS profit_e4,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       - 80 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       * CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY n.n_name, year(o.o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q13_custdist": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q16_supplier_variety": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#9' AND p.p_type <> 'ECONOMY'
+              AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "tpch_q21_waiting_supplier": """
+            WITH per_order AS (
+                SELECT l.l_orderkey,
+                       count(DISTINCT l.l_suppkey) AS n_supps,
+                       count(DISTINCT CASE WHEN l.l_shipdate >
+                               o.o_orderdate + INTERVAL 60 DAY
+                             THEN l.l_suppkey END) AS n_late,
+                       max(CASE WHEN l.l_shipdate >
+                               o.o_orderdate + INTERVAL 60 DAY
+                           THEN l.l_suppkey END) AS late_supp
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY l.l_orderkey
+            )
+            SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+            FROM per_order po
+            JOIN supplier s ON po.late_supp = s.s_suppkey
+            WHERE po.n_supps >= 2 AND po.n_late = 1
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY numwait DESC, s.s_name ASC
+            LIMIT 20
+        """,
+        "chunk_dedup_frac": pipeline.chunk_dedup_sql(chunk=64),
+        "doc_perplexity_bigram": pipeline.bigram_lm_score_sql(),
+        "events_anomaly_zscore": rolling_anomaly_sql(),
     }
     out.update(_ann_oracles())
     return out

@@ -285,3 +285,70 @@ def test_balance_sources_downsamples_to_smallest(spark):
     again = {r["doc_id"] for r in
              pipeline.balance_sources(docs.repartition(13)).collect()}
     assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_chunk_dedup_planted_duplicates(spark):
+    """Chunk-level dedup: a chunk appearing in two docs counts as a dup in
+    the LATER (doc_id, chunk_idx) holder only; per-doc fractions follow."""
+    A = " ".join(f"a{i}" for i in range(4))       # 4-token chunk body
+    B = " ".join(f"b{i}" for i in range(4))
+    C = " ".join(f"c{i}" for i in range(4))
+    rows = [
+        (1, f"{A} {B}"),      # chunks: A, B — both canonical
+        (2, f"{A} {C}"),      # A is a dup of doc1's, C canonical
+        (3, B),               # dup of doc1 chunk 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in pipeline.chunk_dedup(docs, chunk=4).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 0
+    assert out[2]["n_chunks"] == 2 and out[2]["n_dup_chunks"] == 1
+    assert out[2]["dup_chunk_frac"] == 0.5
+    assert out[3]["n_chunks"] == 1 and out[3]["n_dup_chunks"] == 1
+    assert out[3]["dup_chunk_frac"] == 1.0
+
+
+def test_bigram_lm_score_matches_python_model(spark):
+    """Exact bits-per-token vs an independent Python add-one bigram LM."""
+    import collections
+
+    rows = [(1, "a b a b a"), (2, "a b c"), (3, "c c c c"), (4, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = {i: t.split() for i, t in rows}
+    bigrams = [(w1, w2) for t in texts.values() for w1, w2 in zip(t, t[1:])]
+    c12 = collections.Counter(bigrams)
+    c1 = collections.Counter(w1 for w1, _ in bigrams)
+    vocab = len({w for t in texts.values() for w in t})
+    out = {r["id"]: r for r in pipeline.bigram_lm_score(docs).collect()}
+    assert 4 not in out  # single-token doc has no bigrams
+    for i, toks in texts.items():
+        if len(toks) < 2:
+            continue
+        logs = [math.log2((c12[(w1, w2)] + 1) / (c1[w1] + vocab))
+                for w1, w2 in zip(toks, toks[1:])]
+        expect = round(-sum(logs) / len(logs), 8)
+        assert out[i]["n_bigrams"] == len(logs)
+        assert abs(out[i]["bits_per_token"] - expect) < 1e-9
+
+
+def test_rolling_anomaly_flags_planted_outlier(spark):
+    """A stable stream with one huge spike: the spike flags, its
+    neighbours don't, and the cold-start window (n < min_n) never flags."""
+    from vecgo_spark.streaming.windows import rolling_anomaly
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        v = 100.0 + (i % 5)          # tight band
+        if i == 50:
+            v = 5000.0               # planted anomaly
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "tick", v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    out = {r["event_id"]: r for r in
+           rolling_anomaly(ev, frame=30, min_n=10).collect()}
+    assert out[50]["is_anomaly"]
+    assert not any(out[i]["is_anomaly"] for i in range(60) if i not in (50, 51))
+    # cold start: first min_n rows can never flag
+    assert not any(out[i]["is_anomaly"] for i in range(10))

@@ -462,3 +462,167 @@ def balance_sources_pred_cte_sql(
     SELECT d.* FROM {docs_table} d JOIN thr USING ({source_col})
     WHERE ({h} % {_HASH_BUCKETS}) < thr.t
     """
+
+
+# ------------------------------------------------- chunk-level dedup
+
+
+def chunk_dedup(
+    docs: DataFrame, chunk: int = 64,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Paragraph/chunk-granular exact dedup — the CCNet-style step that
+    removes boilerplate shared ACROSS documents that whole-doc dedup
+    cannot see. Each doc splits into non-overlapping `chunk`-token
+    windows; a chunk is a duplicate iff an identical chunk text exists
+    with a smaller (doc_id, chunk_idx) anywhere in the corpus (the
+    canonical copy is the smallest key — deterministic, engine-free).
+
+    Columns: id, n_chunks, n_dup_chunks, dup_chunk_frac.
+
+    Scale posture: chunks group on md5(chunk_text) (fixed-width shuffle
+    key, same collision stance as exact_dedup); rank-1-keeps is a window
+    over that hash + one groupBy(id) — two narrow shuffles, no
+    self-join. A mass-repeated boilerplate chunk is ONE hot hash key
+    whose window only ranks (no pair blowup)."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks")
+    ).withColumn("n_tokens", F.size("toks")).where(F.col("n_tokens") > 0)
+    starts = F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)),
+                        F.lit(chunk))
+    chunks = toks.select(
+        "id", F.posexplode(starts).alias("chunk_idx", "start"), "toks"
+    ).select(
+        "id", "chunk_idx",
+        F.md5(F.array_join(F.slice("toks", F.col("start") + 1, F.lit(chunk)), " "))
+        .alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("id", "chunk_idx")
+    ranked = chunks.withColumn(
+        "is_dup", F.row_number().over(w) > 1)
+    return (
+        ranked.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_chunks"))
+        .withColumn("dup_chunk_frac",
+                    F.col("n_dup_chunks").cast("double")
+                    / F.col("n_chunks").cast("double"))
+        .orderBy("id")
+    )
+
+
+def chunk_dedup_sql(
+    chunk: int = 64, docs_table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    toks = _TOKS_SQL.format(c=text_col)
+    return f"""
+    WITH sized AS (
+        SELECT {id_col} AS id, toks, len(toks) AS n_tokens
+        FROM (SELECT {id_col}, {toks} AS toks FROM {docs_table})
+        WHERE len(toks) > 0
+    ),
+    chunks AS (
+        SELECT id, CAST(start // {chunk} AS INT) AS chunk_idx,
+               md5(array_to_string(list_slice(toks, CAST(start AS BIGINT) + 1,
+                   CAST(start AS BIGINT) + {chunk}), ' ')) AS h
+        FROM sized, unnest(range(0, CAST(n_tokens AS BIGINT), {chunk})) AS t(start)
+    ),
+    ranked AS (
+        SELECT id,
+               row_number() OVER (PARTITION BY h ORDER BY id, chunk_idx) > 1
+                   AS is_dup
+        FROM chunks
+    )
+    SELECT id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_chunk_frac
+    FROM ranked GROUP BY id ORDER BY id
+    """
+
+
+# ------------------------------------------------- bigram LM scoring
+
+
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality scoring (the CCNet/KenLM perplexity-filter
+    step, here with an add-one-smoothed bigram model trained ON the
+    corpus itself): per doc, bits-per-token = −Σ log2 P(w2|w1) / n with
+    P(w2|w1) = (C(w1 w2)+1) / (C(w1 ·)+V). High bits = improbable word
+    sequences → drop candidates.
+
+    Exactness stance: counts and V are exact integers; the per-bigram
+    log2 and the cross-row sum are double, so the published score is
+    round(·, 8) — reassociation error at this magnitude is ~1e-13,
+    far inside the rounding absorption (same stance as the multimodal
+    entropy oracle).
+
+    Scale posture: one groupBy over bigram instances for C12 (map-side
+    combine), a projection of it for C1, both broadcast back over the
+    instance stream (vocab-sized — for a web-scale vocab the join
+    degrades gracefully to a shuffle join by dropping the hint), then
+    one groupBy(id). Docs with <2 tokens have no bigrams and drop out."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks"))
+    bi = toks.where(F.size("toks") >= 2).select(
+        "id",
+        F.explode(F.zip_with(
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v"))
+    logp = F.log2((F.col("c12") + F.lit(1)).cast("double")
+                  / (F.col("c1") + F.col("v")).cast("double"))
+    return (
+        bi.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum(logp).alias("s"))
+        .select("id", "n_bigrams",
+                F.round(-F.col("s") / F.col("n_bigrams").cast("double"), 8)
+                .alias("bits_per_token"))
+        .orderBy("id")
+    )
+
+
+def bigram_lm_score_sql(
+    docs_table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    toks = _TOKS_SQL.format(c=text_col)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id, {toks} AS toks FROM {docs_table}
+    ),
+    bi AS (
+        SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM toks, unnest(range(1, CAST(len(toks) AS BIGINT))) AS t(i)
+        WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT t) AS v
+        FROM (SELECT unnest(toks) AS t FROM toks)
+    )
+    SELECT bi.id, count(*) AS n_bigrams,
+           round(-sum(log2(CAST(c12.c12 + 1 AS DOUBLE)
+                           / CAST(c1.c1 + v.v AS DOUBLE)))
+                 / CAST(count(*) AS DOUBLE), 8) AS bits_per_token
+    FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY bi.id ORDER BY bi.id
+    """

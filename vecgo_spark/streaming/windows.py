@@ -76,3 +76,85 @@ def session_agg(
         .withColumn("we", F.col("w.end"))
         .drop("w")
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    frame: int = 100,
+    min_n: int = 20,
+    z: int = 2,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: a value is anomalous iff it sits
+    more than `z` standard deviations from the mean of the preceding
+    `frame` values of the same key (the classic streaming
+    anomaly-detection shape, batch-expressible as a bounded window
+    frame; the streaming twin is applyInPandasWithState keeping the same
+    (n, Σx, Σx²) triple as its state).
+
+    EXACT arithmetic: values are 2-decimal, so x_e2 = round(100·value)
+    is integer and the test (x−μ)² > z²·σ² cross-multiplies to
+    (n·x − s1)² > z²·(n·s2 − s1²) over long sums — no float enters the
+    flag, so the result is engine-bit-exact. Frames with fewer than
+    `min_n` observations never flag (cold start).
+
+    Scale posture: ONE shuffle on the key; the frame is ROWS-bounded so
+    state per partition is O(frame). Long-range: n·s2 ≤ frame·x_e2² —
+    longs hold to x_e2 ~ 3·10⁷ (value ≤ ~300k) at frame 100."""
+    from pyspark.sql.window import Window
+
+    x = F.round(F.col(value_col) * 100).cast("long")
+    w = (Window.partitionBy(key_col).orderBy(ts_col, id_col)
+         .rowsBetween(-frame, -1))
+    d = (
+        df.withColumn("x_e2", x)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.coalesce(F.sum("x_e2").over(w), F.lit(0)))
+        .withColumn("s2", F.coalesce(F.sum(F.col("x_e2") * F.col("x_e2")).over(w),
+                                     F.lit(0)))
+    )
+    dev = F.col("n") * F.col("x_e2") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        d.withColumn(
+            "is_anomaly",
+            (F.col("n") >= min_n) & (dev * dev > F.lit(z * z) * var_n2))
+        .select(id_col, key_col, ts_col, value_col, "n", "is_anomaly")
+        .orderBy(id_col)
+    )
+
+
+def rolling_anomaly_sql(
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    frame: int = 100,
+    min_n: int = 20,
+    z: int = 2,
+) -> str:
+    """DuckDB oracle twin — identical integer cross-multiplied test."""
+    return f"""
+    WITH d AS (
+        SELECT {id_col}, {key_col}, {ts_col}, {value_col},
+               CAST(round({value_col} * 100) AS BIGINT) AS x_e2,
+               count(*) OVER w AS n,
+               COALESCE(CAST(sum(CAST(round({value_col} * 100) AS BIGINT))
+                   OVER w AS BIGINT), 0) AS s1,
+               COALESCE(CAST(sum(CAST(round({value_col} * 100) AS BIGINT)
+                   * CAST(round({value_col} * 100) AS BIGINT))
+                   OVER w AS BIGINT), 0) AS s2
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+                     ROWS BETWEEN {frame} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT {id_col}, {key_col}, {ts_col}, {value_col}, n,
+           (n >= {min_n}
+            AND (n * x_e2 - s1) * (n * x_e2 - s1) > {z * z} * (n * s2 - s1 * s1))
+               AS is_anomaly
+    FROM d ORDER BY {id_col}
+    """
