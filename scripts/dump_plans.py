@@ -186,6 +186,46 @@ COMMENTARY = {
         "candidate stream. No rangepartitioning (no global sort), no "
         "corpus collect, no second pass."
     ),
+    "tpch_q21_waiting_supplier": (
+        "Waiting suppliers: the classic EXISTS + NOT-EXISTS pair of "
+        "lineitem self-joins collapses into a two-level aggregation — "
+        "per (order, supplier) first, then per order — so there is no "
+        "`Expand` node (the countDistinct formulation would double the "
+        "lineitem stream) and both exchanges hash on the l_orderkey "
+        "prefix; a Filter on (n_supps ≥ 2, n_late = 1) replaces both "
+        "correlated subqueries, the supplier-name join broadcasts, and "
+        "the top-20 is a `TakeOrderedAndProject`."
+    ),
+    "tpch_q13_custdist": (
+        "Order-count distribution: LEFT OUTER join keeps zero-order "
+        "customers (the c_count=0 bucket); the per-customer count rides "
+        "the join's exchange, and the distribution aggregate runs over "
+        "≤ max-orders-per-customer distinct values — effectively free."
+    ),
+    "chunk_dedup_frac": (
+        "Chunk-level exact dedup: chunks group on md5(chunk_text) — a "
+        "fixed-width shuffle key regardless of chunk size; duplicate "
+        "marking is `row_number` over ONE hashpartitioning(h) window "
+        "(no self-join: a boilerplate chunk repeated 1M× is one hot "
+        "key being RANKED, never paired), then one groupBy(doc) rollup. "
+        "Two narrow exchanges total; zero Python nodes."
+    ),
+    "doc_perplexity_bigram": (
+        "Bigram-LM scoring: the tokenized stream persists once "
+        "(`InMemoryRelation`) and feeds all four consumers — instances, "
+        "C12, C1, vocab — so the corpus parquet is scanned ONCE; the "
+        "count tables come back as `BroadcastExchange`s over the "
+        "instance stream (vocab-sized; drop the hint for a web-scale "
+        "vocab and the join degrades to shuffle), and the per-doc "
+        "rollup is one groupBy(id)."
+    ),
+    "events_anomaly_zscore": (
+        "Rolling anomaly flags: the (n, Σx, Σx²) frame sums share ONE "
+        "`hashpartitioning(event_type)` exchange + sort (the Window "
+        "nodes stack on the same ordering — no second shuffle), and the "
+        "anomaly test is integer cross-multiplied inside codegen — no "
+        "float, no Python, state bounded by the ROWS frame."
+    ),
 }
 
 

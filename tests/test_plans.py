@@ -246,3 +246,47 @@ def test_retention_cohorts_single_user_exchange(spark, sf_dir):
     plan = spark_plan(df)
     assert "Join" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_q21_two_level_agg_no_self_join_no_expand(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS self-join pair must stay collapsed into
+    the two-level (order,supplier)→order aggregation: two orderkey-
+    prefixed exchanges (pair dedup + rollup), NO lineitem×lineitem join,
+    and NO Expand (the countDistinct formulation would double the
+    lineitem stream)."""
+    df = entry.queries()["tpch_q21_waiting_supplier"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert plan.count("hashpartitioning(l_orderkey") == 2
+    assert "Expand" not in plan
+    # both remaining joins are broadcast; no shuffled join anywhere
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_chunk_dedup_ranks_never_pairs(spark, sf_dir):
+    """Chunk dedup must RANK duplicate chunks (window over the md5 key),
+    never self-join them — no join node at all, and no Python."""
+    df = entry.queries()["chunk_dedup_frac"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_perplexity_scans_corpus_once(spark, sf_dir):
+    """The persisted token stream must feed all four consumers — exactly
+    one documents parquet scan reaches the plan; count tables broadcast."""
+    df = entry.queries()["doc_perplexity_bigram"](spark, sf_dir)
+    plan = spark_plan(df)
+    # every consumer reads the cached token stream (the parquet lineage
+    # only appears REPRINTED inside the InMemoryRelation blocks)
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "BroadcastExchange" in plan
+
+
+def test_rolling_anomaly_single_key_exchange(spark, sf_dir):
+    """All three frame sums must share one event_type exchange; the flag
+    math is integer codegen (no floats in the compare, no Python)."""
+    df = entry.queries()["events_anomaly_zscore"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert plan.count("hashpartitioning(event_type") == 1
+    assert "Python" not in plan

@@ -570,8 +570,13 @@ def bigram_lm_score(
     one groupBy(id). Docs with <2 tokens have no bigrams and drop out."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
+    # persisted: FOUR subtrees consume the tokenized stream (instances,
+    # C12, C1, vocab) and Spark does not CSE across join legs — without
+    # this the corpus parquet is scanned and re-tokenized 4× (same stance
+    # as simhash_pairs' persisted signatures)
     toks = docs.select(
-        F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks"))
+        F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks")
+    ).persist()
     bi = toks.where(F.size("toks") >= 2).select(
         "id",
         F.explode(F.zip_with(
