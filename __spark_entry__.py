@@ -1769,6 +1769,59 @@ def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.orderBy(F.col("numwait").desc(), F.col("s_name").asc()).limit(20)
 
 
+def _tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-part concentration (TPC-H Q11 shape, adapted: no partsupp,
+    so "inventory value" is shipped line revenue per part). Q11's fixed
+    fraction shrinks with SF, so the cut is scale-free: keep parts whose
+    revenue exceeds 1.25× the MEAN part revenue — exact integer
+    cross-multiply 4·value_c·n_parts > 5·total_c. Plan: one
+    groupBy(l_partkey) over the scan, PERSISTED so the grand-total leg
+    re-aggregates the tiny per-part stream instead of re-scanning
+    lineitem; the 1-row total broadcasts back as a cross-join — the
+    scalar-subquery shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(ext_c).alias("value_c")).persist()
+    total = per_part.agg(F.sum("value_c").alias("total_c"),
+                         F.count(F.lit(1)).alias("n_parts"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") * F.col("n_parts") * 4 > F.col("total_c") * 5)
+        .select("l_partkey",
+                (F.col("value_c").cast("double") / F.lit(100.0)).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-supplier detection (TPC-H Q20 shape, adapted: no partsupp,
+    so "excess stock" becomes shipped-quantity dominance). A supplier
+    dominates a part when it shipped >3× the fair per-supplier share of
+    that part's total quantity (scale-free — the absolute share shrinks
+    as supplier count grows; exact: pair_qty·n_supps > 3·part_total in
+    qty-cents); output = suppliers ranked by #parts dominated. Plan:
+    two-level agg — per (part, supplier) pair first, per-part totals via
+    a window OVER THE PAIR AGG (tiny vs lineitem), names broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty_c).alias("qty_c"))
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        pair.withColumn("part_total_c", F.sum("qty_c").over(w))
+        .withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .where(F.col("qty_c") * F.col("n_supps") > F.col("part_total_c") * 3)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+        .orderBy(F.col("n_parts_dominated").desc(), F.col("s_suppkey").asc())
+        .limit(50)
+    )
+
+
 def _chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granular exact dedup over 64-token windows (CCNet-style
     sub-document boilerplate removal)."""
@@ -1790,6 +1843,29 @@ def _events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_anomaly(ev)
+
+
+# Denylist scrub terms for the pattern-scrub query: the corpus vocabulary
+# words standing in for eval-benchmark strings a decontamination pass
+# would redact (the synthetic corpus carries no real PII; the PII default
+# patterns are pinned by tests/test_pipeline.py on literal documents).
+_SCRUB_PATTERNS = {
+    "eval_query": "\\bquery\\b",
+    "eval_joinish": "\\b(join|merge)\\b",
+}
+
+
+def _docs_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist-term redaction audit per document (pattern-scrub operator
+    with decontamination patterns; match counts + scrubbed-text md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.pattern_scrub(docs, _SCRUB_PATTERNS).orderBy("doc_id")
+
+
+def _docs_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule attrition funnel per source: integer fail counts per
+    quality rule + docs passing every rule."""
+    return pipeline.rule_funnel(load_table(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1904,6 +1980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_frac": _chunk_dedup,
         "doc_perplexity_bigram": _doc_perplexity_bigram,
         "events_anomaly_zscore": _events_anomaly_zscore,
+        "docs_pattern_scrub": _docs_pattern_scrub,
+        "docs_rule_funnel": _docs_rule_funnel,
+        "tpch_q11_important_parts": _tpch_q11,
+        "tpch_q20_dominant_supplier": _tpch_q20,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -2912,6 +2992,42 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_frac": pipeline.chunk_dedup_sql(chunk=64),
         "doc_perplexity_bigram": pipeline.bigram_lm_score_sql(),
         "events_anomaly_zscore": rolling_anomaly_sql(),
+        "docs_pattern_scrub": pipeline.pattern_scrub_sql(patterns=_SCRUB_PATTERNS),
+        "docs_rule_funnel": pipeline.rule_funnel_sql(),
+        "tpch_q11_important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
+                FROM lineitem GROUP BY l_partkey
+            ),
+            total AS (
+                SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS total_c,
+                       COUNT(DISTINCT l_partkey) AS n_parts
+                FROM lineitem
+            )
+            SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+            FROM per_part, total
+            WHERE value_c * n_parts * 4 > total_c * 5
+            ORDER BY value DESC, l_partkey ASC
+        """,
+        "tpch_q20_dominant_supplier": """
+            WITH pair AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            dom AS (
+                SELECT *, SUM(qty_c) OVER (PARTITION BY l_partkey) AS part_total_c,
+                       COUNT(*) OVER (PARTITION BY l_partkey) AS n_supps
+                FROM pair
+            )
+            SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_parts_dominated
+            FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+            WHERE qty_c * n_supps > part_total_c * 3
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY n_parts_dominated DESC, s.s_suppkey ASC
+            LIMIT 50
+        """,
     }
     out.update(_ann_oracles())
     return out

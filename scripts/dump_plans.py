@@ -219,6 +219,36 @@ COMMENTARY = {
         "vocab and the join degrades to shuffle), and the per-doc "
         "rollup is one groupBy(id)."
     ),
+    "docs_pattern_scrub": (
+        "Pattern scrubbing: counts + redaction hash are pure codegen "
+        "regexp expressions fused into the scan projection — the only "
+        "exchange is the presentation-order rangepartitioning for the "
+        "deterministic oracle compare; the audit itself is map-only, so "
+        "at 100 TB it rides the scan with zero shuffle."
+    ),
+    "docs_rule_funnel": (
+        "Quality-rule funnel: all six integer rule flags evaluate inside "
+        "one WholeStageCodegen projection over the scan; the only "
+        "exchange is the tiny groupBy(source) rollup with map-side "
+        "partial aggregation — per-executor output is O(#sources), not "
+        "O(#docs)."
+    ),
+    "tpch_q11_important_parts": (
+        "Important parts: one hashpartitioning(l_partkey) exchange for "
+        "the per-part rollup, which PERSISTS so the grand-total leg "
+        "re-aggregates the tiny cached stream instead of re-scanning "
+        "lineitem; the 1-row total broadcasts back "
+        "(BroadcastNestedLoopJoin — the scalar-subquery shape), so the "
+        "share filter never reshuffles the per-part stream."
+    ),
+    "tpch_q20_dominant_supplier": (
+        "Dominant suppliers: lineitem collapses to (part, supplier) "
+        "pairs in one wide exchange; the per-part totals come from a "
+        "window OVER THE PAIR AGG (orders of magnitude smaller than "
+        "lineitem) whose hashpartitioning(l_partkey) is the only other "
+        "exchange; supplier names broadcast and the final rollup is "
+        "O(#suppliers)."
+    ),
     "events_anomaly_zscore": (
         "Rolling anomaly flags: the (n, Σx, Σx²) frame sums share ONE "
         "`hashpartitioning(event_type)` exchange + sort (the Window "

@@ -352,3 +352,97 @@ def test_rolling_anomaly_flags_planted_outlier(spark):
     assert not any(out[i]["is_anomaly"] for i in range(60) if i not in (50, 51))
     # cold start: first min_n rows can never flag
     assert not any(out[i]["is_anomaly"] for i in range(10))
+
+
+def test_pattern_scrub_pii_defaults(spark):
+    """The default PII patterns hit literal emails / IPv4s / phones / SSNs,
+    counts are computed on the ORIGINAL text, and every match is replaced
+    by its class token in the scrubbed output."""
+    rows = [
+        (1, "mail bob@example.com and alice@sub.example.org twice"),
+        (2, "server at 10.0.0.1 and 192.168.1.255 responded"),
+        (3, "call 555-123-4567 or fax 555-987-6543"),
+        (4, "ssn 123-45-6789 on file"),
+        (5, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pipeline.pattern_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[2]["n_ipv4"], out[3]["n_phone"],
+            out[4]["n_ssn"]) == (2, 2, 2, 1)
+    assert all(out[5][f"n_{p}"] == 0 for p in pipeline.PII_PATTERNS)
+    # scrubbed text carries the class token, not the PII
+    scrubbed = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", pipeline.PII_PATTERNS["email"], "<EMAIL>"),
+            pipeline.PII_PATTERNS["ipv4"], "<IPV4>").alias("s"),
+    )
+    joined = {r["doc_id"]: r["s"] for r in scrubbed.collect()}
+    assert "bob@example.com" not in joined[1] and "<EMAIL>" in joined[1]
+    assert "10.0.0.1" not in joined[2] and "<IPV4>" in joined[2]
+    # an untouched doc hashes to the md5 of its original text
+    import hashlib
+    assert out[5]["scrubbed_md5"] == hashlib.md5(rows[4][1].encode()).hexdigest()
+
+
+def test_rule_funnel_each_rule_fires(spark):
+    """One constructed doc per rule; the funnel attributes each failure to
+    exactly the intended rule and passes the one clean doc."""
+    ok = "the cat and dog ran off to the old red barn in town " * 3  # 36 toks
+    rows = [
+        (1, "s", ok),
+        (2, "s", "the and of to in just six little words"),     # < 30 tokens
+        (3, "s", " ".join(["a an it to of in be"] * 10)),        # mean len < 3
+        (4, "s", ("the extraordinarily magnificent incomprehensibilities "
+                  "of unquestionably characteristic internationalization "
+                  "and straightforwardly uncharacteristically " * 8)),  # mean > 10? no-stop? 
+        (5, "s", " ".join(["word"] * 40)),                       # no stopwords
+        (6, "s", "### $$$ %%% " * 20 + "the cat and dog " * 10), # symbol heavy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pipeline.rule_funnel(docs, min_tokens=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 6
+    assert r["f_low_tokens"] >= 1          # doc 2
+    assert r["f_short_words"] >= 1         # doc 3
+    assert r["f_low_stopword"] >= 1        # doc 5
+    assert r["f_symbol_heavy"] >= 1        # doc 6
+    # the clean doc passes every rule
+    assert r["n_pass"] >= 1
+
+
+def test_rule_funnel_matches_python_model(spark):
+    """Exact-integer parity with a python re-implementation on the module
+    docs fixture (arbitrary real-ish text)."""
+    rows = [(i, f"src{i % 2}", t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog and runs to town",
+        "a b c d e",
+        "symbols !!! ??? *** and the usual words of a line in the text",
+        "word " * 50,
+    ])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in pipeline.rule_funnel(docs, min_tokens=5).collect()}
+
+    import collections
+    model = collections.defaultdict(lambda: collections.Counter())
+    for _i, src, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        n, total = len(toks), sum(len(t) for t in toks)
+        nstop = sum(1 for s in ("the", "a", "of", "and", "to", "in") if s in toks)
+        nonws = len("".join(text.split()))
+        alnum = sum(1 for c in text.lower() if c.isalnum() and c.isascii())
+        f = {
+            "f_low_tokens": n < 5, "f_high_tokens": n > 10_000,
+            "f_short_words": total < 3 * n, "f_long_words": total > 10 * n,
+            "f_low_stopword": nstop < 2,
+            "f_symbol_heavy": 10 * (nonws - alnum) > 3 * nonws,
+        }
+        m = model[src]
+        m["n_docs"] += 1
+        for k, v in f.items():
+            m[k] += int(v)
+        m["n_pass"] += int(not any(f.values()))
+    for src, m in model.items():
+        for k in m:
+            assert got[src][k] == m[k], (src, k, got[src][k], m[k])

@@ -290,3 +290,35 @@ def test_rolling_anomaly_single_key_exchange(spark, sf_dir):
     plan = spark_plan(df)
     assert plan.count("hashpartitioning(event_type") == 1
     assert "Python" not in plan
+
+
+def test_rule_funnel_single_source_exchange(spark, sf_dir):
+    """All six rule flags must fuse into the scan projection — the only
+    exchange is the groupBy(source) rollup, and nothing is Python."""
+    df = entry.queries()["docs_rule_funnel"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert plan.count("hashpartitioning(source") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_q11_scalar_subquery_broadcasts(spark, sf_dir):
+    """The grand-total row must broadcast back over the PERSISTED
+    per-part stream (both legs read the cache — lineitem parquet feeds
+    one aggregation, not two) with no shuffled join."""
+    df = entry.queries()["tpch_q11_important_parts"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q20_window_rides_pair_agg(spark, sf_dir):
+    """Per-part totals must be computed over the (part, supplier) PAIR
+    aggregate, not lineitem: exactly two partkey-prefixed exchanges (pair
+    rollup + window repartition) and no shuffled join."""
+    df = entry.queries()["tpch_q20_dominant_supplier"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert plan.count("hashpartitioning(l_partkey") == 2
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

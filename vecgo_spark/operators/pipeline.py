@@ -631,3 +631,162 @@ def bigram_lm_score_sql(
     FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
     GROUP BY bi.id ORDER BY bi.id
     """
+
+
+# ------------------------------------------------------- pattern scrubbing
+
+# Default patterns: the PII classes a pretraining pipeline redacts before
+# the data reaches a trainer. Every regex uses only syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): literal classes,
+# bounded repetition, \b word boundaries — no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b",
+    "phone": "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+}
+
+
+def pattern_scrub(
+    docs: DataFrame, patterns: dict[str, str] | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document pattern redaction: count matches of each named pattern
+    (on the ORIGINAL text, so counts are order-independent) and emit the
+    scrubbed text's md5 + length after replacing each match with the
+    uppercased pattern name token, applied in dict order (order matters
+    only when patterns overlap; the SQL twin nests replaces identically).
+
+    Scale posture: zero shuffles — regexp_count / regexp_replace are JVM
+    codegen expressions, so this is embarrassingly parallel map work the
+    scan absorbs; the output is one row per doc with the text itself
+    dropped (only hash + length survive), so the scrub can run as a pure
+    audit without rewriting 100 TB."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    scrubbed = c
+    for name, pat in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.regexp_count(c, F.lit(p)).alias(f"n_{name}") for name, p in pats.items()],
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+def pattern_scrub_sql(
+    docs_table: str = "documents", patterns: dict[str, str] | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    pats = PII_PATTERNS if patterns is None else patterns
+    scrub = text_col
+    for name, pat in pats.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{p}')) AS INT) AS n_{name}"
+        for name, p in pats.items()
+    )
+    return f"""
+    SELECT {id_col} AS doc_id, {counts},
+           md5({scrub}) AS scrubbed_md5,
+           CAST(length({scrub}) AS INT) AS scrubbed_len
+    FROM {docs_table} ORDER BY doc_id
+    """
+
+
+# ----------------------------------------------------- quality rule funnel
+
+# Gopher-style repetition/quality gates (Rae et al. 2021 §A1.1), expressed
+# as pure-integer predicates so pass/fail bits are engine-bit-exact: the
+# mean-word-length band [3, 10] becomes 3·n ≤ Σlen ≤ 10·n, the ≥30%-symbol
+# gate becomes 10·n_symbol > 3·n_nonws.
+_FUNNEL_STOPS = ("the", "a", "of", "and", "to", "in")
+
+
+def rule_funnel(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source",
+    min_tokens: int = 30, max_tokens: int = 10_000,
+) -> DataFrame:
+    """Per-source quality-rule attrition report: how many documents each
+    Gopher-style rule would remove, and how many pass every rule — the
+    filter-funnel observability a pipeline needs BEFORE committing to a
+    destructive filter pass.
+
+    Rules (fail ⇒ filtered): too few / too many whitespace tokens; mean
+    token length outside [3, 10]; fewer than 2 distinct stopwords from a
+    fixed 6-word set; >30% non-alphanumeric characters among non-space.
+
+    Scale posture: all six signals are codegen Column expressions fused
+    into ONE scan projection; the only exchange is the tiny
+    groupBy(source) partial-agg rollup. No Python, no joins, no windows."""
+    c = F.col(text_col)
+    toks = F.split(F.lower(c), "[\\x00-\\x20]+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = sum(
+        F.array_contains(toks, F.lit(s)).cast("int") for s in _FUNNEL_STOPS
+    )
+    non_ws = F.length(F.regexp_replace(c, "[\\x00-\\x20]+", ""))
+    n_alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    n_symbol = non_ws - n_alnum
+    flagged = docs.select(
+        F.col(source_col).alias("source"),
+        (n < min_tokens).cast("int").alias("f_low_tokens"),
+        (n > max_tokens).cast("int").alias("f_high_tokens"),
+        (total_len < 3 * n).cast("int").alias("f_short_words"),
+        (total_len > 10 * n).cast("int").alias("f_long_words"),
+        (n_stop < 2).cast("int").alias("f_low_stopword"),
+        (10 * n_symbol > 3 * non_ws).cast("int").alias("f_symbol_heavy"),
+    )
+    fail_cols = [f.name for f in flagged.schema.fields if f.name.startswith("f_")]
+    any_fail = sum(F.col(f) for f in fail_cols)
+    return (
+        flagged.withColumn("pass", (any_fail == 0).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(f).alias(f) for f in fail_cols],
+            F.sum("pass").alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+def rule_funnel_sql(
+    docs_table: str = "documents", text_col: str = "text", source_col: str = "source",
+    min_tokens: int = 30, max_tokens: int = 10_000,
+) -> str:
+    toks = _TOKS_SQL.format(c=text_col)
+    n = f"len({toks})"
+    total_len = f"list_sum(list_transform({toks}, t -> length(t)))"
+    n_stop = " + ".join(
+        f"(CASE WHEN list_contains({toks}, '{s}') THEN 1 ELSE 0 END)"
+        for s in _FUNNEL_STOPS
+    )
+    non_ws = f"length(regexp_replace({text_col}, '[\\x00-\\x20]+', '', 'g'))"
+    n_alnum = f"length(regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g'))"
+    return f"""
+    WITH flagged AS (
+        SELECT {source_col} AS source,
+               (CASE WHEN {n} < {min_tokens} THEN 1 ELSE 0 END) AS f_low_tokens,
+               (CASE WHEN {n} > {max_tokens} THEN 1 ELSE 0 END) AS f_high_tokens,
+               (CASE WHEN COALESCE({total_len}, 0) < 3 * {n} THEN 1 ELSE 0 END) AS f_short_words,
+               (CASE WHEN COALESCE({total_len}, 0) > 10 * {n} THEN 1 ELSE 0 END) AS f_long_words,
+               (CASE WHEN ({n_stop}) < 2 THEN 1 ELSE 0 END) AS f_low_stopword,
+               (CASE WHEN 10 * ({non_ws} - {n_alnum}) > 3 * {non_ws} THEN 1 ELSE 0 END) AS f_symbol_heavy
+        FROM {docs_table}
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_low_tokens) AS BIGINT) AS f_low_tokens,
+           CAST(sum(f_high_tokens) AS BIGINT) AS f_high_tokens,
+           CAST(sum(f_short_words) AS BIGINT) AS f_short_words,
+           CAST(sum(f_long_words) AS BIGINT) AS f_long_words,
+           CAST(sum(f_low_stopword) AS BIGINT) AS f_low_stopword,
+           CAST(sum(f_symbol_heavy) AS BIGINT) AS f_symbol_heavy,
+           CAST(sum(CASE WHEN f_low_tokens + f_high_tokens + f_short_words
+                         + f_long_words + f_low_stopword + f_symbol_heavy = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flagged GROUP BY source ORDER BY source
+    """
