@@ -1868,6 +1868,30 @@ def _docs_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.rule_funnel(load_table(spark, sf_dir, "documents"))
 
 
+def _kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle estimate from a KMV sketch (k=64,
+    with the 2-bit prefilter exercising the pre-shuffle hash cut)."""
+    from vecgo_spark.functions.hashing import shingles
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize toks BEFORE shingling: shingles()'s transform lambda
+    # captures the token expression, and Catalyst re-evaluates captured
+    # expression TREES once per sequence element (O(tokens²) regex splits
+    # when inlined — 8× slower); a bound column reference is O(1)
+    sh = docs.select(
+        "source", tokenize_expr(F.col("text")).alias("toks")
+    ).select("source", F.explode(shingles(F.col("toks"), 3)).alias("shingle"))
+    return pipeline.kmv_distinct(sh, "source", "shingle", k=64, prefilter_bits=2)
+
+
+def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of 50 documents, inclusion odds
+    monotone in n_chars (the corpus mixture-sampling step)."""
+    return pipeline.weighted_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars", 50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the external driver's correctness harness checks the
     # FIRST 50 entries.  Standing rotation policy (round-5 verdict item #1):
@@ -1984,6 +2008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rule_funnel": _docs_rule_funnel,
         "tpch_q11_important_parts": _tpch_q11,
         "tpch_q20_dominant_supplier": _tpch_q20,
+        "kmv_distinct_shingles": _kmv_distinct_shingles,
+        "docs_weighted_sample": _docs_weighted_sample,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -3028,6 +3054,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_parts_dominated DESC, s.s_suppkey ASC
             LIMIT 50
         """,
+        "kmv_distinct_shingles": pipeline.kmv_distinct_sql(
+            "(SELECT source, unnest({sh}) AS shingle"
+            " FROM (SELECT source, {toks} AS toks FROM documents))".format(
+                sh=hashing.shingles_sql("toks", 3), toks=textfn.toks_sql("text")
+            ),
+            "source", "shingle", k=64, prefilter_bits=2,
+        ),
+        "docs_weighted_sample": pipeline.weighted_sample_sql(
+            "documents", "n_chars", 50),
     }
     out.update(_ann_oracles())
     return out

@@ -249,6 +249,20 @@ COMMENTARY = {
         "exchange; supplier names broadcast and the final rollup is "
         "O(#suppliers)."
     ),
+    "kmv_distinct_shingles": (
+        "KMV distinct sketch: the prefilter (h < 2^60/4) cuts ~75% of "
+        "the shingle stream BEFORE the wide (grp, h) dedupe exchange "
+        "gets it; the per-group k-smallest is a bounded row_number "
+        "window whose hashpartitioning(grp) the final rollup reuses. "
+        "The estimate is two IEEE divisions — deterministic, so the "
+        "sketch oracle-matches bit-for-bit despite being approximate."
+    ),
+    "docs_weighted_sample": (
+        "Weighted sampling: priority = hash/weight is one codegen "
+        "division in the scan projection, and the global top-50 is a "
+        "TakeOrderedAndProject — per-partition heaps, k·P rows to the "
+        "driver, NO rangepartitioning global sort anywhere."
+    ),
     "events_anomaly_zscore": (
         "Rolling anomaly flags: the (n, Σx, Σx²) frame sums share ONE "
         "`hashpartitioning(event_type)` exchange + sort (the Window "

@@ -446,3 +446,61 @@ def test_rule_funnel_matches_python_model(spark):
     for src, m in model.items():
         for k in m:
             assert got[src][k] == m[k], (src, k, got[src][k], m[k])
+
+
+def test_kmv_estimate_accuracy_and_exact_path(spark):
+    """A 3000-distinct group estimates within ±25% (k=64 ⇒ ~12% rel.
+    error); a group under k distinct returns the exact count; the
+    prefilter and partitioning change nothing."""
+    rows = [("big", f"v{i % 3000}") for i in range(9000)]
+    rows += [("small", f"w{i}") for i in range(40)] * 2
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r["grp"]: r for r in
+           pipeline.kmv_distinct(df, "grp", "val", k=64).collect()}
+    assert out["small"]["est_distinct"] == 40.0 and out["small"]["n_min"] == 40
+    assert abs(out["big"]["est_distinct"] - 3000) / 3000 < 0.25
+    # prefilter keeps the k-min prefix ⇒ identical output
+    pre = {r["grp"]: r for r in
+           pipeline.kmv_distinct(df, "grp", "val", k=64, prefilter_bits=3).collect()}
+    assert pre["big"]["est_distinct"] == out["big"]["est_distinct"]
+    # partitioning invariance (sketch is a function of the value SET)
+    rep = {r["grp"]: r for r in
+           pipeline.kmv_distinct(df.repartition(7), "grp", "val", k=64).collect()}
+    assert rep["big"]["est_distinct"] == out["big"]["est_distinct"]
+
+
+def test_weighted_sample_matches_python_model(spark):
+    """Global and grouped top-k match the exact python priority model,
+    independent of input partitioning."""
+    from vecgo_spark.functions.hashing import stable_hash64_py
+
+    rows = [(i, "g%d" % (i % 3), (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+
+    pri = {i: stable_hash64_py(str(i)) / w for i, _g, w in rows}
+    want = sorted(pri, key=lambda i: (pri[i], i))[:10]
+    got = [r["doc_id"] for r in
+           pipeline.weighted_sample(df.repartition(5), "w", 10, id_col="doc_id").collect()]
+    assert got == want
+
+    by_g = {}
+    for i, g, w in rows:
+        by_g.setdefault(g, []).append(i)
+    want_g = {
+        g: sorted(ids, key=lambda i: (pri[i], i))[:4] for g, ids in by_g.items()
+    }
+    out = pipeline.weighted_sample(df, "w", 4, id_col="doc_id", group_col="src")
+    got_g = {}
+    for r in out.collect():
+        got_g.setdefault(r["src"], []).append(r["doc_id"])
+    assert got_g == want_g
+
+
+def test_weighted_sample_favors_heavy_items(spark):
+    """With 10 heavy (w=1000) and 990 light (w=1) items, most heavy items
+    make a k=50 sample — the monotone-in-weight inclusion property."""
+    rows = [(i, 1000 if i < 10 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = {r["doc_id"] for r in
+              pipeline.weighted_sample(df, "w", 50, id_col="doc_id").collect()}
+    assert len(picked & set(range(10))) >= 8

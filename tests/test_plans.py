@@ -322,3 +322,33 @@ def test_q20_window_rides_pair_agg(spark, sf_dir):
     assert plan.count("hashpartitioning(l_partkey") == 2
     assert "Window" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    """Global weighted top-k must be TakeOrderedAndProject (partition
+    heaps + driver merge), never a rangepartitioning global sort."""
+    df = entry.queries()["docs_weighted_sample"](spark, sf_dir)
+    plan = spark_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_kmv_prefilter_precedes_shuffle(spark, sf_dir):
+    """The 2^58 hash prefilter must sit BELOW the first exchange (cutting
+    the shingle stream before the wide dedupe shuffles it), the per-group
+    top-64 must get a map-side WindowGroupLimit, and nothing is Python."""
+    import re
+
+    df = entry.queries()["kmv_distinct_shingles"](spark, sf_dir)
+    plan = spark_plan(df)
+    # formatted mode numbers nodes leaf-first: the prefilter Filter must
+    # carry a LOWER node number than every hashpartitioning Exchange
+    blocks = re.split(r"\n\((\d+)\) ", plan)
+    filter_n = min((int(n) for n, b in zip(blocks[1::2], blocks[2::2])
+                    if str(1 << 58) in b), default=None)
+    exch_ns = [int(n) for n, b in zip(blocks[1::2], blocks[2::2])
+               if b.startswith("Exchange") and "hashpartitioning" in b]
+    assert filter_n is not None and exch_ns and filter_n < min(exch_ns)
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan

@@ -37,7 +37,13 @@ def stable_hash64_py(s: str, seed: int = 0) -> int:
 
 
 def shingles(tokens: Column | str, n: int = 3) -> Column:
-    """ARRAY<STRING> of n-token shingles; empty when fewer than n tokens."""
+    """ARRAY<STRING> of n-token shingles; empty when fewer than n tokens.
+
+    PERF: pass a bound COLUMN (materialize the token array in a prior
+    select), not an expression tree — the transform lambda captures
+    `tokens`, and Catalyst re-evaluates a captured expression tree once
+    per sequence element (an inlined tokenizer turns O(tokens) into
+    O(tokens²) regex splits; measured 8× slower at sf0.1)."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     return F.when(
         F.size(t) >= n,

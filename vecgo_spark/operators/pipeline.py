@@ -790,3 +790,138 @@ def rule_funnel_sql(
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
     FROM flagged GROUP BY source ORDER BY source
     """
+
+
+# ------------------------------------------------------ KMV distinct sketch
+
+_H60_MAX = float(1 << 60)  # stable_hash64 domain (15 hex chars)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64,
+    prefilter_bits: int = 0,
+) -> DataFrame:
+    """Per-group distinct-count estimate from a K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002): dedupe (group, h) pairs, keep the k smallest
+    distinct hashes per group, estimate (k−1)/normalized kth-min. Exact
+    (= the distinct count) whenever a group holds fewer than k distinct
+    values. Deterministic — the sketch is a pure function of the value
+    SET, independent of partitioning and row order, so the DuckDB twin is
+    bit-identical (the estimate is two IEEE divisions, both exact).
+
+    Scale posture: the (group, h) dedupe gets map-side partial
+    aggregation (the wide exchange carries distinct pairs only); the
+    per-group k-smallest is a bounded window. For groups with billions of
+    distinct values the window's sort dominates — set prefilter_bits=s to
+    drop hashes ≥ 2^60/2^s BEFORE the shuffle (safe while every group
+    keeps ≥ k surviving hashes, i.e. distinct ≳ k·2^s·2; the kth-min is
+    unchanged because only large hashes are discarded)."""
+    h = stable_hash64(F.col(value_col))
+    pairs = df.select(F.col(group_col).alias("grp"), h.alias("h"))
+    if prefilter_bits:
+        pairs = pairs.where(F.col("h") < F.lit((1 << 60) >> prefilter_bits))
+    dedup = pairs.groupBy("grp", "h").agg(F.lit(1).alias("_one")).drop("_one")
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = dedup.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (
+        topk.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_min"), F.max("h").alias("kth"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_min",
+            F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1))
+                / (F.col("kth").cast("double") / F.lit(_H60_MAX))
+            )
+            .alias("est_distinct"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def kmv_distinct_sql(
+    table: str, group_col: str, value_col: str, k: int = 64,
+    prefilter_bits: int = 0,
+) -> str:
+    h = stable_hash64_sql(value_col)
+    pre = f"WHERE {h} < {(1 << 60) >> prefilter_bits}" if prefilter_bits else ""
+    return f"""
+    WITH dedup AS (
+        SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table} {pre}
+    ),
+    topk AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM dedup
+    ),
+    agg AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+        FROM topk WHERE rn <= {k} GROUP BY grp
+    )
+    SELECT grp AS {group_col}, n_min,
+           CASE WHEN n_min < {k} THEN CAST(n_min AS DOUBLE)
+                ELSE {float(k - 1)!r} / (CAST(kth AS DOUBLE) / {_H60_MAX!r})
+           END AS est_distinct
+    FROM agg ORDER BY {group_col}
+    """
+
+
+# ------------------------------------------------------- weighted sampling
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling: priority = stable_hash(id) / w,
+    keep the k smallest priorities (per group when group_col is given).
+    Higher weight ⇒ stochastically smaller priority ⇒ higher inclusion
+    odds; the mixture-sampling step of corpus construction, reproducible
+    across runs, engines and partitionings. The priority is ONE IEEE
+    division of a 60-bit-hash double by the weight — bit-exact in the
+    DuckDB twin (u^(1/w) Efraimidis–Spirakis keys would need pow(),
+    which is not bit-portable across engines; the uniform/weight rank
+    keeps the same monotone-in-weight inclusion property).
+
+    Scale posture: global top-k is TakeOrderedAndProject (per-partition
+    heaps + driver merge of k·P rows, no global sort); grouped top-k is
+    one hashpartitioning window. Weights ≤ 0 are excluded (they cannot
+    be sampled)."""
+    wgt = F.col(weight_col).cast("double")
+    pri = stable_hash64(F.col(id_col).cast("string")).cast("double") / wgt
+    base = df.where(wgt > 0).withColumn("priority", pri)
+    if group_col is None:
+        return (
+            base.select(id_col, weight_col, "priority")
+            .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc())
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, id_col, weight_col, "priority")
+        .orderBy(group_col, "priority", id_col)
+    )
+
+
+def weighted_sample_sql(
+    table: str, weight_col: str, k: int, id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> str:
+    h = stable_hash64_sql(f"CAST({id_col} AS VARCHAR)")
+    pri = f"CAST({h} AS DOUBLE) / CAST({weight_col} AS DOUBLE)"
+    if group_col is None:
+        return f"""
+        SELECT {id_col}, {weight_col}, {pri} AS priority
+        FROM {table} WHERE CAST({weight_col} AS DOUBLE) > 0
+        ORDER BY priority ASC, {id_col} ASC LIMIT {k}
+        """
+    return f"""
+    SELECT {group_col}, {id_col}, {weight_col}, priority FROM (
+        SELECT {group_col}, {id_col}, {weight_col}, {pri} AS priority,
+               row_number() OVER (PARTITION BY {group_col}
+                                  ORDER BY {pri} ASC, {id_col} ASC) AS rn
+        FROM {table} WHERE CAST({weight_col} AS DOUBLE) > 0
+    ) WHERE rn <= {k} ORDER BY {group_col}, priority, {id_col}
+    """
