@@ -1822,6 +1822,41 @@ def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part within a region (TPC-H Q2 shape,
+    adapted: no partsupp, so the quote is the observed unit price
+    l_extendedprice/l_quantity — ONE IEEE division, bit-exact). The
+    correlated MIN subquery decorrelates into a per-part window min with
+    deterministic (price, suppkey) attribution; region restriction flows
+    supplier→nation→region through broadcast dims. Plan: lineitem
+    shuffles once on l_partkey for the window; everything else
+    broadcasts; top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    dims = (supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+                .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+                .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    unit = (F.round(F.col("l_extendedprice") * 100).cast("long").cast("double")
+            / F.round(F.col("l_quantity") * 100).cast("long").cast("double"))
+    j = li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"]).select(
+        "l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name",
+        unit.alias("unit_price"))
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("s_suppkey").asc())
+    best = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.select("l_partkey", "s_suppkey", "s_name", "s_acctbal",
+                    F.col("n_name").alias("nation"), "unit_price")
+        .orderBy(F.col("unit_price").asc(), F.col("l_partkey").asc())
+        .limit(100)
+    )
+
+
 def _chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granular exact dedup over 64-token windows (CCNet-style
     sub-document boilerplate removal)."""
@@ -2010,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_dominant_supplier": _tpch_q20,
         "kmv_distinct_shingles": _kmv_distinct_shingles,
         "docs_weighted_sample": _docs_weighted_sample,
+        "tpch_q2_min_cost_supplier": _tpch_q2,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -3063,6 +3099,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_weighted_sample": pipeline.weighted_sample_sql(
             "documents", "n_chars", 50),
+        "tpch_q2_min_cost_supplier": """
+            WITH dims AS (
+                SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            quotes AS (
+                SELECT l.l_partkey, d.s_suppkey, d.s_name, d.s_acctbal, d.n_name,
+                       CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(round(l.l_quantity * 100) AS BIGINT) AS DOUBLE)
+                       AS unit_price
+                FROM lineitem l JOIN dims d ON l.l_suppkey = d.s_suppkey
+            ),
+            best AS (
+                SELECT *, row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY unit_price ASC, s_suppkey ASC) AS rn
+                FROM quotes
+            )
+            SELECT l_partkey, s_suppkey, s_name, s_acctbal,
+                   n_name AS nation, unit_price
+            FROM best WHERE rn = 1
+            ORDER BY unit_price ASC, l_partkey ASC
+            LIMIT 100
+        """,
     }
     out.update(_ann_oracles())
     return out

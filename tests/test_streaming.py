@@ -228,3 +228,52 @@ def test_sliding_and_session_windows_batch(spark, sf_dir):
     assert r[0] == total_rows  # sessions partition the rows
     one = sess.first()
     assert one["we"] >= one["ws"]
+
+
+def test_streaming_kmv_converges_to_batch_sketch(spark, tmp_path):
+    """The cross-batch KMV sketch must end exactly where the batch sketch
+    lands on the union of all batches — the sketch is a function of the
+    value SET, so batch boundaries and duplicates change nothing. State
+    stays bounded at k hashes per key."""
+    from vecgo_spark.operators import pipeline
+    from vecgo_spark.streaming.stateful import streaming_kmv_distinct
+
+    k = 16
+    schema = "src STRING, val STRING"
+    rows1 = [("a", f"v{i}") for i in range(120)] + [("b", f"w{i}") for i in range(5)]
+    rows2 = [("a", f"v{i}") for i in range(60, 200)] + [("b", f"w{i}") for i in range(5)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*/")
+    )
+    q = (
+        streaming_kmv_distinct(stream, "src", "val", k=k)
+        .writeStream.format("memory")
+        .queryName("kmv_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emission per key == batch sketch over the union
+    # kth only shrinks as values arrive ⇒ min(kth) is the final sketch
+    out = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY grp ORDER BY kth ASC) rn FROM kmv_out) WHERE rn = 1"
+    ).collect()
+    got = {r["grp"]: (r["n_min"], r["est_distinct"]) for r in out}
+
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    want = {r["src"]: (r["n_min"], r["est_distinct"]) for r in
+            pipeline.kmv_distinct(union, "src", "val", k=k).collect()}
+    assert got == want
+    assert got["b"] == (5, 5.0)          # under k ⇒ exact
+    assert got["a"][0] == k              # bounded state: exactly k mins kept
