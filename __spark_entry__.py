@@ -1066,7 +1066,12 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-_CLUSTER_MAPS: dict[str, DataFrame] = {}  # sf_dir → persisted (doc, canonical)
+# (session-id, sf_dir) → persisted (doc, canonical).  Keyed by session
+# (ADVICE r6): a persisted DataFrame is bound to the SparkSession that
+# created it, so a bare sf_dir key would hand a dead handle to a restarted
+# session; _AT_REST_TABLES can key by path alone only because it caches a
+# re-loadable PATH, not a session object.
+_CLUSTER_MAPS: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,12 +1082,17 @@ def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     same amortization _at_rest_table gives the index family. The mapping
     is deterministic (exact Jaccard pairs + min-label CC), so cached and
     fresh results are identical."""
-    if sf_dir not in _CLUSTER_MAPS:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTER_MAPS:
         m = dedup.dedup_clusters(
             load_table(spark, sf_dir, "documents"), threshold=0.5).persist()
         m.count()  # materialize now so every consumer reads the cache
-        _CLUSTER_MAPS[sf_dir] = m
-    return _CLUSTER_MAPS[sf_dir]
+        # entries from dead sessions are unreachable — drop them so a
+        # long-lived driver process doesn't accumulate stale handles
+        for k in [k for k in _CLUSTER_MAPS if k[0] != key[0]]:
+            _CLUSTER_MAPS.pop(k)
+        _CLUSTER_MAPS[key] = m
+    return _CLUSTER_MAPS[key]
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,16 +1916,16 @@ def _docs_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-shingle estimate from a KMV sketch (k=64,
     with the 2-bit prefilter exercising the pre-shuffle hash cut)."""
-    from vecgo_spark.functions.hashing import shingles
+    from vecgo_spark.functions.hashing import eval_once, shingles
     from vecgo_spark.operators.bm25 import tokenize_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialize toks BEFORE shingling: shingles()'s transform lambda
-    # captures the token expression, and Catalyst re-evaluates captured
-    # expression TREES once per sequence element (O(tokens²) regex splits
-    # when inlined — 8× slower); a bound column reference is O(1)
+    # eval_once BEFORE shingling: a plain bound column is NOT enough —
+    # CollapseProject merges the projections and inlines the tokenizer
+    # into the shingle lambda (see hashing.eval_once for why the barrier
+    # is kept + tests/test_perf_plans.py for the plan pins)
     sh = docs.select(
-        "source", tokenize_expr(F.col("text")).alias("toks")
+        "source", eval_once(tokenize_expr(F.col("text"))).alias("toks")
     ).select("source", F.explode(shingles(F.col("toks"), 3)).alias("shingle"))
     return pipeline.kmv_distinct(sh, "source", "shingle", k=64, prefilter_bits=2)
 

@@ -330,6 +330,43 @@ def test_bigram_lm_score_matches_python_model(spark):
         assert abs(out[i]["bits_per_token"] - expect) < 1e-9
 
 
+def test_bigram_lm_join_modes(spark):
+    """The count-table joins must be strategy-selectable: the bigram
+    table is corpus-vocab-sized (unbounded at web scale), so a hardcoded
+    broadcast hint would OOM the driver there.  True forces broadcast,
+    False pins shuffle joins, None (default) leaves it to Catalyst/AQE."""
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def physical(mode):
+        df = pipeline.bigram_lm_score(docs, broadcast_counts=mode)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p_bcast = physical(True)
+    assert "BroadcastHashJoin" in p_bcast
+    p_shuffle = physical(False)
+    assert "SortMergeJoin" in p_shuffle or "ShuffledHashJoin" in p_shuffle
+    # default: results identical across modes (strategy, not semantics)
+    base = {r["id"]: r["bits_per_token"]
+            for r in pipeline.bigram_lm_score(docs).collect()}
+    forced = {r["id"]: r["bits_per_token"]
+              for r in pipeline.bigram_lm_score(docs, broadcast_counts=False).collect()}
+    assert base == forced
+    pipeline.release_caches()
+
+
+def test_bigram_lm_cache_released_between_calls(spark):
+    """Each bigram_lm_score call releases the previous call's persisted
+    token stream (ADVICE r6: the old code leaked one cache per call)."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    pipeline.bigram_lm_score(docs).collect()
+    assert len(pipeline._CACHED) == 1
+    pipeline.bigram_lm_score(docs).collect()
+    assert len(pipeline._CACHED) == 1  # previous cache evicted, not stacked
+    pipeline.release_caches()
+    assert not pipeline._CACHED
+
+
 def test_rolling_anomaly_flags_planted_outlier(spark):
     """A stable stream with one huge spike: the spike flags, its
     neighbours don't, and the cold-start window (n < min_n) never flags."""
@@ -352,6 +389,32 @@ def test_rolling_anomaly_flags_planted_outlier(spark):
     assert not any(out[i]["is_anomaly"] for i in range(60) if i not in (50, 51))
     # cold start: first min_n rows can never flag
     assert not any(out[i]["is_anomaly"] for i in range(10))
+
+
+def test_rolling_anomaly_overflow_guard(spark):
+    """ADVICE r6: with signed values the cross-multiplied z-test wraps
+    int64 at |x_e2| > √(2⁶³−1)/(2·frame) — Spark wraps SILENTLY, so such
+    inputs must raise, never flip a flag.  In-range magnitudes still
+    compute (boundary exercised just below the limit)."""
+    import datetime
+
+    from vecgo_spark.streaming.windows import rolling_anomaly
+
+    base = datetime.datetime(2024, 1, 1)
+    limit = int((2**63 - 1) ** 0.5) // (2 * 100)  # frame=100 default
+
+    def ev(val):
+        rows = [(i, base + datetime.timedelta(minutes=i), 1, "t",
+                 float(v), "{}")
+                for i, v in enumerate([1.0] * 5 + [val])]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+
+    with pytest.raises(Exception, match="overflow guard"):
+        rolling_anomaly(ev(-(limit + 1))).collect()  # x_e2 = -100·(limit+1)… far past
+    ok = rolling_anomaly(ev((limit - 1) / 100.0)).collect()
+    assert len(ok) == 6  # boundary magnitude computes normally
 
 
 def test_pattern_scrub_pii_defaults(spark):
@@ -467,6 +530,17 @@ def test_kmv_estimate_accuracy_and_exact_path(spark):
     rep = {r["grp"]: r for r in
            pipeline.kmv_distinct(df.repartition(7), "grp", "val", k=64).collect()}
     assert rep["big"]["est_distinct"] == out["big"]["est_distinct"]
+    # ADVICE r6: a prefiltered group with < k survivors is a 1/2^s census
+    # of its value set — the estimate must scale by 2^s, not report the
+    # raw survivor count (which undercounted ~2^s×)
+    from vecgo_spark.functions.hashing import stable_hash64_py
+
+    survivors = sum(
+        1 for i in range(40) if stable_hash64_py(f"w{i}") < (1 << 57)
+    )
+    assert pre["small"]["n_min"] == survivors
+    assert pre["small"]["est_distinct"] == survivors * 8.0
+    assert 40 * 0.25 <= pre["small"]["est_distinct"] <= 40 * 4  # sane scale
 
 
 def test_weighted_sample_matches_python_model(spark):

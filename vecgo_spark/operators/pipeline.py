@@ -29,6 +29,19 @@ from vecgo_spark.operators.dedup import _doc_shingles
 
 _TOKS_SQL = "list_filter(string_split_regex(lower({c}), '[\\x00-\\x20]+'), t -> t != '')"
 
+# Persisted intermediates owned by operators in this module (currently the
+# bigram-LM tokenized stream).  Same stance as bm25._CACHED: persists live
+# until the caller releases them, so repeated invocations in one session
+# don't leak storage without bound.
+_CACHED: list = []
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by this module's operators
+    (callers scoring many corpora should call this between corpora)."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 _HASH_BUCKETS = 1_000_000
 
 
@@ -332,19 +345,35 @@ def repetition_profile(
     counts are linear (array_distinct); the n-gram mode (a per-key count
     elsewhere) is a linear run-length fold over the SORTED gram array
     (array_sort + F.aggregate with a struct accumulator), so no per-row
-    quadratic scan and no explode/groupBy chain either."""
+    quadratic scan and no explode/groupBy chain either.  The token and
+    gram arrays sit behind eval_once barriers: without them
+    CollapseProject duplicates the gram tree into every consumer
+    expression (25 tokenizer copies in the old optimized plan, 7 inside
+    transform lambdas — quadratic on engines without lambda-invariant
+    hoisting; see hashing.eval_once + tests/test_perf_plans.py)."""
+    from vecgo_spark.functions.hashing import eval_once
     from vecgo_spark.operators.bm25 import tokenize_expr
 
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
-    toks = tokenize_expr(F.col(text_col))
+    stage1 = docs.select(
+        F.col(id_col),
+        F.size(lines).alias("_nl"),
+        F.size(F.array_distinct(lines)).alias("_dl"),
+        eval_once(tokenize_expr(F.col(text_col))).alias("_toks"),
+    )
+    toks = F.col("_toks")
     win = F.size(toks) - (n - 1)
-    grams = F.when(
+    gram_tree = F.when(
         win >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(win, F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    stage2 = stage1.select(
+        F.col(id_col), "_nl", "_dl", eval_once(gram_tree).alias("_grams")
+    )
+    grams = F.col("_grams")
     # max multiplicity = longest equal-run in the sorted array: one linear
     # fold. prev='' is safe — grams are non-empty by construction.
     zero = F.lit(0).cast("int")
@@ -363,13 +392,13 @@ def repetition_profile(
     )
     t = F.size(grams)
     d = F.size(F.array_distinct(grams))
-    nl = F.size(lines)
-    return docs.select(
+    nl = F.col("_nl")
+    return stage2.select(
         F.col(id_col),
         nl.alias("n_lines"),
         F.when(
             nl > 0,
-            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / nl.cast("double"),
+            F.lit(1.0) - F.col("_dl").cast("double") / nl.cast("double"),
         ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
         t.alias("n_ngrams"),
         F.when(t > 0, F.lit(1.0) - d.cast("double") / t.cast("double"))
@@ -485,10 +514,15 @@ def chunk_dedup(
     over that hash + one groupBy(id) — two narrow shuffles, no
     self-join. A mass-repeated boilerplate chunk is ONE hot hash key
     whose window only ranks (no pair blowup)."""
+    from vecgo_spark.functions.hashing import eval_once
     from vecgo_spark.operators.bm25 import tokenize_expr
 
+    # eval_once: keep the token array an attribute so CollapseProject
+    # can't inline the tokenizer into the per-chunk slice() (one
+    # tokenizer copy per consumer otherwise; see hashing.eval_once)
     toks = docs.select(
-        F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("id"),
+        eval_once(tokenize_expr(F.col(text_col))).alias("toks"),
     ).withColumn("n_tokens", F.size("toks")).where(F.col("n_tokens") > 0)
     starts = F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)),
                         F.lit(chunk))
@@ -550,6 +584,7 @@ def chunk_dedup_sql(
 
 def bigram_lm_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    broadcast_counts: bool | None = None,
 ) -> DataFrame:
     """Language-model quality scoring (the CCNet/KenLM perplexity-filter
     step, here with an add-one-smoothed bigram model trained ON the
@@ -564,19 +599,34 @@ def bigram_lm_score(
     entropy oracle).
 
     Scale posture: one groupBy over bigram instances for C12 (map-side
-    combine), a projection of it for C1, both broadcast back over the
-    instance stream (vocab-sized — for a web-scale vocab the join
-    degrades gracefully to a shuffle join by dropping the hint), then
-    one groupBy(id). Docs with <2 tokens have no bigrams and drop out."""
+    combine), a projection of it for C1, joined back over the instance
+    stream, then one groupBy(id). Docs with <2 tokens have no bigrams
+    and drop out.  The count-table joins are NOT hint-forced broadcasts:
+    the bigram table grows with corpus vocabulary (unbounded at web
+    scale — a hardcoded broadcast OOMs the driver there), so the default
+    `broadcast_counts=None` leaves the strategy to Catalyst/AQE, which
+    picks a runtime broadcast when the measured table is small and a
+    shuffle join otherwise.  Pass True to force the broadcast hint (known
+    tiny vocab) or False to pin shuffle joins (known huge vocab); plan
+    test: tests/test_pipeline.py::test_bigram_lm_join_modes.
+
+    The tokenized stream is persisted for the job's lifetime and
+    unpersisted by the next call to `release_caches()` (the bm25 _CACHED
+    pattern — callers that score many corpora in one session should call
+    it between runs)."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
     # persisted: FOUR subtrees consume the tokenized stream (instances,
     # C12, C1, vocab) and Spark does not CSE across join legs — without
     # this the corpus parquet is scanned and re-tokenized 4× (same stance
-    # as simhash_pairs' persisted signatures)
+    # as simhash_pairs' persisted signatures).  Each call releases the
+    # previous call's cache (bm25 stance), so a session scoring many
+    # corpora holds at most one tokenized stream.
+    release_caches()
     toks = docs.select(
         F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks")
     ).persist()
+    _CACHED.append(toks)
     bi = toks.where(F.size("toks") >= 2).select(
         "id",
         F.explode(F.zip_with(
@@ -591,9 +641,15 @@ def bigram_lm_score(
         F.countDistinct("t").alias("v"))
     logp = F.log2((F.col("c12") + F.lit(1)).cast("double")
                   / (F.col("c1") + F.col("v")).cast("double"))
+    if broadcast_counts is True:
+        c12, c1 = F.broadcast(c12), F.broadcast(c1)
+    elif broadcast_counts is False:
+        c12 = c12.hint("shuffle_merge")
+        c1 = c1.hint("shuffle_merge")
+    # vocab stays a hinted broadcast: it is ONE row by construction
     return (
-        bi.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
@@ -719,20 +775,34 @@ def rule_funnel(
 
     Scale posture: all six signals are codegen Column expressions fused
     into ONE scan projection; the only exchange is the tiny
-    groupBy(source) partial-agg rollup. No Python, no joins, no windows."""
+    groupBy(source) partial-agg rollup. No Python, no joins, no windows.
+    The token array is bound once behind an eval_once barrier —
+    CollapseProject otherwise duplicates the tokenizer tree into every
+    signal (12 regex splits per row in the old optimized plan)."""
+    from vecgo_spark.functions.hashing import eval_once
+
     c = F.col(text_col)
-    toks = F.split(F.lower(c), "[\\x00-\\x20]+")
-    toks = F.filter(toks, lambda t: t != "")
+    tok_tree = F.filter(
+        F.split(F.lower(c), "[\\x00-\\x20]+"), lambda t: t != ""
+    )
+    non_ws = F.length(F.regexp_replace(c, "[\\x00-\\x20]+", ""))
+    n_alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    bound = docs.select(
+        F.col(source_col).alias("source"),
+        eval_once(tok_tree).alias("_toks"),
+        non_ws.alias("_non_ws"),
+        n_alnum.alias("_n_alnum"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     n_stop = sum(
         F.array_contains(toks, F.lit(s)).cast("int") for s in _FUNNEL_STOPS
     )
-    non_ws = F.length(F.regexp_replace(c, "[\\x00-\\x20]+", ""))
-    n_alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
-    n_symbol = non_ws - n_alnum
-    flagged = docs.select(
-        F.col(source_col).alias("source"),
+    non_ws = F.col("_non_ws")
+    n_symbol = non_ws - F.col("_n_alnum")
+    flagged = bound.select(
+        "source",
         (n < min_tokens).cast("int").alias("f_low_tokens"),
         (n > max_tokens).cast("int").alias("f_high_tokens"),
         (total_len < 3 * n).cast("int").alias("f_short_words"),
@@ -813,9 +883,16 @@ def kmv_distinct(
     aggregation (the wide exchange carries distinct pairs only); the
     per-group k-smallest is a bounded window. For groups with billions of
     distinct values the window's sort dominates — set prefilter_bits=s to
-    drop hashes ≥ 2^60/2^s BEFORE the shuffle (safe while every group
-    keeps ≥ k surviving hashes, i.e. distinct ≳ k·2^s·2; the kth-min is
-    unchanged because only large hashes are discarded)."""
+    drop hashes ≥ 2^60/2^s BEFORE the shuffle (the kth-min is unchanged
+    while every group keeps ≥ k surviving hashes, because only large
+    hashes are discarded).
+
+    Prefiltered groups with FEWER than k survivors (ADVICE r6): the
+    survivors are a complete census of hashes below the threshold — a
+    uniform 1/2^s sample of the value set — so the estimate is
+    n_min·2^s (a standard threshold-sketch estimate), NOT the raw n_min
+    the old code reported (which silently undercounted ~2^s×).  Without
+    a prefilter, n_min<k remains exact."""
     h = stable_hash64(F.col(value_col))
     pairs = df.select(F.col(group_col).alias("grp"), h.alias("h"))
     if prefilter_bits:
@@ -823,13 +900,14 @@ def kmv_distinct(
     dedup = pairs.groupBy("grp", "h").agg(F.lit(1).alias("_one")).drop("_one")
     w = Window.partitionBy("grp").orderBy("h")
     topk = dedup.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    underfull = F.col("n_min").cast("double") * F.lit(float(1 << prefilter_bits))
     return (
         topk.groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_min"), F.max("h").alias("kth"))
         .select(
             F.col("grp").alias(group_col),
             "n_min",
-            F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+            F.when(F.col("n_min") < k, underfull)
             .otherwise(
                 F.lit(float(k - 1))
                 / (F.col("kth").cast("double") / F.lit(_H60_MAX))
@@ -859,7 +937,8 @@ def kmv_distinct_sql(
         FROM topk WHERE rn <= {k} GROUP BY grp
     )
     SELECT grp AS {group_col}, n_min,
-           CASE WHEN n_min < {k} THEN CAST(n_min AS DOUBLE)
+           CASE WHEN n_min < {k}
+                THEN CAST(n_min AS DOUBLE) * {float(1 << prefilter_bits)!r}
                 ELSE {float(k - 1)!r} / (CAST(kth AS DOUBLE) / {_H60_MAX!r})
            END AS est_distinct
     FROM agg ORDER BY {group_col}

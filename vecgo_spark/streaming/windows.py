@@ -102,11 +102,26 @@ def rolling_anomaly(
     `min_n` observations never flag (cold start).
 
     Scale posture: ONE shuffle on the key; the frame is ROWS-bounded so
-    state per partition is O(frame). Long-range: n·s2 ≤ frame·x_e2² —
-    longs hold to x_e2 ~ 3·10⁷ (value ≤ ~300k) at frame 100."""
+    state per partition is O(frame). Long-range (ADVICE r6): with SIGNED
+    values the binding term is dev² = (n·x − s1)² ≤ (2·frame·max|x_e2|)²,
+    so longs hold only to max|x_e2| ≤ ⌊√(2⁶³−1)/(2·frame)⌋ (~1.5·10⁷,
+    i.e. |value| ≤ ~150k, at frame 100 — half the old doc's non-negative
+    bound). Spark wraps silently on long overflow, so out-of-range inputs
+    raise loudly instead of flipping flags (DuckDB's BIGINT already
+    errors on overflow, so the oracle twin needs no guard)."""
     from pyspark.sql.window import Window
 
-    x = F.round(F.col(value_col) * 100).cast("long")
+    limit = int((2**63 - 1) ** 0.5) // (2 * frame)
+    raw = F.round(F.col(value_col) * 100).cast("long")
+    x = F.when(
+        F.abs(raw) > F.lit(limit),
+        F.raise_error(F.concat(
+            F.lit("rolling_anomaly overflow guard: |x_e2|="),
+            F.abs(raw).cast("string"),
+            F.lit(f" exceeds {limit} (frame={frame}) — the integer "
+                  "z-test would wrap; rescale the value column"))
+        ).cast("long"),
+    ).otherwise(raw)
     w = (Window.partitionBy(key_col).orderBy(ts_col, id_col)
          .rowsBetween(-frame, -1))
     d = (
