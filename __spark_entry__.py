@@ -562,7 +562,10 @@ def _at_rest_table(spark: SparkSession, sf_dir: str):
     tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
     tbl.insert(emb)
     tbl.commit()
-    tbl.compact(cluster_by=model, quantize=("sq8", books))
+    # one compaction carries every at-rest code family the suite serves:
+    # SQ8 + PQ codes, and the packed sign words + norms ("rabitq" is a
+    # superset of "bq" — the same _b_code words serve plain Hamming)
+    tbl.compact(cluster_by=model, quantize=("sq8", books, "rabitq"))
     _AT_REST_TABLES[sf_dir] = path
     return tbl
 
@@ -635,6 +638,35 @@ def _ann_ivf_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _at_rest_table(spark, sf_dir)
     rows = tbl.search_quantized(
         _query_vector(spark, sf_dir), k=10, nprobe=3, refine=40, codes="sq"
+    ).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
+def _ann_ivf_bq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codes persisted at compaction, Hamming-served at rest — the
+    reference stores packed sign bits inside flat segments and serves
+    popcount-xor from them (binary.go:23-260, writer.go:57-519):
+    search_quantized(nprobe=3, codes='bq') probe-prunes FILES and ranks
+    on the STORED _b_code words (no pack pass over the corpus). Stored
+    words are bit-identical to pack_bits at query time, so the oracle
+    replays assignment+probe+pack+Hamming."""
+    tbl = _at_rest_table(spark, sf_dir)
+    rows = tbl.search_quantized(
+        _query_vector(spark, sf_dir), k=10, nprobe=3, codes="bq"
+    ).collect()
+    out = spark.createDataFrame(rows, "id long, score long")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
+def _knn_rabitq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RaBitQ served from the at-rest layout: stored sign words + stored
+    per-row L2 norms (rabitq.go:13-190) feed the estimator with no encode
+    or norm pass over the corpus — reproducing knn_rabitq bit-for-bit, so
+    it shares that oracle."""
+    tbl = _at_rest_table(spark, sf_dir)
+    rows = tbl.search_quantized(
+        _query_vector(spark, sf_dir), k=10, codes="rabitq"
     ).collect()
     out = spark.createDataFrame(rows, "id long, score double")
     return out.select(F.col("id").alias("vec_id"), "score")
@@ -1946,7 +1978,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresh driver-green row from the previous round rotate to the tail;
     # scripts/verify_driver.py still checks all of them locally each round.
     return {
-        # -- r4-evidenced tail; rotated back in for fresh driver rows (r6)
+        # -- never driver-checked: 14 landed in r6 + 2 new in r7 ---------
+        "tpch_q9_profit_nation_year": _tpch_q9,
+        "tpch_q13_custdist": _tpch_q13,
+        "tpch_q16_supplier_variety": _tpch_q16,
+        "tpch_q21_waiting_supplier": _tpch_q21,
+        "chunk_dedup_frac": _chunk_dedup,
+        "doc_perplexity_bigram": _doc_perplexity_bigram,
+        "events_anomaly_zscore": _events_anomaly_zscore,
+        "docs_pattern_scrub": _docs_pattern_scrub,
+        "docs_rule_funnel": _docs_rule_funnel,
+        "tpch_q11_important_parts": _tpch_q11,
+        "tpch_q20_dominant_supplier": _tpch_q20,
+        "kmv_distinct_shingles": _kmv_distinct_shingles,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "tpch_q2_min_cost_supplier": _tpch_q2,
+        "ann_ivf_bq_at_rest": _ann_ivf_bq_at_rest,
+        "knn_rabitq_at_rest": _knn_rabitq_at_rest,
+        # -- code changed in r7 (eval_once barriers / cluster-map keying /
+        #    kmv+perplexity fixes): r6 evidence is stale, re-prove --------
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "contamination_ngram": _contamination_ngram,
+        "doc_novelty": _doc_novelty,
+        "doc_repetition": _doc_repetition,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_keep_best_quality": _dedup_keep_best_quality,
+        "embedding_neardup": _embedding_neardup,
+        # -- regression canaries kept inside the driver window -----------
+        "events_tumbling_1h": _events_tumbling_1h,
+        "events_sliding_1h30m": _events_sliding_1h30m,
+        "events_sessionization": _events_sessionization,
+        "events_asof_join": _events_asof_join,
+        "events_json_props": _events_json_props,
+        "events_funnel_conversion": _events_funnel_conversion,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
+        # -- oldest driver evidence (r5) rotated back in ------------------
+        "stats_histogram": _stats_histogram,
+        "stats_categorical_profile": _stats_categorical,
+        "stats_vector_profile": _stats_vector,
+        "knn_hamming_registered": _knn_hamming_registered,
+        "knn_int4_adc": _knn_int4_adc,
+        "knn_rabitq": _knn_rabitq,
+        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
+        "knn_l2": _knn("l2"),
+        "knn_dot": _knn("dot"),
+        "knn_cosine": _knn("cosine"),
+        "knn_l2_filtered": _knn_l2_filtered,
+        "knn_l2_projected": _knn_l2_projected,
+        "knn_batch": _knn_batch,
+        "knn_threshold": _knn_threshold,
+        "point_get": _point_get,
+        # -- driver window ends here (first 50 entries; recount with
+        # scripts/verify_driver.py after ANY insertion above) ------------
+        # -- r5-evidenced, unchanged; oldest of these rotate in next round
+        "scan_filter": _scan_filter,
+        "scan_filter_in_ne": _scan_filter_in_ne,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "tpch_rollup": _tpch_rollup,
+        "topk_per_group": _topk_per_group,
+        "topk_per_group_salted": _topk_per_group_salted,
+        "text_stats": _text_stats,
+        "docs_quality_filter": _docs_quality_filter,
+        "doc_langid_ngram": _doc_langid_ngram,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q17_small_qty_revenue": _tpch_q17,
+        "tombstone_antijoin": _tombstone_antijoin,
+        "upsert_latest_wins": _upsert_latest_wins,
+        "time_travel_versions": _time_travel,
+        "tpch_q19_discounted_revenue": _tpch_q19,
+        "tpch_q22_idle_customers": _tpch_q22,
+        "doc_chunking_overlap": _doc_chunking_overlap,
+        "tpch_q7_nation_volume": _tpch_q7,
+        "tpch_q8_market_share": _tpch_q8,
+        "embedding_cluster_balance": _embedding_cluster_balance,
+        # -- r6-evidenced (CORRECTNESS_r06 ⊕), code untouched in r7 ------
         "knn_sq8_rerank": _knn_sq8_rerank,
         "knn_bq_hamming": _knn_bq_hamming,
         "knn_opq_adc": _knn_opq_adc,
@@ -1956,17 +2068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_filtered": _hybrid_rrf_filtered,
         "multimodal_features": _multimodal_features,
         "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "embedding_neardup": _embedding_neardup,
-        "dedup_clusters": _dedup_clusters,
         "doc_fingerprint": _doc_fingerprint,
-        "contamination_ngram": _contamination_ngram,
         "sample_hash_bernoulli": _sample_hash_bernoulli,
         "pack_sequences_budget": _pack_sequences_budget,
-        "doc_novelty": _doc_novelty,
-        "doc_repetition": _doc_repetition,
         "stratified_sample_per_source": _stratified_sample,
         "corpus_balance_sources": _corpus_balance,
         "vocab_top_terms": _vocab_top_terms,
@@ -1984,78 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _ann_ivf,
         "ann_ivf_batch": _ann_ivf_batch,
         "hybrid_rrf": _hybrid_rrf,
-        # -- never driver-checked (landed late in round 5) ---------------
         "events_retention_cohorts": _events_retention_cohorts,
-        # -- regression canaries kept inside the driver window -----------
-        "events_tumbling_1h": _events_tumbling_1h,
-        "events_sliding_1h30m": _events_sliding_1h30m,
-        "events_sessionization": _events_sessionization,
-        "events_asof_join": _events_asof_join,
-        "events_json_props": _events_json_props,
-        "events_funnel_conversion": _events_funnel_conversion,
-        "ann_ivf_at_rest": _ann_ivf_at_rest,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
-        # 50th slot: r5-fresh but kept in-window to fill the last seat
         "stats_numeric_profile": _stats_numeric,
-        # -- driver window ends here (first 50 entries; recount with
-        # scripts/verify_driver.py after ANY insertion above) ------------
-        # -- r5-evidenced (CORRECTNESS_r05 ⊕); rotated out this round ----
-        "stats_histogram": _stats_histogram,
-        "stats_categorical_profile": _stats_categorical,
-        "stats_vector_profile": _stats_vector,
-        "knn_hamming_registered": _knn_hamming_registered,
-        "knn_int4_adc": _knn_int4_adc,
-        "knn_rabitq": _knn_rabitq,
-        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
-        "knn_l2": _knn("l2"),
-        "knn_dot": _knn("dot"),
-        "knn_cosine": _knn("cosine"),
-        "knn_l2_filtered": _knn_l2_filtered,
-        "knn_l2_projected": _knn_l2_projected,
-        "knn_batch": _knn_batch,
-        "knn_threshold": _knn_threshold,
-        "point_get": _point_get,
-        "scan_filter": _scan_filter,
-        "scan_filter_in_ne": _scan_filter_in_ne,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q6_forecast_revenue": _tpch_q6,
-        "tpch_rollup": _tpch_rollup,
-        "topk_per_group": _topk_per_group,
-        "topk_per_group_salted": _topk_per_group_salted,
-        "text_stats": _text_stats,
-        "docs_quality_filter": _docs_quality_filter,
-        "doc_langid_ngram": _doc_langid_ngram,
-        "tpch_q15_top_supplier": _tpch_q15,
-        "tpch_q17_small_qty_revenue": _tpch_q17,
-        "dedup_keep_best_quality": _dedup_keep_best_quality,
-        "tombstone_antijoin": _tombstone_antijoin,
-        "upsert_latest_wins": _upsert_latest_wins,
-        "time_travel_versions": _time_travel,
-        "tpch_q19_discounted_revenue": _tpch_q19,
-        "tpch_q22_idle_customers": _tpch_q22,
-        "doc_chunking_overlap": _doc_chunking_overlap,
-        "tpch_q7_nation_volume": _tpch_q7,
-        "tpch_q8_market_share": _tpch_q8,
-        "embedding_cluster_balance": _embedding_cluster_balance,
-        # -- new in round 6 (tail; rotate into the window next round) ----
-        "tpch_q9_profit_nation_year": _tpch_q9,
-        "tpch_q13_custdist": _tpch_q13,
-        "tpch_q16_supplier_variety": _tpch_q16,
-        "tpch_q21_waiting_supplier": _tpch_q21,
-        "chunk_dedup_frac": _chunk_dedup,
-        "doc_perplexity_bigram": _doc_perplexity_bigram,
-        "events_anomaly_zscore": _events_anomaly_zscore,
-        "docs_pattern_scrub": _docs_pattern_scrub,
-        "docs_rule_funnel": _docs_rule_funnel,
-        "tpch_q11_important_parts": _tpch_q11,
-        "tpch_q20_dominant_supplier": _tpch_q20,
-        "kmv_distinct_shingles": _kmv_distinct_shingles,
-        "docs_weighted_sample": _docs_weighted_sample,
-        "tpch_q2_min_cost_supplier": _tpch_q2,
         "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
         "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
@@ -2346,6 +2381,17 @@ def _ann_oracles() -> dict[str, str]:
         "ann_ivf_pq_at_rest": ann_ivf_pq_rerank,
         "ann_ivf_opq_at_rest": ann_ivf_opq_at_rest,
         "ann_ivf_batch_at_rest": ann_ivf_batch,
+        # stored sign words == pack_bits at query time, so the at-rest
+        # Hamming serving replays probe + pack + popcount-xor exactly
+        "ann_ivf_bq_at_rest": f"""
+            WITH q AS {_Q}
+            SELECT e.vec_id,
+                   {bqz.hamming_words_sql(bqz.pack_bits_sql("e.embedding", EMB_DIM), bqz.pack_bits_sql("q.qv", EMB_DIM))} AS score
+            FROM embeddings e, q
+            WHERE {ivf.assign_sql(ivf_m, "e.embedding")} IN ({probes3})
+            ORDER BY score ASC, e.vec_id ASC
+            LIMIT 10
+        """,
     }
 
 
@@ -3137,4 +3183,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out.update(_ann_oracles())
+    # stored words + stored norms reproduce the encode-path estimator
+    # bit-for-bit, so the at-rest RaBitQ serving shares its oracle
+    out["knn_rabitq_at_rest"] = out["knn_rabitq"]
     return out

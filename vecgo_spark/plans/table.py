@@ -67,6 +67,8 @@ INDEX_DIR = "_index"
 CLUSTER_COL = "_cluster"
 QCODE_COL = "_q_code"    # at-rest scalar-quantized codes (ARRAY<INT>, dim)
 PQCODE_COL = "_pq_code"  # at-rest product-quantized codes (ARRAY<INT>, m)
+BINCODE_COL = "_b_code"  # at-rest packed sign bits (ARRAY<BIGINT>, ceil(dim/32))
+BINNORM_COL = "_b_norm"  # at-rest L2 norm for the RaBitQ estimator (DOUBLE)
 
 # Declared metadata-schema field types (metadata/schema.go:7-17). "any"
 # accepts everything; undeclared fields always pass through (schema.go:46-49).
@@ -259,6 +261,7 @@ class VectorTable:
                 df,
                 self._load_sq() if "sq" in self.manifest.meta else None,
                 self._load_pq() if "pq" in self.manifest.meta else None,
+                self._load_binary() if "binary" in self.manifest.meta else None,
             )
         lsn_col = F.lit(lsn).cast("long")
         if validate_dim:
@@ -408,7 +411,8 @@ class VectorTable:
 
         dim = self.manifest.meta.get("dim")
         return observe_segment_stats(
-            df, exclude=(self.vector_col, "_lsn", QCODE_COL, PQCODE_COL),
+            df, exclude=(self.vector_col, "_lsn", QCODE_COL, PQCODE_COL,
+                         BINCODE_COL, BINNORM_COL),
             vector_col=self.vector_col if dim else None,
             dim=int(dim) if dim else None,
             ndv_col=self.id_col,
@@ -599,7 +603,8 @@ class VectorTable:
         # batch search paths ask for them explicitly
         if not keep_cluster:
             base = base.drop(CLUSTER_COL)
-        return base if keep_codes else base.drop(QCODE_COL, PQCODE_COL)
+        return base if keep_codes else base.drop(
+            QCODE_COL, PQCODE_COL, BINCODE_COL, BINNORM_COL)
 
     def _empty_schema(self):
         from pyspark.sql.types import LongType, StructField, StructType
@@ -850,6 +855,11 @@ class VectorTable:
           quantize="sq8"        train per-dim bounds now, 255 levels
           quantize="int4"       same, 15 levels
           quantize=ScalarParams use pre-trained bounds
+          quantize="bq"         packed sign bits (_b_code ARRAY<BIGINT>),
+                                Hamming serving (binary.go:11-130)
+          quantize="rabitq"     sign bits + per-row L2 norm (_b_norm),
+                                estimator serving (rabitq.go:13-28)
+          quantize=BinaryParams pre-set kind/threshold
         Codes land in the hidden _q_code ARRAY<INT> column, the bounds in
         _index/sq-v*.json + manifest meta; insert() encodes new rows on
         the write path and search_quantized() scores from stored codes.
@@ -857,10 +867,10 @@ class VectorTable:
         self._check_writable()
         t0 = time.perf_counter()
         dropped = len(self.manifest.segments)
-        sq_params, pq_books = self._resolve_quantizer(quantize)
+        sq_params, pq_books, bin_params = self._resolve_quantizer(quantize)
         if cluster_by is None:
             v = self._compact_plain(target_segments, sq_params=sq_params,
-                                    pq_books=pq_books)
+                                    pq_books=pq_books, bin_params=bin_params)
             self._obs("on_compaction", time.perf_counter() - t0, dropped,
                       len(self.manifest.segments))
             return v
@@ -881,7 +891,7 @@ class VectorTable:
         lsn = self.manifest.lsn + 1
         version = self.manifest.version + 1
         live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
-        live = self._with_codes(live, sq_params, pq_books)
+        live = self._with_codes(live, sq_params, pq_books, bin_params)
         assigned = live.withColumn(
             CLUSTER_COL, ivfmod.assign_expr(model, self.vector_col)
         ).withColumn("_part", F.col(CLUSTER_COL))
@@ -933,7 +943,7 @@ class VectorTable:
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
         meta.pop("hnsw", None)  # compaction replaces every indexed segment
         meta.pop("vamana", None)
-        self._record_sq_meta(meta, sq_params, pq_books, version)
+        self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
             version=version, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),
@@ -948,39 +958,55 @@ class VectorTable:
         return new.version
 
     def _resolve_quantizer(self, quantize):
-        """quantize= argument → (ScalarParams | None, PQCodebooks | None).
-        Scalar training is one distributed min/max agg over the live
-        snapshot; PQ trains on the deterministic ORDER BY id sample —
-        the same artifacts a per-query train would produce."""
+        """quantize= argument → (ScalarParams | None, PQCodebooks | None,
+        BinaryParams | None). Scalar training is one distributed min/max
+        agg over the live snapshot; PQ trains on the deterministic ORDER
+        BY id sample; binary needs no training at the default sign
+        threshold (binary.go:36-40) — the same artifacts a per-query
+        train would produce."""
         if quantize is None:
-            return None, None
+            return None, None, None
+        from vecgo_spark.quantization import binary as bqz
         from vecgo_spark.quantization import pq as pqz
         from vecgo_spark.quantization import scalar as sqz
 
         if isinstance(quantize, (tuple, list)):
-            # one scalar + one PQ family may ride the same layout; the
-            # last spec of each kind wins
-            sq = pq = None
+            # one scalar + one PQ + one binary family may ride the same
+            # layout; the last spec of each kind wins
+            sq = pq = bn = None
             for spec in quantize:
-                s, p = self._resolve_quantizer(spec)
-                sq, pq = s or sq, p or pq
-            return sq, pq
+                s, p, b = self._resolve_quantizer(spec)
+                sq, pq, bn = s or sq, p or pq, b or bn
+            return sq, pq, bn
         if isinstance(quantize, sqz.ScalarParams):
-            return quantize, None
+            return quantize, None, None
         if isinstance(quantize, pqz.PQCodebooks):
-            return None, quantize
+            return None, quantize, None
+        if isinstance(quantize, bqz.BinaryParams):
+            return None, None, quantize
         levels = {"sq8": 255, "int4": 15}.get(quantize)
         if levels is not None:
-            return sqz.train_scalar(self.df(), self.vector_col, levels=levels), None
+            return sqz.train_scalar(self.df(), self.vector_col, levels=levels), None, None
         if quantize == "pq":
-            return None, pqz.train_pq(self.df(), self.vector_col, order_col=self.id_col)
+            return None, pqz.train_pq(self.df(), self.vector_col, order_col=self.id_col), None
+        if quantize in ("bq", "rabitq"):
+            return None, None, bqz.BinaryParams(kind=quantize)
         raise ValueError(
-            f"quantize must be 'sq8', 'int4', 'pq', ScalarParams or PQCodebooks, got {quantize!r}")
+            "quantize must be 'sq8', 'int4', 'pq', 'bq', 'rabitq', "
+            f"ScalarParams, PQCodebooks or BinaryParams, got {quantize!r}")
 
-    def _record_sq_meta(self, meta: dict, sq_params, pq_books, version: int) -> None:
+    def _record_sq_meta(self, meta: dict, sq_params, pq_books, version: int,
+                        bin_params=None) -> None:
         """Persist trained quantizer artifacts under _index/ and point the
         manifest at them — or, when this rewrite carries no codes, drop any
-        stale entry (the rewritten files no longer contain the column)."""
+        stale entry (the rewritten files no longer contain the column).
+        Binary params are a kind + threshold, so they live inline in the
+        manifest meta (no _index blob to write or vacuum)."""
+        if bin_params is None:
+            meta.pop("binary", None)
+        else:
+            meta["binary"] = {"kind": bin_params.kind,
+                              "threshold": bin_params.threshold}
         if sq_params is None:
             meta.pop("sq", None)
         else:
@@ -1043,6 +1069,14 @@ class VectorTable:
         self._sq_cache = (info["path"], params)
         return params
 
+    def _load_binary(self):
+        """BinaryParams from the manifest's inline binary entry."""
+        from vecgo_spark.quantization import binary as bqz
+
+        info = self.manifest.meta["binary"]
+        return bqz.BinaryParams(kind=info["kind"],
+                                threshold=float(info["threshold"]))
+
     def search_quantized(
         self, query: Sequence[float], k: int = 10, filter=None,
         nprobe: int | None = None, refine: int | None = None,
@@ -1054,16 +1088,30 @@ class VectorTable:
         nprobe rides the materialized IVF layout (probe == file pruning);
         optional refine reranks the coarse ADC top-`refine` against the
         full-precision vectors, the WithRefineFactor two-stage pipeline.
-        codes picks the stored family ("sq" scalar / "pq" product);
-        default: whichever the table carries (sq wins when both)."""
+        codes picks the stored family ("sq" scalar / "pq" product / "bq"
+        Hamming / "rabitq" estimator — the last two serve the packed sign
+        words the reference keeps in flat segments, binary.go:23-260,
+        rabitq.go:13-190, writer.go:57-519); default: whichever the table
+        carries (sq > pq > binary when several)."""
         from vecgo_spark.operators import knn as knnmod
 
         if codes is None:
-            codes = "sq" if "sq" in self.manifest.meta else "pq"
+            if "sq" in self.manifest.meta:
+                codes = "sq"
+            elif "pq" in self.manifest.meta:
+                codes = "pq"
+            else:
+                codes = self.manifest.meta["binary"]["kind"]
         if codes == "sq":
             from vecgo_spark.quantization import scalar as sqz
 
             params = self._load_sq()  # raises KeyError if never quantized
+        elif codes in ("bq", "rabitq"):
+            bin_params = self._load_binary()
+            if codes == "rabitq" and bin_params.kind != "rabitq":
+                raise ValueError(
+                    "table stores plain BQ words without norms — compact "
+                    "with quantize='rabitq' to serve the estimator")
         else:
             books = self._load_pq()
         q = list(query)
@@ -1080,6 +1128,23 @@ class VectorTable:
             base = base.where(cond)
         if codes == "sq":
             score = sqz.adc_sq_l2(params, q, F.col(QCODE_COL))
+        elif codes in ("bq", "rabitq"):
+            from vecgo_spark.functions import vector as vfn
+            from vecgo_spark.quantization import binary as bqz
+
+            q_words = F.array(*[
+                F.lit(w).cast("bigint")
+                for w in bqz.pack_bits_py(q, bin_params.threshold)])
+            h = bqz.hamming_words(F.col(BINCODE_COL), q_words)
+            if codes == "bq":
+                score = h  # integer Hamming, exact
+            else:
+                # query norm via the SAME expression the encode-path query
+                # uses, so at-rest and fresh scores are bit-identical
+                q_norm = vfn.l2_norm(F.array(*[F.lit(float(x)) for x in q]))
+                score = bqz.rabitq_l2_estimate(
+                    h, F.col(BINNORM_COL), q_norm,
+                    int(self.manifest.meta["dim"]))
         else:
             from vecgo_spark.quantization import pq as pqz
 
@@ -1098,7 +1163,7 @@ class VectorTable:
         return knnmod.rerank(coarse, self.df(), q, k=k, metric=self.metric,
                              id_col=self.id_col, vector_col=self.vector_col)
 
-    def _with_codes(self, df: DataFrame, sq_params, pq_books) -> DataFrame:
+    def _with_codes(self, df: DataFrame, sq_params, pq_books, bin_params=None) -> DataFrame:
         if sq_params is not None:
             from vecgo_spark.quantization import scalar as sqz
 
@@ -1107,11 +1172,24 @@ class VectorTable:
             from vecgo_spark.quantization import pq as pqz
 
             df = pqz.encode(pq_books, df, self.vector_col, codes_col=PQCODE_COL)
+        if bin_params is not None:
+            from vecgo_spark.functions import vector as vfn
+            from vecgo_spark.quantization import binary as bqz
+
+            dim = int(self.manifest.meta["dim"])
+            df = df.withColumn(
+                BINCODE_COL,
+                bqz.pack_bits(self.vector_col, dim, bin_params.threshold))
+            if bin_params.kind == "rabitq":
+                # the SAME l2_norm expression the encode-path query uses,
+                # so the stored norm is bit-identical to a fresh compute
+                df = df.withColumn(BINNORM_COL, vfn.l2_norm(self.vector_col))
         return df
 
-    def _compact_plain(self, target_segments: int, sq_params=None, pq_books=None) -> int:
+    def _compact_plain(self, target_segments: int, sq_params=None, pq_books=None,
+                       bin_params=None) -> int:
         live = self.df().withColumn("_lsn", F.lit(self.manifest.lsn).cast("long"))
-        live = self._with_codes(live, sq_params, pq_books)
+        live = self._with_codes(live, sq_params, pq_books, bin_params)
         lsn = self.manifest.lsn + 1
         version = self.manifest.version + 1
         name = f"seg-{lsn:08d}-compact-{uuid.uuid4().hex[:8]}"
@@ -1136,7 +1214,7 @@ class VectorTable:
         # vacuum collect the stale blobs
         meta.pop("hnsw", None)
         meta.pop("vamana", None)
-        self._record_sq_meta(meta, sq_params, pq_books, version)
+        self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
             version=version, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),

@@ -19,10 +19,28 @@ engines.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WORD_BITS = 32
+
+
+@dataclass(frozen=True)
+class BinaryParams:
+    """Trained(-or-default) binary quantizer spec, persisted inline in the
+    table manifest (unlike SQ bounds / PQ codebooks there is no matrix
+    artifact — just the kind and the sign threshold, binary.go:34-40).
+    kind="bq" stores packed sign words; kind="rabitq" additionally stores
+    the per-row L2 norm the estimator needs (rabitq.go:13-28)."""
+
+    kind: str  # "bq" | "rabitq"
+    threshold: float = 0.0
+
+    def __post_init__(self):
+        if self.kind not in ("bq", "rabitq"):
+            raise ValueError(f"BinaryParams.kind must be 'bq' or 'rabitq', got {self.kind!r}")
 
 
 def n_words(dim: int) -> int:
