@@ -59,7 +59,10 @@ COMMENTARY = {
         "+ one hash partitioning on (blk_a, blk_b) feeding applyInPandas "
         "(`FlatMapGroupsInPandas`) — NO corpus rows on the driver, no "
         "all-pairs join node; the exact-verify joins hash on candidate "
-        "ids only."
+        "ids only. Strategy is AUTO (r7): above 10M rows the candidate "
+        "stage switches to the linear hyperplane-LSH collision join, so "
+        "the O(n²) matmul can never be the silent default at corpus "
+        "scale."
     ),
     "contamination_ngram": (
         "Benchmark-decontamination overlap: the benchmark shingle set "
@@ -117,7 +120,10 @@ COMMENTARY = {
         "a per-row projection — no Exchange, no Python nodes. The n-gram "
         "mode comes from a linear run-length fold over `array_sort` "
         "output; distinct fractions from `array_distinct`. "
-        "Embarrassingly parallel over a 100 TB scan."
+        "Embarrassingly parallel over a 100 TB scan. r7: the token and "
+        "gram arrays sit behind eval_once projection barriers — the plan "
+        "carries ONE tokenizer copy (the unbarriered r6 plan held 25, "
+        "7 inside transform lambdas; see tests/test_perf_plans.py)."
     ),
     "tpch_q4_order_priority": (
         "EXISTS decorrelated to a LEFT SEMI join keyed on o_orderkey "
@@ -212,12 +218,13 @@ COMMENTARY = {
     ),
     "doc_perplexity_bigram": (
         "Bigram-LM scoring: the tokenized stream persists once "
-        "(`InMemoryRelation`) and feeds all four consumers — instances, "
-        "C12, C1, vocab — so the corpus parquet is scanned ONCE; the "
-        "count tables come back as `BroadcastExchange`s over the "
-        "instance stream (vocab-sized; drop the hint for a web-scale "
-        "vocab and the join degrades to shuffle), and the per-doc "
-        "rollup is one groupBy(id)."
+        "(`InMemoryRelation`, released per call) and feeds all four "
+        "consumers — instances, C12, C1, vocab — so the corpus parquet "
+        "is scanned ONCE; the count-table joins carry NO broadcast hint "
+        "(r7: the bigram table is vocab-sized, unbounded at web scale — "
+        "Catalyst/AQE picks a runtime broadcast when it measures small, "
+        "a shuffle join otherwise; broadcast_counts=True/False pins "
+        "either mode), and the per-doc rollup is one groupBy(id)."
     ),
     "docs_pattern_scrub": (
         "Pattern scrubbing: counts + redaction hash are pure codegen "
@@ -255,7 +262,11 @@ COMMENTARY = {
         "gets it; the per-group k-smallest is a bounded row_number "
         "window whose hashpartitioning(grp) the final rollup reuses. "
         "The estimate is two IEEE divisions — deterministic, so the "
-        "sketch oracle-matches bit-for-bit despite being approximate."
+        "sketch oracle-matches bit-for-bit despite being approximate. "
+        "r7: the token array is pinned behind an eval_once barrier (one "
+        "tokenizer copy in the Generate, never inside its lambda), and "
+        "underfull prefiltered groups scale by 2^prefilter_bits instead "
+        "of undercounting."
     ),
     "docs_weighted_sample": (
         "Weighted sampling: priority = hash/weight is one codegen "
