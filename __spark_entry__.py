@@ -1634,6 +1634,27 @@ def _contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.contamination_overlap(corpus, bench, n=3)
 
 
+def _docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prescreen decontamination (the 100 TB shape of
+    contamination_ngram): the benchmark slice folds into a 16 KB bloom
+    embedded as a plan literal; the corpus side is a map-only probe (ONE
+    md5 per shingle) + one groupBy(doc). Deterministic false positives ⇒
+    bit-exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return pipeline.bloom_decontaminate(corpus, bench, n=3)
+
+
+def _docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights vs the English slice as the target domain:
+    per doc, Σ log(p_target/p_raw) over 4096 hashed bigram buckets — the
+    pretraining mixture-selection signal. Both count tables are B-row
+    bounded by construction (sound broadcasts at any corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.dsir_importance(docs, docs.where(F.col("lang") == "en"), n=2)
+
+
 def _sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% Bernoulli sample by stable 60-bit hash —
     partitioning/engine-independent (unlike df.sample)."""
@@ -1995,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": _tpch_q2,
         "ann_ivf_bq_at_rest": _ann_ivf_bq_at_rest,
         "knn_rabitq_at_rest": _knn_rabitq_at_rest,
+        "docs_bloom_decontam": _docs_bloom_decontam,
+        "docs_dsir_weights": _docs_dsir_weights,
         # -- code changed in r7 (eval_once barriers / cluster-map keying /
         #    kmv+perplexity fixes): r6 evidence is stale, re-prove --------
         "dedup_minhash_lsh": _dedup_minhash,
@@ -2031,11 +2054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2_filtered": _knn_l2_filtered,
         "knn_l2_projected": _knn_l2_projected,
         "knn_batch": _knn_batch,
-        "knn_threshold": _knn_threshold,
-        "point_get": _point_get,
         # -- driver window ends here (first 50 entries; recount with
         # scripts/verify_driver.py after ANY insertion above) ------------
         # -- r5-evidenced, unchanged; oldest of these rotate in next round
+        "knn_threshold": _knn_threshold,
+        "point_get": _point_get,
         "scan_filter": _scan_filter,
         "scan_filter_in_ne": _scan_filter_in_ne,
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -3015,6 +3038,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contamination_ngram": pipeline.contamination_overlap_sql(
             "doc_id % 97 <> 0", "doc_id % 97 = 0", n=3),
+        "docs_bloom_decontam": pipeline.bloom_decontaminate_sql(
+            "doc_id % 97 <> 0", "doc_id % 97 = 0", n=3),
+        "docs_dsir_weights": pipeline.dsir_importance_sql("lang = 'en'", n=2),
         "sample_hash_bernoulli": f"""
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE {pipeline.hash_sample_pred_sql(0.10, "doc_id", seed=42)}

@@ -268,6 +268,27 @@ COMMENTARY = {
         "underfull prefiltered groups scale by 2^prefilter_bits instead "
         "of undercounting."
     ),
+    "docs_bloom_decontam": (
+        "Bloom-prescreen decontamination — the 100 TB shape of "
+        "contamination_ngram: the benchmark folds into a 16 KB bit "
+        "vector embedded as a PLAN LITERAL, so the corpus side has NO "
+        "join node at all — scan → shingle Generate → literal-array bit "
+        "probes (one md5 per shingle, k positions via Kirsch-"
+        "Mitzenmacher) → one groupBy(doc). False positives are "
+        "deterministic (both engines compute the identical bit vector), "
+        "so the oracle matches bit-for-bit."
+    ),
+    "docs_dsir_weights": (
+        "DSIR importance weights: both hashed-bucket count tables are "
+        "B=4096-row aggregates — bounded BY CONSTRUCTION, so their "
+        "`BroadcastExchange` is sound at any corpus size (contrast the "
+        "perplexity vocab tables, which must stay AQE-decided); the raw "
+        "side is one explode → broadcast probe → groupBy(doc). The "
+        "per-bucket log-ratio is computed once in the tiny weight table. "
+        "The corpus is scanned twice (count pass + probe pass), both "
+        "map-only before their exchanges; the count pass shuffles only "
+        "B-row partials thanks to map-side combine."
+    ),
     "docs_weighted_sample": (
         "Weighted sampling: priority = hash/weight is one codegen "
         "division in the scan projection, and the global top-50 is a "

@@ -578,3 +578,72 @@ def test_weighted_sample_favors_heavy_items(spark):
     picked = {r["doc_id"] for r in
               pipeline.weighted_sample(df, "w", 50, id_col="doc_id").collect()}
     assert len(picked & set(range(10))) >= 8
+
+
+def test_bloom_decontaminate_superset_and_exact_copy(spark):
+    """Bloom prescreen: no false negatives (flags ⊇ true overlap), an
+    exact benchmark copy flags 100%, and the corpus-side plan carries NO
+    join — the benchmark rides as a plan literal."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, bench_text),                                   # exact copy
+        (2, "alpha beta gamma completely different tail"),  # partial
+        (3, "totally unrelated words nowhere in benchmark x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pipeline.bloom_decontaminate(docs, bench, n=3).collect()}
+    assert out[1]["flag_frac"] == 1.0
+    assert out[2]["n_flagged"] >= 1          # shares 'alpha beta gamma'
+    assert out[3]["n_flagged"] <= out[3]["n_shingles"]  # fp allowed, bounded
+    # exact-join truth is a subset of the bloom flags per doc
+    truth = {r["doc_id"]: r["n_shared_shingles"] for r in
+             pipeline.contamination_overlap(docs, bench, n=3).collect()}
+    for d, n_shared in truth.items():
+        assert out[d]["n_flagged"] >= n_shared
+    # corpus side must not join anything: benchmark is a literal bitset
+    plan = pipeline.bloom_decontaminate(docs, bench, n=3)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_dsir_importance_matches_python_model(spark):
+    """Exact log-weight parity vs an independent Python add-one model
+    over hashed distinct bigrams, and the directional property: a doc
+    made of target-domain text outweighs an off-domain doc."""
+    import math
+
+    from vecgo_spark.functions.hashing import stable_hash64_py
+
+    B = 64  # small bucket space to force collisions through the model
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "der schnelle braune fuchs springt ueber den faulen hund"),
+        (3, "the quick brown fox naps under the shady tree"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") == 1)
+
+    def doc_buckets(text):
+        toks = text.lower().split()
+        grams = sorted({" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)})
+        return [stable_hash64_py(g) % B for g in grams]
+
+    c_r, c_t = {}, {}
+    for i, t in rows:
+        for b in doc_buckets(t):
+            c_r[b] = c_r.get(b, 0) + 1
+            if i == 1:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    want = {}
+    for i, t in rows:
+        bs = doc_buckets(t)
+        w = sum(math.log((c_t.get(b, 0) + 1) / (n_t + B))
+                - math.log((c_r.get(b, 0) + 1) / (n_r + B)) for b in bs)
+        want[i] = (len(bs), round(w, 6))
+    got = {r["doc_id"]: (r["n_grams"], r["log_weight"]) for r in
+           pipeline.dsir_importance(docs, target, n=2, buckets=B).collect()}
+    assert got == want
+    assert got[3][1] > got[2][1]  # shares target bigrams > off-domain

@@ -112,6 +112,249 @@ def contamination_overlap_sql(
     """
 
 
+# ---------------------------------------------- bloom decontamination
+
+BLOOM_DECON_M = 1 << 17  # bits (16 KB) — plan-literal sized
+BLOOM_DECON_K = 4
+
+
+def _bloom_positions_sql(expr: str, m: int, k: int) -> list[str]:
+    """k Kirsch-Mitzenmacher positions pos_s = (h1 + s·h2) mod m from ONE
+    md5 (hex chars 1-15 and 16-30) — identical in Spark / DuckDB /
+    Python. h1 + (k−1)·h2 < k·2^60 < 2^63: no BIGINT overflow."""
+    h1 = f"('0x' || substr(md5('0:' || {expr}), 1, 15))::BIGINT"
+    h2 = f"('0x' || substr(md5('0:' || {expr}), 16, 15))::BIGINT"
+    return [f"(({h1} + {s} * {h2}) % {m})" for s in range(k)]
+
+
+def _bloom_positions(c, m: int, k: int) -> list:
+    """Spark twin of _bloom_positions_sql."""
+    md5 = F.md5(F.concat(F.lit("0:"), c))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+    return [F.pmod(h1 + F.lit(s) * h2, F.lit(m)) for s in range(k)]
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_DECON_M,
+    k: int = BLOOM_DECON_K,
+) -> DataFrame:
+    """Bloom-filter benchmark-overlap prescreen — the 100 TB shape of
+    contamination_overlap: per corpus document, how many of its distinct
+    n-gram shingles MIGHT appear in the benchmark (bloom hit) vs its
+    total distinct shingles.
+
+    Scale posture: the benchmark folds into an m-bit bloom (16 KB at the
+    default) embedded as a PLAN LITERAL — the corpus side is a map-only
+    scan + one groupBy(id); no join against benchmark shingles at all,
+    and the probe costs ONE md5 per shingle (k positions derive from one
+    hash, Kirsch-Mitzenmacher (h1 + s·h2) mod m). contamination_overlap
+    remains the exact-join verifier for flagged docs.
+
+    False positives are ~(1−e^{−kn/m})^k (≈0.4% at 5k bench shingles,
+    m=2^17, k=4) and DETERMINISTIC — both engines compute the identical
+    bit vector and probes, so the oracle matches bit-for-bit including
+    every false positive. Misses never happen (a bloom has no false
+    negatives): n_flagged is a guaranteed superset count of true overlap.
+    """
+    from vecgo_spark.operators.dedup import _doc_shingles
+
+    # build: distinct benchmark shingles → k positions each → driver set.
+    # The collect is bounded by min(k·#bench_shingles, m) ≤ m ints — eval
+    # suites are small by construction; the corpus never flows here.
+    bsh = _doc_shingles(bench, id_col, text_col, n).select("shingle").distinct()
+    pos_rows = (
+        bsh.select(F.explode(F.array(*_bloom_positions(F.col("shingle"), m, k))).alias("p"))
+        .distinct().collect()
+    )
+    bits = bytearray(m // 8)
+    for r in pos_rows:
+        p = int(r["p"])
+        bits[p >> 3] |= 1 << (p & 7)
+    words = [int.from_bytes(bits[i:i + 8], "little", signed=True)
+             for i in range(0, len(bits), 8)]
+    # ONE py4j literal each — element-wise F.lit() would cost m/64 + 64
+    # driver roundtrips (~4s of pure plan-construction chatter)
+    words_lit = F.lit(words).cast("array<bigint>")
+    pow2 = F.lit([1 << b if b < 63 else -(1 << 63)
+                  for b in range(64)]).cast("array<bigint>")
+
+    csh = _doc_shingles(docs, id_col, text_col, n)
+    probes = _bloom_positions(F.col("shingle"), m, k)
+    hit = None
+    for pos in probes:
+        word = F.get(words_lit, F.shiftright(pos, 6).cast("int"))
+        mask = F.get(pow2, F.pmod(pos, F.lit(64)).cast("int"))
+        one = word.bitwiseAND(mask) != F.lit(0).cast("bigint")
+        hit = one if hit is None else (hit & one)
+    return (
+        csh.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_flagged"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_shingles", "n_flagged",
+            F.round(F.col("n_flagged").cast("double")
+                    / F.col("n_shingles").cast("double"), 8).alias("flag_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bloom_decontaminate_sql(
+    docs_pred: str,
+    bench_pred: str,
+    docs_table: str = "documents",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_DECON_M,
+    k: int = BLOOM_DECON_K,
+) -> str:
+    """DuckDB twin: a bit set in the bloom ⇔ SOME benchmark shingle
+    hashes to that position, so the bit test replays as set membership —
+    a corpus shingle is flagged iff ALL k of its positions appear in the
+    benchmark position set (identical bits ⇒ identical flags, false
+    positives included)."""
+    bpos_sel = " UNION ".join(
+        f"SELECT {p} AS p FROM bench" for p in _bloom_positions_sql("shingle", m, k))
+    cpos = ", ".join(f"{p} AS p{s}" for s, p in
+                     enumerate(_bloom_positions_sql("shingle", m, k)))
+    all_in = " AND ".join(f"p{s} IN (SELECT p FROM bpos)" for s in range(k))
+    return f"""
+    WITH corpus AS ({_shingle_cte(f"(SELECT * FROM {docs_table} WHERE {docs_pred})", id_col, text_col, n)}),
+    bench AS ({_shingle_cte(f"(SELECT * FROM {docs_table} WHERE {bench_pred})", id_col, text_col, n)}),
+    bpos AS ({bpos_sel}),
+    cpos AS (SELECT id, {cpos} FROM corpus),
+    flagged AS (
+        SELECT id, CASE WHEN {all_in} THEN 1 ELSE 0 END AS hit FROM cpos
+    )
+    SELECT id AS {id_col},
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_flagged,
+           round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 8)
+               AS flag_frac
+    FROM flagged GROUP BY id ORDER BY {id_col}
+    """
+
+
+# --------------------------------------------- DSIR importance weights
+
+DSIR_BUCKETS = 4096
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) over
+    hashed n-gram features: per document, the log importance weight
+    Σ_g log(p_target(b(g)) / p_raw(b(g))) with b(g) = hash(gram) mod B
+    and add-one-smoothed bucket unigram models. High weight ⇒ the doc
+    looks like the target domain; the standard pretraining-mixture
+    selection signal (select top-N by weight, or sample ∝ weight).
+
+    Scale posture: both bucket-count tables are B-row aggregates
+    (B=4096 — bounded BY CONSTRUCTION, so the broadcast hint is sound at
+    any corpus size, unlike a vocab-sized table); the raw side is one
+    explode → broadcast-join → groupBy(id). The per-bucket log-ratio is
+    computed once in the weight table, so the per-gram work is a hash,
+    a join probe, and an add. The corpus is scanned twice (the c_raw
+    count pass and the probe pass) — both map-only before their
+    exchanges, and the count pass's shuffle carries only B-row partials
+    (map-side combine); persist the gram stream to trade executor
+    storage for the second scan if the input is not a cheap re-read.
+
+    Exactness: counts are exact integers, each bucket's log-ratio is a
+    deterministic double, and the per-doc cross-row sum is round(·, 6) —
+    reassociation error ~1e-12, far inside the rounding absorption (the
+    bigram-LM stance)."""
+    from vecgo_spark.operators.dedup import _doc_shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        # distinct grams per doc (the _doc_shingles unit) — a presence
+        # variant of DSIR's frequency features; repeated boilerplate
+        # grams inside one doc count once
+        sh = _doc_shingles(df, id_col, text_col, n)
+        return sh.select("id", F.pmod(stable_hash64("shingle"), F.lit(buckets)).alias("b"))
+
+    raw = grams(docs)
+    c_r = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    c_t = grams(target).groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    n_r = c_r.agg(F.sum("c_r").alias("n_r"))
+    n_t = c_t.agg(F.sum("c_t").alias("n_t"))
+    # dense B-row weight table: log p_t(b) − log p_r(b), add-one smoothed
+    dense = docs.sparkSession.range(buckets).select(F.col("id").cast("long").alias("b"))
+    w = (
+        dense.join(c_t, "b", "left").join(c_r, "b", "left")
+        .crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(n_r))
+        .select(
+            "b",
+            (F.log((F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1)).cast("double")
+                   / (F.col("n_t") + F.lit(buckets)).cast("double"))
+             - F.log((F.coalesce(F.col("c_r"), F.lit(0)) + F.lit(1)).cast("double")
+                     / (F.col("n_r") + F.lit(buckets)).cast("double"))).alias("lw"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.round(F.sum("lw"), 6).alias("log_weight"))
+        .select(F.col("id").alias(id_col), "n_grams", "log_weight")
+        .orderBy(id_col)
+    )
+
+
+def dsir_importance_sql(
+    target_pred: str,
+    docs_table: str = "documents",
+    n: int = 2,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    h = stable_hash64_sql("shingle")
+    grams = _shingle_cte(docs_table, id_col, text_col, n)
+    tgt = _shingle_cte(f"(SELECT * FROM {docs_table} WHERE {target_pred})",
+                       id_col, text_col, n)
+    return f"""
+    WITH raw0 AS ({grams}),
+    raw AS (SELECT id, {h} % {buckets} AS b FROM raw0),
+    tgt0 AS ({tgt}),
+    tgt AS (SELECT id, {h} % {buckets} AS b FROM tgt0),
+    c_r AS (SELECT b, count(*) AS c_r FROM raw GROUP BY b),
+    c_t AS (SELECT b, count(*) AS c_t FROM tgt GROUP BY b),
+    n_r AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM c_r),
+    n_t AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM c_t),
+    w AS (
+        SELECT d.b,
+               ln(CAST(COALESCE(c_t.c_t, 0) + 1 AS DOUBLE)
+                  / CAST(n_t.n_t + {buckets} AS DOUBLE))
+               - ln(CAST(COALESCE(c_r.c_r, 0) + 1 AS DOUBLE)
+                    / CAST(n_r.n_r + {buckets} AS DOUBLE)) AS lw
+        FROM (SELECT unnest(range(0, {buckets})) AS b) d
+        LEFT JOIN c_t ON c_t.b = d.b
+        LEFT JOIN c_r ON c_r.b = d.b, n_t, n_r
+    )
+    SELECT raw.id AS {id_col},
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(w.lw), 6) AS log_weight
+    FROM raw JOIN w ON w.b = raw.b
+    GROUP BY raw.id ORDER BY {id_col}
+    """
+
+
 # ------------------------------------------------------- hash sampling
 
 def hash_sample(
