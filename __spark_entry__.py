@@ -1646,6 +1646,17 @@ def _docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.bloom_decontaminate(corpus, bench, n=3)
 
 
+_MIXTURE_BUDGETS = {"src0": 2_000, "src1": 5_000, "src2": 800}
+
+
+def _docs_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture cut (the trainer-recipe selection):
+    hash-ordered docs admitted per source until each source's token
+    budget is reached; sources without a budget drop out."""
+    return pipeline.token_budget_mixture(
+        load_table(spark, sf_dir, "documents"), _MIXTURE_BUDGETS)
+
+
 def _docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights vs the English slice as the target domain:
     per doc, Σ log(p_target/p_raw) over 4096 hashed bigram buckets — the
@@ -2018,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rabitq_at_rest": _knn_rabitq_at_rest,
         "docs_bloom_decontam": _docs_bloom_decontam,
         "docs_dsir_weights": _docs_dsir_weights,
+        "docs_token_budget_mixture": _docs_token_budget_mixture,
         # -- code changed in r7 (eval_once barriers / cluster-map keying /
         #    kmv+perplexity fixes): r6 evidence is stale, re-prove --------
         "dedup_minhash_lsh": _dedup_minhash,
@@ -2053,10 +2065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _knn("cosine"),
         "knn_l2_filtered": _knn_l2_filtered,
         "knn_l2_projected": _knn_l2_projected,
-        "knn_batch": _knn_batch,
         # -- driver window ends here (first 50 entries; recount with
         # scripts/verify_driver.py after ANY insertion above) ------------
         # -- r5-evidenced, unchanged; oldest of these rotate in next round
+        "knn_batch": _knn_batch,
         "knn_threshold": _knn_threshold,
         "point_get": _point_get,
         "scan_filter": _scan_filter,
@@ -3041,6 +3053,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_bloom_decontam": pipeline.bloom_decontaminate_sql(
             "doc_id % 97 <> 0", "doc_id % 97 = 0", n=3),
         "docs_dsir_weights": pipeline.dsir_importance_sql("lang = 'en'", n=2),
+        "docs_token_budget_mixture": pipeline.token_budget_mixture_sql(
+            _MIXTURE_BUDGETS),
         "sample_hash_bernoulli": f"""
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE {pipeline.hash_sample_pred_sql(0.10, "doc_id", seed=42)}

@@ -289,6 +289,15 @@ COMMENTARY = {
         "map-only before their exchanges; the count pass shuffles only "
         "B-row partials thanks to map-side combine."
     ),
+    "docs_token_budget_mixture": (
+        "Token-budget mixture cut: n_tokens and the hash priority are "
+        "scan-fused projections, budgets ride as a literal CASE "
+        "(O(#sources) plan size, no join), and the ONLY exchange is the "
+        "hashpartitioning(source) window computing the running token "
+        "sum; the greedy cut is a codegen predicate over that sum. A "
+        "mega-source is one window partition — the stratified_sample "
+        "skew caveat applies."
+    ),
     "docs_weighted_sample": (
         "Weighted sampling: priority = hash/weight is one codegen "
         "division in the scan projection, and the global top-50 is a "

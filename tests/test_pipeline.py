@@ -647,3 +647,34 @@ def test_dsir_importance_matches_python_model(spark):
            pipeline.dsir_importance(docs, target, n=2, buckets=B).collect()}
     assert got == want
     assert got[3][1] > got[2][1]  # shares target bigrams > off-domain
+
+
+def test_token_budget_mixture_model_and_invariance(spark):
+    """Exact python-model parity (hash-ordered greedy prefix per source,
+    crossing doc included), partition independence, and budgetless
+    sources dropped."""
+    from vecgo_spark.functions.hashing import stable_hash64_py
+
+    rows = [(i, ["a", "b", "c"][i % 3], "w " * ((i % 9) + 1)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"a": 40, "b": 7}
+
+    want = {}
+    for src, budget in budgets.items():
+        docs = [(stable_hash64_py(str(i)), i, len(t.split()))
+                for i, s, t in rows if s == src]
+        cum = 0
+        for _pri, i, n in sorted(docs):
+            if cum < budget:
+                cum += n
+                want[i] = (src, n, cum)
+    got = {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+           for r in pipeline.token_budget_mixture(df, budgets).collect()}
+    assert got == want
+    assert all(src != "c" for src, _, _ in got.values())
+    # budget reached: final cum per source >= budget (crossing doc kept)
+    for src, budget in budgets.items():
+        assert max(c for s, _, c in got.values() if s == src) >= budget
+    got2 = {r["doc_id"] for r in
+            pipeline.token_budget_mixture(df.repartition(11), budgets).collect()}
+    assert got2 == set(got)

@@ -244,6 +244,98 @@ def bloom_decontaminate_sql(
     """
 
 
+# ------------------------------------------- token-budget mixture cuts
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-source TOKEN-budget selection — the mixture cut
+    a pretraining run makes when its recipe says "this many tokens from
+    each source" (corpus_balance counts DOCS; token budgets are what the
+    trainer actually consumes).
+
+    Per source, documents are ordered by (stable hash of id, id) — an
+    unbiased, partition-independent shuffle — and the running token sum
+    greedily admits documents while the PRECEDING total is under the
+    source's budget, so the selection always reaches the budget (the
+    crossing document is included; sources absent from `budgets` are
+    dropped). Output: one row per selected doc with its running total.
+
+    Scale posture: n_tokens is a scan-fused projection, the budgets ride
+    as a literal CASE (O(#sources) plan size), and the only exchange is
+    ONE window partitioned by source. A mega-source is one window
+    partition — the same skew caveat as stratified_sample; salt the
+    source upstream if a single source exceeds an executor."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    budget_expr = None
+    for s, b in sorted(budgets.items()):
+        if budget_expr is None:
+            budget_expr = F.when(F.col(source_col) == s, F.lit(int(b)).cast("long"))
+        else:
+            budget_expr = budget_expr.when(
+                F.col(source_col) == s, F.lit(int(b)).cast("long"))
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(tokenize_expr(text_col)).cast("long").alias("n_tokens"),
+        stable_hash64(F.col(id_col).cast("string"), seed=seed).alias("_pri"),
+        budget_expr.alias("_budget"),
+    ).where(F.col("_budget").isNotNull())
+    w = (
+        Window.partitionBy("source").orderBy("_pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        d.select(id_col, "source", "n_tokens", cum.alias("cum_tokens"), "_budget")
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+        .drop("_budget")
+        .orderBy("source", id_col)
+    )
+
+
+def token_budget_mixture_sql(
+    budgets: dict[str, int],
+    docs_table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> str:
+    toks = _TOKS_SQL.format(c=text_col)
+    h = stable_hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
+    case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(b)}"
+        for s, b in sorted(budgets.items())
+    ) + " END"
+    return f"""
+    WITH d AS (
+        SELECT {id_col}, {source_col} AS source,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               {h} AS pri, {case} AS budget
+        FROM {docs_table}
+        WHERE {case} IS NOT NULL
+    ),
+    c AS (
+        SELECT {id_col}, source, n_tokens, budget,
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+        FROM d
+    )
+    SELECT {id_col}, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < budget
+    ORDER BY source, {id_col}
+    """
+
+
 # --------------------------------------------- DSIR importance weights
 
 DSIR_BUCKETS = 4096
