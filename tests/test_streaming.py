@@ -277,3 +277,55 @@ def test_streaming_kmv_converges_to_batch_sketch(spark, tmp_path):
     assert got == want
     assert got["b"] == (5, 5.0)          # under k ⇒ exact
     assert got["a"][0] == k              # bounded state: exactly k mins kept
+
+
+def test_streaming_rolling_anomaly_matches_batch(spark, tmp_path):
+    """Cross-micro-batch rolling z-score must flag EXACTLY the rows the
+    batch window operator flags on the union, when events arrive in time
+    order — the (n, Σx, Σx²) state carries the frame across the batch
+    boundary. State is bounded at `frame` values per key."""
+    import datetime
+
+    from vecgo_spark.streaming.stateful import streaming_rolling_anomaly
+    from vecgo_spark.streaming.windows import rolling_anomaly
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    rows = []
+    for i in range(80):
+        v = 50.0 + (i % 7)
+        if i in (45, 70):
+            v = 4000.0                     # planted anomalies (one per batch half)
+        rows.append((i, base + datetime.timedelta(minutes=i), 1,
+                     "tick" if i % 2 == 0 else "tock", v, "{}"))
+    # time-ordered split: batch 1 = first 40 events, batch 2 = rest
+    src = str(tmp_path / "anom_src")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:40], schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows[40:], schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*/")
+    )
+    q = (
+        streaming_rolling_anomaly(stream, frame=30, min_n=10)
+        .writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["event_id"]: (r["n"], r["is_anomaly"])
+           for r in spark.sql("SELECT * FROM anom_out").collect()}
+    want = {r["event_id"]: (r["n"], r["is_anomaly"])
+            for r in rolling_anomaly(
+                spark.createDataFrame(rows, schema), frame=30, min_n=10).collect()}
+    assert got == want
+    assert want[45][1] and want[70][1]   # both planted spikes flagged
+    assert sum(1 for _n, f in want.values() if f) <= 6  # band stays quiet

@@ -116,3 +116,91 @@ def streaming_kmv_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_rolling_anomaly(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    frame: int = 100,
+    min_n: int = 20,
+    z: int = 2,
+) -> DataFrame:
+    """Streaming twin of windows.rolling_anomaly: per key, a value flags
+    iff it sits more than `z` standard deviations from the mean of the
+    PRECEDING `frame` values — the same (n, Σx, Σx²) integer
+    cross-multiplied test, held in GroupState instead of a window frame.
+
+    State is BOUNDED at `frame` longs per key regardless of stream
+    length (the deque of recent x_e2 values); x_e2 is computed JVM-side
+    before the stateful exchange, so the pandas worker only folds
+    integers. Rows are processed in (ts, id) order WITHIN each
+    micro-batch; cross-batch parity with the batch operator assumes
+    in-order arrival per key (enforce upstream with a watermark + sort,
+    the standard streaming ordering contract). Python integers are
+    arbitrary-precision, so the in-range results match the batch
+    operator's guarded int64 math exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, DoubleType, TimestampType
+
+    prepped = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        F.round(F.col(value_col) * 100).cast("long").alias("x_e2"),
+    )
+    out_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("key", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("n", LongType()),
+        StructField("is_anomaly", BooleanType()),
+    ])
+    from pyspark.sql.types import ArrayType
+
+    state_schema = StructType([StructField("win", ArrayType(LongType()))])
+
+    def upd(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+            ) -> Iterator[pd.DataFrame]:
+        win = list(state.get[0]) if state.exists else []
+        s1 = sum(win)
+        s2 = sum(v * v for v in win)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+        ids, tss, vals, ns, flags = [], [], [], [], []
+        for _, row in pdf.iterrows():
+            x = int(row["x_e2"])
+            n = len(win)
+            dev = n * x - s1
+            flags.append(bool(n >= min_n and dev * dev > z * z * (n * s2 - s1 * s1)))
+            ids.append(int(row["id"]))
+            tss.append(row["ts"])
+            vals.append(float(row["value"]))
+            ns.append(n)
+            win.append(x)
+            s1 += x
+            s2 += x * x
+            if len(win) > frame:
+                old = win.pop(0)
+                s1 -= old
+                s2 -= old * old
+        state.update((win,))
+        yield pd.DataFrame({
+            "event_id": ids, "key": [key[0]] * len(ids), "ts": tss,
+            "value": vals, "n": ns, "is_anomaly": flags,
+        })
+
+    return (
+        prepped.groupBy("key")
+        .applyInPandasWithState(
+            upd,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
