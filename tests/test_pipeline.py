@@ -678,3 +678,38 @@ def test_token_budget_mixture_model_and_invariance(spark):
     got2 = {r["doc_id"] for r in
             pipeline.token_budget_mixture(df.repartition(11), budgets).collect()}
     assert got2 == set(got)
+
+
+def test_rolling_anomaly_limit_scales_with_z(spark):
+    """Review r7: the overflow limit must tighten with z — z²·var_n2 is
+    the binding term for z ≥ 3, so a magnitude that passes at z=2 raises
+    at z=4 instead of silently wrapping the RHS."""
+    import datetime
+
+    from vecgo_spark.streaming.windows import anomaly_x_limit, rolling_anomaly
+
+    assert anomaly_x_limit(100, 2) == 2 * anomaly_x_limit(100, 4)
+    base = datetime.datetime(2024, 1, 1)
+    lim4 = anomaly_x_limit(100, 4)
+    val = (lim4 + 50) / 100.0  # passes z=2's limit, exceeds z=4's
+    rows = [(i, base + datetime.timedelta(minutes=i), 1, "t", val, "{}")
+            for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    assert len(rolling_anomaly(ev, z=2).collect()) == 5
+    with pytest.raises(Exception, match="overflow guard"):
+        rolling_anomaly(ev, z=4).collect()
+
+
+def test_token_budget_mixture_edge_inputs(spark):
+    """Review r7: empty budgets raise instead of crashing/emitting broken
+    SQL, and quoted source names survive the SQL twin."""
+    df = spark.createDataFrame([(1, "a", "x y z")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="at least one source"):
+        pipeline.token_budget_mixture(df, {})
+    with pytest.raises(ValueError, match="at least one source"):
+        pipeline.token_budget_mixture_sql({})
+    sql = pipeline.token_budget_mixture_sql({"o'reilly": 10})
+    assert "'o''reilly'" in sql

@@ -345,14 +345,22 @@ def test_rabitq_at_rest_serves_estimator_and_survives_reopen(spark, tmp_path):
     t2.insert(spark.createDataFrame([(9200, v)], "id long, vector array<double>"))
     t2.commit()
     assert 9200 in {r["id"] for r in t2.search_quantized(v, k=1, codes="bq").collect()}
-    # refine reranks the coarse estimate against full-precision vectors
+    # refine reranks the coarse estimate against full-precision vectors:
+    # ground truth = exact L2 rerank of the coarse estimator's top-20
+    # pool computed independently here, so a rerank miswiring can't pass
     ref = t2.search_quantized(q, k=3, codes="rabitq", refine=20).collect()
-    exact = (
-        t2.df().select("id", vfn.sq_l2("vector", F.array(*[F.lit(float(x)) for x in q])).alias("score"))
+    coarse_pool = [r["id"] for r in (
+        t2.df().select(
+            "id",
+            bqz.rabitq_l2_estimate(
+                bqz.hamming_words(bqz.pack_bits("vector", DIM), q_words),
+                vfn.l2_norm("vector"), q_norm, DIM).alias("est"))
+        .orderBy(F.col("est").asc(), F.col("id").asc()).limit(20).collect())]
+    want = (
+        t2.df().where(F.col("id").isin(coarse_pool))
+        .select("id", vfn.sq_l2("vector", F.array(*[F.lit(float(x)) for x in q])).alias("score"))
         .orderBy(F.col("score").asc(), F.col("id").asc()).limit(3).collect())
-    # refine=20 >> k means the exact top-3 is recovered if it survives coarse
-    assert {r["id"] for r in ref} <= {r["id"] for r in exact} | {r["id"] for r in ref}
-    assert len(ref) == 3
+    assert [(r["id"], r["score"]) for r in ref] == [(r["id"], r["score"]) for r in want]
 
 
 def test_bq_table_rejects_rabitq_serving_and_plain_compact_drops_binary(spark, tmp_path):

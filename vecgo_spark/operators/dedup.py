@@ -739,7 +739,7 @@ AUTO_LSH_ROWS = 10_000_000  # above this the O(n²) block matmul is refused
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vector_col: str = "embedding",
     threshold: float = 0.95, candidates: str = "auto", n_blocks: int = 16,
-    auto_lsh_rows: int = AUTO_LSH_ROWS,
+    auto_lsh_rows: int = AUTO_LSH_ROWS, n_rows: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ threshold.
 
@@ -752,8 +752,12 @@ def embedding_neardup_pairs(
                                up to auto_lsh_rows rows, "lsh" above —
                                so the O(n²) matmul can never be the
                                silent default on a web-scale corpus
-                               (VERDICT r6). The count is one
-                               metadata-cheap job.
+                               (VERDICT r6). The count is metadata-cheap
+                               on a raw parquet scan but EXECUTES the
+                               upstream plan when `emb` is derived
+                               (filtered/joined) — pass n_rows (exact or
+                               estimated) to skip the count job, or pick
+                               the strategy explicitly.
            candidates="block"  exact block-pair matmul join —
                                distributed, no driver collect, O(n²)
                                compute split across B(B+1)/2 tasks;
@@ -769,7 +773,7 @@ def embedding_neardup_pairs(
     """
     cutoff = threshold - 1e-9
     if candidates == "auto":
-        n = emb.count()
+        n = emb.count() if n_rows is None else int(n_rows)
         candidates = "lsh" if n > auto_lsh_rows else "block"
         _log.info("embedding_neardup auto strategy: %d rows -> %s", n, candidates)
     if candidates == "block":

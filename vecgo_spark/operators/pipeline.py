@@ -162,7 +162,6 @@ def bloom_decontaminate(
     every false positive. Misses never happen (a bloom has no false
     negatives): n_flagged is a guaranteed superset count of true overlap.
     """
-    from vecgo_spark.operators.dedup import _doc_shingles
 
     # build: distinct benchmark shingles → k positions each → driver set.
     # The collect is bounded by min(k·#bench_shingles, m) ≤ m ints — eval
@@ -274,6 +273,8 @@ def token_budget_mixture(
     source upstream if a single source exceeds an executor."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
+    if not budgets:
+        raise ValueError("token_budget_mixture: budgets must name at least one source")
     budget_expr = None
     for s, b in sorted(budgets.items()):
         if budget_expr is None:
@@ -309,10 +310,13 @@ def token_budget_mixture_sql(
     text_col: str = "text",
     seed: int = 0,
 ) -> str:
+    if not budgets:
+        raise ValueError("token_budget_mixture: budgets must name at least one source")
     toks = _TOKS_SQL.format(c=text_col)
     h = stable_hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=seed)
     case = "CASE " + " ".join(
-        f"WHEN {source_col} = '{s}' THEN {int(b)}"
+        "WHEN {c} = '{s}' THEN {b}".format(
+            c=source_col, s=str(s).replace("'", "''"), b=int(b))
         for s, b in sorted(budgets.items())
     ) + " END"
     return f"""
@@ -371,7 +375,6 @@ def dsir_importance(
     deterministic double, and the per-doc cross-row sum is round(·, 6) —
     reassociation error ~1e-12, far inside the rounding absorption (the
     bigram-LM stance)."""
-    from vecgo_spark.operators.dedup import _doc_shingles
 
     def grams(df: DataFrame) -> DataFrame:
         # distinct grams per doc (the _doc_shingles unit) — a presence

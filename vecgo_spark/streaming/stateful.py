@@ -140,10 +140,16 @@ def streaming_rolling_anomaly(
     micro-batch; cross-batch parity with the batch operator assumes
     in-order arrival per key (enforce upstream with a watermark + sort,
     the standard streaming ordering contract). Python integers are
-    arbitrary-precision, so the in-range results match the batch
-    operator's guarded int64 math exactly."""
+    arbitrary-precision, so in-range results match the batch operator's
+    guarded int64 math exactly — and out-of-range values raise the SAME
+    overflow error the batch guard raises (anomaly_x_limit), keeping the
+    twins in lockstep on bad input too."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType, DoubleType, TimestampType
+
+    from vecgo_spark.streaming.windows import anomaly_x_limit
+
+    limit = anomaly_x_limit(frame, z)
 
     prepped = stream.select(
         F.col(key_col).cast("string").alias("key"),
@@ -174,6 +180,11 @@ def streaming_rolling_anomaly(
         ids, tss, vals, ns, flags = [], [], [], [], []
         for _, row in pdf.iterrows():
             x = int(row["x_e2"])
+            if abs(x) > limit:
+                raise ValueError(
+                    f"rolling_anomaly overflow guard: |x_e2|={abs(x)} exceeds "
+                    f"{limit} (frame={frame}, z={z}) — the integer z-test "
+                    "would wrap; rescale the value column")
             n = len(win)
             dev = n * x - s1
             flags.append(bool(n >= min_n and dev * dev > z * z * (n * s2 - s1 * s1)))

@@ -78,6 +78,13 @@ def session_agg(
     )
 
 
+def anomaly_x_limit(frame: int, z: int) -> int:
+    """Largest |x_e2| for which the integer cross-multiplied z-test stays
+    inside int64: both dev² ≤ (2·frame·M)² and z²·(n·s2 − s1²) ≤
+    z²·frame²·M² must be < 2⁶³, so M ≤ √(2⁶³−1)/(frame·max(2, z))."""
+    return int((2**63 - 1) ** 0.5) // (frame * max(2, z))
+
+
 def rolling_anomaly(
     df: DataFrame,
     key_col: str = "event_type",
@@ -103,22 +110,23 @@ def rolling_anomaly(
 
     Scale posture: ONE shuffle on the key; the frame is ROWS-bounded so
     state per partition is O(frame). Long-range (ADVICE r6): with SIGNED
-    values the binding term is dev² = (n·x − s1)² ≤ (2·frame·max|x_e2|)²,
-    so longs hold only to max|x_e2| ≤ ⌊√(2⁶³−1)/(2·frame)⌋ (~1.5·10⁷,
-    i.e. |value| ≤ ~150k, at frame 100 — half the old doc's non-negative
-    bound). Spark wraps silently on long overflow, so out-of-range inputs
-    raise loudly instead of flipping flags (DuckDB's BIGINT already
-    errors on overflow, so the oracle twin needs no guard)."""
+    values the binding terms are dev² = (n·x − s1)² ≤ (2·frame·M)² and
+    z²·(n·s2 − s1²) ≤ z²·frame²·M², so longs hold only to
+    M = max|x_e2| ≤ ⌊√(2⁶³−1)/(frame·max(2, z))⌋ (~1.5·10⁷, i.e.
+    |value| ≤ ~150k, at frame 100 and z ≤ 2; z = 4 halves it). Spark
+    wraps silently on long overflow, so out-of-range inputs raise loudly
+    instead of flipping flags (DuckDB's BIGINT already errors on
+    overflow, so the oracle twin needs no guard)."""
     from pyspark.sql.window import Window
 
-    limit = int((2**63 - 1) ** 0.5) // (2 * frame)
+    limit = anomaly_x_limit(frame, z)
     raw = F.round(F.col(value_col) * 100).cast("long")
     x = F.when(
         F.abs(raw) > F.lit(limit),
         F.raise_error(F.concat(
             F.lit("rolling_anomaly overflow guard: |x_e2|="),
             F.abs(raw).cast("string"),
-            F.lit(f" exceeds {limit} (frame={frame}) — the integer "
+            F.lit(f" exceeds {limit} (frame={frame}, z={z}) — the integer "
                   "z-test would wrap; rescale the value column"))
         ).cast("long"),
     ).otherwise(raw)
