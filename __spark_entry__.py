@@ -2040,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_best_quality": _dedup_keep_best_quality,
         "embedding_neardup": _embedding_neardup,
+        "dedup_simhash": _dedup_simhash,
         # -- regression canaries kept inside the driver window -----------
         "events_tumbling_1h": _events_tumbling_1h,
         "events_sliding_1h30m": _events_sliding_1h30m,
@@ -2064,10 +2065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),
         "knn_l2_filtered": _knn_l2_filtered,
-        "knn_l2_projected": _knn_l2_projected,
         # -- driver window ends here (first 50 entries; recount with
         # scripts/verify_driver.py after ANY insertion above) ------------
         # -- r5-evidenced, unchanged; oldest of these rotate in next round
+        "knn_l2_projected": _knn_l2_projected,
         "knn_batch": _knn_batch,
         "knn_threshold": _knn_threshold,
         "point_get": _point_get,
@@ -2103,7 +2104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_filtered": _hybrid_rrf_filtered,
         "multimodal_features": _multimodal_features,
         "dedup_exact": _dedup_exact,
-        "dedup_simhash": _dedup_simhash,
         "doc_fingerprint": _doc_fingerprint,
         "sample_hash_bernoulli": _sample_hash_bernoulli,
         "pack_sequences_budget": _pack_sequences_budget,

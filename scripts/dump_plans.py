@@ -105,7 +105,11 @@ COMMENTARY = {
         "cap, and pair dedup is an IN-ROW min-surviving-chunk predicate "
         "over the two joined signatures — there must be NO exchange "
         "between the chunk join and the hamming filter (the pair-sized "
-        "`.distinct()` is gone)."
+        "`.distinct()` is gone). r7: chunk rows come from ONE "
+        "explode(array of (chunk,key) structs) pass over the persisted "
+        "signatures instead of an n_chunks-way union — each of the three "
+        "consumers (hot agg + both join legs) now reads the cache once, "
+        "not n_chunks times."
     ),
     "dedup_minhash_lsh": (
         "MinHash-LSH near-dup: ONE aggregation builds the 16-hash "
@@ -113,7 +117,9 @@ COMMENTARY = {
         "self-join on the banded 60-bit keys. Band rows carry the full "
         "signature, so min-surviving-band pair dedup AND the "
         "match-count verification are in-row expressions — no pair "
-        "`.distinct()`, no back-joins against the signature table."
+        "`.distinct()`, no back-joins against the signature table. r7: "
+        "band rows come from ONE explode pass (not a num_bands-way "
+        "union) — see the dedup_simhash note."
     ),
     "doc_repetition": (
         "Intra-doc repetition profile (Gopher-style): the ENTIRE plan is "

@@ -225,13 +225,19 @@ def minhash_lsh_pairs(
         cols = [f"{prefix}m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
         return stable_hash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
 
-    bands = [
-        sigs.select("id", *mcols, F.lit(bidx).alias("band"), key_at("", bidx).alias("key"))
+    # one explode pass instead of a num_bands-way union: every consumer
+    # of `banded` (hot-bucket agg + both self-join legs) re-evaluates it,
+    # and the union form re-scanned the persisted signatures num_bands
+    # times per evaluation — the explode form scans them once
+    band_structs = F.array(*[
+        F.struct(F.lit(bidx).alias("band"), key_at("", bidx).alias("key"))
         for bidx in range(num_bands)
-    ]
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    ])
+    banded = (
+        sigs.select("id", *mcols, F.explode(band_structs).alias("_bk"))
+        .select("id", *mcols, F.col("_bk.band").alias("band"),
+                F.col("_bk.key").alias("key"))
+    )
     hot_keys: dict[int, list[int]] = {}
     literal_path = True
     if max_bucket is not None:
@@ -448,13 +454,18 @@ def simhash_pairs(
     def key_at(col, cidx):
         return F.shiftright(col, cidx * chunk_bits).bitwiseAND(F.lit(mask))
 
-    chunks = None
-    for cidx in range(n_chunks):
-        c = sigs.select(
-            "id", "simhash", F.lit(cidx).alias("chunk"),
-            key_at(F.col("simhash"), cidx).alias("key"),
-        )
-        chunks = c if chunks is None else chunks.unionByName(c)
+    # one explode pass instead of an n_chunks-way union (see the matching
+    # comment in minhash_lsh_pairs — every consumer re-evaluates this)
+    chunk_structs = F.array(*[
+        F.struct(F.lit(cidx).alias("chunk"),
+                 key_at(F.col("simhash"), cidx).alias("key"))
+        for cidx in range(n_chunks)
+    ])
+    chunks = (
+        sigs.select("id", "simhash", F.explode(chunk_structs).alias("_ck"))
+        .select("id", "simhash", F.col("_ck.chunk").alias("chunk"),
+                F.col("_ck.key").alias("key"))
+    )
     hot_keys: dict[int, list[int]] = {}
     literal_path = True
     if max_bucket is not None:
