@@ -163,10 +163,12 @@ def bloom_decontaminate(
     negatives): n_flagged is a guaranteed superset count of true overlap.
     """
 
-    # build: distinct benchmark shingles → k positions each → driver set.
-    # The collect is bounded by min(k·#bench_shingles, m) ≤ m ints — eval
-    # suites are small by construction; the corpus never flows here.
-    bsh = _doc_shingles(bench, id_col, text_col, n).select("shingle").distinct()
+    # build: benchmark shingles → k positions each → ONE distinct on the
+    # positions (deduping shingles first would only add an exchange — the
+    # position set is what the bit vector needs). The collect is bounded
+    # by min(k·#bench_shingles, m) ≤ m ints — eval suites are small by
+    # construction; the corpus never flows here.
+    bsh = _doc_shingles(bench, id_col, text_col, n)
     pos_rows = (
         bsh.select(F.explode(F.array(*_bloom_positions(F.col("shingle"), m, k))).alias("p"))
         .distinct().collect()
