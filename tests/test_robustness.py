@@ -279,3 +279,30 @@ def test_legacy_manifest_without_new_fields_loads(spark, tmp_path):
     assert all(s.tomb_lsn_applied == 0 for s in reopened.manifest.segments)
     assert reopened.count() == 6          # falls back to the exact scan
     assert reopened._manifest_count(reopened.manifest) is None
+
+
+@given(
+    corpus=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+                    min_size=1, max_size=8),
+    bench=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+                   min_size=1, max_size=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_decontaminate_superset_property(spark, corpus, bench):
+    """For ANY corpus/benchmark (random token sequences): per-doc bloom
+    flags ≥ exact shared-shingle count (no false negatives), flags ≤
+    total shingles, and an exact-copy doc flags everything — the
+    engine-parity hash math can't silently drop true overlap."""
+    from vecgo_spark.operators import pipeline
+
+    cdocs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    bdocs = [(1000 + i, " ".join(toks)) for i, toks in enumerate(bench)]
+    cdf = spark.createDataFrame(cdocs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bdocs, "doc_id long, text string")
+    flags = {r["doc_id"]: r for r in
+             pipeline.bloom_decontaminate(cdf, bdf, n=3).collect()}
+    exact = {r["doc_id"]: r["n_shared_shingles"] for r in
+             pipeline.contamination_overlap(cdf, bdf, n=3).collect()}
+    for d, row in flags.items():
+        assert 0 <= row["n_flagged"] <= row["n_shingles"]
+        assert row["n_flagged"] >= exact.get(d, 0)
