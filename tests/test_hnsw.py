@@ -264,3 +264,62 @@ def test_filtered_at_rest_shares_strategy(spark, tmp_path):
     exact = [r["id"] for r in knnmod.search(
         t.df(rare), q, k=5, metric="l2", id_col="id", vector_col="vector").collect()]
     assert got == exact
+
+
+def test_refresh_at_rest_indexes_new_segments_incrementally(spark, tmp_path):
+    """Incremental maintenance (the FreshVamana-mapping): after a refresh
+    the post-build segment serves FROM ITS OWN BLOB (no exact delta leg),
+    existing blob dirs are untouched, a no-change refresh is a no-op, and
+    vacuum keeps every live blob dir."""
+    import os
+
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(31)
+    t = VectorTable.create(spark, str(tmp_path / "tref"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(200)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.build_graph_index("hnsw", m=8, ef_construction=64)
+    first_dir = t.manifest.meta["hnsw"]["path"]
+
+    probe = [5.0] * 8
+    t.insert(spark.createDataFrame([(9000, probe)], "id long, vector array<double>"))
+    t.commit()
+    assert len([s for s in t.manifest.segments
+                if s.path not in set(t.manifest.meta["hnsw"]["segments"])]) == 1
+
+    v = t.refresh_graph_index()
+    assert t.manifest.version == v
+    info = t.manifest.meta["hnsw"]
+    # every committed segment is indexed now → the delta leg is gone
+    assert {s.path for s in t.manifest.segments} <= set(info["segments"])
+    assert info["paths"][0] == first_dir and len(info["paths"]) == 2
+    # stored params were reused, blobs in BOTH dirs serve the search
+    got = [r["id"] for r in hnsw.search_at_rest(t, probe, k=3).collect()]
+    assert got[0] == 9000
+    # no-op refresh: no manifest bump, no new dir
+    assert t.refresh_graph_index() == v
+    assert len(t.manifest.meta["hnsw"]["paths"]) == 2
+    # vacuum keeps every live blob dir
+    t.vacuum(keep_versions=1)
+    for p in t.manifest.meta["hnsw"]["paths"]:
+        assert os.path.isdir(os.path.join(t.path, p)), p
+    got = [r["id"] for r in hnsw.search_at_rest(t, probe, k=3).collect()]
+    assert got[0] == 9000
+    # compaction still drops the whole family (blobs index dead segments)
+    t.compact()
+    assert "hnsw" not in t.manifest.meta
+
+
+def test_refresh_requires_existing_index(spark, tmp_path):
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "tref2"), dim=4, metric="l2")
+    t.insert(spark.createDataFrame([(1, [0.0] * 4)], "id long, vector array<double>"))
+    t.commit()
+    with pytest.raises(KeyError, match="no graph index"):
+        t.refresh_graph_index()
+    with pytest.raises(KeyError, match="build it first"):
+        hnsw.refresh_at_rest(t)

@@ -319,3 +319,34 @@ def test_adaptive_block_honors_entry_budget():
         b = adaptive_block(n)
         assert 1 <= b <= 1024
         assert b * n <= 8_000_000 or b == 1     # budget holds once b > 1
+
+
+def test_refresh_at_rest_pq_layout_guard_and_parity(spark, tmp_path):
+    """Vamana refresh: stored r/l/alpha are reused; the PQ layout guard
+    rejects a mismatched refresh (mixed codebooks would silently score
+    two different quantizers); a matching refresh serves the new segment
+    from its blob."""
+    import numpy as np
+
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(33)
+    t = VectorTable.create(spark, str(tmp_path / "tvref"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(200)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.build_graph_index("vamana", r=16, l=32)
+    probe = [5.0] * 8
+    t.insert(spark.createDataFrame([(9100, probe)], "id long, vector array<double>"))
+    t.commit()
+    with pytest.raises(ValueError, match="stored layout"):
+        from vecgo_spark.quantization import pq as pqz
+        books = pqz.train_pq(t.df(), "vector", m=4, k=16, iters=2,
+                             max_train_rows=100, order_col="id")
+        vamana.refresh_at_rest(t, pq=books)
+    v = t.refresh_graph_index("vamana")
+    info = t.manifest.meta["vamana"]
+    assert t.manifest.version == v and len(info["paths"]) == 2
+    got = [r["id"] for r in vamana.search_at_rest(t, probe, k=3).collect()]
+    assert got[0] == 9100

@@ -68,6 +68,26 @@ def build_graphs_at_rest(
     segs = man.segments
     if not segs:
         raise ValueError("nothing to index: table has no committed segments")
+    version = man.version + 1
+    rel = _write_blob_dir(tbl, segs, family, version, build_blob)
+    new = Manifest(
+        version=version, lsn=man.lsn, next_id=man.next_id,
+        created_at=time.time(), segments=list(segs),
+        tombstone_files=list(man.tombstone_files),
+        meta={**man.meta,
+              family: {"path": rel, "segments": [s.path for s in segs], **params}},
+        tombstone_stats=dict(man.tombstone_stats),
+    )
+    save_manifest(tbl.path, new)
+    tbl.manifest = new
+    return version
+
+
+def _write_blob_dir(tbl, segs, family: str, version: int, build_blob) -> str:
+    """One graph blob per segment in `segs` → a versioned parquet dir
+    under _index/; returns the table-relative path."""
+    from vecgo_spark.plans.table import INDEX_DIR
+
     id_col, vector_col = tbl.id_col, tbl.vector_col
     seg_expr = None
     for s in segs:
@@ -91,18 +111,55 @@ def build_graphs_at_rest(
             blob = build_blob([int(r) for r in pdf["id"]], block)
         return pd.DataFrame({"seg": [key[0]], "blob": [blob]})
 
-    version = man.version + 1
     rel = os.path.join(INDEX_DIR, f"{family}-v{version:08d}")
     (
         raw.groupBy("_seg").applyInPandas(build, "seg string, blob binary")
         .write.mode("error").parquet(os.path.join(tbl.path, rel))
     )
+    return rel
+
+
+def blob_paths(info: dict) -> list[str]:
+    """Every live blob dir of an index family — refresh appends dirs
+    instead of rewriting the original (paths[0] == the full-build dir)."""
+    return list(info.get("paths", [info["path"]]))
+
+
+def refresh_graphs_at_rest(tbl, family: str, build_blob) -> int:
+    """Incremental index maintenance — the Spark-side answer to
+    FreshVamana's insert path (fresh_vamana.go): segments committed AFTER
+    the last build/refresh get their own blobs in a NEW versioned dir
+    (existing blobs are immutable and stay where they are — no rewrite of
+    already-indexed data), and the manifest's meta[family] grows its
+    `paths`/`segments` lists. Readers union every listed dir, so after a
+    refresh the exact-scan delta leg disappears for those segments.
+    No-op (returns the current version, no manifest bump) when every
+    committed segment is already indexed. Deletes still ride the
+    rerank-enforced visibility pass — graph blobs never need eager
+    repair, which is why compaction (not in-graph surgery) remains the
+    consolidation story (SURVEY §2.9)."""
+    from vecgo_spark.plans.manifest import Manifest, save_manifest
+
+    tbl._check_writable()
+    info = tbl.manifest.meta.get(family)
+    if info is None:
+        raise KeyError(f"table has no {family} index; build it first "
+                       "(refresh reuses the stored build params)")
+    man = tbl.manifest
+    indexed = set(info["segments"])
+    new_segs = [s for s in man.segments if s.path not in indexed]
+    if not new_segs:
+        return man.version
+    version = man.version + 1
+    rel = _write_blob_dir(tbl, new_segs, family, version, build_blob)
+    new_info = dict(info)
+    new_info["paths"] = blob_paths(info) + [rel]
+    new_info["segments"] = list(info["segments"]) + [s.path for s in new_segs]
     new = Manifest(
         version=version, lsn=man.lsn, next_id=man.next_id,
-        created_at=time.time(), segments=list(segs),
+        created_at=time.time(), segments=list(man.segments),
         tombstone_files=list(man.tombstone_files),
-        meta={**man.meta,
-              family: {"path": rel, "segments": [s.path for s in segs], **params}},
+        meta={**man.meta, family: new_info},
         tombstone_stats=dict(man.tombstone_stats),
     )
     save_manifest(tbl.path, new)
@@ -144,9 +201,9 @@ def batch_search_graphs_at_rest(
     live_indexed = sorted(set(info["segments"]) & current)
     legs = []
     if live_indexed:
-        blobs = spark.read.parquet(os.path.join(tbl.path, info["path"])).where(
-            F.col("seg").isin(live_indexed) & (F.length("blob") > 0)
-        )
+        blobs = spark.read.parquet(
+            *[os.path.join(tbl.path, p) for p in blob_paths(info)]
+        ).where(F.col("seg").isin(live_indexed) & (F.length("blob") > 0))
 
         def probe(batches):
             q_ids, q_mat = bq.value
@@ -251,9 +308,9 @@ def search_graphs_at_rest(
     bq = spark.sparkContext.broadcast(q)
     legs = []
     if live_indexed:
-        blobs = spark.read.parquet(os.path.join(tbl.path, info["path"])).where(
-            F.col("seg").isin(live_indexed) & (F.length("blob") > 0)
-        )
+        blobs = spark.read.parquet(
+            *[os.path.join(tbl.path, p) for p in blob_paths(info)]
+        ).where(F.col("seg").isin(live_indexed) & (F.length("blob") > 0))
 
         def probe(batches):
             qv = bq.value

@@ -410,6 +410,26 @@ def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
         tbl, "hnsw", {"m": m, "ef_construction": ef_construction}, build_blob)
 
 
+def refresh_at_rest(tbl) -> int:
+    """Incremental HNSW maintenance: index only the segments committed
+    since the last build/refresh, reusing the STORED build params (mixed
+    hyperparameters across blobs would make recall segment-dependent).
+    See graph_at_rest.refresh_graphs_at_rest for the FreshVamana mapping."""
+    from vecgo_spark.operators.graph_at_rest import refresh_graphs_at_rest
+
+    info = tbl.manifest.meta.get("hnsw")
+    if info is None:
+        raise KeyError("table has no hnsw index; build it first")
+    m, efc = int(info["m"]), int(info["ef_construction"])
+
+    def build_blob(ids, block):
+        graph = HNSWGraph(block.shape[1], m=m, ef_construction=efc)
+        graph.add_batch(block)
+        return _graph_blob(graph, ids)
+
+    return refresh_graphs_at_rest(tbl, "hnsw", build_blob)
+
+
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
                          ef_search: int = 64, qid_col: str = "qid",
                          qvec_col: str = "qvector") -> DataFrame:

@@ -370,6 +370,33 @@ def build_at_rest(tbl, r: int = 32, l: int = 64, alpha: float = 1.2,
         {"r": r, "l": l, "alpha": alpha, "pq": pq is not None}, build_blob)
 
 
+def refresh_at_rest(tbl, pq=None) -> int:
+    """Incremental Vamana maintenance — the Spark mapping of FreshVamana's
+    insert path (fresh_vamana.go): new segments get their own graphs,
+    existing blobs are immutable, deletes ride the rerank visibility pass
+    (no in-graph consolidation — compaction rewrites instead). Reuses the
+    STORED r/l/alpha; a PQ-coded index must be refreshed with the SAME
+    codebooks it was built with (pass pq=) or the new blobs would score
+    a different codebook than the old ones."""
+    from vecgo_spark.operators.graph_at_rest import refresh_graphs_at_rest
+
+    info = tbl.manifest.meta.get("vamana")
+    if info is None:
+        raise KeyError("table has no vamana index; build it first")
+    if bool(info.get("pq")) != (pq is not None):
+        raise ValueError("refresh must match the stored layout: pass pq= "
+                         "iff the index was built with PQ codes")
+    r, l, alpha = int(info["r"]), int(info["l"]), float(info["alpha"])
+    bpq = tbl.spark.sparkContext.broadcast(pq) if pq is not None else None
+
+    def build_blob(ids, block):
+        g = VamanaGraph(block, r=r, l=l, alpha=alpha)
+        g.build()
+        return graph_blob(g, ids, pq=bpq.value if bpq is not None else None)
+
+    return refresh_graphs_at_rest(tbl, "vamana", build_blob)
+
+
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
                          l_search: int = 64, qid_col: str = "qid",
                          qvec_col: str = "qvector") -> DataFrame:

@@ -693,6 +693,31 @@ class VectorTable:
             raise ValueError(f"unknown graph index kind {kind!r}")
         return mod.build_at_rest(self, **kw)
 
+    def refresh_graph_index(self, kind: str | None = None, **kw) -> int:
+        """Incremental graph-index maintenance (the Spark mapping of
+        FreshVamana's insert path): build blobs ONLY for segments
+        committed since the last build/refresh, reusing the stored build
+        params — existing blobs are never rewritten, and after the
+        refresh the exact-scan delta leg disappears for those segments.
+        No-op when everything is indexed. kind defaults like
+        graph_search; vamana PQ layouts need pq= (the same codebooks)."""
+        if kind is None:
+            kind = ("vamana" if "vamana" in self.manifest.meta
+                    else "hnsw" if "hnsw" in self.manifest.meta else None)
+            if kind is None:
+                raise KeyError("table has no graph index; "
+                               "run build_graph_index first")
+        if kind == "hnsw":
+            from vecgo_spark.operators import hnsw as mod
+        elif kind == "vamana":
+            from vecgo_spark.operators import vamana as mod
+        else:
+            raise ValueError(f"unknown graph index kind {kind!r}")
+        t0 = time.perf_counter()
+        v = mod.refresh_at_rest(self, **kw)
+        self._obs("on_build", time.perf_counter() - t0, f"{kind}-refresh")
+        return v
+
     def graph_search(self, query: Sequence[float], k: int = 10,
                      kind: str | None = None, filter=None, **kw) -> DataFrame:
         """Approximate top-k from a persisted graph index (+ exact delta
@@ -1329,6 +1354,9 @@ class VectorTable:
             for idx in ("ivf", "sq", "pq", "hnsw", "vamana"):  # every index artifact family
                 if idx in m.meta:
                     referenced.add(m.meta[idx]["path"])
+                    # graph families grown by incremental refresh carry a
+                    # paths LIST — every dir is live
+                    referenced.update(m.meta[idx].get("paths", []))
         removed_manifests = []
         for v in versions:
             if v not in keep:
