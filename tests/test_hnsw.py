@@ -323,3 +323,40 @@ def test_refresh_requires_existing_index(spark, tmp_path):
         t.refresh_graph_index()
     with pytest.raises(KeyError, match="build it first"):
         hnsw.refresh_at_rest(t)
+
+
+def test_refresh_recovers_from_orphan_dir_and_prunes_dead_segments(spark, tmp_path):
+    """Review r7: (a) a blob dir left by a crash between write and
+    save_manifest (same target version) must not wedge the next refresh
+    on mode('error'); (b) segment paths that compaction has replaced are
+    pruned from the index entry instead of accumulating forever."""
+    import os
+
+    from vecgo_spark.plans.table import INDEX_DIR, VectorTable
+
+    rng = np.random.default_rng(37)
+    t = VectorTable.create(spark, str(tmp_path / "torph"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(100)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.build_graph_index("hnsw", m=8, ef_construction=64)
+    t.insert(spark.createDataFrame([(9000, [5.0] * 8)], "id long, vector array<double>"))
+    t.commit()
+    # orphan: the dir the NEXT refresh will target, with junk inside
+    orphan = os.path.join(t.path, INDEX_DIR, f"hnsw-v{t.manifest.version + 1:08d}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("partial write from a dead driver")
+    v = t.refresh_graph_index()  # must overwrite the orphan, not raise
+    assert t.manifest.version == v
+    assert [r["id"] for r in hnsw.search_at_rest(t, [5.0] * 8, k=1).collect()] == [9000]
+    # dead-path pruning: inject a stale segment path (as a partial
+    # compaction that replaced it would leave) and refresh over a new seg
+    t.manifest.meta["hnsw"]["segments"].append("segments/seg-dead-00000000")
+    t.insert(spark.createDataFrame([(9001, [7.0] * 8)], "id long, vector array<double>"))
+    t.commit()
+    t.refresh_graph_index()
+    segs = t.manifest.meta["hnsw"]["segments"]
+    assert "segments/seg-dead-00000000" not in segs
+    assert {s.path for s in t.manifest.segments} == set(segs)

@@ -54,7 +54,6 @@ def build_graphs_at_rest(
     version whose meta[family] records {path, segments, **params}.
     build_blob(ids, block) runs inside the executor task."""
     from vecgo_spark.plans.manifest import Manifest, save_manifest
-    from vecgo_spark.plans.table import INDEX_DIR
 
     tbl._check_writable()
     if tbl.metric != "l2":
@@ -85,7 +84,14 @@ def build_graphs_at_rest(
 
 def _write_blob_dir(tbl, segs, family: str, version: int, build_blob) -> str:
     """One graph blob per segment in `segs` → a versioned parquet dir
-    under _index/; returns the table-relative path."""
+    under _index/; returns the table-relative path.
+
+    An existing target dir is an ORPHAN from a failed earlier attempt
+    (the dir name carries version = manifest.version + 1, which no saved
+    manifest can reference yet) — it is removed and rewritten, so a
+    crash between the blob write and save_manifest never wedges the next
+    build/refresh on mode('error')."""
+    from vecgo_spark.plans.manifest import fs_exists, fs_rmtree
     from vecgo_spark.plans.table import INDEX_DIR
 
     id_col, vector_col = tbl.id_col, tbl.vector_col
@@ -112,9 +118,12 @@ def _write_blob_dir(tbl, segs, family: str, version: int, build_blob) -> str:
         return pd.DataFrame({"seg": [key[0]], "blob": [blob]})
 
     rel = os.path.join(INDEX_DIR, f"{family}-v{version:08d}")
+    full = os.path.join(tbl.path, rel)
+    if fs_exists(full):
+        fs_rmtree(full)  # orphan of a failed attempt — see docstring
     (
         raw.groupBy("_seg").applyInPandas(build, "seg string, blob binary")
-        .write.mode("error").parquet(os.path.join(tbl.path, rel))
+        .write.mode("error").parquet(full)
     )
     return rel
 
@@ -154,7 +163,16 @@ def refresh_graphs_at_rest(tbl, family: str, build_blob) -> int:
     rel = _write_blob_dir(tbl, new_segs, family, version, build_blob)
     new_info = dict(info)
     new_info["paths"] = blob_paths(info) + [rel]
-    new_info["segments"] = list(info["segments"]) + [s.path for s in new_segs]
+    # prune segment paths that partial compaction has since replaced —
+    # every consumer already intersects with the current segment set, so
+    # dropping dead entries is safe, and without it the list (and every
+    # manifest JSON) grows without bound under the ingest/compact/refresh
+    # loop. Blob DIRS are kept even when all their segments die (a dir
+    # may mix live and dead segments; full compaction drops the family
+    # and resets the list anyway).
+    live = {s.path for s in man.segments}
+    new_info["segments"] = (
+        [p for p in info["segments"] if p in live] + [s.path for s in new_segs])
     new = Manifest(
         version=version, lsn=man.lsn, next_id=man.next_id,
         created_at=time.time(), segments=list(man.segments),

@@ -401,13 +401,20 @@ def build_at_rest(tbl, m: int = 8, ef_construction: int = 64) -> int:
     the new manifest version."""
     from vecgo_spark.operators.graph_at_rest import build_graphs_at_rest
 
+    return build_graphs_at_rest(
+        tbl, "hnsw", {"m": m, "ef_construction": ef_construction},
+        _make_build_blob(m, ef_construction))
+
+
+def _make_build_blob(m: int, ef_construction: int):
+    """One blob-builder shared by build and refresh — a drifted copy
+    would make refreshed blobs silently diverge from built ones."""
     def build_blob(ids, block):
         graph = HNSWGraph(block.shape[1], m=m, ef_construction=ef_construction)
         graph.add_batch(block)
         return _graph_blob(graph, ids)
 
-    return build_graphs_at_rest(
-        tbl, "hnsw", {"m": m, "ef_construction": ef_construction}, build_blob)
+    return build_blob
 
 
 def refresh_at_rest(tbl) -> int:
@@ -420,14 +427,9 @@ def refresh_at_rest(tbl) -> int:
     info = tbl.manifest.meta.get("hnsw")
     if info is None:
         raise KeyError("table has no hnsw index; build it first")
-    m, efc = int(info["m"]), int(info["ef_construction"])
-
-    def build_blob(ids, block):
-        graph = HNSWGraph(block.shape[1], m=m, ef_construction=efc)
-        graph.add_batch(block)
-        return _graph_blob(graph, ids)
-
-    return refresh_graphs_at_rest(tbl, "hnsw", build_blob)
+    return refresh_graphs_at_rest(
+        tbl, "hnsw",
+        _make_build_blob(int(info["m"]), int(info["ef_construction"])))
 
 
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,

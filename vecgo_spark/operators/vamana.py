@@ -358,6 +358,15 @@ def build_at_rest(tbl, r: int = 32, l: int = 64, alpha: float = 1.2,
     version."""
     from vecgo_spark.operators.graph_at_rest import build_graphs_at_rest
 
+    return build_graphs_at_rest(
+        tbl, "vamana",
+        {"r": r, "l": l, "alpha": alpha, "pq": pq is not None},
+        _make_build_blob(tbl, r, l, alpha, pq))
+
+
+def _make_build_blob(tbl, r: int, l: int, alpha: float, pq):
+    """One blob-builder shared by build and refresh — a drifted copy
+    would make refreshed blobs silently diverge from built ones."""
     bpq = tbl.spark.sparkContext.broadcast(pq) if pq is not None else None
 
     def build_blob(ids, block):
@@ -365,9 +374,7 @@ def build_at_rest(tbl, r: int = 32, l: int = 64, alpha: float = 1.2,
         g.build()
         return graph_blob(g, ids, pq=bpq.value if bpq is not None else None)
 
-    return build_graphs_at_rest(
-        tbl, "vamana",
-        {"r": r, "l": l, "alpha": alpha, "pq": pq is not None}, build_blob)
+    return build_blob
 
 
 def refresh_at_rest(tbl, pq=None) -> int:
@@ -386,15 +393,10 @@ def refresh_at_rest(tbl, pq=None) -> int:
     if bool(info.get("pq")) != (pq is not None):
         raise ValueError("refresh must match the stored layout: pass pq= "
                          "iff the index was built with PQ codes")
-    r, l, alpha = int(info["r"]), int(info["l"]), float(info["alpha"])
-    bpq = tbl.spark.sparkContext.broadcast(pq) if pq is not None else None
-
-    def build_blob(ids, block):
-        g = VamanaGraph(block, r=r, l=l, alpha=alpha)
-        g.build()
-        return graph_blob(g, ids, pq=bpq.value if bpq is not None else None)
-
-    return refresh_graphs_at_rest(tbl, "vamana", build_blob)
+    return refresh_graphs_at_rest(
+        tbl, "vamana",
+        _make_build_blob(tbl, int(info["r"]), int(info["l"]),
+                         float(info["alpha"]), pq))
 
 
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,

@@ -678,6 +678,25 @@ class VectorTable:
 
     # ------------------------------------------------- graph index fronts
 
+    @staticmethod
+    def _graph_mod(kind: str):
+        if kind == "hnsw":
+            from vecgo_spark.operators import hnsw as mod
+        elif kind == "vamana":
+            from vecgo_spark.operators import vamana as mod
+        else:
+            raise ValueError(f"unknown graph index kind {kind!r}")
+        return mod
+
+    def _default_graph_kind(self) -> str:
+        """The family the manifest carries (vamana preferred when both)."""
+        kind = ("vamana" if "vamana" in self.manifest.meta
+                else "hnsw" if "hnsw" in self.manifest.meta else None)
+        if kind is None:
+            raise KeyError("table has no graph index; "
+                           "run build_graph_index first")
+        return kind
+
     def build_graph_index(self, kind: str = "hnsw", **kw) -> int:
         """Persist per-segment graph indexes into the table layout — the
         engine-level front over operators/hnsw.py / operators/vamana.py
@@ -685,13 +704,7 @@ class VectorTable:
         SURVEY §2.9). kind: "hnsw" (layered, in-memory-style) or "vamana"
         (DiskANN-style; pass pq=PQCodebooks for the compressed layout).
         Returns the new manifest version."""
-        if kind == "hnsw":
-            from vecgo_spark.operators import hnsw as mod
-        elif kind == "vamana":
-            from vecgo_spark.operators import vamana as mod
-        else:
-            raise ValueError(f"unknown graph index kind {kind!r}")
-        return mod.build_at_rest(self, **kw)
+        return self._graph_mod(kind).build_at_rest(self, **kw)
 
     def refresh_graph_index(self, kind: str | None = None, **kw) -> int:
         """Incremental graph-index maintenance (the Spark mapping of
@@ -702,19 +715,9 @@ class VectorTable:
         No-op when everything is indexed. kind defaults like
         graph_search; vamana PQ layouts need pq= (the same codebooks)."""
         if kind is None:
-            kind = ("vamana" if "vamana" in self.manifest.meta
-                    else "hnsw" if "hnsw" in self.manifest.meta else None)
-            if kind is None:
-                raise KeyError("table has no graph index; "
-                               "run build_graph_index first")
-        if kind == "hnsw":
-            from vecgo_spark.operators import hnsw as mod
-        elif kind == "vamana":
-            from vecgo_spark.operators import vamana as mod
-        else:
-            raise ValueError(f"unknown graph index kind {kind!r}")
+            kind = self._default_graph_kind()
         t0 = time.perf_counter()
-        v = mod.refresh_at_rest(self, **kw)
+        v = self._graph_mod(kind).refresh_at_rest(self, **kw)
         self._obs("on_build", time.perf_counter() - t0, f"{kind}-refresh")
         return v
 
@@ -725,18 +728,9 @@ class VectorTable:
         — operators/graph_at_rest.py). kind defaults to whichever index
         the manifest carries (vamana preferred when both exist)."""
         if kind is None:
-            kind = ("vamana" if "vamana" in self.manifest.meta
-                    else "hnsw" if "hnsw" in self.manifest.meta else None)
-            if kind is None:
-                raise KeyError("table has no graph index; "
-                               "run build_graph_index first")
-        if kind == "hnsw":
-            from vecgo_spark.operators import hnsw as mod
-        elif kind == "vamana":
-            from vecgo_spark.operators import vamana as mod
-        else:
-            raise ValueError(f"unknown graph index kind {kind!r}")
-        return mod.search_at_rest(self, query, k=k, filter=filter, **kw)
+            kind = self._default_graph_kind()
+        return self._graph_mod(kind).search_at_rest(self, query, k=k,
+                                                    filter=filter, **kw)
 
     def segment_priorities(self, query: Sequence[float]):
         """Segments nearest-first by the centroid/radius distance LOWER
