@@ -329,3 +329,44 @@ def test_streaming_rolling_anomaly_matches_batch(spark, tmp_path):
     assert got == want
     assert want[45][1] and want[70][1]   # both planted spikes flagged
     assert sum(1 for _n, f in want.values() if f) <= 6  # band stays quiet
+
+
+def test_streaming_ingest_with_incremental_graph_refresh(spark, tmp_path):
+    """The ingest → refresh loop a serving deployment runs: micro-batches
+    land as segments, refresh_graph_index() indexes ONLY the new ones
+    (appended blob dirs, no rebuild), and graph search serves every
+    ingested row from blobs — no exact-scan delta leg left behind."""
+    import numpy as np
+
+    from vecgo_spark.operators import hnsw
+    from vecgo_spark.plans.table import VectorTable
+    from vecgo_spark.streaming.ingest import ingest_stream
+
+    rng = np.random.default_rng(41)
+    t = VectorTable.create(spark, str(tmp_path / "ting"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(100)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.build_graph_index("hnsw", m=8, ef_construction=64)
+
+    src = str(tmp_path / "ing_src")
+    os.makedirs(src)
+    probe_a, probe_b = [5.0] * 8, [-5.0] * 8
+    spark.createDataFrame([(9000, probe_a)], "id long, vector array<double>")\
+        .coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(9001, probe_b)], "id long, vector array<double>")\
+        .coalesce(1).write.parquet(src + "/b2")
+    stream = (spark.readStream.schema("id long, vector array<double>")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*/"))
+    q = ingest_stream(stream, t, str(tmp_path / "ing_ckpt"), assign_ids=False)
+    q.awaitTermination(180)
+
+    assert len(t.manifest.segments) == 3  # base + 2 micro-batch flushes
+    t.refresh_graph_index()
+    info = t.manifest.meta["hnsw"]
+    # every flushed segment is blob-indexed; no delta leg remains
+    assert {s.path for s in t.manifest.segments} <= set(info["segments"])
+    assert len(info["paths"]) == 2  # ONE refresh dir covers both flushes
+    assert [r["id"] for r in hnsw.search_at_rest(t, probe_a, k=1).collect()] == [9000]
+    assert [r["id"] for r in hnsw.search_at_rest(t, probe_b, k=1).collect()] == [9001]
