@@ -1634,6 +1634,17 @@ def _contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.contamination_overlap(corpus, bench, n=3)
 
 
+def _dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 10% 'new batch' slice near-dup-
+    matched against the 90% 'existing corpus' slice — batch×corpus band
+    join only, the corpus is never self-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_incremental(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    ).orderBy("batch_id", "corpus_id")
+
+
 def _docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prescreen decontamination (the 100 TB shape of
     contamination_ngram): the benchmark slice folds into a 16 KB bloom
@@ -2030,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bloom_decontam": _docs_bloom_decontam,
         "docs_dsir_weights": _docs_dsir_weights,
         "docs_token_budget_mixture": _docs_token_budget_mixture,
+        "dedup_minhash_incremental": _dedup_minhash_incremental,
         # -- code changed in r7 (eval_once barriers / cluster-map keying /
         #    kmv+perplexity fixes): r6 evidence is stale, re-prove --------
         "dedup_minhash_lsh": _dedup_minhash,
@@ -2064,10 +2076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),
-        "knn_l2_filtered": _knn_l2_filtered,
         # -- driver window ends here (first 50 entries; recount with
         # scripts/verify_driver.py after ANY insertion above) ------------
         # -- r5-evidenced, unchanged; oldest of these rotate in next round
+        "knn_l2_filtered": _knn_l2_filtered,
         "knn_l2_projected": _knn_l2_projected,
         "knn_batch": _knn_batch,
         "knn_threshold": _knn_threshold,
@@ -3052,6 +3064,8 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 97 <> 0", "doc_id % 97 = 0", n=3),
         "docs_bloom_decontam": pipeline.bloom_decontaminate_sql(
             "doc_id % 97 <> 0", "doc_id % 97 = 0", n=3),
+        "dedup_minhash_incremental": dedup.minhash_dedup_incremental_sql(
+            "doc_id % 10 <> 0", "doc_id % 10 = 0"),
         "docs_dsir_weights": pipeline.dsir_importance_sql("lang = 'en'", n=2),
         "docs_token_budget_mixture": pipeline.token_budget_mixture_sql(
             _MIXTURE_BUDGETS),

@@ -352,3 +352,33 @@ def test_embedding_neardup_auto_strategy(spark):
                  emb, threshold=0.9, candidates="block", n_blocks=3).collect()}
     for r in lsh_pairs:
         assert exact[(r["id_a"], r["id_b"])] == r["cos"]
+
+
+def test_minhash_incremental_equals_cross_slice_of_full_pairing(spark):
+    """Incremental ingest dedup: batch×corpus matching must find EXACTLY
+    the cross-slice pairs the full self-join pairing finds on the union
+    (signatures are per-doc, so the band criterion is identical), and it
+    must NOT pair batch docs with each other or corpus docs with each
+    other."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base), (2, base + " extra"), (3, "totally different text here x y z w"),
+        (10, base + " tail"),          # batch near-dup of 1/2
+        (11, base + " tail"),          # batch-internal dup of 10 (must NOT pair)
+        (12, "unrelated batch document with its own words q r s t u v"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+    inc = {(r["batch_id"], r["corpus_id"]): r["match_count"] for r in
+           dedup.minhash_dedup_incremental(
+               corpus, batch, min_matches=8, max_bucket=None).collect()}
+    full = dedup.minhash_lsh_pairs(docs, min_matches=8, max_bucket=None).collect()
+    cross = {}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if (a < 10) != (b < 10):  # one side in each slice
+            bid, cid = (a, b) if a >= 10 else (b, a)
+            cross[(bid, cid)] = r["match_count"]
+    assert inc == cross and len(inc) >= 1
+    assert all(cid < 10 <= bid for bid, cid in inc)  # never intra-slice

@@ -354,6 +354,147 @@ def minhash_lsh_pairs_sql(
     """
 
 
+def _minhash_band_rows(sigs: DataFrame, num_hashes: int, num_bands: int,
+                       id_alias: str) -> DataFrame:
+    """(id_alias, m0..m{H-1}, band, key) — one explode pass over the
+    signatures (the minhash_lsh_pairs construction, shared with the
+    incremental variant)."""
+    rows_per_band = num_hashes // num_bands
+    mcols = [f"m{i}" for i in range(num_hashes)]
+
+    def key_at(bidx: int):
+        cols = [f"m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        return stable_hash64(
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+
+    band_structs = F.array(*[
+        F.struct(F.lit(bidx).alias("band"), key_at(bidx).alias("key"))
+        for bidx in range(num_bands)
+    ])
+    return (
+        sigs.select(F.col("id").alias(id_alias), *mcols,
+                    F.explode(band_structs).alias("_bk"))
+        .select(id_alias, *mcols, F.col("_bk.band").alias("band"),
+                F.col("_bk.key").alias("key"))
+    )
+
+
+def minhash_dedup_incremental(
+    corpus: DataFrame, batch: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
+    min_matches: int = 8, max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """(batch_id, corpus_id, match_count): for every document of a NEW
+    ingestion batch, its MinHash near-duplicates in the EXISTING corpus —
+    the incremental-dedup shape an ingest pipeline runs per batch.
+
+    Scale posture: the candidate join is batch-bands × corpus-bands on
+    the 60-bit band keys — the corpus is NEVER self-joined, so per-batch
+    cost is (batch + corpus) signature passes and a candidate set sized
+    by the batch's true near-dups (at 100 TB the corpus signatures would
+    be computed once, stored, and re-read per batch; the band join and
+    everything after is identical). Hot corpus buckets (> max_bucket
+    rows — mass boilerplate) are dropped from candidate generation via
+    an unhinted anti-join, mirrored by the oracle; the pair stream is
+    deduped across bands with one pair-distinct (bounded by candidates,
+    not the corpus), and the ≥ min_matches verification is in-row over
+    the two carried signatures — no back-joins."""
+    c_sigs = minhash_signatures(corpus, id_col, text_col, n, num_hashes)
+    b_sigs = minhash_signatures(batch, id_col, text_col, n, num_hashes)
+    cb = _minhash_band_rows(c_sigs, num_hashes, num_bands, "corpus_id")
+    bb = _minhash_band_rows(b_sigs, num_hashes, num_bands, "batch_id")
+    if max_bucket is not None:
+        hot = (
+            cb.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket).select("band", "key")
+        )
+        # unhinted: the hot set is tiny on a clean corpus and linear in a
+        # boilerplate-heavy one — AQE picks broadcast vs shuffle
+        cb = cb.join(hot, ["band", "key"], "left_anti")
+    match_count = sum(
+        F.when(F.col(f"b.m{i}") == F.col(f"c.m{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    cand = (
+        bb.alias("b")
+        .join(cb.alias("c"),
+              (F.col("b.band") == F.col("c.band")) & (F.col("b.key") == F.col("c.key")))
+        .select(F.col("b.batch_id").alias("batch_id"),
+                F.col("c.corpus_id").alias("corpus_id"),
+                match_count.alias("match_count"))
+        .where(F.col("match_count") >= min_matches)
+        .distinct()  # a pair may share several bands; match_count is band-free
+    )
+    return cand
+
+
+def minhash_dedup_incremental_sql(
+    corpus_pred: str, batch_pred: str,
+    docs_table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
+    min_matches: int = 8, max_bucket: int | None = MAX_BUCKET,
+) -> str:
+    from vecgo_spark.functions.hashing import MINHASH_P, minhash_perm_params
+
+    a_params, b_params = minhash_perm_params(num_hashes)
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '')"
+    sh_list = shingles_sql(f"({toks})", n)
+    mins = ",\n           ".join(
+        f"min(({a_params[i]} * h + {b_params[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    rows_per_band = num_hashes // num_bands
+
+    def bands_sql(src: str) -> str:
+        selects = []
+        for bidx in range(num_bands):
+            cols = [f"m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+            joined = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            key = stable_hash64_sql(f"({joined})")
+            selects.append(f"SELECT id, {bidx} AS band, {key} AS key FROM {src}")
+        return " UNION ALL ".join(selects)
+
+    def sig_ctes(pred: str, tag: str) -> str:
+        return f"""
+    sh0_{tag} AS (
+        SELECT DISTINCT {id_col} AS id, unnest({sh_list}) AS shingle
+        FROM {docs_table} WHERE {pred}
+    ),
+    sh_{tag} AS (SELECT id, {stable_hash64_sql('shingle')} % {MINHASH_P} AS h FROM sh0_{tag}),
+    sigs_{tag} AS (SELECT id, {mins} FROM sh_{tag} GROUP BY id),
+    bands_{tag} AS ({bands_sql(f'sigs_{tag}')})"""
+
+    match_count = " + ".join(
+        f"(CASE WHEN sb.m{i} = sc.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    hot_filter = ""
+    if max_bucket is not None:
+        hot_filter = f"""
+    hot AS (SELECT band, key FROM bands_c GROUP BY band, key
+            HAVING count(*) > {max_bucket}),
+    bands_c2 AS (
+        SELECT * FROM bands_c t WHERE NOT EXISTS (
+            SELECT 1 FROM hot h WHERE h.band = t.band AND h.key = t.key)
+    ),"""
+    corpus_bands = "bands_c2" if max_bucket is not None else "bands_c"
+    return f"""
+    WITH {sig_ctes(corpus_pred, 'c')},
+    {sig_ctes(batch_pred, 'b')},{hot_filter}
+    cand AS (
+        SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+        FROM bands_b b JOIN {corpus_bands} c
+          ON b.band = c.band AND b.key = c.key
+    )
+    SELECT cand.batch_id, cand.corpus_id, {match_count} AS match_count
+    FROM cand
+    JOIN sigs_b sb ON cand.batch_id = sb.id
+    JOIN sigs_c sc ON cand.corpus_id = sc.id
+    WHERE {match_count} >= {min_matches}
+    ORDER BY batch_id, corpus_id
+    """
+
+
 # ------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60  # stable_hash64 yields 60 usable bits
