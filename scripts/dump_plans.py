@@ -121,6 +121,15 @@ COMMENTARY = {
         "band rows come from ONE explode pass (not a num_bands-way "
         "union) — see the dedup_simhash note."
     ),
+    "dedup_minhash_incremental": (
+        "Incremental ingest dedup: batch band rows equi-join CORPUS band "
+        "rows — there is no corpus self-join anywhere in the plan, so "
+        "per-batch cost is two signature aggregations plus a candidate "
+        "join sized by the batch's true near-dups; hot corpus buckets "
+        "leave via an unhinted anti-join and the match-count "
+        "verification is in-row over the carried signatures (no "
+        "back-joins against either signature table)."
+    ),
     "doc_repetition": (
         "Intra-doc repetition profile (Gopher-style): the ENTIRE plan is "
         "a per-row projection — no Exchange, no Python nodes. The n-gram "
