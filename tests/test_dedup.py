@@ -382,3 +382,60 @@ def test_minhash_incremental_equals_cross_slice_of_full_pairing(spark):
             cross[(bid, cid)] = r["match_count"]
     assert inc == cross and len(inc) >= 1
     assert all(cid < 10 <= bid for bid, cid in inc)  # never intra-slice
+
+
+def test_exact_substring_spans_python_model(spark):
+    """Exact parity with a brute-force python model of ExactSubstr
+    run-merging (Lee et al. 2021): every position whose L-window occurs
+    >= 2 times anywhere in the corpus, merged into maximal runs."""
+    from collections import Counter
+
+    L = 4
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e q r s"),      # shares the 4-window "a b c d"… run
+        (3, "p q r s t u v w"),
+        (4, "m m m m m m"),              # internal repeat: "m m m m" occurs 3x
+        (5, "one two three"),            # shorter than L: no windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wins = []
+    for i, t in rows:
+        toks = t.split()
+        wins += [(i, p + 1, " ".join(toks[p:p + L]))
+                 for p in range(len(toks) - L + 1)]
+    counts = Counter(sh for _, _, sh in wins)
+    want = set()
+    for i, _ in rows:
+        dup = sorted(p for d, p, sh in wins if d == i and counts[sh] >= 2)
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] + L - 1, run[-1] + L - run[0], len(run)))
+                run = [p]
+        if run:
+            want.add((i, run[0], run[-1] + L - 1, run[-1] + L - run[0], len(run)))
+
+    got = {tuple(r) for r in
+           dedup.exact_substring_spans(docs, min_len=L).collect()}
+    assert got == want
+    assert any(r[0] == 4 for r in got)      # self-repeat found
+    assert all(r[3] >= L for r in got)      # every span >= min_len tokens
+
+
+def test_exact_substring_spans_plan_no_position_self_join(spark):
+    """100-TB audit: the only join is the duplicated-hash semi-join —
+    never a pos x pos self-join of the token stream, and no cartesian /
+    nested-loop anywhere."""
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = (dedup.exact_substring_spans(docs, min_len=3)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(join_lines) == 1, join_lines
+    assert "LeftSemi" in join_lines[0] and "(h#" in join_lines[0]
+    assert "pos#" not in join_lines[0]
+    assert "Cartesian" not in plan and "Cross" not in plan

@@ -1,0 +1,181 @@
+"""MinHash signatures at rest (operators/minhash_at_rest.py): lifecycle
+(build → reopen → refresh → vacuum → compact-drop), bit-parity of the
+stored read path against fresh recompute under tombstones/upserts/delta
+segments, and the 100-TB plan guarantee that fully-indexed reads never
+touch the text column."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.operators import dedup
+from vecgo_spark.operators import minhash_at_rest as mar
+from vecgo_spark.plans.table import VectorTable
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _docs(spark, ids, text=None):
+    rows = [(i, text or f"alpha beta gamma tok{i % 7} tok{i % 5} mid{i % 3} end{i % 11}")
+            for i in ids]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _sigset(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _fresh(tbl):
+    return dedup.minhash_signatures(tbl.df(), "id", "text")
+
+
+def test_build_and_parity(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 61)))
+    tbl.commit()
+    v0 = tbl.manifest.version
+    assert mar.build_minhash_index(tbl) == v0 + 1
+    stored = mar.stored_minhash_signatures(tbl)
+    assert _sigset(stored) == _sigset(_fresh(tbl))
+    # 16 signature columns + id
+    assert stored.columns == ["id"] + [f"m{i}" for i in range(16)]
+
+
+def test_reopen_serves_stored(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    want = _sigset(mar.stored_minhash_signatures(tbl))
+    re = VectorTable.open(spark, tdir)
+    assert _sigset(mar.stored_minhash_signatures(re)) == want
+
+
+def test_delta_tombstone_upsert_parity(spark, tdir):
+    """Rows inserted after the build take the recompute delta leg;
+    deletes and latest-LSN upserts are resolved by replaying df()'s
+    visibility algebra on the signature rows — including the shadowing
+    edge where the upserted text is too short to shingle (the stale
+    stored signature must NOT resurface)."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 41)))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    tbl.insert(_docs(spark, range(41, 51)))          # delta segment
+    tbl.insert(_docs(spark, [5], text="rewritten entirely different words here"))
+    tbl.insert(_docs(spark, [6], text="xy"))          # < n tokens: no shingles
+    tbl.commit()
+    tbl.delete([7, 8, 44])
+    tbl.commit()
+    stored = _sigset(mar.stored_minhash_signatures(tbl))
+    assert stored == _sigset(_fresh(tbl))
+    ids = {r[0] for r in stored}
+    assert 5 in ids and 41 in ids
+    assert not {6, 7, 8, 44} & ids
+
+
+def test_reinsert_after_delete_visible(spark, tdir):
+    """MVCC edge: a tombstone at LSN T kills versions with LSN <= T; a
+    re-insert AFTER the delete is visible again and must come from the
+    delta leg with its new text."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 11)))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    tbl.delete([3])
+    tbl.commit()
+    tbl.insert(_docs(spark, [3], text="resurrected with brand new token stream"))
+    tbl.commit()
+    assert _sigset(mar.stored_minhash_signatures(tbl)) == _sigset(_fresh(tbl))
+
+
+def test_refresh_indexes_only_new_segments(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    v = tbl.manifest.version
+    assert mar.refresh_minhash_index(tbl) == v  # no-op, no manifest bump
+    tbl.insert(_docs(spark, range(21, 31)))
+    tbl.commit()
+    v2 = mar.refresh_minhash_index(tbl)
+    assert v2 > v
+    info = tbl.manifest.meta["minhash"]
+    assert len(info["paths"]) == 2  # original dir + refresh dir, both live
+    assert set(info["segments"]) == {s.path for s in tbl.manifest.segments}
+    assert _sigset(mar.stored_minhash_signatures(tbl)) == _sigset(_fresh(tbl))
+
+
+def test_fully_indexed_read_never_touches_text(spark, tdir):
+    """The 100-TB point of the artifact: with every live segment indexed,
+    the stored-signature plan reads the parquet artifact only — no
+    tokenizer (split) anywhere, and the segment files' text column is
+    never scanned."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    plan = (mar.stored_minhash_signatures(tbl)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "split(" not in plan
+    assert "_text" not in plan and "text#" not in plan
+
+
+def test_vacuum_keeps_live_dirs_drops_stale(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    tbl.insert(_docs(spark, range(21, 31)))
+    tbl.commit()
+    mar.refresh_minhash_index(tbl)
+    want = _sigset(mar.stored_minhash_signatures(tbl))
+    out = tbl.vacuum(keep_versions=1)
+    assert not any("minhash" in f for f in out["removed_files"])
+    assert _sigset(mar.stored_minhash_signatures(tbl)) == want
+    # full compaction drops the family; vacuum then collects the blobs
+    tbl.compact()
+    assert "minhash" not in tbl.manifest.meta
+    with pytest.raises(KeyError, match="minhash"):
+        mar.stored_minhash_signatures(tbl)
+    out = tbl.vacuum(keep_versions=1)
+    assert sum("minhash" in f for f in out["removed_files"]) == 2
+
+
+def test_incremental_dedup_from_stored_bit_identical(spark, tdir):
+    """dedup_minhash_incremental served from stored corpus signatures ==
+    recompute-from-text, including real near-dup matches."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} doc{i}") for i in range(1, 31)]
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(spark.createDataFrame(rows, "id long, text string"))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    batch = spark.createDataFrame(
+        [(100, f"{base} doc1"), (101, "totally unrelated content x y z w v u t")],
+        "id long, text string")
+    want = _sigset(dedup.minhash_dedup_incremental(
+        tbl.df(), batch, id_col="id", text_col="text"))
+    got = _sigset(dedup.minhash_dedup_incremental(
+        None, batch, id_col="id", text_col="text",
+        corpus_sigs=mar.stored_minhash_signatures(tbl)))
+    assert got == want
+    assert any(r[0] == 100 for r in got)  # the near-dup actually matched
+    # full-corpus pairs read the same artifact
+    p_stored = _sigset(dedup.minhash_lsh_pairs(
+        None, sigs=mar.stored_minhash_signatures(tbl)))
+    p_fresh = _sigset(dedup.minhash_lsh_pairs(tbl.df(), id_col="id", text_col="text"))
+    assert p_stored == p_fresh
+    dedup.release_caches()
+
+
+def test_build_requires_segments_and_refresh_requires_build(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    with pytest.raises(ValueError, match="no committed segments"):
+        mar.build_minhash_index(tbl)
+    tbl.insert(_docs(spark, [1]))
+    tbl.commit()
+    with pytest.raises(KeyError, match="build it first"):
+        mar.refresh_minhash_index(tbl)

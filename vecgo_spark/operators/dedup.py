@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
+# Persisted intermediates owned by this module (minhash signature
+# DataFrames that several plan legs consume).  Same stance as
+# pipeline._CACHED / bm25._CACHED: persists live until the caller
+# releases them so repeated invocations don't leak storage unbounded.
+_CACHED: list = []
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by this module's operators.
+    Results returned before the release must be materialized first or
+    they recompute their signature pipeline."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 from vecgo_spark.functions.hashing import shingles_sql, stable_hash64, stable_hash64_sql
 from vecgo_spark.functions.vector import cosine_similarity
 from vecgo_spark.oracles import cosine_sql
@@ -183,13 +197,19 @@ def _collect_hot(grouped: DataFrame, group_cols: list[str], max_bucket: int):
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    docs: DataFrame | None, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
     min_matches: int = 8, max_bucket: int | None = MAX_BUCKET,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, match_count) for candidate pairs that share ≥1 LSH band,
     keeping pairs whose signatures agree in ≥ min_matches of num_hashes
     positions (≈ Jaccard ≥ min_matches/num_hashes).
+
+    sigs: precomputed (id, m0..m{num_hashes-1}) signatures — typically
+    minhash_at_rest.stored_minhash_signatures(table), so the text column
+    is never re-shingled; `docs` may be None then.  Signatures are
+    deterministic, so stored and recomputed results are bit-identical.
 
     Recall: banding is approximate — a pair can agree in min_matches..
     num_hashes−1 positions with its disagreements spread across every band
@@ -199,8 +219,10 @@ def minhash_lsh_pairs(
     tests/test_dedup.py). Buckets larger than max_bucket (near-identical
     boilerplate floods) are dropped from candidate generation — mirrored
     in the SQL oracle so parity holds by construction."""
-    # persisted: consumed by the num_bands band projections
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes).persist()
+    if sigs is None:
+        # persisted: consumed by the num_bands band projections
+        sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes).persist()
+        _CACHED.append(sigs)
     rows_per_band = num_hashes // num_bands
     # candidates: same band content in some band. The band key is the
     # 60-bit stable hash of the joined signature row — an 8-byte join key
@@ -380,27 +402,42 @@ def _minhash_band_rows(sigs: DataFrame, num_hashes: int, num_bands: int,
 
 
 def minhash_dedup_incremental(
-    corpus: DataFrame, batch: DataFrame,
+    corpus: DataFrame | None, batch: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
     min_matches: int = 8, max_bucket: int | None = MAX_BUCKET,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(batch_id, corpus_id, match_count): for every document of a NEW
     ingestion batch, its MinHash near-duplicates in the EXISTING corpus —
     the incremental-dedup shape an ingest pipeline runs per batch.
 
+    corpus_sigs: stored (id, m0..m{num_hashes-1}) corpus signatures —
+    minhash_at_rest.stored_minhash_signatures(table) — so per-batch cost
+    is batch-sized: the corpus text is never re-shingled, only its H
+    fixed-width signature columns are re-read.  `corpus` may be None
+    then.  Without it the signatures are computed from text and
+    persisted (they feed the hot-bucket aggregate AND the join leg;
+    release via release_caches()).
+
     Scale posture: the candidate join is batch-bands × corpus-bands on
-    the 60-bit band keys — the corpus is NEVER self-joined, so per-batch
-    cost is (batch + corpus) signature passes and a candidate set sized
-    by the batch's true near-dups (at 100 TB the corpus signatures would
-    be computed once, stored, and re-read per batch; the band join and
-    everything after is identical). Hot corpus buckets (> max_bucket
-    rows — mass boilerplate) are dropped from candidate generation via
-    an unhinted anti-join, mirrored by the oracle; the pair stream is
-    deduped across bands with one pair-distinct (bounded by candidates,
-    not the corpus), and the ≥ min_matches verification is in-row over
-    the two carried signatures — no back-joins."""
-    c_sigs = minhash_signatures(corpus, id_col, text_col, n, num_hashes)
+    the 60-bit band keys — the corpus is NEVER self-joined, so the
+    per-batch cost is one batch signature pass plus a stored-signature
+    scan, and a candidate set sized by the batch's true near-dups.  Hot
+    corpus buckets (> max_bucket rows — mass boilerplate) are dropped
+    from candidate generation via an unhinted anti-join, mirrored by the
+    oracle; the pair stream is deduped across bands with one
+    pair-distinct (bounded by candidates, not the corpus), and the
+    ≥ min_matches verification is in-row over the two carried
+    signatures — no back-joins."""
+    if corpus_sigs is None:
+        # persisted: consumed by the hot-bucket aggregate and the band
+        # join leg (ADVICE r7 — without this both legs re-ran the
+        # shingle explode + 16 min-aggregates)
+        c_sigs = minhash_signatures(corpus, id_col, text_col, n, num_hashes).persist()
+        _CACHED.append(c_sigs)
+    else:
+        c_sigs = corpus_sigs
     b_sigs = minhash_signatures(batch, id_col, text_col, n, num_hashes)
     cb = _minhash_band_rows(c_sigs, num_hashes, num_bands, "corpus_id")
     bb = _minhash_band_rows(b_sigs, num_hashes, num_bands, "batch_id")
@@ -492,6 +529,114 @@ def minhash_dedup_incremental_sql(
     JOIN sigs_c sc ON cand.corpus_id = sc.id
     WHERE {match_count} >= {min_matches}
     ORDER BY batch_id, corpus_id
+    """
+
+
+# ----------------------------------------------- exact-substring spans
+
+
+def _doc_shingle_positions(docs: DataFrame, id_col: str, text_col: str,
+                           n: int) -> DataFrame:
+    """(id, pos, shingle) — every n-token window WITH its 1-based start
+    position, in document order (the positional, non-distinct sibling of
+    _doc_shingles; same tokenizer, same eval_once barrier)."""
+    from vecgo_spark.functions.hashing import eval_once
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
+    )
+    d = docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
+    win = F.size("toks") - (n - 1)
+    sh = F.when(
+        win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(win, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "id", F.posexplode(sh).alias("pos0", "shingle")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "shingle")
+
+
+def exact_substring_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """Maximal duplicated spans of ≥ min_len tokens — the Spark shape of
+    Lee et al. 2021's ExactSubstr dedup (suffix-array method; the
+    reference pipeline this family's chunk_dedup only approximates at
+    64-token chunk granularity).
+
+    Equivalence: a token belongs to some duplicated substring of
+    ≥ min_len tokens ⇔ it is covered by a duplicated min_len-token
+    window, so run-merging consecutive duplicated window positions
+    yields exactly the maximal removal spans ExactSubstr deletes —
+    without building a suffix array.  Windows are compared by their
+    60-bit stable hash (one md5 per window, identical in the oracle), so
+    a collision can only ADD a duplicated window — deterministic and
+    mirrored bit-for-bit in the SQL twin.
+
+    Plan (100 TB): positions stream once into a groupBy(hash) count
+    (map-side partial, skew-safe) whose ≥2 keys semi-join back on the
+    hash — never a pos×pos self-join of the token stream; the
+    run-merging window is per-document (bounded by doc length).  The
+    window stream is evaluated for both legs — two corpus scans, the
+    dsir_importance posture — persist upstream if scans dominate.
+
+    Output: (id_col, span_start, span_end, span_tokens, n_windows), one
+    row per maximal duplicated span; positions are 1-based token
+    indexes, span_tokens = span_end − span_start + 1 ≥ min_len."""
+    from pyspark.sql.window import Window
+
+    w = _doc_shingle_positions(docs, id_col, text_col, min_len).select(
+        "id", "pos", stable_hash64(F.col("shingle")).alias("h"))
+    dup = (
+        w.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2).select("h")
+    )
+    dw = w.join(dup, "h", "semi")
+    wd = Window.partitionBy("id").orderBy("pos")
+    islands = dw.withColumn("_isl", F.col("pos") - F.row_number().over(wd))
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def exact_substring_spans_sql(
+    docs_table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", min_len: int = 50,
+) -> str:
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '')"
+    sh_list = shingles_sql(f"({toks})", min_len)
+    h = stable_hash64_sql("u.sh")
+    return f"""
+    WITH t AS (SELECT {id_col} AS id, {sh_list} AS shl FROM {docs_table}),
+    w0 AS (SELECT id, unnest(list_transform(shl, (s, i) -> {{'pos': i, 'sh': s}})) AS u FROM t),
+    w AS (SELECT id, u.pos AS pos, {h} AS h FROM w0),
+    dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    dw AS (SELECT id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+    isl AS (SELECT id, pos, pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS g
+            FROM dw)
+    SELECT id AS {id_col},
+           min(pos) AS span_start,
+           max(pos) + {min_len - 1} AS span_end,
+           max(pos) + {min_len - 1} - min(pos) + 1 AS span_tokens,
+           count(*) AS n_windows
+    FROM isl GROUP BY id, g
+    ORDER BY {id_col}, span_start
     """
 
 
@@ -953,6 +1098,109 @@ def embedding_neardup_pairs_sql(
     SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos} AS cos
     FROM {emb_table} a JOIN {emb_table} b ON a.{id_col} < b.{id_col}
     WHERE {cos} >= {threshold!r}
+    """
+
+
+# --------------------------------------------------- semantic (SemDeDup)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame, model, id_col: str = "vec_id", vector_col: str = "embedding",
+    threshold: float = 0.95, max_cluster: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): dedup at the
+    MEANING level — k-means-cluster the embedding space, compare cosine
+    similarity only WITHIN each cluster, and for every pair above the
+    threshold mark the member closer to the centroid for removal (the
+    paper keeps the LOW centroid-similarity example: prefer the cluster's
+    edge, prune its dense core).
+
+    Output: (cluster_id, id_a, id_b, cos_sim, drop_id) per within-cluster
+    pair with cos_sim ≥ threshold; drop_id is the higher-centroid-cosine
+    member (tie → the larger id).
+
+    Scale posture: the pair join is an equi-join on cluster_id — pairs
+    are NEVER computed across clusters, so the quadratic term is bounded
+    by the largest cluster, which nlist controls (SemDeDup's own design:
+    cost ~ Σ|c_i|², tuned via k).  Clusters above max_cluster rows are
+    dropped from pairing entirely (broadcast anti-join, logged) — the
+    same hot-group stance as the LSH band buckets.  The centroid ride is
+    a plan literal (O(nlist) plan size, the embedding_cluster_balance
+    pattern) and every cosine is a sequential per-row fold → bit-exact
+    in the DuckDB oracle."""
+    from vecgo_spark.operators import ivf as ivfmod
+
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids]
+    )
+    v = F.col(vector_col).cast("array<double>")
+    d = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        ivfmod.assign_expr(model, vector_col).alias("cluster_id"),
+    ).withColumn(
+        "cent_cos",
+        cosine_similarity(F.col("v"), F.element_at(cents, F.col("cluster_id") + 1)),
+    )
+    d = _drop_hot(d, ["cluster_id"], max_cluster, "semantic clusters")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"),
+              (F.col("a.cluster_id") == F.col("b.cluster_id"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.cluster_id").cast("int").alias("cluster_id"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+            F.when(F.col("a.cent_cos") > F.col("b.cent_cos"), F.col("a.id"))
+            .when(F.col("b.cent_cos") > F.col("a.cent_cos"), F.col("b.id"))
+            .otherwise(F.col("b.id")).alias("drop_id"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return pairs
+
+
+def semantic_dedup_pairs_sql(
+    model, emb_table: str = "embeddings", id_col: str = "vec_id",
+    vector_col: str = "embedding", threshold: float = 0.95,
+    max_cluster: int | None = MAX_BUCKET,
+) -> str:
+    from vecgo_spark.operators.ivf import assign_sql
+
+    cents = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in model.centroids
+    ) + "]"
+    cent_cos = cosine_sql(vector_col, f"({cents})[cluster_id + 1]")
+    hot = ""
+    src = "a0"
+    if max_cluster is not None:
+        hot = f"""
+    hot AS (SELECT cluster_id FROM a0 GROUP BY cluster_id
+            HAVING count(*) > {max_cluster}),
+    a1 AS (SELECT * FROM a0 t WHERE NOT EXISTS (
+        SELECT 1 FROM hot h WHERE h.cluster_id = t.cluster_id)),"""
+        src = "a1"
+    cos = cosine_sql("a.v", "b.v")
+    return f"""
+    WITH a0 AS (
+        SELECT {id_col} AS id, {vector_col} AS v,
+               CAST({assign_sql(model, vector_col)} AS INT) AS cluster_id,
+               {cent_cos} AS cent_cos
+        FROM {emb_table}
+    ),{hot}
+    p AS (
+        SELECT a.cluster_id, a.id AS id_a, b.id AS id_b,
+               {cos} AS cos_sim,
+               CASE WHEN a.cent_cos > b.cent_cos THEN a.id
+                    WHEN b.cent_cos > a.cent_cos THEN b.id
+                    ELSE b.id END AS drop_id
+        FROM {src} a JOIN {src} b
+          ON a.cluster_id = b.cluster_id AND a.id < b.id
+    )
+    SELECT cluster_id, id_a, id_b, cos_sim, drop_id
+    FROM p WHERE cos_sim >= {threshold!r}
     """
 
 

@@ -962,6 +962,7 @@ class VectorTable:
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
         meta.pop("hnsw", None)  # compaction replaces every indexed segment
         meta.pop("vamana", None)
+        meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
             version=version, lsn=lsn,
@@ -1233,6 +1234,7 @@ class VectorTable:
         # vacuum collect the stale blobs
         meta.pop("hnsw", None)
         meta.pop("vamana", None)
+        meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
             version=version, lsn=lsn,
@@ -1345,7 +1347,7 @@ class VectorTable:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
             referenced.update(m.tombstone_files)
-            for idx in ("ivf", "sq", "pq", "hnsw", "vamana"):  # every index artifact family
+            for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash"):  # every index artifact family
                 if idx in m.meta:
                     referenced.add(m.meta[idx]["path"])
                     # graph families grown by incremental refresh carry a
