@@ -1254,6 +1254,33 @@ def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): a date-filtered
+    lineitem⋈orders join bucketed two ways by order priority, grouped by
+    the mode-like flag column (the testdata schema carries no l_shipmode /
+    commit/receipt dates, so l_returnflag IN ('A','R') plays the
+    MAIL/SHIP role — the join + two-bucket conditional agg is the shape).
+    Plan: the date+flag filter pushes to the lineitem scan, the join is a
+    shuffle equi-join on the orderkey (orders is NOT broadcast-sized at
+    TPC-H scale; AQE may still pick broadcast at small SF), counts are
+    map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion-effect ratio (TPC-H Q14 shape): broadcast part dim,
     conditional aggregation in exact integer cents, ONE final double
@@ -1522,6 +1549,19 @@ def _embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cluster_id").cast("int").alias("cluster_id"))
         .orderBy("cluster_id", "vec_id")
     )
+
+
+def _dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within-cluster cosine pruning over
+    the SAME deterministic k-means model the IVF family trains (one
+    artifact, many consumers) — semantic near-dups are only ever compared
+    inside their cluster, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    return dedup.semantic_dedup_pairs(emb, model, threshold=0.3).orderBy(
+        "cluster_id", "id_a", "id_b")
 
 
 def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2076,65 +2116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresh driver-green row from the previous round rotate to the tail;
     # scripts/verify_driver.py still checks all of them locally each round.
     return {
-        # -- never driver-checked: 14 landed in r6 + 2 new in r7 ---------
-        "tpch_q9_profit_nation_year": _tpch_q9,
-        "tpch_q13_custdist": _tpch_q13,
-        "tpch_q16_supplier_variety": _tpch_q16,
-        "tpch_q21_waiting_supplier": _tpch_q21,
-        "chunk_dedup_frac": _chunk_dedup,
-        "doc_perplexity_bigram": _doc_perplexity_bigram,
-        "events_anomaly_zscore": _events_anomaly_zscore,
-        "docs_pattern_scrub": _docs_pattern_scrub,
-        "docs_rule_funnel": _docs_rule_funnel,
-        "tpch_q11_important_parts": _tpch_q11,
-        "tpch_q20_dominant_supplier": _tpch_q20,
-        "kmv_distinct_shingles": _kmv_distinct_shingles,
-        "docs_weighted_sample": _docs_weighted_sample,
-        "tpch_q2_min_cost_supplier": _tpch_q2,
-        "ann_ivf_bq_at_rest": _ann_ivf_bq_at_rest,
-        "knn_rabitq_at_rest": _knn_rabitq_at_rest,
-        "docs_bloom_decontam": _docs_bloom_decontam,
-        "docs_dsir_weights": _docs_dsir_weights,
-        "docs_token_budget_mixture": _docs_token_budget_mixture,
-        "dedup_minhash_incremental": _dedup_minhash_incremental,
-        # -- code changed in r7 (eval_once barriers / cluster-map keying /
-        #    kmv+perplexity fixes): r6 evidence is stale, re-prove --------
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        # -- r8 window: 3 new queries + 4 whose code changed this round,
+        # -- then oldest driver evidence (r5 set, r6 picks), then canaries
         "docs_exact_substring_spans": _docs_exact_substring_spans,
-        "contamination_ngram": _contamination_ngram,
-        "doc_novelty": _doc_novelty,
-        "doc_repetition": _doc_repetition,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_keep_best_quality": _dedup_keep_best_quality,
-        "embedding_neardup": _embedding_neardup,
-        "dedup_simhash": _dedup_simhash,
-        # -- regression canaries kept inside the driver window -----------
-        "events_tumbling_1h": _events_tumbling_1h,
-        "events_sliding_1h30m": _events_sliding_1h30m,
-        "events_sessionization": _events_sessionization,
-        "events_asof_join": _events_asof_join,
-        "events_json_props": _events_json_props,
-        "events_funnel_conversion": _events_funnel_conversion,
-        "ann_ivf_at_rest": _ann_ivf_at_rest,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
-        # -- oldest driver evidence (r5) rotated back in ------------------
-        "stats_histogram": _stats_histogram,
-        "stats_categorical_profile": _stats_categorical,
-        "stats_vector_profile": _stats_vector,
-        "knn_hamming_registered": _knn_hamming_registered,
-        "knn_int4_adc": _knn_int4_adc,
-        "knn_rabitq": _knn_rabitq,
-        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
-        "knn_l2": _knn("l2"),
-        "knn_dot": _knn("dot"),
-        "knn_cosine": _knn("cosine"),
-        # -- driver window ends here (first 50 entries; recount with
-        # scripts/verify_driver.py after ANY insertion above) ------------
-        # -- r5-evidenced, unchanged; oldest of these rotate in next round
+        "dedup_semantic_pairs": _dedup_semantic_pairs,
+        "tpch_q12_ship_priority": _tpch_q12,
+        "dedup_minhash_incremental": _dedup_minhash_incremental,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "docs_token_budget_mixture": _docs_token_budget_mixture,
+        "docs_dsir_weights": _docs_dsir_weights,
         "knn_l2_filtered": _knn_l2_filtered,
         "knn_l2_projected": _knn_l2_projected,
         "knn_batch": _knn_batch,
@@ -2162,11 +2152,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": _tpch_q7,
         "tpch_q8_market_share": _tpch_q8,
         "embedding_cluster_balance": _embedding_cluster_balance,
-        # -- r6-evidenced (CORRECTNESS_r06 ⊕), code untouched in r7 ------
         "knn_sq8_rerank": _knn_sq8_rerank,
         "knn_bq_hamming": _knn_bq_hamming,
         "knn_opq_adc": _knn_opq_adc,
         "ann_lsh": _ann_lsh,
+        "events_anomaly_zscore": _events_anomaly_zscore,
+        "events_tumbling_1h": _events_tumbling_1h,
+        "events_sliding_1h30m": _events_sliding_1h30m,
+        "events_sessionization": _events_sessionization,
+        "events_asof_join": _events_asof_join,
+        "events_json_props": _events_json_props,
+        "events_funnel_conversion": _events_funnel_conversion,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
+        # -------- driver window ends here (50 entries above) --------
+        # ---------------- tail: fresh r6/r7 driver evidence ----------------
+        "knn_l2": _knn("l2"),
+        "knn_dot": _knn("dot"),
+        "knn_cosine": _knn("cosine"),
+        "tpch_q9_profit_nation_year": _tpch_q9,
+        "tpch_q13_custdist": _tpch_q13,
+        "tpch_q16_supplier_variety": _tpch_q16,
+        "tpch_q21_waiting_supplier": _tpch_q21,
+        "chunk_dedup_frac": _chunk_dedup,
+        "doc_perplexity_bigram": _doc_perplexity_bigram,
+        "docs_pattern_scrub": _docs_pattern_scrub,
+        "docs_rule_funnel": _docs_rule_funnel,
+        "tpch_q11_important_parts": _tpch_q11,
+        "tpch_q20_dominant_supplier": _tpch_q20,
+        "kmv_distinct_shingles": _kmv_distinct_shingles,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "tpch_q2_min_cost_supplier": _tpch_q2,
+        "ann_ivf_bq_at_rest": _ann_ivf_bq_at_rest,
+        "knn_rabitq_at_rest": _knn_rabitq_at_rest,
+        "docs_bloom_decontam": _docs_bloom_decontam,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "contamination_ngram": _contamination_ngram,
+        "doc_novelty": _doc_novelty,
+        "doc_repetition": _doc_repetition,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_keep_best_quality": _dedup_keep_best_quality,
+        "embedding_neardup": _embedding_neardup,
+        "dedup_simhash": _dedup_simhash,
+        "stats_histogram": _stats_histogram,
+        "stats_categorical_profile": _stats_categorical,
+        "stats_vector_profile": _stats_vector,
+        "knn_hamming_registered": _knn_hamming_registered,
+        "knn_int4_adc": _knn_int4_adc,
+        "knn_rabitq": _knn_rabitq,
+        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
         "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
         "bm25_search": _bm25_search,
         "hybrid_rrf_filtered": _hybrid_rrf_filtered,
@@ -2194,9 +2231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _hybrid_rrf,
         "events_retention_cohorts": _events_retention_cohorts,
         "stats_numeric_profile": _stats_numeric,
-        "ann_hnsw_batch": _ann_hnsw_batch,  # rows-only: approximate + RNG
-        "ann_hnsw_at_rest": _ann_hnsw_at_rest,  # rows-only: approximate + RNG
-        "ann_vamana_at_rest": _ann_vamana_at_rest,  # rows-only: approximate + RNG
+        "ann_hnsw_batch": _ann_hnsw_batch,
+        "ann_hnsw_at_rest": _ann_hnsw_at_rest,
+        "ann_vamana_at_rest": _ann_vamana_at_rest,
     }
 
 
@@ -2470,6 +2507,8 @@ def _ann_oracles() -> dict[str, str]:
 
     return {
         "embedding_cluster_balance": embedding_cluster_balance,
+        "dedup_semantic_pairs": dedup.semantic_dedup_pairs_sql(ivf_m, threshold=0.3)
+        + " ORDER BY cluster_id, id_a, id_b",
         "ann_ivf": ann_ivf,
         "ann_lsh": ann_lsh,
         "ann_ivf_batch": ann_ivf_batch,
@@ -2874,6 +2913,19 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "tpch_q12_ship_priority": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "tpch_q14_promo_revenue": """
             WITH agg AS (

@@ -122,13 +122,15 @@ COMMENTARY = {
         "union) — see the dedup_simhash note."
     ),
     "dedup_minhash_incremental": (
-        "Incremental ingest dedup: batch band rows equi-join CORPUS band "
-        "rows — there is no corpus self-join anywhere in the plan, so "
-        "per-batch cost is two signature aggregations plus a candidate "
-        "join sized by the batch's true near-dups; hot corpus buckets "
-        "leave via an unhinted anti-join and the match-count "
-        "verification is in-row over the carried signatures (no "
-        "back-joins against either signature table)."
+        "Incremental ingest dedup, r8: the corpus side is served from "
+        "the STORED signature artifact (minhash_at_rest parquet — the "
+        "scan below reads the fixed-width m0..m15 columns, never the "
+        "corpus text; no split()/shingle explode on that leg). Batch "
+        "band rows equi-join corpus band rows — no corpus self-join, so "
+        "per-batch cost is ONE batch signature aggregation plus a "
+        "signature-column scan; hot corpus buckets leave via an "
+        "unhinted anti-join and the match-count verification is in-row "
+        "over the carried signatures."
     ),
     "doc_repetition": (
         "Intra-doc repetition profile (Gopher-style): the ENTIRE plan is "
@@ -305,13 +307,45 @@ COMMENTARY = {
         "B-row partials thanks to map-side combine."
     ),
     "docs_token_budget_mixture": (
-        "Token-budget mixture cut: n_tokens and the hash priority are "
-        "scan-fused projections, budgets ride as a literal CASE "
-        "(O(#sources) plan size, no join), and the ONLY exchange is the "
-        "hashpartitioning(source) window computing the running token "
-        "sum; the greedy cut is a codegen predicate over that sum. A "
-        "mega-source is one window partition — the stratified_sample "
-        "skew caveat applies."
+        "Token-budget mixture cut, r8: the running sum is a TWO-PHASE "
+        "prefix sum — the data window partitions by (source, _bk) where "
+        "_bk is a deterministic range bucket from the priority hash's "
+        "top bits (shiftright in the scan projection), so no window "
+        "group ever holds a whole source; the per-(source, bucket) "
+        "token subtotals are a map-side-combined aggregate whose "
+        "exclusive prefix offsets broadcast-join back. Budgets still "
+        "ride as a literal CASE (no join); the only source-partitioned "
+        "window runs over the 4096-row subtotal aggregate. Plan pin: "
+        "tests/test_perf_plans.py::test_token_budget_no_single_"
+        "partition_window."
+    ),
+    "docs_exact_substring_spans": (
+        "ExactSubstr dedup (Lee et al. 2021) via run-merging: window "
+        "positions + hashes are scan-fused projections behind the "
+        "eval_once barrier; the duplicated-hash keys come from ONE "
+        "map-side-combined groupBy(h) and return via a LeftSemi "
+        "equi-join on the hash — never a pos x pos self-join of the "
+        "token stream; the island merge is a per-document window "
+        "(bounded by doc length). Two corpus scans (count leg + "
+        "position leg), the dsir posture."
+    ),
+    "dedup_semantic_pairs": (
+        "SemDeDup within-cluster cosine pruning: the k-means centroids "
+        "ride as an O(nlist) plan literal (assignment + centroid-cosine "
+        "are codegen projections in the scan); candidate pairs are born "
+        "inside a cluster_id-grouped applyInPandas gemm — cross-cluster "
+        "pairs are structurally impossible and the quadratic term is "
+        "bounded by the largest cluster (nlist-tunable, hot clusters "
+        "dropped via the broadcast anti-join cap); the exact "
+        "sequential-fold cosine + centroid drop-choice verify runs only "
+        "on surviving candidates (oracle-bit-exact), 9.6x the naive "
+        "within-cluster HOF theta-join at sf0.1."
+    ),
+    "tpch_q12_ship_priority": (
+        "Q12 shape: the date + flag filter reaches the lineitem scan as "
+        "PushedFilters; the orderkey equi-join is AQE-decided (orders "
+        "is not broadcast-sized at TPC-H scale); the two-bucket "
+        "conditional counts are map-side partial aggregates."
     ),
     "docs_weighted_sample": (
         "Weighted sampling: priority = hash/weight is one codegen "

@@ -439,3 +439,73 @@ def test_exact_substring_spans_plan_no_position_self_join(spark):
     assert "LeftSemi" in join_lines[0] and "(h#" in join_lines[0]
     assert "pos#" not in join_lines[0]
     assert "Cartesian" not in plan and "Cross" not in plan
+
+
+def test_semantic_dedup_embedded_ground_truth(spark):
+    """SemDeDup on a corpus with planted semantics: two tight clusters of
+    near-identical vectors plus a far-out singleton. Within-cluster
+    near-dups are found with the right drop choice (the member CLOSER to
+    the centroid is dropped — the paper keeps the cluster's edge), and
+    vectors in different clusters are never paired even when similar."""
+    import numpy as np
+
+    from vecgo_spark.operators import ivf
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # cluster A around (1,0,...), cluster B around (0,1,...); ids 1..12
+    for i in range(6):
+        v = np.zeros(8); v[0] = 1.0; v += rng.normal(0, 0.01, 8)
+        rows.append((i + 1, [float(x) for x in v]))
+    for i in range(6):
+        v = np.zeros(8); v[1] = 1.0; v += rng.normal(0, 0.01, 8)
+        rows.append((i + 7, [float(x) for x in v]))
+    rows.append((99, [float(x) for x in rng.normal(5, 0.1, 8)]))  # far singleton
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = ivf.train_ivf(emb, "embedding", nlist=3, max_iter=10,
+                          trainer="driver", order_col="vec_id")
+    got = dedup.semantic_dedup_pairs(emb, model, threshold=0.95).collect()
+    assert got, "planted near-identical vectors must pair"
+    a_ids, b_ids = set(range(1, 7)), set(range(7, 13))
+    for r in got:
+        pair = {r["id_a"], r["id_b"]}
+        assert pair <= a_ids or pair <= b_ids, f"cross-cluster pair {pair}"
+        assert r["drop_id"] in pair
+        assert r["cos_sim"] >= 0.95
+    # every within-cluster pair of the planted groups is ~identical → all found
+    assert len(got) == 2 * (6 * 5 // 2)
+    # drop choice: recompute centroid cosines and check argmax is dropped
+    import math
+    cents = model.centroids
+    by_id = {i: v for i, v in rows}
+    for r in got:
+        def cc(i):
+            v = by_id[i]; c = cents[r["cluster_id"]]
+            dot = sum(x * y for x, y in zip(v, c))
+            return dot / (math.sqrt(sum(x * x for x in v)) * math.sqrt(sum(y * y for y in c)))
+        ca, cb = cc(r["id_a"]), cc(r["id_b"])
+        want_drop = r["id_a"] if ca > cb else r["id_b"]
+        assert r["drop_id"] == want_drop
+
+
+def test_semantic_dedup_plan_never_crosses_clusters(spark):
+    """100-TB audit: candidate pairs are generated INSIDE a
+    per-cluster-grouped applyInPandas gemm (cross-cluster pairs never
+    exist), no cartesian / nested-loop anywhere, and the verify joins
+    are equi-joins keyed on the candidate ids."""
+    from vecgo_spark.operators import ivf
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(1, 20)],
+        "vec_id long, embedding array<float>")
+    model = ivf.train_ivf(emb, "embedding", nlist=2, max_iter=5,
+                          trainer="driver", order_col="vec_id")
+    plan = (dedup.semantic_dedup_pairs(emb, model, threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # per-cluster gemm
+    # the pair generator is grouped by cluster_id — the ONLY place pairs
+    # are born, so cross-cluster pairs are structurally impossible
+    import re as _re
+    assert _re.search(r"FlatMapGroupsInPandas \[cluster_id", plan), plan[:2000]

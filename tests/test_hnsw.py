@@ -360,3 +360,47 @@ def test_refresh_recovers_from_orphan_dir_and_prunes_dead_segments(spark, tmp_pa
     segs = t.manifest.meta["hnsw"]["segments"]
     assert "segments/seg-dead-00000000" not in segs
     assert {s.path for s in t.manifest.segments} == set(segs)
+
+
+def test_refresh_folds_dirs_at_cap(spark, tmp_path):
+    """r7 verdict #5: a tight ingest→refresh loop must not accumulate
+    blob dirs without bound.  With max_dirs=3, repeated refreshes fold —
+    paths stays ≤ 3, search results are unchanged across the fold, and
+    vacuum collects the superseded dirs."""
+    import os
+
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(11)
+    t = VectorTable.create(spark, str(tmp_path / "tfold"), dim=6, metric="l2")
+    t.insert(spark.createDataFrame(
+        [(i, rng.standard_normal(6).tolist()) for i in range(80)],
+        "id long, vector array<double>"))
+    t.commit()
+    t.build_graph_index("hnsw", m=8, ef_construction=64)
+    probe = [3.0] * 6
+    from vecgo_spark.operators.graph_at_rest import blob_paths
+    seen_paths = set(blob_paths(t.manifest.meta["hnsw"]))
+    for i in range(6):
+        t.insert(spark.createDataFrame(
+            [(1000 + 10 * i + j, (rng.standard_normal(6) + i).tolist())
+             for j in range(5)] + ([(9000, probe)] if i == 0 else []),
+            "id long, vector array<double>"))
+        t.commit()
+        t.refresh_graph_index(max_dirs=3)
+        info = t.manifest.meta["hnsw"]
+        assert len(info["paths"]) <= 3, info["paths"]
+        seen_paths.update(info["paths"])
+        # every committed segment indexed → no delta leg after refresh
+        assert {s.path for s in t.manifest.segments} <= set(info["segments"])
+        got = [r["id"] for r in hnsw.search_at_rest(t, probe, k=3).collect()]
+        assert got[0] == 9000
+    info = t.manifest.meta["hnsw"]
+    assert len(seen_paths) > 3  # folding actually happened
+    # vacuum drops superseded dirs, keeps the live ones; search unchanged
+    t.vacuum(keep_versions=1)
+    live = set(info["paths"])
+    for p in seen_paths:
+        assert os.path.isdir(os.path.join(t.path, p)) == (p in live), p
+    got = [r["id"] for r in hnsw.search_at_rest(t, probe, k=3).collect()]
+    assert got[0] == 9000

@@ -723,3 +723,21 @@ def test_token_budget_mixture_edge_inputs(spark):
         pipeline.token_budget_mixture_sql({})
     sql = pipeline.token_budget_mixture_sql({"o'reilly": 10})
     assert "'o''reilly'" in sql
+
+
+def test_dsir_persist_grams_identical_and_released(spark):
+    """r7 verdict stretch: persist_grams=True must not change a single
+    value (it only dedups the two corpus scans) and must register its
+    cache for release_caches()."""
+    rows = [(i, f"tok{i % 5} tok{i % 3} tok{i % 7} common words here") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") % 4 == 0)
+    base = sorted(map(tuple, pipeline.dsir_importance(docs, target, n=2, buckets=64).collect()))
+    pipeline.release_caches()
+    assert not pipeline._CACHED
+    got = sorted(map(tuple, pipeline.dsir_importance(
+        docs, target, n=2, buckets=64, persist_grams=True).collect()))
+    assert got == base
+    assert pipeline._CACHED  # gram stream registered
+    pipeline.release_caches()
+    assert not pipeline._CACHED

@@ -50,7 +50,14 @@ def eval_once(c: Column) -> Column:
     stays a single streaming pass.  NOT rand(): Spark 4 constant-folds
     always-true rand comparisons (verified: when(rand ≥ -1) vanishes from
     the optimized plan and the projections collapse again), while no rule
-    folds partition-id comparisons.  Plan pins: tests/test_perf_plans.py."""
+    folds partition-id comparisons.  Plan pins: tests/test_perf_plans.py.
+
+    Pushdown caveat (ADVICE r7): the same non-determinism that pins the
+    projection boundary also BLOCKS predicate pushdown through it — a
+    filter applied downstream of a barrier projection will not reach the
+    parquet scan.  Operator entry points must therefore apply
+    user-supplied predicates UPSTREAM of the barrier select (every
+    in-repo caller filters before shingling; keep it that way)."""
     return F.when(F.spark_partition_id() >= F.lit(0), c)
 
 

@@ -1072,7 +1072,15 @@ def embedding_neardup_pairs(
     if candidates == "auto":
         n = emb.count() if n_rows is None else int(n_rows)
         candidates = "lsh" if n > auto_lsh_rows else "block"
-        _log.info("embedding_neardup auto strategy: %d rows -> %s", n, candidates)
+        if candidates == "lsh":
+            # ADVICE r7: make the silent recall change visible — LSH
+            # candidate recall is ~0.93 at the default planes, not 1.0
+            _log.warning(
+                "embedding_neardup auto strategy: %d rows > %d — switching "
+                "to LSH candidates (approximate: candidate recall < 1)",
+                n, auto_lsh_rows)
+        else:
+            _log.info("embedding_neardup auto strategy: %d rows -> block", n)
     if candidates == "block":
         cand = _block_pair_candidates(emb, id_col, vector_col, cutoff, n_blocks)
     elif candidates == "lsh":
@@ -1119,15 +1127,21 @@ def semantic_dedup_pairs(
     pair with cos_sim ≥ threshold; drop_id is the higher-centroid-cosine
     member (tie → the larger id).
 
-    Scale posture: the pair join is an equi-join on cluster_id — pairs
-    are NEVER computed across clusters, so the quadratic term is bounded
-    by the largest cluster, which nlist controls (SemDeDup's own design:
-    cost ~ Σ|c_i|², tuned via k).  Clusters above max_cluster rows are
-    dropped from pairing entirely (broadcast anti-join, logged) — the
-    same hot-group stance as the LSH band buckets.  The centroid ride is
-    a plan literal (O(nlist) plan size, the embedding_cluster_balance
-    pattern) and every cosine is a sequential per-row fold → bit-exact
-    in the DuckDB oracle."""
+    Scale posture: pairs are NEVER computed across clusters — candidate
+    generation is one numpy gemm per cluster inside applyInPandas (the
+    embedding_neardup block pattern: per-task memory = one cluster, the
+    quadratic term bounded by the largest cluster, which nlist controls —
+    SemDeDup's own design, cost ~ Σ|c_i|²).  Clusters above max_cluster
+    rows are dropped from pairing entirely (broadcast anti-join, logged).
+    The surviving candidates (true near-dups only, cutoff − 1e-9 margin)
+    are VERIFIED with the exact sequential-fold cosine and the
+    drop-choice centroid cosines — plan-literal centroids, per-row
+    folds — so the reported values are bit-exact in the DuckDB oracle;
+    the verify joins are keyed on the candidate ids, sized by real dups,
+    not by Σ|c_i|²."""
+    import numpy as np
+    import pandas as pd
+
     from vecgo_spark.operators import ivf as ivfmod
 
     cents = F.array(
@@ -1143,23 +1157,41 @@ def semantic_dedup_pairs(
         cosine_similarity(F.col("v"), F.element_at(cents, F.col("cluster_id") + 1)),
     )
     d = _drop_hot(d, ["cluster_id"], max_cluster, "semantic clusters")
-    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
-    pairs = (
-        d.alias("a")
-        .join(d.alias("b"),
-              (F.col("a.cluster_id") == F.col("b.cluster_id"))
-              & (F.col("a.id") < F.col("b.id")))
+    cutoff = threshold - 1e-9
+
+    def emit(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        m = np.stack(pdf["v"].values).astype(np.float64)
+        nz = np.linalg.norm(m, axis=1)
+        nz[nz == 0.0] = np.nan  # zero vectors never match (NULL cosine)
+        m = m / nz[:, None]
+        sims = m @ m.T
+        ai, bi = np.where(sims >= cutoff)
+        ids = pdf["id"].values.astype(np.int64)
+        ia, ib = ids[ai], ids[bi]
+        keep = ia < ib  # same set both sides: upper triangle only
+        return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    cand = d.select("cluster_id", "id", "v").groupBy("cluster_id").applyInPandas(
+        emit, "id_a long, id_b long")
+    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("cluster_id").cast("int").alias("cluster_id"),
+                 F.col("cent_cos").alias("ca"))
+    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("cent_cos").alias("cb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
         .select(
-            F.col("a.cluster_id").cast("int").alias("cluster_id"),
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            sim.alias("cos_sim"),
-            F.when(F.col("a.cent_cos") > F.col("b.cent_cos"), F.col("a.id"))
-            .when(F.col("b.cent_cos") > F.col("a.cent_cos"), F.col("b.id"))
-            .otherwise(F.col("b.id")).alias("drop_id"),
+            "cluster_id", "id_a", "id_b", sim.alias("cos_sim"),
+            F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+            .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+            .otherwise(F.col("id_b")).alias("drop_id"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
-    return pairs
 
 
 def semantic_dedup_pairs_sql(

@@ -82,9 +82,12 @@ def build_graphs_at_rest(
     return version
 
 
-def _write_blob_dir(tbl, segs, family: str, version: int, build_blob) -> str:
+def _write_blob_dir(tbl, segs, family: str, version: int, build_blob,
+                    extra=None) -> str:
     """One graph blob per segment in `segs` → a versioned parquet dir
-    under _index/; returns the table-relative path.
+    under _index/; returns the table-relative path.  `extra` is an
+    optional (seg, blob) DataFrame unioned into the write — the fold path
+    copies still-live blobs from superseded dirs through it.
 
     An existing target dir is an ORPHAN from a failed earlier attempt
     (the dir name carries version = manifest.version + 1, which no saved
@@ -121,10 +124,10 @@ def _write_blob_dir(tbl, segs, family: str, version: int, build_blob) -> str:
     full = os.path.join(tbl.path, rel)
     if fs_exists(full):
         fs_rmtree(full)  # orphan of a failed attempt — see docstring
-    (
-        raw.groupBy("_seg").applyInPandas(build, "seg string, blob binary")
-        .write.mode("error").parquet(full)
-    )
+    out = raw.groupBy("_seg").applyInPandas(build, "seg string, blob binary")
+    if extra is not None:
+        out = out.unionByName(extra.select("seg", "blob"))
+    out.write.mode("error").parquet(full)
     return rel
 
 
@@ -134,7 +137,7 @@ def blob_paths(info: dict) -> list[str]:
     return list(info.get("paths", [info["path"]]))
 
 
-def refresh_graphs_at_rest(tbl, family: str, build_blob) -> int:
+def refresh_graphs_at_rest(tbl, family: str, build_blob, max_dirs: int = 8) -> int:
     """Incremental index maintenance — the Spark-side answer to
     FreshVamana's insert path (fresh_vamana.go): segments committed AFTER
     the last build/refresh get their own blobs in a NEW versioned dir
@@ -146,7 +149,15 @@ def refresh_graphs_at_rest(tbl, family: str, build_blob) -> int:
     committed segment is already indexed. Deletes still ride the
     rerank-enforced visibility pass — graph blobs never need eager
     repair, which is why compaction (not in-graph surgery) remains the
-    consolidation story (SURVEY §2.9)."""
+    consolidation story (SURVEY §2.9).
+
+    Dir growth is BOUNDED (r7 verdict #5): once the family would exceed
+    `max_dirs` blob dirs, the refresh FOLDS — the new dir gets the new
+    segments' blobs plus a copy of every still-live stored blob (a
+    parquet row copy, no graph rebuild), and `paths` collapses to the one
+    folded dir; the orphaned dirs are collected by the next vacuum.  A
+    tight ingest→refresh loop therefore converges to one copy-amortized
+    dir instead of accumulating thousands of tiny ones."""
     from vecgo_spark.plans.manifest import Manifest, save_manifest
 
     tbl._check_writable()
@@ -160,9 +171,22 @@ def refresh_graphs_at_rest(tbl, family: str, build_blob) -> int:
     if not new_segs:
         return man.version
     version = man.version + 1
-    rel = _write_blob_dir(tbl, new_segs, family, version, build_blob)
+    live = {s.path for s in man.segments}
+    old_paths = blob_paths(info)
+    fold = len(old_paths) + 1 > max_dirs
+    extra = None
+    if fold:
+        live_indexed = sorted(set(info["segments"]) & live)
+        stored = tbl.spark.read.parquet(
+            *[os.path.join(tbl.path, p) for p in old_paths])
+        extra = stored.where(F.col("seg").isin(live_indexed))
+    rel = _write_blob_dir(tbl, new_segs, family, version, build_blob, extra=extra)
     new_info = dict(info)
-    new_info["paths"] = blob_paths(info) + [rel]
+    new_info["paths"] = [rel] if fold else old_paths + [rel]
+    if fold:
+        # keep "path" == paths[0] so vacuum doesn't pin the superseded
+        # build dir through the legacy single-path key
+        new_info["path"] = rel
     # prune segment paths that partial compaction has since replaced —
     # every consumer already intersects with the current segment set, so
     # dropping dead entries is safe, and without it the list (and every
@@ -170,7 +194,6 @@ def refresh_graphs_at_rest(tbl, family: str, build_blob) -> int:
     # loop. Blob DIRS are kept even when all their segments die (a dir
     # may mix live and dead segments; full compaction drops the family
     # and resets the list anyway).
-    live = {s.path for s in man.segments}
     new_info["segments"] = (
         [p for p in info["segments"] if p in live] + [s.path for s in new_segs])
     new = Manifest(

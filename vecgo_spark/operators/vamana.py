@@ -377,7 +377,7 @@ def _make_build_blob(tbl, r: int, l: int, alpha: float, pq):
     return build_blob
 
 
-def refresh_at_rest(tbl, pq=None) -> int:
+def refresh_at_rest(tbl, pq=None, max_dirs: int = 8) -> int:
     """Incremental Vamana maintenance — the Spark mapping of FreshVamana's
     insert path (fresh_vamana.go): new segments get their own graphs,
     existing blobs are immutable, deletes ride the rerank visibility pass
@@ -396,7 +396,8 @@ def refresh_at_rest(tbl, pq=None) -> int:
     return refresh_graphs_at_rest(
         tbl, "vamana",
         _make_build_blob(tbl, int(info["r"]), int(info["l"]),
-                         float(info["alpha"]), pq))
+                         float(info["alpha"]), pq),
+        max_dirs=max_dirs)
 
 
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
