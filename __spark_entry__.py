@@ -1132,6 +1132,13 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr removal action: documents rewritten with their
+    duplicated >= 15-token spans deleted (token-domain clean_text)."""
+    return dedup.exact_substring_dedup(
+        load_table(spark, sf_dir, "documents"), min_len=15)
+
+
 def _docs_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2021 ExactSubstr dedup, Spark-shaped: maximal spans of
     >= 15 tokens that appear (as an exact token sequence window) more
@@ -2124,7 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": _dedup_minhash_incremental,
         "dedup_minhash_lsh": _dedup_minhash,
         "docs_token_budget_mixture": _docs_token_budget_mixture,
-        "docs_dsir_weights": _docs_dsir_weights,
+        "docs_exact_substring_dedup": _docs_exact_substring_dedup,
         "knn_l2_filtered": _knn_l2_filtered,
         "knn_l2_projected": _knn_l2_projected,
         "knn_batch": _knn_batch,
@@ -2170,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r6/r7 driver evidence ----------------
+        "docs_dsir_weights": _docs_dsir_weights,
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
         "knn_cosine": _knn("cosine"),
@@ -2828,6 +2836,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_pairs_sql(max_hamming=3),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(threshold=0.5),
         "docs_exact_substring_spans": dedup.exact_substring_spans_sql(min_len=15),
+        "docs_exact_substring_dedup": dedup.exact_substring_dedup_sql(min_len=15),
         "embedding_neardup": dedup.embedding_neardup_pairs_sql(threshold=0.4),
         "dedup_clusters": dedup.dedup_clusters_sql(threshold=0.5),
         "dedup_keep_best_quality": f"""

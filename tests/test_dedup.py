@@ -509,3 +509,29 @@ def test_semantic_dedup_plan_never_crosses_clusters(spark):
     # are born, so cross-cluster pairs are structurally impossible
     import re as _re
     assert _re.search(r"FlatMapGroupsInPandas \[cluster_id", plan), plan[:2000]
+
+
+def test_exact_substring_dedup_removal_model(spark):
+    """The removal action drops exactly the span-covered tokens (all
+    occurrences — the conservative ExactSubstr variant), passes clean
+    docs through untouched, and reports token-domain counts."""
+    L = 4
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e z"),          # "a b c d e" duplicated
+        (3, "p q r s t u"),              # clean
+        (4, "one two"),                  # shorter than L
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {r["doc_id"]: [] for r in docs.collect()}
+    for r in dedup.exact_substring_spans(docs, min_len=L).collect():
+        spans[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in dedup.exact_substring_dedup(docs, min_len=L).collect()}
+    for i, t in rows:
+        toks = t.split()
+        kept = [tok for p, tok in enumerate(toks, start=1)
+                if not any(s <= p <= e for s, e in spans[i])]
+        assert got[i] == (len(toks), len(toks) - len(kept), " ".join(kept)), i
+    assert got[3] == (6, 0, "p q r s t u")          # untouched
+    assert got[1][1] >= 5 and got[2][1] >= 5        # both copies cut

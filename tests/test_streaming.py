@@ -370,3 +370,62 @@ def test_streaming_ingest_with_incremental_graph_refresh(spark, tmp_path):
     assert len(info["paths"]) == 2  # ONE refresh dir covers both flushes
     assert [r["id"] for r in hnsw.search_at_rest(t, probe_a, k=1).collect()] == [9000]
     assert [r["id"] for r in hnsw.search_at_rest(t, probe_b, k=1).collect()] == [9001]
+
+
+def test_streaming_ingest_with_incremental_minhash_dedup(spark, tmp_path):
+    """The 100-TB ingest-dedup loop end-to-end: an existing corpus with
+    MinHash signatures AT REST, micro-batches streaming in, and per batch
+    (1) the batch near-dup-checked against STORED corpus signatures —
+    batch-sized work, the corpus text never re-shingled — then (2) the
+    batch's own signatures folded into the artifact by an incremental
+    refresh so the NEXT batch sees it as corpus."""
+    from vecgo_spark.operators import dedup
+    from vecgo_spark.operators import minhash_at_rest as mar
+    from vecgo_spark.plans.table import VectorTable
+    from vecgo_spark.streaming.ingest import ingest_stream
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    t = VectorTable.create(spark, str(tmp_path / "tdup"), dim=None)
+    t.insert(spark.createDataFrame(
+        [(i, f"{base} corpus{i}") for i in range(1, 21)], "id long, text string"))
+    t.commit()
+    mar.build_minhash_index(t)
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    # batch 1 carries a near-dup of the corpus; batch 2 a near-dup of
+    # BATCH 1 (only findable if the refresh folded batch 1 in)
+    spark.createDataFrame([(100, f"{base} corpus1"), (101, "unrelated words x y z q r s t")],
+                          "id long, text string").coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(200, "unrelated words x y z q r s t u")],
+                          "id long, text string").coalesce(1).write.parquet(src + "/b2")
+
+    hits: dict[int, set[tuple[int, int]]] = {}
+
+    def on_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sigs = mar.stored_minhash_signatures(t)
+        pairs = dedup.minhash_dedup_incremental(
+            None, batch_df, id_col="id", text_col="text",
+            min_matches=8, corpus_sigs=sigs)
+        hits[batch_id] = {(r["batch_id"], r["corpus_id"]) for r in pairs.collect()}
+        t.insert(batch_df, assign_ids=False)
+        t.commit()
+        mar.refresh_minhash_index(t)
+
+    stream = (spark.readStream.schema("id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*/"))
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len(hits) == 2
+    first, second = (hits[k] for k in sorted(hits))
+    assert (100, 1) in first                      # corpus near-dup found
+    assert not any(b == 101 for b, _ in first)    # unrelated doc clean
+    assert (200, 101) in second                   # batch-1 doc now corpus
+    # every segment indexed: next stored read has no text recompute leg
+    info = t.manifest.meta["minhash"]
+    assert {s.path for s in t.manifest.segments} <= set(info["segments"])

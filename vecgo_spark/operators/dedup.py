@@ -640,6 +640,92 @@ def exact_substring_spans_sql(
     """
 
 
+def exact_substring_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """The ExactSubstr REMOVAL action: rewrite every document with its
+    duplicated spans (exact_substring_spans semantics) deleted — the
+    conservative all-occurrences variant of Lee et al. 2021's cut (the
+    spans report feeds keep-one policies; this operator applies the
+    drop).
+
+    Output: (id_col, n_tokens, n_removed, clean_text), one row per input
+    doc — docs without duplicated spans pass through with n_removed=0.
+    clean_text is in TOKEN domain (lowercased, single-space joined): the
+    tokenizer that defines span positions also defines the rewrite.
+
+    Plan: the span list per doc is a groupBy(id) collect over the span
+    rows (bounded by spans-per-doc), broadcast-friendly relative to the
+    corpus but joined as a plain LEFT equi-join on id (span volume is
+    corpus-proportional at 100 TB — never hinted broadcast); the token
+    drop is a codegen filter-with-index over the token array testing
+    coverage against the in-row span list — per-token cost O(spans in
+    doc), no shuffle beyond the span aggregation."""
+    from vecgo_spark.functions.hashing import eval_once
+
+    spans = exact_substring_spans(docs, id_col, text_col, min_len).select(
+        F.col(id_col).alias("id"),
+        F.struct(F.col("span_start").alias("s"),
+                 F.col("span_end").alias("e")).alias("sp"),
+    ).groupBy("id").agg(F.collect_list("sp").alias("spans"))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
+    )
+    d = docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda s: (i >= s["s"]) & (i <= s["e"]))
+    kept = F.when(
+        F.col("spans").isNull(), F.col("toks")
+    ).otherwise(
+        # filter's index is 0-based; span positions are 1-based
+        F.filter(F.col("toks"), lambda t, i: ~covered(i + 1))
+    )
+    return (
+        d.join(spans, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def exact_substring_dedup_sql(
+    docs_table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", min_len: int = 50,
+) -> str:
+    spans_sql = exact_substring_spans_sql(docs_table, id_col, text_col, min_len)
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[\\x00-\\x20]+'), t -> t != '')"
+    return f"""
+    WITH span_rows AS ({spans_sql}),
+    spans AS (
+        SELECT {id_col} AS id,
+               list({{'s': span_start, 'e': span_end}}) AS spans
+        FROM span_rows GROUP BY {id_col}
+    ),
+    d AS (SELECT {id_col} AS id, {toks} AS toks FROM {docs_table})
+    SELECT d.id AS {id_col},
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - len(kept) AS BIGINT) AS n_removed,
+           -- array_to_string([]) is NULL in DuckDB; Spark concat_ws is ''
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM (
+        SELECT d.id, d.toks,
+               CASE WHEN s.spans IS NULL THEN d.toks
+                    -- DuckDB lambda index i is 1-based (= span positions)
+                    ELSE list_filter(d.toks, (t, i) ->
+                        len(list_filter(s.spans,
+                            sp -> i >= sp.s AND i <= sp.e)) = 0)
+               END AS kept
+        FROM d LEFT JOIN spans s ON d.id = s.id
+    ) d
+    ORDER BY {id_col}
+    """
+
+
 # ------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60  # stable_hash64 yields 60 usable bits
