@@ -1261,6 +1261,18 @@ def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length quantiles (the mixture diagnostic a
+    pretraining pipeline reports): distributed selection per group —
+    range-repartition + per-(partition, group) offsets — NEVER one window
+    partition per source (stats.grouped_percentiles docstring)."""
+    out = stats.grouped_percentiles(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars",
+        [0.25, 0.5, 0.9, 0.99])
+    stats.release_caches()
+    return out
+
+
 def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-mode priority split): a date-filtered
     lineitem⋈orders join bucketed two ways by order priority, grouped by
@@ -2162,7 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_rerank": _knn_sq8_rerank,
         "knn_bq_hamming": _knn_bq_hamming,
         "knn_opq_adc": _knn_opq_adc,
-        "ann_lsh": _ann_lsh,
+        "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
         "events_anomaly_zscore": _events_anomaly_zscore,
         "events_tumbling_1h": _events_tumbling_1h,
         "events_sliding_1h30m": _events_sliding_1h30m,
@@ -2177,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r6/r7 driver evidence ----------------
+        "ann_lsh": _ann_lsh,
         "docs_dsir_weights": _docs_dsir_weights,
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
@@ -3170,6 +3183,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
             ORDER BY event_type
         """,
+        "docs_length_quantiles_by_source": stats.grouped_percentiles_sql(
+            "documents", "source", "n_chars", [0.25, 0.5, 0.9, 0.99]),
         "stats_percentiles": stats.exact_percentiles_sql(
             "orders", "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99]),
         "knn_range": f"""

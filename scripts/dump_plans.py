@@ -353,6 +353,16 @@ COMMENTARY = {
         "TakeOrderedAndProject — per-partition heaps, k·P rows to the "
         "driver, NO rangepartitioning global sort anywhere."
     ),
+    "docs_length_quantiles_by_source": (
+        "Per-group exact quantiles by distributed selection: ONE "
+        "range-repartition over (group, value), per-(partition, group) "
+        "row_number windows (bounded by partition size — a mega-source "
+        "spreads across partitions, never one window task), tiny "
+        "count/offset aggregates broadcast back, and the interpolation "
+        "join against the per-group (p, lo, hi, frac) target table. "
+        "Plan pin: tests/test_stats.py::test_grouped_percentiles_no_"
+        "per_group_window."
+    ),
     "events_anomaly_zscore": (
         "Rolling anomaly flags: the (n, Σx, Σx²) frame sums share ONE "
         "`hashpartitioning(event_type)` exchange + sort (the Window "

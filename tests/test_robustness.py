@@ -306,3 +306,45 @@ def test_bloom_decontaminate_superset_property(spark, corpus, bench):
     for d, row in flags.items():
         assert 0 <= row["n_flagged"] <= row["n_shingles"]
         assert row["n_flagged"] >= exact.get(d, 0)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=24),
+    min_size=1, max_size=10,
+), st.integers(min_value=2, max_value=5))
+def test_exact_substring_spans_hypothesis(spark, token_docs, L):
+    """Property: exact_substring_spans == the brute-force python model
+    (count every L-window corpus-wide, run-merge per doc) for arbitrary
+    small-vocab corpora — the tiny alphabet maximizes repeats, hot
+    windows, adjacent-run and whole-doc-duplicated edge cases."""
+    from collections import Counter
+
+    from vecgo_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wins = []
+    for i, toks in enumerate(token_docs):
+        wins += [(i, p + 1, " ".join(toks[p:p + L]))
+                 for p in range(len(toks) - L + 1)]
+    counts = Counter(sh for _, _, sh in wins)
+    want = set()
+    for i, _ in enumerate(token_docs):
+        run = []
+        for p in sorted(p for d, p, sh in wins if d == i and counts[sh] >= 2):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] + L - 1,
+                              run[-1] + L - run[0], len(run)))
+                run = [p]
+        if run:
+            want.add((i, run[0], run[-1] + L - 1, run[-1] + L - run[0], len(run)))
+
+    got = {tuple(r) for r in
+           dedup.exact_substring_spans(docs, min_len=L).collect()}
+    assert got == want

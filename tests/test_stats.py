@@ -83,3 +83,55 @@ def test_categorical_entropy_value(spark):
     assert r["dominant_value"] == "a"
     assert abs(r["dominant_ratio"] - 0.5) < 1e-12
     assert r["n_distinct"] == 3
+
+
+def test_grouped_percentiles_vs_numpy_and_partition_independent(spark):
+    """Per-group exact quantiles == numpy per group (type-7), identical
+    across partition counts, singleton groups degenerate to the value."""
+    import numpy as np
+
+    from vecgo_spark.operators.stats import grouped_percentiles, release_caches
+
+    vals = {"a": [float((i * 7919) % 500) for i in range(101)],
+            "b": [float(i * i % 97) for i in range(40)],
+            "c": [42.0]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "source string, x double")
+    ps = [0.1, 0.5, 0.9, 0.99]
+    got = {(r["source"], r["p"]): r["value"]
+           for r in grouped_percentiles(df, "source", "x", ps, n_partitions=5).collect()}
+    for g, vs in vals.items():
+        want = np.percentile(np.array(vs), [p * 100 for p in ps], method="linear")
+        for p, w in zip(ps, want):
+            assert got[(g, p)] == pytest.approx(float(w), abs=1e-9), (g, p)
+    assert all(got[("c", p)] == 42.0 for p in ps)
+    got2 = {(r["source"], r["p"]): r["value"]
+            for r in grouped_percentiles(
+                df.repartition(13), "source", "x", ps, n_partitions=2).collect()}
+    assert got2 == got
+    release_caches()
+
+
+def test_grouped_percentiles_no_per_group_window(spark):
+    """100-TB pin: every window over the data stream partitions by
+    (pid, grp) — a mega-group spreads over the range partitions instead
+    of serializing through one window task (the token_budget bug class).
+    The grp-only window runs over the tiny per-partition count aggregate
+    (ordered by pid)."""
+    import re
+
+    from vecgo_spark.operators.stats import grouped_percentiles, release_caches
+
+    df = spark.createDataFrame([("a", float(i)) for i in range(50)],
+                               "source string, x double")
+    plan = (grouped_percentiles(df, "source", "x", [0.5])
+            ._jdf.queryExecution().optimizedPlan().toString())
+    release_caches()
+    for m in re.finditer(r"Window \[.*\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        parts = [t.split("#")[0].strip() for t in m.group(1).split(",") if t.strip()]
+        orders = [t.split("#")[0].strip() for t in m.group(2).split(",")
+                  if " ASC" in t or " DESC" in t]
+        if "v" in orders:  # the data-stream ranking window
+            assert "pid" in parts, f"data window partitioned by {parts}"
+        if parts == ["grp"]:  # the offsets window — tiny aggregate only
+            assert orders == ["pid"], orders

@@ -304,10 +304,13 @@ def token_budget_mixture(
         stable_hash64(F.col(id_col).cast("string"), seed=seed).alias("_pri"),
         budget_expr.alias("_budget"),
     ).where(F.col("_budget").isNotNull())
-    # Deterministic range bucket: arithmetic shiftright keeps signed
-    # order, so bucket asc, then (_pri, id) asc within bucket == global
-    # (_pri, id) asc within the source.  Ties in _pri share a bucket.
-    d = d.withColumn("_bk", F.shiftright(F.col("_pri"), 64 - bucket_bits))
+    # Deterministic range bucket: the top bucket_bits of the 60-bit
+    # non-negative hash (shiftright is monotone), so bucket asc, then
+    # (_pri, id) asc within bucket == global (_pri, id) asc within the
+    # source.  Ties in _pri share a bucket.  60, not 64: stable_hash64
+    # is 15 hex chars — a 64-bit shift would leave the top 4 bucket
+    # bits always zero (2^bucket_bits/16 effective buckets).
+    d = d.withColumn("_bk", F.shiftright(F.col("_pri"), 60 - bucket_bits))
     sub = d.groupBy("source", "_bk").agg(F.sum("n_tokens").alias("_sub"))
     w0 = (
         Window.partitionBy("source").orderBy("_bk")

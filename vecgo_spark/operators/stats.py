@@ -29,6 +29,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Persisted intermediates owned by this module (the range-partitioned
+# selection frames of exact_percentiles / grouped_percentiles — persisted
+# because spark_partition_id() is non-deterministic across re-executions).
+# Same stance as pipeline._CACHED; long sessions call release_caches()
+# between runs (ADVICE r7 #4).
+_CACHED: list = []
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by this module's operators."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 
 # ------------------------------------------------------------- numeric
 
@@ -316,6 +329,7 @@ def exact_percentiles(
         d.repartitionByRange(np_, "v").withColumn("pid", F.spark_partition_id()).persist()
     )
     exact_percentiles.last_cached = ranked
+    _CACHED.append(ranked)
     counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w0 = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn(
@@ -360,4 +374,106 @@ def exact_percentiles_sql(table: str, value_col: str, ps: list[float]) -> str:
            + ((SELECT v FROM r WHERE rn = t.hi + 1) - (SELECT v FROM r WHERE rn = t.lo + 1)) * t.frac
                AS value
     FROM t ORDER BY t.p
+    """
+
+
+def grouped_percentiles(
+    df: DataFrame, group_col: str, value_col: str, ps: list[float],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """PER-GROUP exact linear-interpolated percentiles (type-7 /
+    quantile_cont: rank = (n_g−1)·p per group) — the per-source length
+    quantiles a pretraining pipeline reports, computed by distributed
+    selection, NOT one window partition per group (a mega-source would
+    serialize through a single task — the token_budget_mixture bug
+    class).
+
+    Plan: range-repartition by (group, value) → per-partition row_number
+    inside bounded (pid, group) windows → a tiny per-(pid, group) count
+    aggregate yields each partition's per-group offset (broadcast back) →
+    global in-group rank = offset + local rank → join against the
+    per-group (p, lo, hi, frac) target table (one row per group × p,
+    built from a per-group count aggregate — never collected) and
+    interpolate.  One range shuffle over the data plus manifest-sized
+    aggregates; every window is per-partition, so a group spanning many
+    partitions spreads over that many tasks.
+
+    The range-partitioned frame is persisted (spark_partition_id() is
+    non-deterministic across re-executions) and registered for
+    release_caches().  Output: (group_col, p, value), exact to the
+    DuckDB quantile formula (same IEEE op order)."""
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull())
+    spark = df.sparkSession
+    np_ = n_partitions or spark.sparkContext.defaultParallelism
+    ranked = (
+        d.repartitionByRange(np_, "grp", "v")
+        .withColumn("pid", F.spark_partition_id()).persist()
+    )
+    grouped_percentiles.last_cached = ranked
+    _CACHED.append(ranked)
+    counts = ranked.groupBy("pid", "grp").agg(F.count(F.lit(1)).alias("cnt"))
+    w0 = (
+        Window.partitionBy("grp").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "pid", "grp",
+        F.coalesce(F.sum("cnt").over(w0), F.lit(0)).cast("long").alias("off"),
+    )
+    wp = Window.partitionBy("pid", "grp").orderBy("v")
+    g = (
+        ranked.withColumn("rn", F.row_number().over(wp))
+        .join(F.broadcast(offs), ["pid", "grp"])
+        .select("grp", (F.col("off") + F.col("rn")).cast("long").alias("grank"), "v")
+    )
+    n_g = counts.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n"))
+    pdf = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    targets = (
+        n_g.crossJoin(F.broadcast(pdf))
+        .select(
+            "grp", "p",
+            (F.floor((F.col("n") - 1) * F.col("p")) + 1).cast("long").alias("lo"),
+            (F.ceil((F.col("n") - 1) * F.col("p")) + 1).cast("long").alias("hi"),
+            ((F.col("n") - 1) * F.col("p")
+             - F.floor((F.col("n") - 1) * F.col("p"))).alias("frac"),
+        )
+    )
+    lo_v = g.select("grp", F.col("grank").alias("lo"), F.col("v").alias("v_lo"))
+    hi_v = g.select("grp", F.col("grank").alias("hi"), F.col("v").alias("v_hi"))
+    return (
+        targets.join(lo_v, ["grp", "lo"]).join(hi_v, ["grp", "hi"])
+        .select(
+            F.col("grp").alias(group_col), "p",
+            (F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"))
+            .alias("value"),
+        )
+        .orderBy(group_col, "p")
+    )
+
+
+def grouped_percentiles_sql(
+    table: str, group_col: str, value_col: str, ps: list[float],
+) -> str:
+    """DuckDB twin of grouped_percentiles: identical rank formula and
+    IEEE interpolation order per group."""
+    vals = ", ".join(f"(CAST({float(p)!r} AS DOUBLE))" for p in ps)
+    return f"""
+    WITH d AS (SELECT {group_col} AS grp, CAST({value_col} AS DOUBLE) AS v
+               FROM {table} WHERE {value_col} IS NOT NULL),
+    r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+          FROM d),
+    n AS (SELECT grp, count(*) AS c FROM d GROUP BY grp),
+    ps(p) AS (VALUES {vals}),
+    t AS (SELECT grp, p, floor((c - 1) * p) + 1 AS lo, ceil((c - 1) * p) + 1 AS hi,
+                 (c - 1) * p - floor((c - 1) * p) AS frac
+          FROM n, ps)
+    SELECT t.grp AS {group_col}, t.p,
+           lo.v + (hi.v - lo.v) * t.frac AS value
+    FROM t
+    JOIN r lo ON lo.grp = t.grp AND lo.rn = t.lo
+    JOIN r hi ON hi.grp = t.grp AND hi.rn = t.hi
+    ORDER BY {group_col}, t.p
     """
