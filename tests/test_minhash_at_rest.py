@@ -209,3 +209,35 @@ def test_refresh_folds_dirs_at_cap(spark, tdir):
     for p in seen:
         assert os.path.isdir(os.path.join(tbl.path, p)) == (p in live), p
     assert _sigset(mar.stored_minhash_signatures(tbl)) == _sigset(_fresh(tbl))
+
+
+def test_partial_compaction_parity_and_refresh_reindexes(spark, tdir):
+    """maybe_compact replaces the picked segments with one tier segment:
+    their stored signature rows must drop out of the read (dead _seg
+    filter), the tier segment takes the recompute delta leg until the
+    next refresh re-indexes it — parity with fresh recompute holds at
+    every step and the dead rows never resurface."""
+    from vecgo_spark.plans.policy import TieredPolicy
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    for lo in (1, 21, 41):  # three small segments
+        tbl.insert(_docs(spark, range(lo, lo + 20)))
+        tbl.commit()
+    mar.build_minhash_index(tbl)
+    before = _sigset(mar.stored_minhash_signatures(tbl))
+
+    v = tbl.maybe_compact(TieredPolicy(min_segments=3, max_merge=3))
+    assert v is not None  # a partial compaction actually ran
+    info = tbl.manifest.meta["minhash"]
+    live = {s.path for s in tbl.manifest.segments}
+    assert not set(info["segments"]) & live  # every indexed segment died
+    # stored leg contributes nothing; the delta leg recomputes — parity
+    assert _sigset(mar.stored_minhash_signatures(tbl)) == before
+    # refresh re-indexes the tier segment; read returns to stored-only
+    mar.refresh_minhash_index(tbl)
+    info = tbl.manifest.meta["minhash"]
+    assert live <= set(info["segments"])
+    assert _sigset(mar.stored_minhash_signatures(tbl)) == before
+    plan = (mar.stored_minhash_signatures(tbl)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "split(" not in plan  # no text recompute leg left
