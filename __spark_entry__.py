@@ -1273,6 +1273,23 @@ def _docs_length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+def _docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (topic signature for balancing
+    and faceting); the rank key is the 6-decimal-rounded score so the
+    ordering is engine-identical (pipeline.tfidf_keywords docstring)."""
+    return pipeline.tfidf_keywords(load_table(spark, sf_dir, "documents"), k=3)
+
+
+def _embedding_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label agreement over the session-cached deterministic
+    IVF model — integer contingency rollup, one division per cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    return stats.cluster_label_purity(emb, model)
+
+
 def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-mode priority split): a date-filtered
     lineitem⋈orders join bucketed two ways by order priority, grouped by
@@ -2172,9 +2189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": _tpch_q8,
         "embedding_cluster_balance": _embedding_cluster_balance,
         "knn_sq8_rerank": _knn_sq8_rerank,
-        "knn_bq_hamming": _knn_bq_hamming,
-        "knn_opq_adc": _knn_opq_adc,
         "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
+        "docs_tfidf_keywords": _docs_tfidf_keywords,
+        "embedding_label_purity": _embedding_label_purity,
         "events_anomaly_zscore": _events_anomaly_zscore,
         "events_tumbling_1h": _events_tumbling_1h,
         "events_sliding_1h30m": _events_sliding_1h30m,
@@ -2189,6 +2206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r6/r7 driver evidence ----------------
+        "knn_bq_hamming": _knn_bq_hamming,
+        "knn_opq_adc": _knn_opq_adc,
         "ann_lsh": _ann_lsh,
         "docs_dsir_weights": _docs_dsir_weights,
         "knn_l2": _knn("l2"),
@@ -2347,6 +2366,11 @@ def _ann_oracles() -> dict[str, str]:
     from vecgo_spark import oracle_artifacts as arts
 
     sf = arts.oracle_sf_dir()
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    _docs_n = _pq.ParquetFile(
+        _os.path.join(sf, "documents.parquet")).metadata.num_rows
     qv = arts.query_vector(sf)
     ivf_m = arts.ivf_model(sf)
     pq_b = arts.pq_books(sf)
@@ -2528,6 +2552,8 @@ def _ann_oracles() -> dict[str, str]:
 
     return {
         "embedding_cluster_balance": embedding_cluster_balance,
+        "embedding_label_purity": stats.cluster_label_purity_sql(ivf_m),
+        "docs_tfidf_keywords": pipeline.tfidf_keywords_sql(n_docs=_docs_n, k=3),
         "dedup_semantic_pairs": dedup.semantic_dedup_pairs_sql(ivf_m, threshold=0.3)
         + " ORDER BY cluster_id, id_a, id_b",
         "ann_ivf": ann_ivf,

@@ -741,3 +741,36 @@ def test_dsir_persist_grams_identical_and_released(spark):
     assert pipeline._CACHED  # gram stream registered
     pipeline.release_caches()
     assert not pipeline._CACHED
+
+
+def test_tfidf_keywords_python_model(spark):
+    """Exact parity with the brute-force model: score = tf·ln(N/df)
+    rounded to 6 BEFORE ranking, ties on term asc, k per doc; a term in
+    every doc scores 0."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "apple banana apple cherry common"),
+        (2, "banana banana durian common"),
+        (3, "cherry elderberry common apple common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = len(rows)
+    tfs = {i: Counter(t.split()) for i, t in rows}
+    df_ = Counter(term for c in tfs.values() for term in c)
+    want = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            ((round(math.log(n / df_[t]) * tf, 6), t, tf) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]))
+        want[i] = [(r + 1, t, tf, df_[t], sc)
+                   for r, (sc, t, tf) in enumerate(scored[:3])]
+    got = {}
+    for r in pipeline.tfidf_keywords(docs, k=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["doc_freq"], r["tfidf"]))
+    assert got == want
+    # 'common' is in every doc → idf 0 → never a top keyword over others
+    assert all(t != "common" or sc == 0.0
+               for kws in got.values() for _, t, _, _, sc in kws)

@@ -135,3 +135,32 @@ def test_grouped_percentiles_no_per_group_window(spark):
             assert "pid" in parts, f"data window partitioned by {parts}"
         if parts == ["grp"]:  # the offsets window — tiny aggregate only
             assert orders == ["pid"], orders
+
+
+def test_cluster_label_purity_ground_truth(spark):
+    """Planted clusters with known label mixtures: counts, dominant label
+    (ties → smallest label) and purity are exact."""
+    import numpy as np
+
+    from vecgo_spark.operators import ivf
+    from vecgo_spark.operators.stats import cluster_label_purity
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # cluster around (1,0): labels 7,7,7,2 → dominant 7, purity 0.75
+    for j, lab in enumerate([7, 7, 7, 2]):
+        v = np.array([1.0, 0.0]) + rng.normal(0, 0.01, 2)
+        rows.append((j, [float(x) for x in v], lab))
+    # cluster around (0,1): labels 5,9 (tie) → dominant 5 (smallest)
+    for j, lab in enumerate([5, 9]):
+        v = np.array([0.0, 1.0]) + rng.normal(0, 0.01, 2)
+        rows.append((10 + j, [float(x) for x in v], lab))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label long")
+    model = ivf.train_ivf(emb, "embedding", nlist=2, max_iter=10,
+                          trainer="driver", order_col="vec_id")
+    got = {r["cluster_id"]: r for r in cluster_label_purity(emb, model).collect()}
+    assert len(got) == 2
+    by_dom = {r["dominant_label"]: r for r in got.values()}
+    assert by_dom[7]["n_rows"] == 4 and by_dom[7]["purity"] == 0.75
+    assert by_dom[7]["n_labels"] == 2
+    assert by_dom[5]["n_rows"] == 2 and by_dom[5]["purity"] == 0.5  # tie → 5

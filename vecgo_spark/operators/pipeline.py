@@ -1393,3 +1393,71 @@ def weighted_sample_sql(
         FROM {table} WHERE CAST({weight_col} AS DOUBLE) > 0
     ) WHERE rn <= {k} ORDER BY {group_col}, priority, {id_col}
     """
+
+
+# -------------------------------------------------- TF-IDF keywords
+
+
+def tfidf_keywords(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the per-doc topical signature
+    a pipeline uses for topic balancing, near-dup triage and index
+    faceting.  score = tf · ln(N/df), rounded to 6 decimals BEFORE
+    ranking so the ordering is identical across engines (ln() last-ulp
+    differs between libm implementations — the bigram-LM absorption
+    stance applied to the sort key); ties break on term asc.
+
+    Scale posture: one (doc, term) groupBy for tf (map-side combine), a
+    vocabulary-sized df aggregate joined back on term (AQE-decided; a
+    stopword's join fan-out is linear in its occurrences), and a per-doc
+    rank window bounded by the doc's distinct-term count — WindowGroupLimit
+    keeps it map-side.  N is one driver count (O(1) result, the
+    corpus_balance stance)."""
+    from vecgo_spark.operators.bm25 import tokenize_expr
+
+    n_docs = docs.count()
+    terms = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(tokenize_expr(text_col)).alias("term"))
+        .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    score = F.round(
+        F.ln(F.lit(float(n_docs)) / F.col("doc_freq").cast("double"))
+        * F.col("tf").cast("double"), 6)
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        terms.join(dfreq, "term")
+        .select("id", "term", "tf", "doc_freq", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), F.col("rank").cast("long").alias("rank"),
+                "term", "tf", "doc_freq", "tfidf")
+        .orderBy(id_col, "rank")
+    )
+
+
+def tfidf_keywords_sql(
+    n_docs: int, k: int = 3, docs_table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB twin — identical op order: ln(N/df) * tf, round 6, rank by
+    (rounded score desc, term asc).  n_docs passes as a literal (the
+    driver computes it the same way the operator does)."""
+    toks = _TOKS_SQL.format(c=text_col)
+    return f"""
+    WITH t0 AS (SELECT {id_col} AS id, unnest({toks}) AS term FROM {docs_table}),
+    tf AS (SELECT id, term, count(*) AS tf FROM t0 GROUP BY id, term),
+    df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+    s AS (
+        SELECT id, tf.term, tf, doc_freq,
+               round(ln(CAST({float(n_docs)!r} AS DOUBLE) / CAST(doc_freq AS DOUBLE))
+                     * CAST(tf AS DOUBLE), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY id
+                    ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+    SELECT id AS {id_col}, CAST(rank AS BIGINT) AS rank, term, tf, doc_freq, tfidf
+    FROM r WHERE rank <= {k} ORDER BY {id_col}, rank
+    """

@@ -477,3 +477,81 @@ def grouped_percentiles_sql(
     JOIN r hi ON hi.grp = t.grp AND hi.rn = t.hi
     ORDER BY {group_col}, t.p
     """
+
+
+def cluster_label_purity(
+    emb: DataFrame, model, label_col: str = "label",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-quality diagnostic against ground-truth labels: assign
+    every vector to its nearest centroid (the deterministic IVF argmin,
+    a plan literal) and report, per cluster, the row count, distinct
+    label count, dominant label and purity = dominant/total — the
+    label-agreement check run after (re)training a clustering used for
+    SemDeDup / cluster-balanced sampling.
+
+    Exactness: counts are integers, the argmin assignment is the
+    bit-exact assign_expr both engines share, purity is one IEEE
+    division; dominant ties break to the smallest label.  One
+    (cluster, label) groupBy (map-side combine, output ≤ nlist × #labels
+    rows) then an nlist-sized rollup — manifest-sized results at any
+    corpus scale."""
+    from vecgo_spark.operators import ivf as ivfmod
+
+    counts = (
+        emb.select(
+            ivfmod.assign_expr(model, vector_col).alias("cluster_id"),
+            F.col(label_col).alias("label"),
+        )
+        .groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    )
+    dom = F.max_by(
+        F.struct(F.col("n").alias("n"), F.col("label").alias("label")),
+        F.struct(F.col("n"), -F.col("label")),
+    )
+    return (
+        counts.groupBy("cluster_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            dom.alias("_dom"),
+        )
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_rows", "n_labels",
+            F.col("_dom")["label"].alias("dominant_label"),
+            (F.col("_dom")["n"].cast("double") / F.col("n_rows").cast("double"))
+            .alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def cluster_label_purity_sql(
+    model, emb_table: str = "embeddings", label_col: str = "label",
+    vector_col: str = "embedding",
+) -> str:
+    from vecgo_spark.operators.ivf import assign_sql
+
+    return f"""
+    WITH a AS (
+        SELECT CAST({assign_sql(model, vector_col)} AS INT) AS cluster_id,
+               {label_col} AS label
+        FROM {emb_table}
+    ),
+    c AS (SELECT cluster_id, label, count(*) AS n FROM a GROUP BY cluster_id, label),
+    d AS (
+        SELECT cluster_id, label AS dominant_label, n AS dom_n,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM c
+    )
+    SELECT c2.cluster_id,
+           CAST(sum(c2.n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           any_value(d.dominant_label) AS dominant_label,
+           CAST(any_value(d.dom_n) AS DOUBLE) / CAST(sum(c2.n) AS DOUBLE) AS purity
+    FROM c c2 JOIN d ON d.cluster_id = c2.cluster_id AND d.rn = 1
+    GROUP BY c2.cluster_id
+    ORDER BY c2.cluster_id
+    """
