@@ -241,3 +241,25 @@ def test_partial_compaction_parity_and_refresh_reindexes(spark, tdir):
     plan = (mar.stored_minhash_signatures(tbl)
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "split(" not in plan  # no text recompute leg left
+
+
+def test_table_methods_and_sig_schema_validation(spark, tdir):
+    """VectorTable convenience methods mirror the module API, and a
+    stored-signature frame with the wrong num_hashes fails LOUDLY at
+    plan-build time instead of an AnalysisException inside the bands."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    v = tbl.build_minhash_index()
+    assert tbl.manifest.version == v
+    sigs = tbl.minhash_signatures()
+    assert _sigset(sigs) == _sigset(_fresh(tbl))
+    tbl.insert(_docs(spark, range(21, 26)))
+    tbl.commit()
+    assert tbl.refresh_minhash_index() > v
+    with pytest.raises(ValueError, match="different num_hashes"):
+        dedup.minhash_lsh_pairs(None, sigs=sigs.drop("m15"))
+    with pytest.raises(ValueError, match="different num_hashes"):
+        dedup.minhash_dedup_incremental(
+            None, _docs(spark, [99]), id_col="id", text_col="text",
+            corpus_sigs=sigs.select("id", "m0"))

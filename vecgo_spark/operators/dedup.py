@@ -223,6 +223,8 @@ def minhash_lsh_pairs(
         # persisted: consumed by the num_bands band projections
         sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes).persist()
         _CACHED.append(sigs)
+    else:
+        _check_sigs(sigs, num_hashes, "minhash_lsh_pairs")
     rows_per_band = num_hashes // num_bands
     # candidates: same band content in some band. The band key is the
     # 60-bit stable hash of the joined signature row — an 8-byte join key
@@ -376,6 +378,20 @@ def minhash_lsh_pairs_sql(
     """
 
 
+def _check_sigs(sigs: DataFrame, num_hashes: int, what: str) -> None:
+    """Fail loudly when a stored-signature frame doesn't carry the
+    expected layout — a num_hashes mismatch between the artifact and the
+    operator call would otherwise surface as an AnalysisException deep in
+    the band projections."""
+    want = ["id"] + [f"m{i}" for i in range(num_hashes)]
+    missing = [c for c in want if c not in sigs.columns]
+    if missing:
+        raise ValueError(
+            f"{what}: signature frame is missing columns {missing} — "
+            f"expected (id, m0..m{num_hashes - 1}); was the artifact built "
+            f"with a different num_hashes?")
+
+
 def _minhash_band_rows(sigs: DataFrame, num_hashes: int, num_bands: int,
                        id_alias: str) -> DataFrame:
     """(id_alias, m0..m{H-1}, band, key) — one explode pass over the
@@ -437,6 +453,7 @@ def minhash_dedup_incremental(
         c_sigs = minhash_signatures(corpus, id_col, text_col, n, num_hashes).persist()
         _CACHED.append(c_sigs)
     else:
+        _check_sigs(corpus_sigs, num_hashes, "minhash_dedup_incremental")
         c_sigs = corpus_sigs
     b_sigs = minhash_signatures(batch, id_col, text_col, n, num_hashes)
     cb = _minhash_band_rows(c_sigs, num_hashes, num_bands, "corpus_id")

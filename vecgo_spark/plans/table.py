@@ -721,6 +721,34 @@ class VectorTable:
         self._obs("on_build", time.perf_counter() - t0, f"{kind}-refresh")
         return v
 
+    def build_minhash_index(self, text_col: str = "text", **kw) -> int:
+        """Persist per-segment MinHash signatures as a table artifact
+        (operators/minhash_at_rest.py) so dedup passes re-read fixed-width
+        signature columns instead of re-shingling the text column."""
+        from vecgo_spark.operators import minhash_at_rest as mar
+
+        t0 = time.perf_counter()
+        v = mar.build_minhash_index(self, text_col=text_col, **kw)
+        self._obs("on_build", time.perf_counter() - t0, "minhash")
+        return v
+
+    def refresh_minhash_index(self, **kw) -> int:
+        """Index segments committed since the last build/refresh (stored
+        dirs immutable; folds at the max_dirs cap). No-op when current."""
+        from vecgo_spark.operators import minhash_at_rest as mar
+
+        t0 = time.perf_counter()
+        v = mar.refresh_minhash_index(self, **kw)
+        self._obs("on_build", time.perf_counter() - t0, "minhash-refresh")
+        return v
+
+    def minhash_signatures(self) -> DataFrame:
+        """(id, m0..m{H-1}) for the live snapshot, served from the stored
+        artifact — bit-identical to recomputing from text."""
+        from vecgo_spark.operators import minhash_at_rest as mar
+
+        return mar.stored_minhash_signatures(self)
+
     def graph_search(self, query: Sequence[float], k: int = 10,
                      kind: str | None = None, filter=None, **kw) -> DataFrame:
         """Approximate top-k from a persisted graph index (+ exact delta
