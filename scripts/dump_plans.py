@@ -353,6 +353,30 @@ COMMENTARY = {
         "TakeOrderedAndProject — per-partition heaps, k·P rows to the "
         "driver, NO rangepartitioning global sort anywhere."
     ),
+    "docs_exact_substring_dedup": (
+        "ExactSubstr removal action: the span rows aggregate into one "
+        "per-doc span list (bounded by spans-per-doc), LEFT-joined back "
+        "on the doc id (plain equi-join — span volume is "
+        "corpus-proportional, never broadcast-hinted), and the token "
+        "drop is a codegen filter-with-index over the token array "
+        "against the in-row span list — per-token cost O(spans in doc), "
+        "no Python anywhere."
+    ),
+    "docs_tfidf_keywords": (
+        "Per-doc TF-IDF keywords: one (doc, term) groupBy for tf "
+        "(map-side combine), a vocabulary-sized df aggregate joined "
+        "back on term (AQE-decided), and a per-doc rank window — "
+        "WindowGroupLimit keeps the top-k map-side. The rank key is the "
+        "6-decimal-rounded score, so ordering is engine-identical "
+        "despite libm ln() last-ulp drift."
+    ),
+    "embedding_label_purity": (
+        "Cluster-vs-label purity: the argmin assignment is a plan "
+        "literal (O(nlist)), the contingency groupBy is map-side "
+        "combined with at most nlist x #labels output rows, and the "
+        "dominant-label rollup is nlist-sized — manifest-sized results "
+        "at any corpus scale, one division per cluster."
+    ),
     "docs_length_quantiles_by_source": (
         "Per-group exact quantiles by distributed selection: ONE "
         "range-repartition over (group, value), per-(partition, group) "

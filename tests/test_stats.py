@@ -94,7 +94,8 @@ def test_grouped_percentiles_vs_numpy_and_partition_independent(spark):
 
     vals = {"a": [float((i * 7919) % 500) for i in range(101)],
             "b": [float(i * i % 97) for i in range(40)],
-            "c": [42.0]}
+            "c": [42.0],
+            "d": [7.0] * 30 + [9.0] * 3}  # duplicate-heavy: rank ties
     rows = [(g, v) for g, vs in vals.items() for v in vs]
     df = spark.createDataFrame(rows, "source string, x double")
     ps = [0.1, 0.5, 0.9, 0.99]
