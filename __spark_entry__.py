@@ -1265,12 +1265,17 @@ def _docs_length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     """Per-source exact length quantiles (the mixture diagnostic a
     pretraining pipeline reports): distributed selection per group —
     range-repartition + per-(partition, group) offsets — NEVER one window
-    partition per source (stats.grouped_percentiles docstring)."""
-    out = stats.grouped_percentiles(
+    partition per source (stats.grouped_percentiles docstring).
+
+    The cache release happens at ENTRY, for the PREVIOUS call's frame
+    (the bigram_lm_score pattern): releasing after building would
+    unpersist the not-yet-materialized frame this plan depends on — the
+    persist exists because spark_partition_id() is non-deterministic
+    across re-executions (r8 review fix)."""
+    stats.release_caches()
+    return stats.grouped_percentiles(
         load_table(spark, sf_dir, "documents"), "source", "n_chars",
         [0.25, 0.5, 0.9, 0.99])
-    stats.release_caches()
-    return out
 
 
 def _docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,8 @@ sys.path.insert(0, ".")
 ONLY: list[str] = []
 if "--only" in sys.argv:
     i = sys.argv.index("--only")
+    if i + 1 >= len(sys.argv):
+        raise SystemExit("usage: verify_driver.py [sf_dir] --only substr[,substr...]")
     ONLY = sys.argv[i + 1].split(",")
     del sys.argv[i : i + 2]
 

@@ -397,6 +397,11 @@ def test_exact_substring_spans_python_model(spark):
         (3, "p q r s t u v w"),
         (4, "m m m m m m"),              # internal repeat: "m m m m" occurs 3x
         (5, "one two three"),            # shorter than L: no windows
+        # gap-2 coverage overlap (r8 review): dup windows at pos 1 and 3
+        # of doc 6 (unique token at pos 2 kills the pos-2 window) must
+        # merge into ONE maximal span [1..6], not two overlapping spans
+        (6, "q r s t u v zz"),
+        (7, "q r s t xx s t u v yy"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -411,7 +416,7 @@ def test_exact_substring_spans_python_model(spark):
         dup = sorted(p for d, p, sh in wins if d == i and counts[sh] >= 2)
         run = []
         for p in dup:
-            if run and p == run[-1] + 1:
+            if run and p - run[-1] <= L:  # coverage overlaps or touches
                 run.append(p)
             else:
                 if run:

@@ -335,7 +335,7 @@ def test_exact_substring_spans_hypothesis(spark, token_docs, L):
     for i, _ in enumerate(token_docs):
         run = []
         for p in sorted(p for d, p, sh in wins if d == i and counts[sh] >= 2):
-            if run and p == run[-1] + 1:
+            if run and p - run[-1] <= L:  # coverage overlaps or touches
                 run.append(p)
             else:
                 if run:

@@ -578,7 +578,7 @@ def _doc_shingle_positions(docs: DataFrame, id_col: str, text_col: str,
 
 def exact_substring_spans(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    min_len: int = 50,
+    min_len: int = 50, persist_windows: bool = False,
 ) -> DataFrame:
     """Maximal duplicated spans of ≥ min_len tokens — the Spark shape of
     Lee et al. 2021's ExactSubstr dedup (suffix-array method; the
@@ -587,12 +587,16 @@ def exact_substring_spans(
 
     Equivalence: a token belongs to some duplicated substring of
     ≥ min_len tokens ⇔ it is covered by a duplicated min_len-token
-    window, so run-merging consecutive duplicated window positions
-    yields exactly the maximal removal spans ExactSubstr deletes —
-    without building a suffix array.  Windows are compared by their
-    60-bit stable hash (one md5 per window, identical in the oracle), so
-    a collision can only ADD a duplicated window — deterministic and
-    mirrored bit-for-bit in the SQL twin.
+    window, so the maximal removal spans ExactSubstr deletes are the
+    maximal CONTIGUOUS token intervals covered by duplicated windows —
+    two duplicated positions p, q (p < q) belong to one span iff
+    q − p ≤ min_len (their [p, p+L−1], [q, q+L−1] coverage overlaps or
+    touches), NOT only when consecutive (an r8 review fix: consecutive-
+    only merging emitted overlapping, token-double-counting spans for
+    position gaps of 2..L−1).  No suffix array needed.  Windows are
+    compared by their 60-bit stable hash (one md5 per window, identical
+    in the oracle), so a collision can only ADD a duplicated window —
+    deterministic and mirrored bit-for-bit in the SQL twin.
 
     Plan (100 TB): positions stream once into a groupBy(hash) count
     (map-side partial, skew-safe) whose ≥2 keys semi-join back on the
@@ -614,7 +618,18 @@ def exact_substring_spans(
     )
     dw = w.join(dup, "h", "semi")
     wd = Window.partitionBy("id").orderBy("pos")
-    islands = dw.withColumn("_isl", F.col("pos") - F.row_number().over(wd))
+    # coverage-aware gaps-and-islands: a new span starts when the gap to
+    # the previous duplicated position exceeds min_len (coverage would
+    # neither overlap nor touch); the island id is the running count of
+    # span starts — both windows are per-document (bounded by doc length)
+    new_span = F.when(
+        F.coalesce(F.col("pos") - F.lag("pos").over(wd), F.lit(min_len + 1))
+        > min_len, 1).otherwise(0)
+    islands = dw.withColumn("_ns", new_span).withColumn(
+        "_isl",
+        F.sum("_ns").over(wd.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)),
+    )
     return (
         islands.groupBy("id", "_isl")
         .agg(
@@ -645,8 +660,14 @@ def exact_substring_spans_sql(
     w AS (SELECT id, u.pos AS pos, {h} AS h FROM w0),
     dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
     dw AS (SELECT id, pos FROM w WHERE h IN (SELECT h FROM dup)),
-    isl AS (SELECT id, pos, pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS g
-            FROM dw)
+    ns AS (SELECT id, pos,
+                  CASE WHEN COALESCE(pos - lag(pos) OVER (PARTITION BY id ORDER BY pos),
+                                     {min_len + 1}) > {min_len} THEN 1 ELSE 0 END AS f
+           FROM dw),
+    isl AS (SELECT id, pos,
+                   sum(f) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM ns)
     SELECT id AS {id_col},
            min(pos) AS span_start,
            max(pos) + {min_len - 1} AS span_end,
@@ -659,7 +680,7 @@ def exact_substring_spans_sql(
 
 def exact_substring_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    min_len: int = 50,
+    min_len: int = 50, persist_windows: bool = False,
 ) -> DataFrame:
     """The ExactSubstr REMOVAL action: rewrite every document with its
     duplicated spans (exact_substring_spans semantics) deleted — the
@@ -681,7 +702,8 @@ def exact_substring_dedup(
     doc), no shuffle beyond the span aggregation."""
     from vecgo_spark.functions.hashing import eval_once
 
-    spans = exact_substring_spans(docs, id_col, text_col, min_len).select(
+    spans = exact_substring_spans(docs, id_col, text_col, min_len,
+                                  persist_windows=persist_windows).select(
         F.col(id_col).alias("id"),
         F.struct(F.col("span_start").alias("s"),
                  F.col("span_end").alias("e")).alias("sp"),

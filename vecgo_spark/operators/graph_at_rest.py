@@ -158,6 +158,23 @@ def refresh_graphs_at_rest(tbl, family: str, build_blob, max_dirs: int = 8) -> i
     folded dir; the orphaned dirs are collected by the next vacuum.  A
     tight ingest→refresh loop therefore converges to one copy-amortized
     dir instead of accumulating thousands of tiny ones."""
+    return refresh_family_dirs(
+        tbl, family,
+        lambda new_segs, version, extra: _write_blob_dir(
+            tbl, new_segs, family, version, build_blob, extra=extra),
+        seg_col="seg", max_dirs=max_dirs)
+
+
+def refresh_family_dirs(tbl, family: str, write_dir, seg_col: str,
+                        max_dirs: int) -> int:
+    """Shared refresh/fold core for every per-segment artifact family
+    (graph blobs AND minhash signatures — refresh_graphs_at_rest's
+    docstring describes the semantics): index segments missing from
+    meta[family]["segments"] into a new versioned dir via
+    `write_dir(new_segs, version, extra)`, folding still-live stored rows
+    (filtered on `seg_col`) into it once `max_dirs` would be exceeded,
+    then publish the updated manifest.  No-op when everything is
+    indexed."""
     from vecgo_spark.plans.manifest import Manifest, save_manifest
 
     tbl._check_writable()
@@ -179,8 +196,8 @@ def refresh_graphs_at_rest(tbl, family: str, build_blob, max_dirs: int = 8) -> i
         live_indexed = sorted(set(info["segments"]) & live)
         stored = tbl.spark.read.parquet(
             *[os.path.join(tbl.path, p) for p in old_paths])
-        extra = stored.where(F.col("seg").isin(live_indexed))
-    rel = _write_blob_dir(tbl, new_segs, family, version, build_blob, extra=extra)
+        extra = stored.where(F.col(seg_col).isin(live_indexed))
+    rel = write_dir(new_segs, version, extra)
     new_info = dict(info)
     new_info["paths"] = [rel] if fold else old_paths + [rel]
     if fold:

@@ -111,56 +111,18 @@ def build_minhash_index(
 
 def refresh_minhash_index(tbl, max_dirs: int = 8) -> int:
     """Index segments committed after the last build/refresh into a NEW
-    versioned dir (stored dirs are immutable — same append-only story as
-    refresh_graphs_at_rest).  No-op when everything is indexed.  Once the
-    family would exceed `max_dirs` dirs the refresh FOLDS: still-live
-    stored rows are copied into the new dir and `paths` collapses to it
-    (orphaned dirs go to the next vacuum) — a tight ingest→refresh loop
-    stays at a bounded dir count."""
-    from vecgo_spark.operators.graph_at_rest import blob_paths
-    from vecgo_spark.plans.manifest import Manifest, save_manifest
+    versioned dir (stored dirs are immutable — the shared
+    graph_at_rest.refresh_family_dirs semantics: no-op when current,
+    FOLD at the max_dirs cap with orphaned dirs left to vacuum)."""
+    from vecgo_spark.operators.graph_at_rest import refresh_family_dirs
 
-    tbl._check_writable()
-    info = tbl.manifest.meta.get(FAMILY)
-    if info is None:
-        raise KeyError("table has no minhash index; build it first "
-                       "(refresh reuses the stored build params)")
-    man = tbl.manifest
-    indexed = set(info["segments"])
-    new_segs = [s for s in man.segments if s.path not in indexed]
-    if not new_segs:
-        return man.version
-    version = man.version + 1
-    live = {s.path for s in man.segments}
-    old_paths = blob_paths(info)
-    fold = len(old_paths) + 1 > max_dirs
-    extra = None
-    if fold:
-        live_indexed = sorted(set(info["segments"]) & live)
-        extra = tbl.spark.read.parquet(
-            *[os.path.join(tbl.path, p) for p in old_paths]
-        ).where(F.col("_seg").isin(live_indexed))
-    rel = _write_sig_dir(tbl, new_segs, version,
-                         info["text_col"], info["n"], info["num_hashes"],
-                         extra=extra)
-    new_info = dict(info)
-    new_info["paths"] = [rel] if fold else old_paths + [rel]
-    if fold:
-        # keep "path" == paths[0] so vacuum doesn't pin the superseded
-        # build dir through the legacy single-path key
-        new_info["path"] = rel
-    new_info["segments"] = (
-        [p for p in info["segments"] if p in live] + [s.path for s in new_segs])
-    new = Manifest(
-        version=version, lsn=man.lsn, next_id=man.next_id,
-        created_at=time.time(), segments=list(man.segments),
-        tombstone_files=list(man.tombstone_files),
-        meta={**man.meta, FAMILY: new_info},
-        tombstone_stats=dict(man.tombstone_stats),
-    )
-    save_manifest(tbl.path, new)
-    tbl.manifest = new
-    return version
+    info = tbl.manifest.meta.get(FAMILY) or {}
+    return refresh_family_dirs(
+        tbl, FAMILY,
+        lambda new_segs, version, extra: _write_sig_dir(
+            tbl, new_segs, version, info["text_col"], info["n"],
+            info["num_hashes"], extra=extra),
+        seg_col="_seg", max_dirs=max_dirs)
 
 
 def _write_sig_dir(tbl, segs, version: int, text_col: str, n: int,
