@@ -348,3 +348,40 @@ def test_exact_substring_spans_hypothesis(spark, token_docs, L):
     got = {tuple(r) for r in
            dedup.exact_substring_spans(docs, min_len=L).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                       st.integers(min_value=0, max_value=9)),
+             min_size=1, max_size=60),
+    st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                    st.integers(min_value=1, max_value=40),
+                    min_size=1, max_size=3),
+    st.integers(min_value=2, max_value=8),
+)
+def test_token_budget_two_phase_hypothesis(spark, docs_spec, budgets, bucket_bits):
+    """Property: the two-phase prefix sum == the brute-force greedy model
+    (hash-ordered per source, crossing doc included) for arbitrary
+    source mixes, budgets and bucket counts — the bucket decomposition
+    must never change a single admitted doc or running total."""
+    from vecgo_spark.functions.hashing import stable_hash64_py
+    from vecgo_spark.operators import pipeline
+
+    rows = [(i, src, "w " * ntok) for i, (src, ntok) in enumerate(docs_spec)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    want = {}
+    for src, budget in budgets.items():
+        cum = 0
+        for _pri, i, n in sorted(
+                (stable_hash64_py(str(i)), i, len(t.split()))
+                for i, s, t in rows if s == src):
+            if cum < budget:
+                cum += n
+                want[i] = (src, n, cum)
+    got = {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+           for r in pipeline.token_budget_mixture(
+               df, budgets, bucket_bits=bucket_bits).collect()}
+    assert got == want
