@@ -263,3 +263,24 @@ def test_table_methods_and_sig_schema_validation(spark, tdir):
         dedup.minhash_dedup_incremental(
             None, _docs(spark, [99]), id_col="id", text_col="text",
             corpus_sigs=sigs.select("id", "m0"))
+
+
+def test_upsert_both_versions_indexed(spark, tdir):
+    """Both row versions of an upserted id live in INDEXED segments (the
+    build ran after the upsert): the artifact stores a signature row per
+    RAW row version, and the read's latest-LSN window must pick the new
+    text's signature — including when the newer version is shingle-less
+    (NULL sigs shadow, id drops out entirely)."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 11)))
+    tbl.commit()
+    tbl.insert(_docs(spark, [3], text="rewritten with a wholly new token stream"))
+    tbl.insert(_docs(spark, [4], text="xy"))  # < n tokens
+    tbl.commit()
+    mar.build_minhash_index(tbl)  # build AFTER the upserts: all indexed
+    assert {s.path for s in tbl.manifest.segments} <= set(
+        tbl.manifest.meta["minhash"]["segments"])
+    stored = _sigset(mar.stored_minhash_signatures(tbl))
+    assert stored == _sigset(_fresh(tbl))
+    ids = {r[0] for r in stored}
+    assert 3 in ids and 4 not in ids
