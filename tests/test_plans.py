@@ -352,3 +352,67 @@ def test_kmv_prefilter_precedes_shuffle(spark, sf_dir):
     assert filter_n is not None and exch_ns and filter_n < min(exch_ns)
     assert "WindowGroupLimit" in plan
     assert "Python" not in plan
+
+
+def test_tombstone_broadcast_is_size_gated(spark, tmp_path, monkeypatch):
+    """The visibility anti-join must broadcast the per-id max-LSN side
+    only when manifest tombstone stats bound it (tomb_broadcastable);
+    a huge tombstone table must be able to degrade to a shuffle join —
+    an unconditional F.broadcast hint would OOM at 100 TB churn."""
+    from vecgo_spark.plans import table as tbl_mod
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "tbl"), dim=2)
+    rows = [(i, [float(i), 0.0]) for i in range(1, 41)]
+    t.insert(spark.createDataFrame(rows, "id long, vector array<float>"))
+    t.commit()
+    t.delete(list(range(1, 11)))
+    t.commit()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # kill Catalyst's own auto-broadcast so only the explicit hint (or
+    # its absence) decides the static strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # small tombstone set → stats-gated hint keeps the broadcast
+        assert t.tomb_broadcastable()
+        plan = spark_plan(t.df())
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # simulate a tombstone table beyond the bound → no hint → the
+        # static plan is a shuffle join (AQE may still improve it at
+        # runtime from observed sizes — that's the point)
+        monkeypatch.setattr(tbl_mod, "TOMB_BROADCAST_MAX_IDS", 0)
+        assert not t.tomb_broadcastable()
+        plan = spark_plan(t.df())
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # unknown stats (legacy manifest) must also refuse the hint
+    t.manifest.tombstone_stats = {}
+    assert not t.tomb_broadcastable()
+
+
+def test_tombstone_broadcast_gate_covers_minhash_at_rest(spark, tmp_path, monkeypatch):
+    """stored_minhash_signatures shares the same gate — with the bound
+    forced to 0 its visibility join must not carry the broadcast hint."""
+    from vecgo_spark.operators import minhash_at_rest as mar
+    from vecgo_spark.plans import table as tbl_mod
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "tbl2"), dim=2)
+    rows = [(i, [float(i), 1.0], f"doc text number {i} common tail words")
+            for i in range(1, 21)]
+    t.insert(spark.createDataFrame(rows, "id long, vector array<float>, text string"))
+    t.commit()
+    t.build_minhash_index(text_col="text", n=3, num_hashes=8)
+    t.delete([1, 2])
+    t.commit()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        monkeypatch.setattr(tbl_mod, "TOMB_BROADCAST_MAX_IDS", 0)
+        plan = spark_plan(mar.stored_minhash_signatures(t))
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -176,10 +176,12 @@ def stored_minhash_signatures(tbl) -> DataFrame:
         base = base.unionByName(leg)
     tomb = tbl._tombstones()
     if tomb is not None:
-        tmax = tomb.groupBy(tbl.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+        tmax = (tomb.groupBy(tbl.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+                .withColumnRenamed(tbl.id_col, "id"))
+        if tbl.tomb_broadcastable():  # size-gated — see table.tomb_broadcastable
+            tmax = F.broadcast(tmax)
         base = (
-            base.join(F.broadcast(tmax.withColumnRenamed(tbl.id_col, "id")),
-                      "id", "left")
+            base.join(tmax, "id", "left")
             .where(F.col("_tomb_lsn").isNull() | (F.col("_lsn") > F.col("_tomb_lsn")))
             .drop("_tomb_lsn")
         )

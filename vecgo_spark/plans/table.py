@@ -69,6 +69,10 @@ QCODE_COL = "_q_code"    # at-rest scalar-quantized codes (ARRAY<INT>, dim)
 PQCODE_COL = "_pq_code"  # at-rest product-quantized codes (ARRAY<INT>, m)
 BINCODE_COL = "_b_code"  # at-rest packed sign bits (ARRAY<BIGINT>, ceil(dim/32))
 BINNORM_COL = "_b_norm"  # at-rest L2 norm for the RaBitQ estimator (DOUBLE)
+# max tombstoned ids for which the visibility anti-join broadcasts the
+# per-id max-LSN side (two longs/row → ~16 MB at the bound); beyond it
+# the join stays unhinted so it degrades to a shuffle join at scale
+TOMB_BROADCAST_MAX_IDS = 1_000_000
 
 # Declared metadata-schema field types (metadata/schema.go:7-17). "any"
 # accepts everything; undeclared fields always pass through (schema.go:46-49).
@@ -555,6 +559,32 @@ class VectorTable:
         files = [os.path.join(self.path, t) for t in tombs]
         return self.spark.read.parquet(*files)
 
+    def tomb_broadcastable(self, include_pending: bool = False) -> bool:
+        """SIZE-GATED broadcast decision for the visibility anti-join.
+
+        Every delete path records exact tombstone id counts into the
+        manifest (`tombstone_stats[rel]["ids"]`), so the per-id max-LSN
+        side of the join is bounded by sum(ids) — known without a Spark
+        job. Broadcast only when that bound fits comfortably in an
+        executor (<= TOMB_BROADCAST_MAX_IDS rows of (long, long)); a
+        high-churn 100 TB table with billions of tombstoned ids degrades
+        to a shuffle join instead of OOMing under a forced hint. A
+        tombstone file with unknown stats makes the answer False — the
+        join is left unhinted and Catalyst/AQE pick the strategy from
+        observed sizes."""
+        tombs = list(self.manifest.tombstone_files)
+        stats = dict(self.manifest.tombstone_stats)
+        if include_pending:
+            tombs += self._pending_tombs
+            stats.update(self._pending_tomb_stats)
+        total = 0
+        for t in tombs:
+            st = stats.get(t)
+            if st is None or "ids" not in st:
+                return False
+            total += int(st["ids"])
+        return total <= TOMB_BROADCAST_MAX_IDS
+
     def df(
         self, filter: FilterSet | str | None = None,
         segments: list[SegmentMeta] | None = None,
@@ -587,8 +617,10 @@ class VectorTable:
             # MVCC delete semantics (internal/pk/mvcc.go:258, versioned
             # tombstones tombstone.go:47-77)
             tmax = tomb.groupBy(self.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+            if self.tomb_broadcastable(include_pending):
+                tmax = F.broadcast(tmax)
             base = (
-                base.join(F.broadcast(tmax), self.id_col, "left")
+                base.join(tmax, self.id_col, "left")
                 .where(F.col("_tomb_lsn").isNull() | (F.col("_lsn") > F.col("_tomb_lsn")))
                 .drop("_tomb_lsn")
             )
@@ -1289,8 +1321,10 @@ class VectorTable:
         tomb = self._tombstones()
         if tomb is not None:
             tmax = tomb.groupBy(self.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+            if self.tomb_broadcastable():
+                tmax = F.broadcast(tmax)
             merged_src = (
-                merged_src.join(F.broadcast(tmax), self.id_col, "left")
+                merged_src.join(tmax, self.id_col, "left")
                 .where(F.col("_tomb_lsn").isNull() | (F.col("_lsn") > F.col("_tomb_lsn")))
                 .drop("_tomb_lsn")
             )
