@@ -1117,9 +1117,13 @@ def _minhash_table(spark: SparkSession, sf_dir: str):
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus LSH pairs served from the stored signature artifact —
-    the text column is never re-shingled (minhash_at_rest docstring)."""
+    the text column is never re-shingled (minhash_at_rest docstring).
+    release_caches() at entry drops any signature frame a prior
+    recompute-path dedup call persisted (ADVICE r8: the dedup _CACHED
+    list otherwise grows without bound across a long session)."""
     from vecgo_spark.operators import minhash_at_rest as mar
 
+    dedup.release_caches()
     sigs = mar.stored_minhash_signatures(_minhash_table(spark, sf_dir))
     return dedup.minhash_lsh_pairs(None, sigs=sigs)
 
@@ -1134,18 +1138,28 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr removal action: documents rewritten with their
-    duplicated >= 15-token spans deleted (token-domain clean_text)."""
+    duplicated >= 15-token spans deleted (token-domain clean_text).
+    persist_windows=True → the corpus tokenizes ONCE for the whole
+    spans+rewrite pipeline (r8 verdict item #4); the release happens at
+    ENTRY for the previous call's frames (the stats pattern — releasing
+    after building would unpersist the frame this plan depends on)."""
+    dedup.release_caches()
     return dedup.exact_substring_dedup(
-        load_table(spark, sf_dir, "documents"), min_len=15)
+        load_table(spark, sf_dir, "documents"), min_len=15,
+        persist_windows=True)
 
 
 def _docs_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2021 ExactSubstr dedup, Spark-shaped: maximal spans of
     >= 15 tokens that appear (as an exact token sequence window) more
     than once in the corpus — run-merging of duplicated fixed-width
-    windows, never a suffix array or a pos x pos self-join."""
+    windows, never a suffix array or a pos x pos self-join. The window
+    stream persists (released at the NEXT dedup entry) so the corpus is
+    tokenized+hashed once, not per span leg."""
+    dedup.release_caches()
     return dedup.exact_substring_spans(
-        load_table(spark, sf_dir, "documents"), min_len=15)
+        load_table(spark, sf_dir, "documents"), min_len=15,
+        persist_windows=True)
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,6 +1785,7 @@ def _dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature scan, never a corpus re-shingle."""
     from vecgo_spark.operators import minhash_at_rest as mar
 
+    dedup.release_caches()  # prior dedup persists (ADVICE r8)
     docs = load_table(spark, sf_dir, "documents")
     corpus_sigs = mar.stored_minhash_signatures(
         _minhash_table(spark, sf_dir)).where(F.col("id") % 10 != 0)

@@ -416,3 +416,30 @@ def test_tombstone_broadcast_gate_covers_minhash_at_rest(spark, tmp_path, monkey
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exact_substring_dedup_single_tokenize_when_persisted(spark, sf_dir):
+    """persist_windows=True must cache BOTH the token frame and the
+    window stream: every downstream leg (dup-hash count, semi-join,
+    rewrite) reads an InMemoryTableScan, and strictly fewer parquet
+    scans of the corpus survive in the plan than the unpersisted shape
+    (physically: the text column is tokenized once — r8 verdict #4 /
+    ADVICE dead-parameter fix)."""
+    from vecgo_spark.operators import dedup
+    from vecgo_spark.sources.registry import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    dedup.release_caches()
+    before = len(dedup._CACHED)
+    # unpersisted plan FIRST — once the caches exist Spark's cache
+    # manager substitutes matching fragments into ANY equivalent plan
+    plan_n = spark_plan(dedup.exact_substring_dedup(
+        docs, min_len=15, persist_windows=False))
+    plan_p = spark_plan(dedup.exact_substring_dedup(
+        docs, min_len=15, persist_windows=True))
+    assert len(dedup._CACHED) == before + 2  # token frame + window stream
+    assert "InMemoryTableScan" in plan_p
+    assert "InMemoryTableScan" not in plan_n
+    assert plan_p.count("Scan parquet") < plan_n.count("Scan parquet")
+    dedup.release_caches()
+    assert not dedup._CACHED

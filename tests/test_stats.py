@@ -165,3 +165,31 @@ def test_cluster_label_purity_ground_truth(spark):
     assert by_dom[7]["n_rows"] == 4 and by_dom[7]["purity"] == 0.75
     assert by_dom[7]["n_labels"] == 2
     assert by_dom[5]["n_rows"] == 2 and by_dom[5]["purity"] == 0.5  # tie → 5
+
+
+def test_cluster_label_purity_string_labels(spark):
+    """String ground-truth labels (the common case) must work and break
+    dominant ties lexicographically ASC, matching the SQL twin's ORDER BY
+    n DESC, label ASC (ADVICE r8: the old numeric-negation tie-break
+    raised AnalysisException on strings)."""
+    import numpy as np
+
+    from vecgo_spark.operators import ivf
+    from vecgo_spark.operators.stats import cluster_label_purity
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # cluster around (1,0): news ×3, web ×1 → dominant 'news', purity .75
+    for j, lab in enumerate(["news", "news", "news", "web"]):
+        v = np.array([1.0, 0.0]) + rng.normal(0, 0.01, 2)
+        rows.append((j, [float(x) for x in v], lab))
+    # cluster around (0,1): 'web','blog' tie → dominant 'blog' (asc)
+    for j, lab in enumerate(["web", "blog"]):
+        v = np.array([0.0, 1.0]) + rng.normal(0, 0.01, 2)
+        rows.append((10 + j, [float(x) for x in v], lab))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    model = ivf.train_ivf(emb, "embedding", nlist=2, max_iter=10,
+                          trainer="driver", order_col="vec_id")
+    got = {r["dominant_label"]: r for r in cluster_label_purity(emb, model).collect()}
+    assert got["news"]["n_rows"] == 4 and got["news"]["purity"] == 0.75
+    assert got["blog"]["n_rows"] == 2 and got["blog"]["purity"] == 0.5

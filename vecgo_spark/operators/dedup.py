@@ -552,17 +552,24 @@ def minhash_dedup_incremental_sql(
 # ----------------------------------------------- exact-substring spans
 
 
-def _doc_shingle_positions(docs: DataFrame, id_col: str, text_col: str,
-                           n: int) -> DataFrame:
-    """(id, pos, shingle) — every n-token window WITH its 1-based start
-    position, in document order (the positional, non-distinct sibling of
-    _doc_shingles; same tokenizer, same eval_once barrier)."""
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks) — the lowercased whitespace token array that defines
+    ExactSubstr positions AND the rewrite (one tokenizer, one frame, so
+    persisting it makes the whole spans+removal pipeline single-scan)."""
     from vecgo_spark.functions.hashing import eval_once
 
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
     )
-    d = docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
+    return docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
+
+
+def _doc_shingle_positions(tok_frame: DataFrame, n: int) -> DataFrame:
+    """(id, pos, shingle) — every n-token window WITH its 1-based start
+    position, in document order (the positional, non-distinct sibling of
+    _doc_shingles; same tokenizer, same eval_once barrier). Input is a
+    `_doc_tokens` frame."""
+    d = tok_frame
     win = F.size("toks") - (n - 1)
     sh = F.when(
         win >= 1,
@@ -602,16 +609,29 @@ def exact_substring_spans(
     (map-side partial, skew-safe) whose ≥2 keys semi-join back on the
     hash — never a pos×pos self-join of the token stream; the
     run-merging window is per-document (bounded by doc length).  The
-    window stream is evaluated for both legs — two corpus scans, the
-    dsir_importance posture — persist upstream if scans dominate.
+    window stream feeds both legs — persist_windows=True persists it
+    (registered in _CACHED, released by release_caches(), the
+    dsir_importance persist_grams posture) so the corpus is tokenized
+    and hashed ONCE; False re-evaluates it per leg (two corpus scans).
 
     Output: (id_col, span_start, span_end, span_tokens, n_windows), one
     row per maximal duplicated span; positions are 1-based token
     indexes, span_tokens = span_end − span_start + 1 ≥ min_len."""
+    return _spans_from_tokens(
+        _doc_tokens(docs, id_col, text_col), id_col, min_len,
+        persist_windows)
+
+
+def _spans_from_tokens(
+    tok_frame: DataFrame, id_col: str, min_len: int, persist_windows: bool,
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    w = _doc_shingle_positions(docs, id_col, text_col, min_len).select(
+    w = _doc_shingle_positions(tok_frame, min_len).select(
         "id", "pos", stable_hash64(F.col("shingle")).alias("h"))
+    if persist_windows:
+        w = w.persist()
+        _CACHED.append(w)
     dup = (
         w.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= 2).select("h")
@@ -699,19 +719,23 @@ def exact_substring_dedup(
     corpus-proportional at 100 TB — never hinted broadcast); the token
     drop is a codegen filter-with-index over the token array testing
     coverage against the in-row span list — per-token cost O(spans in
-    doc), no shuffle beyond the span aggregation."""
-    from vecgo_spark.functions.hashing import eval_once
+    doc), no shuffle beyond the span aggregation.
 
-    spans = exact_substring_spans(docs, id_col, text_col, min_len,
-                                  persist_windows=persist_windows).select(
+    persist_windows=True persists BOTH the shared token frame (the
+    rewrite leg + the window stream read it) and the window stream (the
+    two span legs read it), so the corpus text is scanned and tokenized
+    exactly ONCE for the whole spans+removal pipeline (three scans when
+    False); caches land in _CACHED, released by release_caches()."""
+    d = _doc_tokens(docs, id_col, text_col)
+    if persist_windows:
+        d = d.persist()
+        _CACHED.append(d)
+    spans = _spans_from_tokens(d, id_col, min_len,
+                               persist_windows=persist_windows).select(
         F.col(id_col).alias("id"),
         F.struct(F.col("span_start").alias("s"),
                  F.col("span_end").alias("e")).alias("sp"),
     ).groupBy("id").agg(F.collect_list("sp").alias("spans"))
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
-    )
-    d = docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
     covered = lambda i: F.exists(  # noqa: E731
         F.col("spans"), lambda s: (i >= s["s"]) & (i <= s["e"]))
     kept = F.when(

@@ -505,10 +505,14 @@ def cluster_label_purity(
         )
         .groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n"))
     )
-    dom = F.max_by(
-        F.struct(F.col("n").alias("n"), F.col("label").alias("label")),
-        F.struct(F.col("n"), -F.col("label")),
-    )
+    # type-agnostic (n DESC, label ASC) tie-break: struct min orders
+    # lexicographically, so min(struct(-n, label)) picks the largest
+    # count then the SMALLEST label for ANY orderable label type —
+    # string ground-truth labels included (ADVICE r8: a negated label
+    # column only worked for numerics, while the SQL twin's ORDER BY
+    # n DESC, label ASC always did)
+    dom = F.min(
+        F.struct((-F.col("n")).alias("negn"), F.col("label").alias("label")))
     return (
         counts.groupBy("cluster_id")
         .agg(
@@ -520,8 +524,8 @@ def cluster_label_purity(
             F.col("cluster_id").cast("int").alias("cluster_id"),
             "n_rows", "n_labels",
             F.col("_dom")["label"].alias("dominant_label"),
-            (F.col("_dom")["n"].cast("double") / F.col("n_rows").cast("double"))
-            .alias("purity"),
+            ((-F.col("_dom")["negn"]).cast("double") /
+             F.col("n_rows").cast("double")).alias("purity"),
         )
         .orderBy("cluster_id")
     )
