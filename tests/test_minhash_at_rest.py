@@ -284,3 +284,39 @@ def test_upsert_both_versions_indexed(spark, tdir):
     assert stored == _sigset(_fresh(tbl))
     ids = {r[0] for r in stored}
     assert 3 in ids and 4 not in ids
+
+
+def test_seg_tag_expr_constant_plan_size(spark, tdir):
+    """The segment tag is ONE regexp over input_file_name — no
+    per-segment CASE WHEN chain, so the build plan stays O(1) at any
+    segment count (r8 advice item); the tag must still resolve the
+    table-relative seg dir correctly across plain AND clustered
+    (subdir-partitioned) segment layouts."""
+    from vecgo_spark.operators.graph_at_rest import seg_tag_expr
+
+    # plan-size pin: the expression string carries no segment literals
+    # and no conditional chain — identical no matter how many segments
+    e = str(seg_tag_expr()._jc)
+    assert "CASE WHEN" not in e and "seg-" not in e
+    assert e.count("regexp_extract") == 1
+
+    t = VectorTable.create(spark, tdir, dim=2, id_col="id")
+    for lo in (0, 10, 20):
+        t.insert(spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(lo, lo + 10)],
+            "id long, vector array<float>"))
+        t.commit()
+    t.compact(cluster_by=2)  # clustered layout: files under _part=N/
+    t.insert(spark.createDataFrame(
+        [(40 + i, [0.0, float(i)]) for i in range(5)],
+        "id long, vector array<float>"))
+    t.commit()
+    segs = t.manifest.segments
+    # clustered compaction makes each _part=N its own segment, + append
+    assert len(segs) == 3
+    assert any("_part=" in s.path for s in segs)
+    tagged = (t._segment_df(segs)
+              .withColumn("_seg", seg_tag_expr())
+              .groupBy("_seg").count().collect())
+    got = {r["_seg"]: r["count"] for r in tagged}
+    assert got == {s.path: s.rows for s in segs}

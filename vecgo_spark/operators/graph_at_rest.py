@@ -82,6 +82,25 @@ def build_graphs_at_rest(
     return version
 
 
+def seg_tag_expr():
+    """Table-relative segment dir of the row's input file — ONE regexp
+    per row, O(1) plan size at any segment count (r8 advice: the
+    previous per-segment F.when chain grew the plan linearly with
+    #segments at build time). The tag is everything from the LAST
+    `_segments/` component to the file's parent dir, which is exactly
+    SegmentMeta.path for both layouts: plain segments
+    (`_segments/seg-x`) and clustered ones, where each `_part=N` subdir
+    is its own segment (`_segments/seg-x/_part=0` — input_file_name
+    carries the `=` unencoded). The greedy `.*/` prefix makes a table
+    rooted under a directory that itself contains `_segments` tag
+    correctly. Sound only over `_segment_df(segs)` scans, where every
+    file lives under exactly one segment dir."""
+    from vecgo_spark.plans.table import SEG_DIR
+
+    return F.regexp_extract(
+        F.input_file_name(), ".*/(" + SEG_DIR + "/.+)/[^/]*$", 1)
+
+
 def _write_blob_dir(tbl, segs, family: str, version: int, build_blob,
                     extra=None) -> str:
     """One graph blob per segment in `segs` → a versioned parquet dir
@@ -98,18 +117,11 @@ def _write_blob_dir(tbl, segs, family: str, version: int, build_blob,
     from vecgo_spark.plans.table import INDEX_DIR
 
     id_col, vector_col = tbl.id_col, tbl.vector_col
-    seg_expr = None
-    for s in segs:
-        # the trailing "/" anchors the match at a path-component boundary:
-        # cluster dirs _part=1 and _part=10 are substring-ambiguous without it
-        cond = F.input_file_name().contains(s.path.rstrip("/") + "/")
-        seg_expr = (F.when(cond, F.lit(s.path)) if seg_expr is None
-                    else seg_expr.when(cond, F.lit(s.path)))
     raw = (
         tbl._segment_df(segs)
         .where(F.col(vector_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
-        .withColumn("_seg", seg_expr)
+        .withColumn("_seg", seg_tag_expr())
     )
 
     def build(key, pdf):

@@ -49,25 +49,17 @@ from vecgo_spark.operators.dedup import NUM_HASHES, minhash_signatures
 FAMILY = "minhash"
 
 
-def _seg_expr(segs):
-    expr = None
-    for s in segs:
-        # trailing "/" anchors at a path-component boundary (seg dirs
-        # _part=1 vs _part=10 are substring-ambiguous without it)
-        cond = F.input_file_name().contains(s.path.rstrip("/") + "/")
-        expr = F.when(cond, F.lit(s.path)) if expr is None else expr.when(cond, F.lit(s.path))
-    return expr
-
-
 def _segment_sigs(tbl, segs, text_col: str, n: int, num_hashes: int) -> DataFrame:
     """One row per RAW row of `segs`: (id, _lsn, _seg, m0..m{H-1}).
     Rows whose doc yields no shingles (< n tokens) keep NULL minhashes —
     they must exist so a later short upsert SHADOWS its longer
     predecessor instead of resurrecting the stale signature."""
+    from vecgo_spark.operators.graph_at_rest import seg_tag_expr
+
     raw = tbl._segment_df(segs).select(
         F.col(tbl.id_col).alias("id"), F.col("_lsn"),
         F.col(text_col).alias("_text"),
-    ).withColumn("_seg", _seg_expr(segs))
+    ).withColumn("_seg", seg_tag_expr())
     # group signatures by the full row identity (an id may recur across
     # segments under upsert): a struct key keeps one sig per row version
     keyed = raw.select(
