@@ -142,9 +142,9 @@ def test_compact_drops_graph_index_and_vacuum_collects_blobs(spark, table):
 
     hnsw.build_at_rest(table)
     rel = table.manifest.meta["hnsw"]["path"]
-    table.compact()
-    # every indexed segment was replaced → the index entry is dropped (so
-    # callers rebuild instead of silently exact-scanning forever)
+    table.compact(reindex=False)
+    # every indexed segment was replaced → with reindex=False the entry
+    # is dropped (callers rebuild instead of silently exact-scanning)
     assert "hnsw" not in table.manifest.meta
     with pytest.raises(KeyError):
         hnsw.search_at_rest(table, [0.0] * 8, k=5)
@@ -315,8 +315,9 @@ def test_refresh_at_rest_indexes_new_segments_incrementally(spark, tmp_path):
         assert os.path.isdir(os.path.join(t.path, p)), p
     got = [r["id"] for r in hnsw.search_at_rest(t, probe, k=3).collect()]
     assert got[0] == 9000
-    # compaction still drops the whole family (blobs index dead segments)
-    t.compact()
+    # reindex=False compaction drops the whole family (blobs index
+    # dead segments); the default rebuilds it — see lifecycle test
+    t.compact(reindex=False)
     assert "hnsw" not in t.manifest.meta
 
 
@@ -411,3 +412,17 @@ def test_refresh_folds_dirs_at_cap(spark, tmp_path):
         assert os.path.isdir(os.path.join(t.path, p)) == (p in live), p
     got = [r["id"] for r in hnsw.search_at_rest(t, probe, k=3).collect()]
     assert got[0] == 9000
+
+
+def test_compact_reindexes_graph_by_default(spark, table):
+    """Default compact() rebuilds the hnsw family over the new segments
+    with the recorded build params — search_at_rest serves the rebuilt
+    blobs with no manual build call and unchanged exact-recall."""
+    hnsw.build_at_rest(table, m=6, ef_construction=32)
+    want = [r["id"] for r in hnsw.search_at_rest(table, [0.0] * 8, k=5).collect()]
+    table.compact()
+    info = table.manifest.meta["hnsw"]
+    assert set(info["segments"]) == {s.path for s in table.manifest.segments}
+    assert (info["m"], info["ef_construction"]) == (6, 32)
+    got = [r["id"] for r in hnsw.search_at_rest(table, [0.0] * 8, k=5).collect()]
+    assert got == want

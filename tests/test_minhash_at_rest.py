@@ -135,8 +135,8 @@ def test_vacuum_keeps_live_dirs_drops_stale(spark, tdir):
     out = tbl.vacuum(keep_versions=1)
     assert not any("minhash" in f for f in out["removed_files"])
     assert _sigset(mar.stored_minhash_signatures(tbl)) == want
-    # full compaction drops the family; vacuum then collects the blobs
-    tbl.compact()
+    # reindex=False compaction drops the family; vacuum collects blobs
+    tbl.compact(reindex=False)
     assert "minhash" not in tbl.manifest.meta
     with pytest.raises(KeyError, match="minhash"):
         mar.stored_minhash_signatures(tbl)
@@ -320,3 +320,24 @@ def test_seg_tag_expr_constant_plan_size(spark, tdir):
               .groupBy("_seg").count().collect())
     got = {r["_seg"]: r["count"] for r in tagged}
     assert got == {s.path: s.rows for s in segs}
+
+
+def test_compact_reindexes_minhash_by_default(spark, tdir):
+    """compact() rebuilds the signature artifact against the rewritten
+    segments with the recorded params — no manual build call, stored
+    reads stay bit-identical to fresh recompute (compaction.go:102-152
+    re-indexes during compaction; r8 verdict item #2)."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    mar.build_minhash_index(tbl, n=2, num_hashes=8)
+    tbl.delete([3, 4])
+    tbl.commit()
+    tbl.compact()
+    info = tbl.manifest.meta["minhash"]
+    assert set(info["segments"]) == {s.path for s in tbl.manifest.segments}
+    assert (info["n"], info["num_hashes"]) == (2, 8)  # params preserved
+    stored = mar.stored_minhash_signatures(tbl)
+    assert _sigset(stored) == _sigset(
+        dedup.minhash_signatures(tbl.df(), "id", "text", 2, 8))
+    assert not {3, 4} & {r[0] for r in stored.collect()}

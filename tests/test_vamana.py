@@ -114,7 +114,7 @@ def test_compact_drops_index_and_vacuum_collects_blobs(spark, table):
 
     vamana.build_at_rest(table)
     rel = table.manifest.meta["vamana"]["path"]
-    table.compact()
+    table.compact(reindex=False)
     assert "vamana" not in table.manifest.meta
     with pytest.raises(KeyError):
         vamana.search_at_rest(table, [0.0] * 8, k=5)
@@ -350,3 +350,16 @@ def test_refresh_at_rest_pq_layout_guard_and_parity(spark, tmp_path):
     assert t.manifest.version == v and len(info["paths"]) == 2
     got = [r["id"] for r in vamana.search_at_rest(t, probe, k=3).collect()]
     assert got[0] == 9100
+
+
+def test_compact_reindexes_graph_by_default(spark, table):
+    """Default compact() rebuilds the vamana family (recorded r/l/alpha)
+    over the rewritten segments; served results are unchanged."""
+    vamana.build_at_rest(table, r=16, l=32, alpha=1.1)
+    want = [r["id"] for r in vamana.search_at_rest(table, [0.0] * 8, k=5).collect()]
+    table.compact()
+    info = table.manifest.meta["vamana"]
+    assert set(info["segments"]) == {s.path for s in table.manifest.segments}
+    assert (info["r"], info["l"], info["alpha"]) == (16, 32, 1.1)
+    got = [r["id"] for r in vamana.search_at_rest(table, [0.0] * 8, k=5).collect()]
+    assert got == want

@@ -26,8 +26,10 @@ operators/graph_at_rest.py):
             anti-join and latest-LSN-wins upsert dedup — so the result is
             bit-identical to minhash_signatures(tbl.df()).
   vacuum /  dirs are referenced via meta["minhash"] paths (collected once
-  compact:  unreferenced); FULL compaction rewrites every segment, so it
-            drops the entry like the graph families — rebuild after.
+  compact:  unreferenced); FULL compaction rewrites every segment, which
+            invalidates the entry — compact(reindex=True, the default)
+            rebuilds it against the new segments with the recorded
+            params (compaction.go:102-152 re-indexes during compaction).
 
 Scale posture: the artifact is H+3 fixed-width columns per doc; the read
 path is id-arithmetic only (no text touched for indexed segments), the

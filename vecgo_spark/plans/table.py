@@ -908,7 +908,8 @@ class VectorTable:
 
     # --------------------------------------------------------- maintenance
 
-    def compact(self, target_segments: int = 1, cluster_by=None, quantize=None) -> int:
+    def compact(self, target_segments: int = 1, cluster_by=None, quantize=None,
+                reindex: bool = True) -> int:
         """Rewrite the live snapshot into compacted segments, dropping
         tombstoned/stale rows; publish as a new version (compaction.go:
         29-422 semantics — merge live rows, re-stats).
@@ -942,17 +943,30 @@ class VectorTable:
         Codes land in the hidden _q_code ARRAY<INT> column, the bounds in
         _index/sq-v*.json + manifest meta; insert() encodes new rows on
         the write path and search_quantized() scores from stored codes.
+
+        reindex=True (default) REBUILDS every per-segment artifact family
+        the rewrite invalidates (graph blobs, minhash signatures) against
+        the new segments with the originally recorded build params — the
+        reference rebuilds indexes during compaction itself
+        (internal/engine/compaction.go:102-152: merged data is re-indexed
+        before publish, never left index-less). reindex=False restores
+        the drop-and-rebuild-manually behavior.
         """
         self._check_writable()
         t0 = time.perf_counter()
         dropped = len(self.manifest.segments)
+        prior_families = {f: dict(self.manifest.meta[f])
+                         for f in ("hnsw", "vamana", "minhash")
+                         if f in self.manifest.meta}
         sq_params, pq_books, bin_params = self._resolve_quantizer(quantize)
         if cluster_by is None:
             v = self._compact_plain(target_segments, sq_params=sq_params,
                                     pq_books=pq_books, bin_params=bin_params)
             self._obs("on_compaction", time.perf_counter() - t0, dropped,
                       len(self.manifest.segments))
-            return v
+            if reindex:
+                self._reindex_families(prior_families)
+            return self.manifest.version
         from vecgo_spark.operators import ivf as ivfmod
 
         if isinstance(cluster_by, ivfmod.IVFModel):
@@ -1035,7 +1049,36 @@ class VectorTable:
         elapsed = time.perf_counter() - t0
         self._obs("on_compaction", elapsed, dropped, len(new.segments))
         self._obs("on_build", elapsed, "ivf")
-        return new.version
+        if reindex:
+            self._reindex_families(prior_families)
+        return self.manifest.version
+
+    def _reindex_families(self, prior: dict) -> None:
+        """Rebuild artifact families a full rewrite invalidated, from the
+        build params their old manifest entries recorded — compaction
+        re-indexes rather than leaving the table index-less
+        (compaction.go:102-152; the graph rebuild there is gated on
+        segment size, which per-segment building subsumes: every new
+        segment gets its own blob). Vamana's PQ layout is reconstructed
+        only when the compaction re-recorded codebooks (quantize=...);
+        otherwise the rebuilt graph serves full vectors — same recall
+        contract, larger blobs."""
+        for fam, info in prior.items():
+            t0 = time.perf_counter()
+            if fam == "minhash":
+                self.build_minhash_index(
+                    text_col=info["text_col"], n=info["n"],
+                    num_hashes=info["num_hashes"])
+            elif fam == "hnsw":
+                self.build_graph_index(
+                    "hnsw", m=info["m"], ef_construction=info["ef_construction"])
+            elif fam == "vamana":
+                pq = (self._load_pq()
+                      if info.get("pq") and "pq" in self.manifest.meta else None)
+                self.build_graph_index(
+                    "vamana", r=info["r"], l=info["l"], alpha=info["alpha"],
+                    pq=pq)
+            self._obs("on_build", time.perf_counter() - t0, f"{fam}-reindex")
 
     def _resolve_quantizer(self, quantize):
         """quantize= argument → (ScalarParams | None, PQCodebooks | None,
@@ -1289,9 +1332,10 @@ class VectorTable:
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
         meta.pop("ivf", None)  # a plain rewrite drops the clustered layout
-        # every indexed segment is being replaced → the per-segment graph
-        # index is dead; dropping the entry lets callers rebuild and lets
-        # vacuum collect the stale blobs
+        # every indexed segment is being replaced → the per-segment
+        # artifact entries are dead here; compact(reindex=True) rebuilds
+        # them against the new segments right after publish, and vacuum
+        # collects the stale blobs
         meta.pop("hnsw", None)
         meta.pop("vamana", None)
         meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
