@@ -136,3 +136,69 @@ def test_tombstone_kept_when_partial_merge_misses_a_segment(spark, tmp_path):
     assert len(t.manifest.tombstone_files) == 1   # seg lsn 1 still needs it
     ids = sorted(r["id"] for r in t.df().collect())
     assert 3 not in ids and 13 not in ids and len(ids) == 28
+
+
+def test_tombstone_gc_by_id_interval_disjointness(spark, tmp_path):
+    """A tombstone whose id interval provably misses every surviving
+    segment must be GC'd even when an OLDER segment survives the merge —
+    manifest id stats prove it hides nothing there (r9: interval
+    disjointness strengthens the LSN-only droppable test)."""
+    t = VectorTable.create(spark, str(tmp_path / "tint"), dim=2, metric="l2")
+    _insert_batch(spark, t, range(10))        # seg lsn 1, ids 0..9
+    _insert_batch(spark, t, range(15, 20))    # seg lsn 2, ids 15..19
+    t.delete([16, 17])                        # tombstone lsn 3 ⊂ seg 2
+    t.commit()
+
+    class PickNewest:
+        def pick(self, segments):
+            return CompactionTask(segments=[max(segments, key=lambda s: s.lsn)])
+
+    t.maybe_compact(PickNewest())
+    # seg 1 (lsn 1 < tomb lsn) survives, but its id interval [0,9] is
+    # disjoint from the tombstone's [16,17] → droppable
+    assert t.manifest.tombstone_files == []
+    assert sorted(r["id"] for r in t.df().collect()) == sorted(
+        list(range(10)) + [15, 18, 19])
+
+
+def test_partial_compaction_folds_many_tombstones(spark, tmp_path):
+    """Past TOMB_FOLD_MAX_FILES surviving tombstone files, maybe_compact
+    folds them into ONE per-id max-LSN file (tombstone migration,
+    engine.go:1890-1907): visibility bit-identical, re-insert-after-
+    delete still wins by LSN, manifest stats mark the fold mixed so the
+    zero-job count declines it."""
+    from vecgo_spark.plans import table as tbl_mod
+
+    t = VectorTable.create(spark, str(tmp_path / "tfold"), dim=2, metric="l2")
+    _insert_batch(spark, t, range(40))            # seg lsn 1, ids 0..39
+    for i in range(10):                           # 10 tombstone files
+        t.delete([2 * i])                         # even ids 0,2,..,18
+        t.commit()
+    # re-insert id 4 AFTER its delete → visible again (max-LSN rule)
+    _insert_batch(spark, t, [4])
+    t.delete([4])                                 # ...then delete again
+    t.commit()
+    t.delete([4])                                 # idempotent re-delete
+    t.commit()
+    _insert_batch(spark, t, [4])                  # final re-insert → live
+    before = sorted(r["id"] for r in t.df().collect())
+    assert 4 in before and 2 not in before
+    n_tombs = len(t.manifest.tombstone_files)
+    assert n_tombs > tbl_mod.TOMB_FOLD_MAX_FILES
+
+    class PickNewest:
+        def pick(self, segments):
+            return CompactionTask(segments=[max(segments, key=lambda s: s.lsn)])
+
+    t.maybe_compact(PickNewest())
+    assert len(t.manifest.tombstone_files) == 1
+    rel = t.manifest.tombstone_files[0]
+    st = t.manifest.tombstone_stats[rel]
+    assert st["mixed"] is True and st["lsn"] >= 1
+    assert t._manifest_count(t.manifest) is None  # declines mixed stats
+    after = sorted(r["id"] for r in t.df().collect())
+    assert after == before
+    assert t.count() == len(before)               # scan fallback is right
+    # reopening serves the folded file identically
+    re = VectorTable.open(spark, t.path)
+    assert sorted(r["id"] for r in re.df().collect()) == before

@@ -73,6 +73,9 @@ BINNORM_COL = "_b_norm"  # at-rest L2 norm for the RaBitQ estimator (DOUBLE)
 # per-id max-LSN side (two longs/row → ~16 MB at the bound); beyond it
 # the join stays unhinted so it degrades to a shuffle join at scale
 TOMB_BROADCAST_MAX_IDS = 1_000_000
+# partial compaction folds surviving tombstone files into one per-id
+# max-LSN file once more than this many remain (tombstone migration)
+TOMB_FOLD_MAX_FILES = 8
 
 # Declared metadata-schema field types (metadata/schema.go:7-17). "any"
 # accepts everything; undeclared fields always pass through (schema.go:46-49).
@@ -683,7 +686,10 @@ class VectorTable:
         pairwise-disjoint dense tombstones rules out double-counting an id
         hidden by two tombstones."""
         tstats = [m.tombstone_stats.get(t) for t in m.tombstone_files]
-        if any(s is None or not s.get("dense") for s in tstats):
+        # mixed=True marks a compaction-folded file whose rows carry
+        # heterogeneous LSNs — the per-file lsn comparison below would
+        # over-hide re-inserts, so fall back to the scan
+        if any(s is None or not s.get("dense") or s.get("mixed") for s in tstats):
             return None
         tstats = sorted(tstats, key=lambda s: s["min"])
         for a, b in zip(tstats, tstats[1:]):
@@ -1395,21 +1401,23 @@ class VectorTable:
         # segment can still hold a row it hides — an original append
         # segment is safe iff every row's lsn (== segment lsn) exceeds
         # T's, a merged segment iff T was already applied at its merge
-        # (tomb_lsn_applied >= T.lsn). Same consolidation the reference's
-        # compaction performs; keeps the read anti-join and the manifest
-        # from growing without bound under partial compactions.
+        # (tomb_lsn_applied >= T.lsn), and ANY segment iff the manifest
+        # id intervals prove T's ids can't touch it. Same consolidation
+        # the reference's compaction performs (tombstone migration,
+        # engine.go:1890-1907); keeps the read anti-join and the
+        # manifest from growing without bound under partial compactions.
         live_tombs, live_stats = [], {}
         for t in self.manifest.tombstone_files:
             t_lsn = self._tomb_lsn(t)
+            tst = self.manifest.tombstone_stats.get(t)
             droppable = all(
-                (s.tomb_lsn_applied >= t_lsn) if s.tomb_lsn_applied
-                else (s.lsn > t_lsn)
-                for s in segments
-            )
+                self._seg_safe_from_tomb(s, tst, t_lsn) for s in segments)
             if not droppable:
                 live_tombs.append(t)
-                if t in self.manifest.tombstone_stats:
-                    live_stats[t] = self.manifest.tombstone_stats[t]
+                if tst is not None:
+                    live_stats[t] = tst
+        if len(live_tombs) > TOMB_FOLD_MAX_FILES:
+            live_tombs, live_stats = self._fold_tombstones(live_tombs)
         new = Manifest(
             version=self.manifest.version + 1,
             lsn=self.manifest.lsn,
@@ -1423,6 +1431,54 @@ class VectorTable:
         save_manifest(self.path, new)
         self.manifest = new
         return new.version
+
+    def _seg_safe_from_tomb(self, s: SegmentMeta, tst, t_lsn: int) -> bool:
+        """True when tombstone T provably hides nothing in segment s:
+        every row outlives T by LSN (append segments carry row lsn ==
+        segment lsn; merged ones record the applied watermark), or the
+        manifest id intervals are disjoint — interval disjointness
+        implies set disjointness, so this only ever KEEPS fewer files,
+        never hides a live row."""
+        if (s.tomb_lsn_applied >= t_lsn) if s.tomb_lsn_applied else (s.lsn > t_lsn):
+            return True
+        if tst is not None and "min" in tst and "max" in tst:
+            ss = (s.stats or {}).get(self.id_col) or {}
+            if ss.get("min") is not None and ss.get("max") is not None:
+                return (int(tst["max"]) < int(ss["min"])
+                        or int(tst["min"]) > int(ss["max"]))
+        return False
+
+    def _fold_tombstones(self, tombs: list[str]):
+        """Rewrite many surviving tombstone files into ONE per-id
+        max-LSN file (the reference's tombstone migration at compaction,
+        engine.go:1890-1907): the read path already reduces tombstones
+        to per-id max LSN, so the fold is semantics-preserving by
+        construction, while the anti-join input drops to one bounded
+        scan and the manifest stops growing under sustained deletes.
+        The folded file carries MIXED per-row LSNs, so its stats record
+        lsn = max (conservative for the droppable test) and mixed=True —
+        _manifest_count refuses mixed files (its interval subtraction
+        assumes one LSN per file) and falls back to the scan."""
+        from pyspark.sql import Observation
+
+        lsn_max = max(self._tomb_lsn(t) for t in tombs)
+        name = f"tomb-{lsn_max:08d}-fold-{uuid.uuid4().hex[:8]}"
+        rel = os.path.join(TOMB_DIR, name)
+        obs = Observation()
+        (
+            self.spark.read.parquet(*[os.path.join(self.path, t) for t in tombs])
+            .groupBy(self.id_col).agg(F.max("_lsn").alias("_lsn"))
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.min(self.id_col).alias("lo"),
+                     F.max(self.id_col).alias("hi"))
+            .write.mode("error").parquet(os.path.join(self.path, rel))
+        )
+        got = obs.get
+        n, lo, hi = int(got["n"]), int(got["lo"]), int(got["hi"])
+        return [rel], {rel: {
+            "ids": n, "min": lo, "max": hi, "lsn": lsn_max,
+            "dense": hi - lo + 1 == n, "mixed": True,
+        }}
 
     def _tomb_lsn(self, rel: str) -> int:
         """Tombstone file's LSN — from its manifest stats when present,
