@@ -1619,6 +1619,19 @@ def _dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id", "id_a", "id_b")
 
 
+def _dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's removal action (Abbas et al. 2023 §3): the pair graph's
+    connected components become duplicate groups, and exactly ONE member
+    per group survives — the lowest-centroid-cosine example (keep the
+    cluster edge, prune the dense core). Same deterministic k-means
+    artifact the pairs query shares."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
+                          max_train_rows=20_000, order_col="vec_id",
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    return dedup.semantic_dedup(emb, model, threshold=0.3)
+
+
 def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17 shape): lineitems whose
     quantity is below 20% of their part's average quantity. The
@@ -2172,15 +2185,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresh driver-green row from the previous round rotate to the tail;
     # scripts/verify_driver.py still checks all of them locally each round.
     return {
-        # -- r8 window: 3 new queries + 4 whose code changed this round,
-        # -- then oldest driver evidence (r5 set, r6 picks), then canaries
+        # -- r9 window: 1 new query + 8 whose code changed this round
+        # -- (visibility-join gate, single-scan exact-substring, purity
+        # -- tie-break, stored-sig dedup), then ALL 30 r6-stale entries
+        # -- (oldest driver evidence), then the regression canaries
+        "dedup_semantic_clusters": _dedup_semantic_clusters,
         "docs_exact_substring_spans": _docs_exact_substring_spans,
+        "docs_exact_substring_dedup": _docs_exact_substring_dedup,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_minhash_incremental": _dedup_minhash_incremental,
+        "embedding_label_purity": _embedding_label_purity,
+        "tombstone_antijoin": _tombstone_antijoin,
+        "upsert_latest_wins": _upsert_latest_wins,
+        "time_travel_versions": _time_travel,
+        # ---- oldest driver evidence (r6 set, complete) ----
+        "knn_bq_hamming": _knn_bq_hamming,
+        "knn_opq_adc": _knn_opq_adc,
+        "ann_lsh": _ann_lsh,
+        "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
+        "bm25_search": _bm25_search,
+        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
+        "multimodal_features": _multimodal_features,
+        "dedup_exact": _dedup_exact,
+        "doc_fingerprint": _doc_fingerprint,
+        "sample_hash_bernoulli": _sample_hash_bernoulli,
+        "pack_sequences_budget": _pack_sequences_budget,
+        "stratified_sample_per_source": _stratified_sample,
+        "corpus_balance_sources": _corpus_balance,
+        "vocab_top_terms": _vocab_top_terms,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q18_large_orders": _tpch_q18,
+        "tpch_q4_order_priority": _tpch_q4,
+        "tpch_q14_promo_revenue": _tpch_q14,
+        "tpch_q10_returned_items": _tpch_q10,
+        "events_value_quartiles": _events_value_quartiles,
+        "stats_percentiles": _stats_percentiles,
+        "knn_range": _knn_range,
+        "schema_typed_filter": _schema_typed_filter,
+        "knn_sq8_adc": _knn_sq8_adc,
+        "knn_pq_adc": _knn_pq_adc,
+        "ann_ivf": _ann_ivf,
+        "ann_ivf_batch": _ann_ivf_batch,
+        "hybrid_rrf": _hybrid_rrf,
+        "events_retention_cohorts": _events_retention_cohorts,
+        "stats_numeric_profile": _stats_numeric,
+        # ---- canaries: events + at-rest families ----
+        "events_anomaly_zscore": _events_anomaly_zscore,
+        "events_tumbling_1h": _events_tumbling_1h,
+        "events_sliding_1h30m": _events_sliding_1h30m,
+        "events_sessionization": _events_sessionization,
+        "events_asof_join": _events_asof_join,
+        "events_funnel_conversion": _events_funnel_conversion,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
+        # -------- driver window ends here (50 entries above) --------
+        # ---------------- tail: fresh r7/r8/r9 driver evidence ----------------
         "dedup_semantic_pairs": _dedup_semantic_pairs,
         "tpch_q12_ship_priority": _tpch_q12,
-        "dedup_minhash_incremental": _dedup_minhash_incremental,
-        "dedup_minhash_lsh": _dedup_minhash,
         "docs_token_budget_mixture": _docs_token_budget_mixture,
-        "docs_exact_substring_dedup": _docs_exact_substring_dedup,
         "knn_l2_filtered": _knn_l2_filtered,
         "knn_l2_projected": _knn_l2_projected,
         "knn_batch": _knn_batch,
@@ -2199,9 +2264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_ngram": _doc_langid_ngram,
         "tpch_q15_top_supplier": _tpch_q15,
         "tpch_q17_small_qty_revenue": _tpch_q17,
-        "tombstone_antijoin": _tombstone_antijoin,
-        "upsert_latest_wins": _upsert_latest_wins,
-        "time_travel_versions": _time_travel,
         "tpch_q19_discounted_revenue": _tpch_q19,
         "tpch_q22_idle_customers": _tpch_q22,
         "doc_chunking_overlap": _doc_chunking_overlap,
@@ -2211,24 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_rerank": _knn_sq8_rerank,
         "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
-        "embedding_label_purity": _embedding_label_purity,
-        "events_anomaly_zscore": _events_anomaly_zscore,
-        "events_tumbling_1h": _events_tumbling_1h,
-        "events_sliding_1h30m": _events_sliding_1h30m,
-        "events_sessionization": _events_sessionization,
-        "events_asof_join": _events_asof_join,
         "events_json_props": _events_json_props,
-        "events_funnel_conversion": _events_funnel_conversion,
-        "ann_ivf_at_rest": _ann_ivf_at_rest,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
-        # -------- driver window ends here (50 entries above) --------
-        # ---------------- tail: fresh r6/r7 driver evidence ----------------
-        "knn_bq_hamming": _knn_bq_hamming,
-        "knn_opq_adc": _knn_opq_adc,
-        "ann_lsh": _ann_lsh,
         "docs_dsir_weights": _docs_dsir_weights,
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
@@ -2264,33 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_int4_adc": _knn_int4_adc,
         "knn_rabitq": _knn_rabitq,
         "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
-        "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
-        "bm25_search": _bm25_search,
-        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
-        "multimodal_features": _multimodal_features,
-        "dedup_exact": _dedup_exact,
-        "doc_fingerprint": _doc_fingerprint,
-        "sample_hash_bernoulli": _sample_hash_bernoulli,
-        "pack_sequences_budget": _pack_sequences_budget,
-        "stratified_sample_per_source": _stratified_sample,
-        "corpus_balance_sources": _corpus_balance,
-        "vocab_top_terms": _vocab_top_terms,
-        "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q18_large_orders": _tpch_q18,
-        "tpch_q4_order_priority": _tpch_q4,
-        "tpch_q14_promo_revenue": _tpch_q14,
-        "tpch_q10_returned_items": _tpch_q10,
-        "events_value_quartiles": _events_value_quartiles,
-        "stats_percentiles": _stats_percentiles,
-        "knn_range": _knn_range,
-        "schema_typed_filter": _schema_typed_filter,
-        "knn_sq8_adc": _knn_sq8_adc,
-        "knn_pq_adc": _knn_pq_adc,
-        "ann_ivf": _ann_ivf,
-        "ann_ivf_batch": _ann_ivf_batch,
-        "hybrid_rrf": _hybrid_rrf,
-        "events_retention_cohorts": _events_retention_cohorts,
-        "stats_numeric_profile": _stats_numeric,
+        # rows-only by design (approximate/RNG) — always last
         "ann_hnsw_batch": _ann_hnsw_batch,
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,
         "ann_vamana_at_rest": _ann_vamana_at_rest,
@@ -2576,6 +2595,7 @@ def _ann_oracles() -> dict[str, str]:
         "docs_tfidf_keywords": pipeline.tfidf_keywords_sql(n_docs=_docs_n, k=3),
         "dedup_semantic_pairs": dedup.semantic_dedup_pairs_sql(ivf_m, threshold=0.3)
         + " ORDER BY cluster_id, id_a, id_b",
+        "dedup_semantic_clusters": dedup.semantic_dedup_sql(ivf_m, threshold=0.3),
         "ann_ivf": ann_ivf,
         "ann_lsh": ann_lsh,
         "ann_ivf_batch": ann_ivf_batch,

@@ -576,3 +576,52 @@ def test_semantic_dedup_hot_cluster_cap_and_oracle_parity(spark, tmp_path):
         dedup.semantic_dedup_pairs_sql(model, threshold=0.99, max_cluster=10)
         + " ORDER BY cluster_id, id_a, id_b", con)
     assert ok, msg
+
+
+def test_semantic_dedup_one_survivor_per_planted_group(spark):
+    """The removal action: two planted semantic groups + a far singleton
+    → exactly ONE keep per group, and the keeper is the group's LOWEST
+    centroid-cosine member (the paper keeps the cluster edge); the
+    singleton keeps itself; group_id is the min member id."""
+    import math
+
+    import numpy as np
+
+    from vecgo_spark.operators import ivf
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(5):
+        v = np.zeros(8); v[0] = 1.0; v += rng.normal(0, 0.01, 8)
+        rows.append((i + 1, [float(x) for x in v]))
+    for i in range(4):
+        v = np.zeros(8); v[1] = 1.0; v += rng.normal(0, 0.01, 8)
+        rows.append((i + 10, [float(x) for x in v]))
+    rows.append((99, [float(x) for x in rng.normal(5, 0.1, 8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = ivf.train_ivf(emb, "embedding", nlist=3, max_iter=10,
+                          trainer="driver", order_col="vec_id")
+    out = dedup.semantic_dedup(emb, model, threshold=0.95).collect()
+    assert len(out) == len(rows)  # one row per input
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r)
+    groups = {g: sorted(r["vec_id"] for r in m) for g, m in by_group.items()}
+    assert groups == {1: [1, 2, 3, 4, 5], 10: [10, 11, 12, 13], 99: [99]}
+    cents = model.centroids
+    by_id = {i: v for i, v in rows}
+
+    def cc(i):
+        v = by_id[i]
+        best = max(range(len(cents)), key=lambda c: -sum(
+            (x - y) ** 2 for x, y in zip(v, cents[c])))
+        c = cents[best]
+        dot = sum(x * y for x, y in zip(v, c))
+        return dot / (math.sqrt(sum(x * x for x in v)) * math.sqrt(sum(y * y for y in c)))
+
+    for g, members in by_group.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1, f"group {g}: {members}"
+        if len(members) > 1:
+            want = min(members, key=lambda r: (cc(r["vec_id"]), r["vec_id"]))
+            assert keeps[0]["vec_id"] == want["vec_id"]

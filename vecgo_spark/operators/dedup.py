@@ -1385,6 +1385,116 @@ def semantic_dedup_pairs_sql(
     """
 
 
+def semantic_dedup(
+    emb: DataFrame, model, id_col: str = "vec_id", vector_col: str = "embedding",
+    threshold: float = 0.95, max_cluster: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """SemDeDup's actual OUTPUT (Abbas et al. 2023 §3: the paper prunes
+    the corpus, the pair list is its intermediate): group semantic
+    duplicates and keep exactly ONE per group — the member with the
+    LOWEST centroid cosine (keep the cluster's edge example, prune its
+    dense core, the paper's keep policy); ties break to the smaller id.
+
+    Output: (id_col, group_id, cent_cos, keep) — one row per input
+    embedding. group_id = min member id of the duplicate group (the
+    connected component of the ≥ threshold within-cluster pair graph);
+    singletons are their own group and always keep=true.
+
+    Plan: pairs from semantic_dedup_pairs (per-cluster gemm, never
+    cross-cluster), components via log-round pointer jumping over O(V)
+    label rows, then ONE groupBy(group_id) min(struct) pick + an equi-
+    join back — group sizes bound every shuffle, nothing is quadratic
+    in the corpus. NULL cent_cos (zero vectors / zero centroids) sorts
+    LAST via a 2.0 sentinel — identical in the SQL twin, and such rows
+    are singletons anyway (NaN cosine never pairs). cent_cos is emitted
+    AND compared at round(·, 9): the centroid-literal cosine can drift
+    by 1 ulp across engines (the tfidf rounded-rank-key pattern), and
+    rounding both the output and the keep ordering keeps the survivor
+    choice engine-independent."""
+    from vecgo_spark.operators import ivf as ivfmod
+
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids]
+    )
+    v = F.col(vector_col).cast("array<double>")
+    d = emb.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine_similarity(
+            v, F.element_at(cents, ivfmod.assign_expr(model, vector_col) + 1)
+        ), 9).alias("cent_cos"),
+    )
+    pairs = semantic_dedup_pairs(emb, model, id_col, vector_col,
+                                 threshold, max_cluster)
+    comp = connected_components(pairs)
+    g = (
+        d.join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("group_id"),
+                "cent_cos")
+    )
+    pick = g.groupBy("group_id").agg(
+        F.min(F.struct(F.coalesce("cent_cos", F.lit(2.0)).alias("k"),
+                       F.col("id").alias("id"))).alias("_min"))
+    return (
+        g.join(pick, "group_id")
+        .select(
+            F.col("id").alias(id_col), "group_id", "cent_cos",
+            (F.col("id") == F.col("_min")["id"]).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def semantic_dedup_sql(
+    model, emb_table: str = "embeddings", id_col: str = "vec_id",
+    vector_col: str = "embedding", threshold: float = 0.95,
+    max_cluster: int | None = MAX_BUCKET,
+) -> str:
+    from vecgo_spark.operators.ivf import assign_sql
+
+    pairs_sql = semantic_dedup_pairs_sql(model, emb_table, id_col,
+                                         vector_col, threshold, max_cluster)
+    cents = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in model.centroids
+    ) + "]"
+    cent_cos = cosine_sql(vector_col, f"({cents})[cluster_id + 1]")
+    return f"""
+    WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({pairs_sql})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION ALL
+        SELECT id_b, id_a FROM p
+    ),
+    walk (id, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comps AS (SELECT id, MIN(reach) AS comp FROM walk GROUP BY id),
+    a0 AS (
+        SELECT {id_col} AS id,
+               CAST({assign_sql(model, vector_col)} AS INT) AS cluster_id,
+               {vector_col} AS {vector_col}
+        FROM {emb_table}
+    ),
+    d AS (SELECT id, round({cent_cos}, 9) AS cent_cos FROM a0),
+    g AS (
+        SELECT d.id, COALESCE(c.comp, d.id) AS group_id, d.cent_cos
+        FROM d LEFT JOIN comps c ON c.id = d.id
+    ),
+    k AS (
+        SELECT group_id, id AS keep_id,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY COALESCE(cent_cos, 2.0) ASC,
+                                           id ASC) AS rn
+        FROM g
+    )
+    SELECT g.id AS {id_col}, g.group_id, g.cent_cos,
+           g.id = k.keep_id AS keep
+    FROM g JOIN k ON k.group_id = g.group_id AND k.rn = 1
+    ORDER BY {id_col}
+    """
+
+
 # --------------------------------------------- connected-component clusters
 
 
