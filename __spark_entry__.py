@@ -627,6 +627,20 @@ def _ann_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "score")
 
 
+def _ann_ivf_early_terminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegmentPriority early termination (stats.go:643-677): probed
+    cluster segments visited nearest-first; segments whose centroid/
+    radius lower bound exceeds the running k-th distance are never
+    opened. BIT-IDENTICAL to search(nprobe=3) by the triangle-inequality
+    argument (plans/table.py _early_terminate_segments) → shares the
+    ann_ivf oracle."""
+    tbl = _at_rest_table(spark, sf_dir)
+    rows = tbl.search_early_terminate(
+        _query_vector(spark, sf_dir), k=10, nprobe=3).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
 def _ann_ivf_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized codes persisted at compaction, scored at rest — the
     reference stores SQ8 codes inside flat segments (writer.go:57-519) and
@@ -2198,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_antijoin": _tombstone_antijoin,
         "upsert_latest_wins": _upsert_latest_wins,
         "time_travel_versions": _time_travel,
+        "ann_ivf_early_terminate": _ann_ivf_early_terminate,
         # ---- oldest driver evidence (r6 set, complete) ----
         "knn_bq_hamming": _knn_bq_hamming,
         "knn_opq_adc": _knn_opq_adc,
@@ -2240,9 +2255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r7/r8/r9 driver evidence ----------------
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "dedup_semantic_pairs": _dedup_semantic_pairs,
         "tpch_q12_ship_priority": _tpch_q12,
         "docs_token_budget_mixture": _docs_token_budget_mixture,
@@ -2604,6 +2619,7 @@ def _ann_oracles() -> dict[str, str]:
         "knn_opq_adc": knn_opq_adc,
         "ann_ivf_pq_rerank": ann_ivf_pq_rerank,
         "ann_ivf_at_rest": ann_ivf,  # the at-rest path must reproduce ann_ivf exactly
+        "ann_ivf_early_terminate": ann_ivf,  # bit-identical by the bound argument
         # stored codes == fresh encode, so the at-rest SQ8/PQ pipelines
         # must reproduce the probe→ADC→rerank oracles exactly
         "ann_ivf_sq8_at_rest": ann_ivf_sq8_rerank,

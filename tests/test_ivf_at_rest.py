@@ -141,3 +141,38 @@ def test_plain_compact_drops_index(spark, tmp_path):
     assert "ivf" not in t.manifest.meta
     with pytest.raises(ValueError):
         t.search([0.0] * DIM, k=3, nprobe=1)
+
+
+def test_early_terminate_matches_full_probe_with_fewer_files(spark, tmp_path):
+    """SegmentPriority early termination (stats.go:643-677): with four
+    well-separated planted clusters and a query buried inside one,
+    search_early_terminate(nprobe=4) must return BIT-IDENTICAL rows to
+    search(nprobe=4) while skipping at least one probed segment (the
+    far clusters' distance lower bound can't beat the in-cluster k-th
+    distance)."""
+    rng = np.random.default_rng(17)
+    centers = np.zeros((4, DIM))
+    for c in range(4):
+        centers[c, c] = 50.0  # far-separated cluster anchors
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(0, 0.1, DIM)).tolist()))
+    t = VectorTable.create(spark, str(tmp_path / "tet"), dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    t.compact(cluster_by=4)
+    q = centers[2].tolist()  # deep inside cluster 2
+    (_, kept), skipped = t._early_terminate_segments(q, 5, 4)
+    assert skipped >= 1, "far probed segments must be skipped"
+    full = [(r["id"], r["score"]) for r in t.search(q, k=5, nprobe=4).collect()]
+    fast = [(r["id"], r["score"])
+            for r in t.search_early_terminate(q, k=5, nprobe=4).collect()]
+    assert fast == full  # bit-identical, not merely same recall
+    # under-filled nearest probe (k > cluster size) → no skipping, still exact
+    (_, kept2), skipped2 = t._early_terminate_segments(q, 60, 4)
+    assert skipped2 == 0 and len(kept2) == 4
+    full60 = [(r["id"], r["score"]) for r in t.search(q, k=60, nprobe=4).collect()]
+    fast60 = [(r["id"], r["score"])
+              for r in t.search_early_terminate(q, k=60, nprobe=4).collect()]
+    assert fast60 == full60

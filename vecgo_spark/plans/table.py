@@ -836,6 +836,66 @@ class VectorTable:
         return knn.search(base, query, k=k, metric=self.metric, filter=filter,
                           id_col=self.id_col, vector_col=self.vector_col, **kw)
 
+    def search_early_terminate(
+        self, query: Sequence[float], k: int = 10, nprobe: int = 1,
+        filter=None, **kw,
+    ) -> DataFrame:
+        """Bounded-probe ANN with SegmentPriority early termination
+        (stats.go:643-677, the reference's probe order + stop rule):
+        probed cluster segments are visited nearest-first; the nearest
+        segment's exact top-k establishes the running k-th distance D_k,
+        and every remaining probed segment whose centroid/radius LOWER
+        bound exceeds D_k is skipped — provably no row there can enter
+        the top-k, so the result is BIT-IDENTICAL to search(nprobe=...)
+        while opening fewer files. Falls back to the plain probe set
+        when the table has upserts (a stale same-id version inside the
+        first segment could understate D_k), when the metric isn't l2
+        (the triangle-inequality bound needs a metric space), or when
+        fewer than k rows surface in the nearest probe."""
+        kept, skipped = self._early_terminate_segments(
+            list(query), k, nprobe, filter)
+        fs = FilterSet([Filter(CLUSTER_COL, "in", kept[0])])
+        base = self.df(fs, segments=kept[1])
+        self._obs("on_search", 0.0, "ivf-early-terminate", k, skipped)
+        return knn.search(base, query, k=k, metric=self.metric, filter=filter,
+                          id_col=self.id_col, vector_col=self.vector_col, **kw)
+
+    def _early_terminate_segments(self, query, k, nprobe, filter=None):
+        """((probes, kept_segments), n_skipped) for search_early_terminate.
+        Soundness of the skip: for every row v in segment S,
+        ||q − v|| ≥ max(0, ||q − centroid_S|| − radius_S) = bound_S
+        (triangle inequality, computed from manifest stats with no I/O);
+        if bound_S² > D_k then v's squared-L2 score strictly exceeds the
+        current k-th — it can neither displace nor tie into the top-k,
+        so dropping S leaves the global (score, id) order unchanged."""
+        from vecgo_spark.operators import ivf as ivfmod
+
+        if "ivf" not in self.manifest.meta:
+            raise ValueError("early-terminate search needs the IVF layout; "
+                             "run compact(cluster_by=...) first")
+        model = self._load_ivf()
+        probes = ivfmod.probe_clusters(model, query, nprobe)
+        fs = FilterSet([Filter(CLUSTER_COL, "in", probes)])
+        cand = prune_segments(self.manifest.segments, fs)
+        ordered = segment_priority(cand, query, self.vector_col)
+        all_segs = [s for s, _ in ordered]
+        if (len(ordered) <= 1 or self.metric != "l2"
+                or self.manifest.meta.get("has_upserts")):
+            return (probes, all_segs), 0
+        first = ordered[0][0]
+        head = knn.search(
+            self.df(fs, segments=[first]), query, k=k, metric="l2",
+            filter=filter, id_col=self.id_col, vector_col=self.vector_col,
+        ).select("score").collect()
+        if len(head) < k:
+            return (probes, all_segs), 0
+        dk = max(r["score"] for r in head)  # squared L2
+        # 1-ulp slack: the driver-side bound and the executor-side fold
+        # round differently; never skip a borderline segment
+        slack = dk * 1e-9 + 1e-12
+        kept = [first] + [s for s, b in ordered[1:] if b * b <= dk + slack]
+        return (probes, kept), len(all_segs) - len(kept)
+
     def batch_search(
         self, queries: DataFrame, k: int = 10, nprobe: int = 1,
         qid_col: str = "qid", qvector_col: str = "qvector",
@@ -1004,14 +1064,32 @@ class VectorTable:
             assigned.repartition(model.k, "_part")
             .write.partitionBy("_part").mode("error").parquet(full)
         )
-        # one agg pass over the written segment → per-cluster stats rows
+        # one agg pass over the written segment → per-cluster stats rows,
+        # including the centroid/radius vector profile SegmentPriority
+        # needs (stats.go:643-677): radius = max distance to the MODEL
+        # centroid — any fixed center satisfies the triangle-inequality
+        # bound as long as the radius is measured against it
         written = self.spark.read.parquet(full)
+        vv = F.col(self.vector_col).cast("array<double>")
+        cent_of_row = F.element_at(
+            F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in model.centroids]),
+            F.col(CLUSTER_COL).cast("int") + 1)
+        d2 = F.aggregate(
+            F.zip_with(vv, cent_of_row, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        nrm = F.sqrt(F.aggregate(
+            F.zip_with(vv, vv, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x))
         per = {
             int(r["c"]): r
             for r in written.groupBy(F.col(CLUSTER_COL).alias("c")).agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.min(self.id_col).alias("id_min"),
                 F.max(self.id_col).alias("id_max"),
+                F.max(F.sqrt(d2)).alias("vradius"),
+                F.avg(nrm).alias("vmean_norm"),
+                F.max(nrm).alias("vmax_norm"),
             ).collect()
         }
         segments = []
@@ -1027,6 +1105,13 @@ class VectorTable:
                 CLUSTER_COL: {"min": cid, "max": cid, "null_count": 0},
                 self.id_col: {"min": r["id_min"], "max": r["id_max"], "null_count": 0},
             }
+            if r["vradius"] is not None:
+                stats[self.vector_col] = {
+                    "centroid": [float(x) for x in model.centroids[cid]],
+                    "radius": float(r["vradius"]),
+                    "mean_norm": float(r["vmean_norm"]),
+                    "max_norm": float(r["vmax_norm"]),
+                }
             segments.append(SegmentMeta(
                 path=sub_rel, rows=int(r["rows"]), lsn=lsn, bytes=size, stats=stats
             ))
