@@ -85,3 +85,46 @@ def test_query_stats_reports_selectivity(spark, tmp_path):
     assert qs.selectivity_est is not None
     assert abs(qs.selectivity_est - 0.5) < 0.1
     assert "estimated filter selectivity" in qs.explain()
+
+
+@pytest.mark.parametrize(
+    "dist", ["uniform", "zipfian", "seglocal", "correlated", "booladv"])
+def test_filtered_boost_never_worse_than_postfilter(spark, tmp_path, dist):
+    """Strategy-parity property at the reference's pre/post-filter
+    boundary (search.go:295-307): for every adversarial fixture
+    distribution and both a common and a rare category filter (straddling
+    the 0.30 selectivity cutoff), the selectivity-driven probe strategy
+    (ivf.search with estimate) must never return WORSE filtered recall
+    than the post-filter baseline (unfiltered top-k, then filter)."""
+    from vecgo_spark.operators import ivf
+    from vecgo_spark.testing import fixtures
+
+    path = fixtures.make_t1(str(tmp_path / dist), dist=dist, n=1000, dim=8)
+    df = spark.read.parquet(path).select("id", "vector", "category")
+    model = ivf.train_ivf(df, "vector", nlist=8, max_iter=10,
+                          trainer="driver", order_col="id")
+    assigned = ivf.assign(df, model, "vector")
+    stats = collect_stats(df)
+    rows = [(r["id"], np.array(r["vector"], dtype=np.float64), r["category"])
+            for r in df.collect()]
+    q = np.full(8, 0.5)
+    k = 10
+    for cat in ("A", "D"):  # common vs rare (zipf/seglocal make D ≪ 30%)
+        fs = FilterSet().eq("category", cat)
+        est = estimate_selectivity(stats, 1000, fs)
+        truth = sorted(
+            (float(((v - q) ** 2).sum()), rid)
+            for rid, v, c in rows if c == cat)
+        truth_ids = {rid for _, rid in truth[:k]}
+        if not truth_ids:
+            continue
+        # post-filter baseline: unfiltered nprobe=1 top-k, filter after
+        post = ivf.search(assigned, model, q.tolist(), k=k, nprobe=1).collect()
+        cat_of = {rid: c for rid, _, c in rows}
+        post_ids = {r["id"] for r in post if cat_of.get(r["id"]) == cat}
+        boosted = ivf.search(assigned, model, q.tolist(), k=k, nprobe=1,
+                             filter=fs, selectivity=est).collect()
+        boost_ids = {r["id"] for r in boosted}
+        r_post = len(post_ids & truth_ids) / len(truth_ids)
+        r_boost = len(boost_ids & truth_ids) / len(truth_ids)
+        assert r_boost >= r_post, (dist, cat, est, r_boost, r_post)
