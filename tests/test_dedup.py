@@ -625,3 +625,23 @@ def test_semantic_dedup_one_survivor_per_planted_group(spark):
         if len(members) > 1:
             want = min(members, key=lambda r: (cc(r["vec_id"]), r["vec_id"]))
             assert keeps[0]["vec_id"] == want["vec_id"]
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed pointer-
+    jumping loop must label identically (comp = min member id), and the
+    gate must pick the loop when edges exceed driver_cap."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (7, 6), (8, 6),
+             (20, 25), (25, 21), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()}
+    loop = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs, driver_cap=0).collect()}
+    assert fast == loop
+    nodes = sorted({x for e in edges for x in e})
+    assert fast == _union_find_components(edges, nodes)
+    # empty pair graph → empty labeling on both paths
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty).count() == 0
+    assert dedup.connected_components(empty, driver_cap=0).count() == 0

@@ -1401,16 +1401,19 @@ def semantic_dedup(
     singletons are their own group and always keep=true.
 
     Plan: pairs from semantic_dedup_pairs (per-cluster gemm, never
-    cross-cluster), components via log-round pointer jumping over O(V)
-    label rows, then ONE groupBy(group_id) min(struct) pick + an equi-
-    join back — group sizes bound every shuffle, nothing is quadratic
-    in the corpus. NULL cent_cos (zero vectors / zero centroids) sorts
+    cross-cluster), components via connected_components (driver
+    union-find under the cap, pointer jumping above), then ONE
+    row_number window partitioned by group_id — duplicate-group sizes
+    bound the window, the corpus streams through exactly once, nothing
+    is quadratic. NULL cent_cos (zero vectors / zero centroids) sorts
     LAST via a 2.0 sentinel — identical in the SQL twin, and such rows
     are singletons anyway (NaN cosine never pairs). cent_cos is emitted
     AND compared at round(·, 9): the centroid-literal cosine can drift
     by 1 ulp across engines (the tfidf rounded-rank-key pattern), and
     rounding both the output and the keep ordering keeps the survivor
     choice engine-independent."""
+    from pyspark.sql.window import Window
+
     from vecgo_spark.operators import ivf as ivfmod
 
     cents = F.array(
@@ -1431,14 +1434,13 @@ def semantic_dedup(
         .select("id", F.coalesce("comp", F.col("id")).alias("group_id"),
                 "cent_cos")
     )
-    pick = g.groupBy("group_id").agg(
-        F.min(F.struct(F.coalesce("cent_cos", F.lit(2.0)).alias("k"),
-                       F.col("id").alias("id"))).alias("_min"))
+    w = Window.partitionBy("group_id").orderBy(
+        F.coalesce("cent_cos", F.lit(2.0)).asc(), F.col("id").asc())
     return (
-        g.join(pick, "group_id")
+        g.withColumn("_rn", F.row_number().over(w))
         .select(
             F.col("id").alias(id_col), "group_id", "cent_cos",
-            (F.col("id") == F.col("_min")["id"]).alias("keep"),
+            (F.col("_rn") == 1).alias("keep"),
         )
         .orderBy(id_col)
     )
@@ -1500,9 +1502,17 @@ def semantic_dedup_sql(
 
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-    max_rounds: int = 25,
+    max_rounds: int = 25, driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """(id, comp): comp = MIN node id in the node's connected component.
+
+    Size-gated fast path: the edge list is sized by TRUE near-duplicate
+    pairs, not the corpus, so it usually fits on the driver — one
+    limit(driver_cap+1) collect, classic union-find with min-root, and
+    the label map returns as a createDataFrame (a single job instead of
+    2 shuffles + a count per propagation round). Graphs past the cap
+    fall back to the distributed loop below; both paths produce the
+    identical (id, min-id) labeling.
 
     Min-label propagation with pointer jumping, pure DataFrame ops:
     each round (a) takes the min label over direct neighbors, then
@@ -1519,6 +1529,31 @@ def connected_components(
     checkpoint.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if driver_cap is not None:
+        head = edges.limit(driver_cap + 1).collect()
+        if len(head) <= driver_cap:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in head:
+                a, b = r["src"], r["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:  # min id becomes the root → comp = min member
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(n, find(n)) for n in parent]
+            return pairs.sparkSession.createDataFrame(
+                rows or [], "id long, comp long")
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()

@@ -852,10 +852,10 @@ class VectorTable:
         first segment could understate D_k), when the metric isn't l2
         (the triangle-inequality bound needs a metric space), or when
         fewer than k rows surface in the nearest probe."""
-        kept, skipped = self._early_terminate_segments(
+        (probes, segs), skipped = self._early_terminate_segments(
             list(query), k, nprobe, filter)
-        fs = FilterSet([Filter(CLUSTER_COL, "in", kept[0])])
-        base = self.df(fs, segments=kept[1])
+        fs = FilterSet([Filter(CLUSTER_COL, "in", probes)])
+        base = self.df(fs, segments=segs)
         self._obs("on_search", 0.0, "ivf-early-terminate", k, skipped)
         return knn.search(base, query, k=k, metric=self.metric, filter=filter,
                           id_col=self.id_col, vector_col=self.vector_col, **kw)
