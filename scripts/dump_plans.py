@@ -326,8 +326,32 @@ COMMENTARY = {
         "map-side-combined groupBy(h) and return via a LeftSemi "
         "equi-join on the hash — never a pos x pos self-join of the "
         "token stream; the island merge is a per-document window "
-        "(bounded by doc length). Two corpus scans (count leg + "
-        "position leg), the dsir posture."
+        "(bounded by doc length). r9: persist_windows=True caches the "
+        "window stream, so both legs read InMemoryTableScan and the "
+        "corpus text tokenizes ONCE (plan pin: tests/test_plans.py::"
+        "test_exact_substring_dedup_single_tokenize_when_persisted)."
+    ),
+    "dedup_semantic_clusters": (
+        "SemDeDup removal action: the pair graph (per-cluster gemm, as "
+        "dedup_semantic_pairs) collapses to duplicate groups via "
+        "connected components — a size-gated driver union-find under 1M "
+        "edges (the pair stream is sized by true near-dups, not the "
+        "corpus; one limit-collect at build time), distributed "
+        "pointer-jumping past the cap — and the keep choice is ONE "
+        "row_number window partitioned by group_id (group sizes bound "
+        "the window); the corpus streams through the cent_cos "
+        "projection exactly once. The comp label map joins back as a "
+        "small broadcastable local relation."
+    ),
+    "ann_ivf_early_terminate": (
+        "SegmentPriority early termination (stats.go:643-677): probe "
+        "selection and the skip test are pure driver-side manifest "
+        "arithmetic (centroid/radius lower bounds — no I/O); the plan "
+        "that runs is a scan restricted to the surviving probed files "
+        "+ TakeOrderedAndProject. Phase 1 is the same plan over ONE "
+        "segment to pin D_k; results are bit-identical to "
+        "search(nprobe) by the triangle-inequality argument, checked "
+        "against the shared ann_ivf oracle."
     ),
     "dedup_semantic_pairs": (
         "SemDeDup within-cluster cosine pruning: the k-means centroids "
@@ -360,7 +384,9 @@ COMMENTARY = {
         "corpus-proportional, never broadcast-hinted), and the token "
         "drop is a codegen filter-with-index over the token array "
         "against the in-row span list — per-token cost O(spans in doc), "
-        "no Python anywhere."
+        "no Python anywhere. r9: the shared token frame AND the window "
+        "stream persist, so the whole spans+rewrite pipeline tokenizes "
+        "the corpus exactly once (was three scans)."
     ),
     "docs_tfidf_keywords": (
         "Per-doc TF-IDF keywords: one (doc, term) groupBy for tf "
