@@ -1629,6 +1629,10 @@ def _dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
                           max_train_rows=20_000, order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
+    dedup.release_caches()
+    # persist_assigned stays False here: at this embedding width the
+    # cache materialization costs more than the two extra scans it saves
+    # (measured r9); the flag exists for wide/expensive assignment cases
     return dedup.semantic_dedup_pairs(emb, model, threshold=0.3).orderBy(
         "cluster_id", "id_a", "id_b")
 
@@ -1643,6 +1647,7 @@ def _dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
                           max_train_rows=20_000, order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
+    dedup.release_caches()
     return dedup.semantic_dedup(emb, model, threshold=0.3)
 
 

@@ -645,3 +645,28 @@ def test_connected_components_paths_agree(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(empty).count() == 0
     assert dedup.connected_components(empty, driver_cap=0).count() == 0
+
+
+def test_semantic_pairs_persist_assigned_parity(spark):
+    """persist_assigned=True must register exactly one cache and return
+    the identical pair set (it only changes how many times the assigned
+    frame is evaluated, never what it holds)."""
+    import numpy as np
+
+    from vecgo_spark.operators import ivf
+
+    rng = np.random.default_rng(23)
+    rows = [(i, (np.eye(8)[i % 2] + rng.normal(0, 0.01, 8)).tolist())
+            for i in range(1, 13)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = ivf.train_ivf(emb, "embedding", nlist=2, max_iter=10,
+                          trainer="driver", order_col="vec_id")
+    dedup.release_caches()
+    plain = sorted(map(tuple, dedup.semantic_dedup_pairs(
+        emb, model, threshold=0.95).collect()))
+    before = len(dedup._CACHED)
+    cached = sorted(map(tuple, dedup.semantic_dedup_pairs(
+        emb, model, threshold=0.95, persist_assigned=True).collect()))
+    assert len(dedup._CACHED) == before + 1
+    assert cached == plain and plain
+    dedup.release_caches()

@@ -1264,6 +1264,7 @@ def embedding_neardup_pairs_sql(
 def semantic_dedup_pairs(
     emb: DataFrame, model, id_col: str = "vec_id", vector_col: str = "embedding",
     threshold: float = 0.95, max_cluster: int | None = MAX_BUCKET,
+    persist_assigned: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): dedup at the
     MEANING level — k-means-cluster the embedding space, compare cosine
@@ -1287,7 +1288,13 @@ def semantic_dedup_pairs(
     drop-choice centroid cosines — plan-literal centroids, per-row
     folds — so the reported values are bit-exact in the DuckDB oracle;
     the verify joins are keyed on the candidate ids, sized by real dups,
-    not by Σ|c_i|²."""
+    not by Σ|c_i|².
+
+    persist_assigned=True persists the assigned frame (id, v, cluster,
+    cent_cos) — the gemm input and BOTH verify legs read it, so the
+    9-fold assignment+cosine projection runs once instead of three
+    times (cache in _CACHED, released by release_caches(); False keeps
+    the zero-storage three-scan shape)."""
     import numpy as np
     import pandas as pd
 
@@ -1306,6 +1313,9 @@ def semantic_dedup_pairs(
         cosine_similarity(F.col("v"), F.element_at(cents, F.col("cluster_id") + 1)),
     )
     d = _drop_hot(d, ["cluster_id"], max_cluster, "semantic clusters")
+    if persist_assigned:
+        d = d.persist()
+        _CACHED.append(d)
     cutoff = threshold - 1e-9
 
     def emit(key, pdf):
@@ -1388,6 +1398,7 @@ def semantic_dedup_pairs_sql(
 def semantic_dedup(
     emb: DataFrame, model, id_col: str = "vec_id", vector_col: str = "embedding",
     threshold: float = 0.95, max_cluster: int | None = MAX_BUCKET,
+    persist_assigned: bool = False,
 ) -> DataFrame:
     """SemDeDup's actual OUTPUT (Abbas et al. 2023 §3: the paper prunes
     the corpus, the pair list is its intermediate): group semantic
@@ -1427,7 +1438,8 @@ def semantic_dedup(
         ), 9).alias("cent_cos"),
     )
     pairs = semantic_dedup_pairs(emb, model, id_col, vector_col,
-                                 threshold, max_cluster)
+                                 threshold, max_cluster,
+                                 persist_assigned=persist_assigned)
     comp = connected_components(pairs)
     g = (
         d.join(comp, "id", "left")
