@@ -385,3 +385,65 @@ def test_token_budget_two_phase_hypothesis(spark, docs_spec, budgets, bucket_bit
            for r in pipeline.token_budget_mixture(
                df, budgets, bucket_bits=bucket_bits).collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
+    """Randomized MVCC model check: a seeded sequence of insert / delete /
+    partial-compact / full-compact / vacuum, committed per op, must keep
+    the live snapshot identical to a python model of the visibility
+    algebra (a tombstone at LSN T kills versions with lsn <= T; latest
+    surviving insert wins). TOMB_FOLD_MAX_FILES is forced to 2 so
+    tombstone folding, interval GC, and the mixed-stats count fallback
+    all fire repeatedly — the r9 compaction-migration surface under
+    churn. The winning VERSION is checked too (vector[0] encodes the
+    insert sequence number), not just the visible id set."""
+    import random
+
+    from vecgo_spark.plans import table as tbl_mod
+    from vecgo_spark.plans.policy import CompactionTask
+
+    monkeypatch.setattr(tbl_mod, "TOMB_FOLD_MAX_FILES", 2)
+    rng = random.Random(seed)
+    t = VectorTable.create(spark, str(tmp_path / f"t{seed}"), dim=2, metric="l2")
+    inserts: dict[int, int] = {}   # id -> latest insert seq
+    tombs: dict[int, int] = {}     # id -> latest delete seq
+    seq = 0
+
+    class PickRandom:
+        def pick(self, segments):
+            if len(segments) < 2:
+                return None
+            n = rng.randint(2, len(segments))
+            return CompactionTask(segments=rng.sample(list(segments), n))
+
+    def visible():
+        return {i: s for i, s in inserts.items() if s > tombs.get(i, -1)}
+
+    for _ in range(12):
+        seq += 1
+        op = rng.choices(["ins", "del", "pc", "fc", "vac"],
+                         weights=[40, 30, 15, 10, 5])[0]
+        if op == "ins":
+            ids = rng.sample(range(30), rng.randint(1, 6))
+            t.insert(spark.createDataFrame(
+                [(i, [float(seq), float(i)]) for i in ids],
+                "id long, vector array<float>"))
+            t.commit()
+            for i in ids:
+                inserts[i] = seq
+        elif op == "del":
+            ids = rng.sample(range(30), rng.randint(1, 6))
+            t.delete(ids)
+            t.commit()
+            for i in ids:
+                tombs[i] = seq
+        elif op == "pc":
+            t.maybe_compact(PickRandom())
+        elif op == "fc":
+            t.compact()
+        else:
+            t.vacuum(keep_versions=1)
+        got = {r["id"]: int(r["vector"][0]) for r in t.df().collect()}
+        assert got == visible(), (seed, seq, op)
+        assert t.count() == len(got), (seed, seq, op)
