@@ -187,6 +187,18 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_search(docs, QUERY_TEXT, k=10, id_col="doc_id", text_col="text")
 
 
+def _bm25_search_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the STORED lexical index (operators/
+    lexical_at_rest.py — the reference's persistent lexical.Index,
+    bm25.go:29-53,180-229): per-query reads touch |query terms| postings
+    + the manifest doc/length counters; the text column is never
+    re-tokenized. Bit-identical to bm25_search by construction → shares
+    its oracle."""
+    from vecgo_spark.operators import lexical_at_rest as lex
+
+    return lex.bm25_search_at_rest(_lexical_table(spark, sf_dir), QUERY_TEXT, k=10)
+
+
 def _hybrid_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One collection with both text and vector (reference data model):
     documents ⋈ embeddings on id."""
@@ -1126,6 +1138,16 @@ def _minhash_table(spark: SparkSession, sf_dir: str):
     tbl.commit()
     mar.build_minhash_index(tbl, text_col="text")
     _MINHASH_TABLES[sf_dir] = path
+    return tbl
+
+
+def _lexical_table(spark: SparkSession, sf_dir: str):
+    """The scratch VectorTable (shared with the minhash artifact) with a
+    lexical index built on first use — one table, many index families,
+    the reference's collection model."""
+    tbl = _minhash_table(spark, sf_dir)
+    if "lexical" not in tbl.manifest.meta:
+        tbl.build_lexical_index(text_col="text")
     return tbl
 
 
@@ -2259,9 +2281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_at_rest": _ann_ivf_at_rest,
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        "bm25_search_at_rest": _bm25_search_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r7/r8/r9 driver evidence ----------------
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "dedup_semantic_pairs": _dedup_semantic_pairs,
         "tpch_q12_ship_priority": _tpch_q12,
@@ -2956,6 +2979,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_search": bm25.bm25_oracle_sql(QUERY_TEXT, 10, docs_table="documents",
                                             id_col="doc_id", text_col="text"),
+        # the at-rest path must reproduce bm25_search exactly
+        "bm25_search_at_rest": bm25.bm25_oracle_sql(
+            QUERY_TEXT, 10, docs_table="documents",
+            id_col="doc_id", text_col="text"),
         "hybrid_rrf": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),
         "hybrid_rrf_filtered": hybrid.hybrid_oracle_sql(

@@ -1,0 +1,163 @@
+"""BM25 lexical index at rest (operators/lexical_at_rest.py): lifecycle
+(build → search → refresh → compact-reindex → vacuum), bit-parity of the
+stored search path against bm25.bm25_search over df() under tombstones /
+upserts / delta segments, zero-job corpus counters on clean snapshots,
+and the plan guarantee that indexed reads never touch the text column."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.operators import bm25
+from vecgo_spark.operators import lexical_at_rest as lex
+from vecgo_spark.plans.table import VectorTable
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _docs(spark, ids, text=None):
+    rows = [(i, text if text is not None
+             else f"alpha beta gamma tok{i % 7} beta tok{i % 5} end{i % 11}")
+            for i in ids]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _res(df):
+    return [(r["id"], r["score"]) for r in df.collect()]
+
+
+def _fresh(tbl, q, k=10):
+    return _res(bm25.bm25_search(tbl.df(), q, k=k, id_col="id", text_col="text"))
+
+
+Q = "beta tok3 end2"
+
+
+def test_build_and_search_parity(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 41)))
+    tbl.commit()
+    v0 = tbl.manifest.version
+    assert tbl.build_lexical_index() == v0 + 1
+    got = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
+    assert got == _fresh(tbl, Q) and got
+    # the table front serves the stored index transparently
+    assert _res(tbl.bm25_search(Q, k=10)) == got
+    # empty / zero-token queries
+    assert lex.bm25_search_at_rest(tbl, "   ", k=5).count() == 0
+
+
+def test_clean_snapshot_counts_are_zero_job(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.insert(_docs(spark, [21], text=""))  # zero-token doc counts toward N
+    tbl.commit()
+    tbl.build_lexical_index()
+    n, total = lex.corpus_counts(tbl)
+    toks = [len(r) for r in [
+        f"alpha beta gamma tok{i % 7} beta tok{i % 5} end{i % 11}".split()
+        for i in range(1, 21)]]
+    assert n == 21 and total == sum(toks)
+    # manifest fast path must agree with the marker-scan path
+    info = tbl.manifest.meta["lexical"]
+    row = (lex._visible_rows(tbl, terms=[], markers=True)
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).first())
+    assert (n, total) == (int(row["n"]), int(row["t"]))
+    assert set(info["seg_counts"]) == {s.path for s in tbl.manifest.segments}
+
+
+def test_delta_tombstone_upsert_parity(spark, tdir):
+    """Post-build segments take the recompute delta leg; deletes and
+    upserts replay df()'s visibility algebra on the index rows —
+    including the trap where the WINNING version contains none of the
+    query terms (a stale version's postings must not resurface)."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    tbl.insert(_docs(spark, range(31, 36)))               # delta segment
+    tbl.insert(_docs(spark, [5], text="completely different words now"))
+    tbl.insert(_docs(spark, [6], text=""))                # zero-token upsert
+    tbl.commit()
+    tbl.delete([7, 8, 33])
+    tbl.commit()
+    got = _res(lex.bm25_search_at_rest(tbl, Q, k=30))
+    assert got == _fresh(tbl, Q, k=30)
+    ids = {i for i, _ in got}
+    assert not {5, 6, 7, 8, 33} & ids  # upsert-shadowed + deleted gone
+    assert 31 in ids or 34 in ids      # delta leg serves new docs
+
+
+def test_reinsert_after_delete_visible(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 11)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    tbl.delete([3])
+    tbl.commit()
+    tbl.insert(_docs(spark, [3]))  # resurrected AFTER the delete
+    tbl.commit()
+    got = _res(lex.bm25_search_at_rest(tbl, Q, k=20))
+    assert got == _fresh(tbl, Q, k=20)
+    assert 3 in {i for i, _ in got}
+
+
+def test_refresh_and_counts_ride_manifest(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    v = tbl.manifest.version
+    assert tbl.refresh_lexical_index() == v  # no-op
+    tbl.insert(_docs(spark, range(21, 31)))
+    tbl.commit()
+    v2 = tbl.refresh_lexical_index()
+    assert v2 > v
+    info = tbl.manifest.meta["lexical"]
+    assert len(info["paths"]) == 2
+    assert set(info["seg_counts"]) == {s.path for s in tbl.manifest.segments}
+    n, total = lex.corpus_counts(tbl)
+    assert n == 30
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=30)) == _fresh(tbl, Q, k=30)
+
+
+def test_compact_reindexes_and_vacuum_collects(spark, tdir):
+    import os
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    rel = tbl.manifest.meta["lexical"]["path"]
+    tbl.delete([2])
+    tbl.commit()
+    tbl.compact()  # default reindex=True rebuilds the family
+    info = tbl.manifest.meta["lexical"]
+    assert set(info["segments"]) == {s.path for s in tbl.manifest.segments}
+    got = _res(lex.bm25_search_at_rest(tbl, Q, k=20))
+    assert got == _fresh(tbl, Q, k=20)
+    assert 2 not in {i for i, _ in got}
+    tbl.vacuum(keep_versions=1)
+    assert not os.path.isdir(os.path.join(tbl.path, rel))  # stale dir GC'd
+    assert os.path.isdir(os.path.join(tbl.path, info["path"]))
+    # reindex=False drops the family
+    tbl.compact(reindex=False)
+    assert "lexical" not in tbl.manifest.meta
+    with pytest.raises(KeyError, match="lexical"):
+        lex.bm25_search_at_rest(tbl, Q)
+
+
+def test_indexed_search_never_touches_text(spark, tdir):
+    """The 100-TB point: with every live segment indexed and a clean
+    snapshot, the at-rest search plan reads the postings artifact only —
+    no tokenizer split(), no text column scan anywhere."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    df = lex.bm25_search_at_rest(tbl, Q, k=5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in plan
+    assert "text#" not in plan

@@ -178,7 +178,7 @@ def refresh_graphs_at_rest(tbl, family: str, build_blob, max_dirs: int = 8) -> i
 
 
 def refresh_family_dirs(tbl, family: str, write_dir, seg_col: str,
-                        max_dirs: int) -> int:
+                        max_dirs: int, info_update=None) -> int:
     """Shared refresh/fold core for every per-segment artifact family
     (graph blobs AND minhash signatures — refresh_graphs_at_rest's
     docstring describes the semantics): index segments missing from
@@ -225,6 +225,11 @@ def refresh_family_dirs(tbl, family: str, write_dir, seg_col: str,
     # and resets the list anyway).
     new_info["segments"] = (
         [p for p in info["segments"] if p in live] + [s.path for s in new_segs])
+    if info_update is not None:
+        # family-specific meta maintenance (e.g. lexical per-segment
+        # doc/length counters) — applied before the publish so it rides
+        # the same manifest version
+        info_update(new_info, new_segs)
     new = Manifest(
         version=version, lsn=man.lsn, next_id=man.next_id,
         created_at=time.time(), segments=list(man.segments),

@@ -1,0 +1,302 @@
+"""BM25 lexical index AT REST — the reference's `lexical.Index` is
+PERSISTENT (Add maintains postings/counters on every insert,
+lexical/bm25/bm25.go:29-53,180-229; the engine wires every write through
+lexicalIndex.Add, engine.go insert path), while the plain `operators/
+bm25.py` path re-derives corpus statistics from text per query. This
+module closes that parity gap with the same lifecycle the minhash /
+graph families use (operators/minhash_at_rest.py shape):
+
+  build:    per RAW segment row version → one POSTING row per distinct
+            term (id, _lsn, _seg, term, tf, dl) plus one MARKER row per
+            doc version (term NULL, tf 0, dl = token count — zero-token
+            docs still count toward N and avgdl, bm25.go Add), written
+            sorted by term so a query's `term IN (...)` prunes parquet
+            row groups like a postings lookup; per-segment (docs,
+            total_len) counters land in the manifest meta — the
+            reference's running N/Σdl.
+  refresh:  new segments get their own dir (immutable existing dirs,
+            fold at the max_dirs cap) via the shared
+            graph_at_rest.refresh_family_dirs core; counters ride the
+            same manifest publish through info_update.
+  read:     stored rows of live indexed segments ∪ a recompute delta leg
+            for unindexed segments, then EXACTLY df()'s visibility
+            algebra (size-gated tombstone anti-join + latest-LSN-wins
+            upsert filter) replayed on the index rows — so
+            `bm25_search_at_rest` is BIT-IDENTICAL to running
+            `bm25.bm25_search` over `tbl.df()`: integer tf/dl/df/N feed
+            the same literal-idf fixed-order score expression.
+  compact / full compaction rebuilds the family (table.compact reindex);
+  vacuum:   dirs are referenced via meta["lexical"] paths.
+
+Scale posture: per-query reads touch |query terms| postings (row-group
+pruned) + either the manifest counters (clean snapshot: zero-job N/Σdl,
+the engine-stats stance of count()) or one narrow marker scan
+(tombstones/upserts in play — per-doc visibility is genuinely required);
+the corpus text column is never touched for indexed segments.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vecgo_spark.operators.bm25 import B, K1, tokenize_expr, tokenize_py
+
+FAMILY = "lexical"
+
+
+def _segment_rows(tbl, segs, text_col: str) -> DataFrame:
+    """(id, _lsn, _seg, term, tf, dl) posting + marker rows for every RAW
+    row version of `segs` (markers keep shadowed/zero-token versions
+    visible to the upsert algebra, the minhash NULL-sig stance)."""
+    from vecgo_spark.functions.hashing import eval_once
+    from vecgo_spark.operators.graph_at_rest import seg_tag_expr
+
+    base = tbl._segment_df(segs).select(
+        F.col(tbl.id_col).alias("id"), F.col("_lsn"),
+        eval_once(tokenize_expr(text_col)).alias("toks"),
+    ).withColumn("_seg", seg_tag_expr()).withColumn(
+        "dl", F.size("toks").cast("long"))
+    postings = (
+        base.select("id", "_lsn", "_seg", "dl", F.explode("toks").alias("term"))
+        .groupBy("id", "_lsn", "_seg", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    markers = base.select(
+        "id", "_lsn", "_seg", "dl",
+        F.lit(None).cast("string").alias("term"), F.lit(0).cast("long").alias("tf"))
+    cols = ["id", "_lsn", "_seg", "term", "tf", "dl"]
+    return postings.select(*cols).unionByName(markers.select(*cols))
+
+
+def _write_lex_dir(tbl, segs, version: int, text_col: str, extra=None) -> str:
+    from vecgo_spark.plans.manifest import fs_exists, fs_rmtree
+    from vecgo_spark.plans.table import INDEX_DIR
+
+    rel = os.path.join(INDEX_DIR, f"{FAMILY}-v{version:08d}")
+    full = os.path.join(tbl.path, rel)
+    if fs_exists(full):
+        fs_rmtree(full)  # orphan of a failed earlier attempt
+    out = _segment_rows(tbl, segs, text_col)
+    if extra is not None:
+        out = out.unionByName(extra.select(*out.columns))
+    # term-sorted files → parquet min/max stats turn `term IN (...)`
+    # into row-group pruning, the postings-lookup analog
+    out.sortWithinPartitions("term").write.mode("error").parquet(full)
+    return rel
+
+
+def _seg_counts(tbl, segs, text_col: str) -> dict:
+    """{seg_path: {"docs": n, "len": Σdl}} — the reference's running
+    docCount/totalLength, per segment so folds/compactions stay exact."""
+    from vecgo_spark.operators.graph_at_rest import seg_tag_expr
+
+    rows = (
+        tbl._segment_df(segs)
+        .select(F.col(tbl.id_col).alias("id"),
+                tokenize_expr(text_col).alias("toks"))
+        .withColumn("_seg", seg_tag_expr())
+        .groupBy("_seg")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum(F.size("toks")).alias("len"))
+        .collect()
+    )
+    return {r["_seg"]: {"docs": int(r["docs"]), "len": int(r["len"] or 0)}
+            for r in rows}
+
+
+def build_lexical_index(tbl, text_col: str = "text") -> int:
+    """Index every committed segment; publish a manifest version with
+    {path, segments, text_col, seg_counts}."""
+    from vecgo_spark.plans.manifest import Manifest, save_manifest
+
+    tbl._check_writable()
+    man = tbl.manifest
+    if not man.segments:
+        raise ValueError("nothing to index: table has no committed segments")
+    version = man.version + 1
+    rel = _write_lex_dir(tbl, man.segments, version, text_col)
+    new = Manifest(
+        version=version, lsn=man.lsn, next_id=man.next_id,
+        created_at=time.time(), segments=list(man.segments),
+        tombstone_files=list(man.tombstone_files),
+        meta={**man.meta, FAMILY: {
+            "path": rel, "segments": [s.path for s in man.segments],
+            "text_col": text_col,
+            "seg_counts": _seg_counts(tbl, man.segments, text_col),
+        }},
+        tombstone_stats=dict(man.tombstone_stats),
+    )
+    save_manifest(tbl.path, new)
+    tbl.manifest = new
+    return version
+
+
+def refresh_lexical_index(tbl, max_dirs: int = 8) -> int:
+    """Index segments committed after the last build/refresh (shared
+    refresh/fold core); per-segment counters ride the same publish."""
+    from vecgo_spark.operators.graph_at_rest import refresh_family_dirs
+
+    info = tbl.manifest.meta.get(FAMILY) or {}
+    text_col = info.get("text_col", "text")
+
+    def info_update(new_info, new_segs):
+        counts = dict(new_info.get("seg_counts") or {})
+        live = set(new_info["segments"])
+        counts = {p: c for p, c in counts.items() if p in live}
+        counts.update(_seg_counts(tbl, new_segs, text_col))
+        new_info["seg_counts"] = counts
+
+    return refresh_family_dirs(
+        tbl, FAMILY,
+        lambda new_segs, version, extra: _write_lex_dir(
+            tbl, new_segs, version, text_col, extra=extra),
+        seg_col="_seg", max_dirs=max_dirs, info_update=info_update)
+
+
+def _visible_rows(tbl, terms: list[str] | None, markers: bool) -> DataFrame:
+    """Index rows for the CURRENT live snapshot — stored legs ∪ recompute
+    delta leg, then df()'s visibility algebra on the rows. With `terms`,
+    postings are filtered at the SCAN (row-group pruned); markers=True
+    additionally keeps the per-doc dl rows (term IS NULL)."""
+    from vecgo_spark.operators.graph_at_rest import blob_paths
+
+    info = tbl.manifest.meta.get(FAMILY)
+    if info is None:
+        raise KeyError("table has no lexical index; build it first")
+    man = tbl.manifest
+    current = {s.path for s in man.segments}
+    live_indexed = sorted(set(info["segments"]) & current)
+    # under upserts the winning VERSION of an id must be chosen over all
+    # of the id's rows — a term-filtered subset could elect a stale
+    # version whose postings happen to match (the winning version might
+    # contain none of the query terms). Markers exist for every version,
+    # so reading them alongside the filtered postings restores the true
+    # per-id max LSN; they are dropped again after the visibility pass.
+    want_markers = markers or bool(man.meta.get("has_upserts"))
+
+    def pick(df):
+        cond = None
+        if terms is not None:
+            cond = F.col("term").isin(list(terms))
+        if want_markers:
+            nullc = F.col("term").isNull()
+            cond = nullc if cond is None else (cond | nullc)
+        return df.where(cond) if cond is not None else df
+
+    legs = []
+    if live_indexed:
+        stored = tbl.spark.read.parquet(
+            *[os.path.join(tbl.path, p) for p in blob_paths(info)])
+        legs.append(pick(stored.where(F.col("_seg").isin(live_indexed))))
+    delta = [s for s in man.segments if s.path not in set(info["segments"])]
+    if delta:
+        legs.append(pick(_segment_rows(tbl, delta, info["text_col"])))
+    if not legs:
+        return tbl.spark.createDataFrame(
+            [], "id long, _lsn long, _seg string, term string, tf long, dl long")
+    base = legs[0]
+    for leg in legs[1:]:
+        base = base.unionByName(leg)
+    tomb = tbl._tombstones()
+    if tomb is not None:
+        tmax = (tomb.groupBy(tbl.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+                .withColumnRenamed(tbl.id_col, "id"))
+        if tbl.tomb_broadcastable():  # size-gated — table.tomb_broadcastable
+            tmax = F.broadcast(tmax)
+        base = (
+            base.join(tmax, "id", "left")
+            .where(F.col("_tomb_lsn").isNull() | (F.col("_lsn") > F.col("_tomb_lsn")))
+            .drop("_tomb_lsn")
+        )
+    if man.meta.get("has_upserts"):
+        # latest version wins — ALL rows of that version survive (an id's
+        # postings share one _lsn), so a max-filter replaces row_number
+        w = Window.partitionBy("id")
+        base = (base.withColumn("_mx", F.max("_lsn").over(w))
+                .where(F.col("_lsn") == F.col("_mx")).drop("_mx"))
+    if want_markers and not markers:
+        base = base.where(F.col("term").isNotNull())
+    return base
+
+
+def corpus_counts(tbl) -> tuple[int, int]:
+    """(n_docs, total_len) of the live snapshot. Clean snapshot (no
+    tombstones, no upserts, everything indexed) → summed from the
+    manifest counters with ZERO jobs (the reference's running counters /
+    count()'s O(#segments) stance); otherwise one narrow marker scan
+    with the visibility algebra — per-doc visibility genuinely needs it."""
+    info = tbl.manifest.meta.get(FAMILY)
+    if info is None:
+        raise KeyError("table has no lexical index; build it first")
+    man = tbl.manifest
+    counts = info.get("seg_counts") or {}
+    clean = (not man.tombstone_files and not tbl._pending_tombs
+             and not man.meta.get("has_upserts")
+             and all(s.path in counts for s in man.segments))
+    if clean:
+        n = sum(counts[s.path]["docs"] for s in man.segments)
+        total = sum(counts[s.path]["len"] for s in man.segments)
+        return n, total
+    row = (_visible_rows(tbl, terms=[], markers=True)
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
+           .first())
+    return int(row["n"]), int(row["total"] or 0)
+
+
+def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
+    """Top-k BM25 served from the STORED index — bit-identical to
+    `bm25.bm25_search(tbl.df(), ...)`: tf/dl/df/N are the same integers
+    (stored groupBy counts == size(filter(tokens, =t)) by tokenizer
+    determinism), so the literal-idf fixed-term-order score expression
+    (bm25.bm25_score) reproduces the same doubles; score desc, id asc,
+    round(·, 10) exactly as the plain path."""
+    spark = tbl.spark
+    qterms: dict[str, int] = {}
+    for t in tokenize_py(query_text):
+        qterms[t] = qterms.get(t, 0) + 1
+    if not qterms:
+        return spark.createDataFrame([], "id long, score double")
+    terms = sorted(qterms)
+
+    n_docs, total_len = corpus_counts(tbl)
+    avg_dl = float(total_len) / float(n_docs) if n_docs else 0.0
+    if n_docs == 0 or avg_dl == 0.0:
+        return spark.createDataFrame([], "id long, score double")
+    n = float(n_docs)
+
+    cand = (
+        _visible_rows(tbl, terms=terms, markers=False)
+        .groupBy("id")
+        .agg(F.max("dl").alias("dl"),
+             *[F.coalesce(
+                 F.max(F.when(F.col("term") == F.lit(t), F.col("tf"))),
+                 F.lit(0)).alias(f"tf_{i}") for i, t in enumerate(terms)])
+    )
+    row = cand.agg(
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))],
+    ).first()
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = int(row[f"df_{i}"] or 0)
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = F.col(f"tf_{i}").cast("double")
+        dl = F.col("dl").cast("double")
+        contrib = F.lit(float(qterms[t])) * (
+            F.lit(idf)
+            * ((tf * F.lit(K1 + 1.0)) / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / avg_dl) * dl))
+        )
+        score = score + F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(F.lit(0.0))
+    return (
+        cand.select("id", score.alias("score"))
+        .where(F.col("score") > 0.0)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select("id", F.round(F.col("score"), 10).alias("score"))
+    )

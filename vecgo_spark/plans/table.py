@@ -76,6 +76,7 @@ TOMB_BROADCAST_MAX_IDS = 1_000_000
 # partial compaction folds surviving tombstone files into one per-id
 # max-LSN file once more than this many remain (tombstone migration)
 TOMB_FOLD_MAX_FILES = 8
+FAMILY_LEXICAL = "lexical"
 
 # Declared metadata-schema field types (metadata/schema.go:7-17). "any"
 # accepts everything; undeclared fields always pass through (schema.go:46-49).
@@ -770,6 +771,40 @@ class VectorTable:
         self._obs("on_build", time.perf_counter() - t0, "minhash")
         return v
 
+    def build_lexical_index(self, text_col: str = "text") -> int:
+        """Persist the BM25 postings/counters as a table artifact
+        (operators/lexical_at_rest.py) — the reference's persistent
+        lexical.Index (bm25.go Add maintains the index on every write);
+        bm25_search_at_rest then reads |query terms| postings instead of
+        re-tokenizing the corpus per query."""
+        from vecgo_spark.operators import lexical_at_rest as lex
+
+        t0 = time.perf_counter()
+        v = lex.build_lexical_index(self, text_col=text_col)
+        self._obs("on_build", time.perf_counter() - t0, "lexical")
+        return v
+
+    def refresh_lexical_index(self, **kw) -> int:
+        """Index segments committed since the last lexical build/refresh."""
+        from vecgo_spark.operators import lexical_at_rest as lex
+
+        t0 = time.perf_counter()
+        v = lex.refresh_lexical_index(self, **kw)
+        self._obs("on_build", time.perf_counter() - t0, "lexical-refresh")
+        return v
+
+    def bm25_search(self, query_text: str, k: int = 10) -> DataFrame:
+        """Top-k BM25 over the live snapshot — served from the stored
+        lexical index when one exists, else computed from text."""
+        from vecgo_spark.operators import bm25 as bm25mod
+        from vecgo_spark.operators import lexical_at_rest as lex
+
+        if FAMILY_LEXICAL in self.manifest.meta:
+            return lex.bm25_search_at_rest(self, query_text, k=k)
+        info_col = self.manifest.meta.get("text_col", "text")
+        return bm25mod.bm25_search(self.df(), query_text, k=k,
+                                   id_col=self.id_col, text_col=info_col)
+
     def refresh_minhash_index(self, **kw) -> int:
         """Index segments committed since the last build/refresh (stored
         dirs immutable; folds at the max_dirs cap). No-op when current."""
@@ -1022,7 +1057,7 @@ class VectorTable:
         t0 = time.perf_counter()
         dropped = len(self.manifest.segments)
         prior_families = {f: dict(self.manifest.meta[f])
-                         for f in ("hnsw", "vamana", "minhash")
+                         for f in ("hnsw", "vamana", "minhash", "lexical")
                          if f in self.manifest.meta}
         sq_params, pq_books, bin_params = self._resolve_quantizer(quantize)
         if cluster_by is None:
@@ -1128,6 +1163,7 @@ class VectorTable:
         meta.pop("hnsw", None)  # compaction replaces every indexed segment
         meta.pop("vamana", None)
         meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
+        meta.pop("lexical", None)  # ...and stored postings/counters
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
             version=version, lsn=lsn,
@@ -1169,6 +1205,8 @@ class VectorTable:
                 self.build_graph_index(
                     "vamana", r=info["r"], l=info["l"], alpha=info["alpha"],
                     pq=pq)
+            elif fam == "lexical":
+                self.build_lexical_index(text_col=info["text_col"])
             self._obs("on_build", time.perf_counter() - t0, f"{fam}-reindex")
 
     def _resolve_quantizer(self, quantize):
@@ -1430,6 +1468,7 @@ class VectorTable:
         meta.pop("hnsw", None)
         meta.pop("vamana", None)
         meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
+        meta.pop("lexical", None)  # ...and stored postings/counters
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
             version=version, lsn=lsn,
@@ -1594,7 +1633,7 @@ class VectorTable:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
             referenced.update(m.tombstone_files)
-            for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash"):  # every index artifact family
+            for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash", "lexical"):  # every index artifact family
                 if idx in m.meta:
                     referenced.add(m.meta[idx]["path"])
                     # graph families grown by incremental refresh carry a
