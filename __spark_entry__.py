@@ -187,6 +187,45 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_search(docs, QUERY_TEXT, k=10, id_col="doc_id", text_col="text")
 
 
+_HYBRID_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
+
+
+def _hybrid_table(spark: SparkSession, sf_dir: str):
+    """One VectorTable holding BOTH modalities (id, vector, text) with a
+    persistent lexical index — the reference's collection model, where
+    every write feeds the vector store AND lexicalIndex.Add
+    (engine.go insert path)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    if sf_dir in _HYBRID_TABLES:
+        return VectorTable.open(spark, _HYBRID_TABLES[sf_dir])
+    coll = _hybrid_collection(spark, sf_dir).select(
+        "id", F.col("embedding").alias("vector"), "text")
+    tmp = tempfile.mkdtemp(prefix="vecgo_hybrid_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2", id_col="id")
+    tbl.insert(coll)
+    tbl.commit()
+    tbl.build_lexical_index(text_col="text")
+    _HYBRID_TABLES[sf_dir] = path
+    return tbl
+
+
+def _hybrid_rrf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full serving path over ONE table with both index
+    families (engine.go:1538-1634): exact vector top-k over the live
+    snapshot + BM25 from STORED postings + 0-based-rank RRF fuse —
+    bit-identical to hybrid_rrf, whose oracle it shares."""
+    return hybrid.hybrid_search_at_rest(
+        _hybrid_table(spark, sf_dir), _query_vector(spark, sf_dir),
+        QUERY_TEXT, k=10)
+
+
 def _bm25_search_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the STORED lexical index (operators/
     lexical_at_rest.py — the reference's persistent lexical.Index,
@@ -2280,10 +2319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_conversion": _events_funnel_conversion,
         "ann_ivf_at_rest": _ann_ivf_at_rest,
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "bm25_search_at_rest": _bm25_search_at_rest,
+        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r7/r8/r9 driver evidence ----------------
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "dedup_semantic_pairs": _dedup_semantic_pairs,
@@ -2984,6 +3024,9 @@ def oracle_sql() -> dict[str, str]:
             QUERY_TEXT, 10, docs_table="documents",
             id_col="doc_id", text_col="text"),
         "hybrid_rrf": hybrid.hybrid_oracle_sql(
+            sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),
+        # at-rest serving path must reproduce hybrid_rrf exactly
+        "hybrid_rrf_at_rest": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),
         "hybrid_rrf_filtered": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC",

@@ -161,3 +161,28 @@ def test_indexed_search_never_touches_text(spark, tdir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "split(" not in plan
     assert "text#" not in plan
+
+
+def test_hybrid_search_at_rest_parity(spark, tdir):
+    """The full serving path over one table (vector leg + stored-postings
+    BM25 + RRF) must equal hybrid_search over the equivalent collection
+    DataFrame — both legs bit-identical, shared fuse."""
+    import numpy as np
+
+    from vecgo_spark.operators import hybrid
+
+    rng = np.random.default_rng(31)
+    rows = [(i, rng.standard_normal(4).tolist(),
+             f"alpha beta tok{i % 5} end{i % 7}") for i in range(1, 31)]
+    coll = spark.createDataFrame(rows, "id long, vector array<double>, text string")
+    tbl = VectorTable.create(spark, tdir, dim=4, metric="l2")
+    tbl.insert(coll)
+    tbl.commit()
+    tbl.build_lexical_index()
+    qv = [0.1, -0.2, 0.3, 0.0]
+    got = [(r["id"], r["rrf_score"]) for r in hybrid.hybrid_search_at_rest(
+        tbl, qv, "beta tok3", k=8).collect()]
+    want = [(r["id"], r["rrf_score"]) for r in hybrid.hybrid_search(
+        coll, qv, "beta tok3", k=8, metric="l2",
+        id_col="id", vector_col="vector", text_col="text").collect()]
+    assert got == want and got

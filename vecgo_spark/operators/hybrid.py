@@ -124,3 +124,28 @@ def hybrid_oracle_sql(
     )
     SELECT id, rrf_score FROM fused ORDER BY rrf_score DESC, id ASC LIMIT {k}
     """
+
+
+def hybrid_search_at_rest(
+    tbl, query_vector: Sequence[float], query_text: str, k: int = 10,
+    rrf_k: int = DEFAULT_RRF_K, filter=None,
+) -> DataFrame:
+    """HybridSearch served from ONE VectorTable carrying both index
+    families — the reference's actual serving path (engine.go:1538-1634:
+    vector leg + persistent lexicalIndex.Search + RRF): the lexical leg
+    reads STORED postings (operators/lexical_at_rest.py), the vector leg
+    is the table's exact top-k over the live snapshot, and the fuse is
+    the same 0-based-rank RRF. Bit-identical to hybrid_search over the
+    equivalent (id, vector, text) collection DataFrame, because both
+    legs are bit-identical and the fuse is shared code."""
+    from vecgo_spark.operators import lexical_at_rest as lex
+
+    vector_k = max(2 * k, 50)  # engine.go:1545-1548
+    vec = knn.search(
+        tbl.df(), query_vector, k=vector_k, metric=tbl.metric, filter=filter,
+        id_col=tbl.id_col, vector_col=tbl.vector_col)
+    if tbl.id_col != "id":
+        vec = vec.withColumnRenamed(tbl.id_col, "id")
+    lexr = lex.bm25_search_at_rest(tbl, query_text, k=vector_k)
+    return rrf_fuse(vec, lexr, k=k, rrf_k=rrf_k,
+                    vec_ascending=knn.metric_ascending(tbl.metric), id_col="id")
