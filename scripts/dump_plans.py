@@ -343,6 +343,24 @@ COMMENTARY = {
         "projection exactly once. The comp label map joins back as a "
         "small broadcastable local relation."
     ),
+    "bm25_search_at_rest": (
+        "BM25 from the PERSISTENT lexical index: the scan reads the "
+        "postings artifact with `term IN (query terms)` pushed down "
+        "(term-sorted files → row-group pruning — the postings-lookup "
+        "analog), N/avgdl come from manifest counters with ZERO jobs on "
+        "a clean snapshot, and the text column is never touched "
+        "(optimized-plan pin in test_lexical_at_rest). idf values ride "
+        "as literals into one codegen score projection; top-k is "
+        "TakeOrderedAndProject."
+    ),
+    "hybrid_rrf_at_rest": (
+        "The reference's full serving path (engine.go:1538-1634) over "
+        "ONE table carrying both index families: exact vector top-k "
+        "over the live snapshot (TakeOrderedAndProject) + BM25 from "
+        "stored postings + the shared 0-based-rank RRF fuse over two "
+        "k-row legs — driver-side data is 2·vector_k rows; bit-identical "
+        "to hybrid_rrf (shared oracle)."
+    ),
     "ann_ivf_early_terminate": (
         "SegmentPriority early termination (stats.go:643-677): probe "
         "selection and the skip test are pure driver-side manifest "
