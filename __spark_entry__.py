@@ -204,7 +204,7 @@ def _hybrid_table(spark: SparkSession, sf_dir: str):
     if sf_dir in _HYBRID_TABLES:
         return VectorTable.open(spark, _HYBRID_TABLES[sf_dir])
     coll = _hybrid_collection(spark, sf_dir).select(
-        "id", F.col("embedding").alias("vector"), "text")
+        "id", F.col("embedding").alias("vector"), "text", "lang")
     tmp = tempfile.mkdtemp(prefix="vecgo_hybrid_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     path = f"{tmp}/tbl"
@@ -224,6 +224,16 @@ def _hybrid_rrf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid.hybrid_search_at_rest(
         _hybrid_table(spark, sf_dir), _query_vector(spark, sf_dir),
         QUERY_TEXT, k=10)
+
+
+def _hybrid_rrf_filtered_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered hybrid over the at-rest table: the metadata predicate
+    applies to the vector leg only (SearchOptions → SearchIter,
+    engine.go:1549); the stored lexical leg stays filter-agnostic
+    (engine.go:1555) — bit-identical to hybrid_rrf_filtered."""
+    return hybrid.hybrid_search_at_rest(
+        _hybrid_table(spark, sf_dir), _query_vector(spark, sf_dir),
+        QUERY_TEXT, k=10, filter=FilterSet().eq("lang", "en"))
 
 
 def _bm25_search_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,14 +2325,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_1h": _events_tumbling_1h,
         "events_sliding_1h30m": _events_sliding_1h30m,
         "events_sessionization": _events_sessionization,
-        "events_asof_join": _events_asof_join,
         "events_funnel_conversion": _events_funnel_conversion,
         "ann_ivf_at_rest": _ann_ivf_at_rest,
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "bm25_search_at_rest": _bm25_search_at_rest,
         "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
+        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r7/r8/r9 driver evidence ----------------
+        "events_asof_join": _events_asof_join,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
@@ -3028,6 +3039,9 @@ def oracle_sql() -> dict[str, str]:
         # at-rest serving path must reproduce hybrid_rrf exactly
         "hybrid_rrf_at_rest": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),
+        "hybrid_rrf_filtered_at_rest": hybrid.hybrid_oracle_sql(
+            sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC",
+            vec_where="c.lang IS NOT NULL AND c.lang = 'en'"),
         "hybrid_rrf_filtered": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC",
             vec_where="c.lang IS NOT NULL AND c.lang = 'en'"),

@@ -186,3 +186,39 @@ def test_hybrid_search_at_rest_parity(spark, tdir):
         coll, qv, "beta tok3", k=8, metric="l2",
         id_col="id", vector_col="vector", text_col="text").collect()]
     assert got == want and got
+
+
+def test_refresh_folds_dirs_at_cap_and_counts_survive(spark, tdir):
+    """Bounded dir growth for the lexical family: with max_dirs=2
+    repeated refreshes fold still-live postings into the new dir; the
+    manifest doc/len counters stay exact across every fold (the
+    info_update hook must prune dead segment entries and keep fold
+    survivors), search parity holds, and vacuum collects superseded
+    dirs."""
+    import os
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 11)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    seen = set(tbl.manifest.meta["lexical"].get(
+        "paths", [tbl.manifest.meta["lexical"]["path"]]))
+    n_docs = 10
+    for i in range(4):
+        tbl.insert(_docs(spark, range(100 + 10 * i, 105 + 10 * i)))
+        tbl.commit()
+        tbl.refresh_lexical_index(max_dirs=2)
+        n_docs += 5
+        info = tbl.manifest.meta["lexical"]
+        assert len(info["paths"]) <= 2, info["paths"]
+        seen.update(info["paths"])
+        assert set(info["seg_counts"]) == {s.path for s in tbl.manifest.segments}
+        n, _total = lex.corpus_counts(tbl)
+        assert n == n_docs
+        assert _res(lex.bm25_search_at_rest(tbl, Q, k=50)) == _fresh(tbl, Q, k=50)
+    assert len(seen) > 2  # folding actually happened
+    live = set(tbl.manifest.meta["lexical"]["paths"])
+    tbl.vacuum(keep_versions=1)
+    for p in seen:
+        assert os.path.isdir(os.path.join(tbl.path, p)) == (p in live), p
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=50)) == _fresh(tbl, Q, k=50)

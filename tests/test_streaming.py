@@ -429,3 +429,60 @@ def test_streaming_ingest_with_incremental_minhash_dedup(spark, tmp_path):
     # every segment indexed: next stored read has no text recompute leg
     info = t.manifest.meta["minhash"]
     assert {s.path for s in t.manifest.segments} <= set(info["segments"])
+
+
+def test_streaming_ingest_with_lexical_refresh(spark, tmp_path):
+    """The serving loop for the PERSISTENT lexical index: micro-batches
+    land as segments, refresh_lexical_index() indexes only the new ones,
+    and a query issued after each flush finds the batch's documents from
+    STORED postings — the reference's write→lexicalIndex.Add→searchable
+    contract, with parity against the from-text path at every step."""
+    from vecgo_spark.operators import bm25
+    from vecgo_spark.operators import lexical_at_rest as lex
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "tlex"), dim=None)
+    t.insert(spark.createDataFrame(
+        [(i, f"alpha beta common{i % 3} word{i}") for i in range(1, 11)],
+        "id long, text string"))
+    t.commit()
+    t.build_lexical_index()
+
+    src = str(tmp_path / "lex_src")
+    os.makedirs(src)
+    spark.createDataFrame([(100, "alpha zebra quokka beta")],
+                          "id long, text string").coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(200, "zebra zebra gnu")],
+                          "id long, text string").coalesce(1).write.parquet(src + "/b2")
+
+    results: dict[int, list] = {}
+
+    def on_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        t.insert(batch_df, assign_ids=False)
+        t.commit()
+        t.refresh_lexical_index()
+        got = [(r["id"], r["score"]) for r in
+               lex.bm25_search_at_rest(t, "zebra beta", k=20).collect()]
+        want = [(r["id"], r["score"]) for r in
+                bm25.bm25_search(t.df(), "zebra beta", k=20,
+                                 id_col="id", text_col="text").collect()]
+        assert got == want, batch_id
+        results[batch_id] = got
+
+    stream = (spark.readStream.schema("id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*/"))
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", str(tmp_path / "lex_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len(results) == 2
+    first, second = (results[k] for k in sorted(results))
+    assert 100 in {i for i, _ in first}           # batch-1 doc searchable
+    assert {100, 200} <= {i for i, _ in second}   # both batches ranked
+    # zebra appears twice in doc 200 → it must outrank doc 100
+    assert second[0][0] == 200
+    info = t.manifest.meta["lexical"]
+    assert {s.path for s in t.manifest.segments} <= set(info["segments"])
