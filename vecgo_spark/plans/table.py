@@ -793,17 +793,18 @@ class VectorTable:
         self._obs("on_build", time.perf_counter() - t0, "lexical-refresh")
         return v
 
-    def bm25_search(self, query_text: str, k: int = 10) -> DataFrame:
+    def bm25_search(self, query_text: str, k: int = 10,
+                    text_col: str = "text") -> DataFrame:
         """Top-k BM25 over the live snapshot — served from the stored
-        lexical index when one exists, else computed from text."""
+        lexical index when one exists (its recorded text_col wins), else
+        computed from text."""
         from vecgo_spark.operators import bm25 as bm25mod
         from vecgo_spark.operators import lexical_at_rest as lex
 
         if FAMILY_LEXICAL in self.manifest.meta:
             return lex.bm25_search_at_rest(self, query_text, k=k)
-        info_col = self.manifest.meta.get("text_col", "text")
         return bm25mod.bm25_search(self.df(), query_text, k=k,
-                                   id_col=self.id_col, text_col=info_col)
+                                   id_col=self.id_col, text_col=text_col)
 
     def refresh_minhash_index(self, **kw) -> int:
         """Index segments committed since the last build/refresh (stored
