@@ -361,6 +361,13 @@ COMMENTARY = {
         "k-row legs — driver-side data is 2·vector_k rows; bit-identical "
         "to hybrid_rrf (shared oracle)."
     ),
+    "hybrid_rrf_filtered_at_rest": (
+        "Filtered hybrid over the at-rest table: the metadata predicate "
+        "reaches only the vector leg's scan as a pushed filter "
+        "(SearchOptions → SearchIter, engine.go:1549) while the stored "
+        "lexical leg stays filter-agnostic (engine.go:1555); both legs "
+        "are k-row, the fuse is driver-bounded."
+    ),
     "ann_ivf_early_terminate": (
         "SegmentPriority early termination (stats.go:643-677): probe "
         "selection and the skip test are pure driver-side manifest "
