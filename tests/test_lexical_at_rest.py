@@ -222,3 +222,58 @@ def test_refresh_folds_dirs_at_cap_and_counts_survive(spark, tdir):
     for p in seen:
         assert os.path.isdir(os.path.join(tbl.path, p)) == (p in live), p
     assert _res(lex.bm25_search_at_rest(tbl, Q, k=50)) == _fresh(tbl, Q, k=50)
+
+
+def test_partial_compaction_parity_and_refresh_reindexes(spark, tdir):
+    """maybe_compact replaces indexed segments with a merged one the
+    artifact doesn't know: reads must fall back to the recompute delta
+    leg for it (bit-parity throughout), corpus_counts must decline the
+    stale manifest counters, and a refresh re-indexes the merged
+    segment so the next read is fully stored again."""
+    from vecgo_spark.plans.policy import CompactionTask
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 11)))
+    tbl.commit()
+    tbl.insert(_docs(spark, range(11, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+
+    class PickAll:
+        def pick(self, segments):
+            return CompactionTask(segments=list(segments))
+
+    tbl.maybe_compact(PickAll())
+    merged = {s.path for s in tbl.manifest.segments}
+    assert merged.isdisjoint(set(tbl.manifest.meta["lexical"]["segments"]))
+    # delta leg serves the merged segment from text — parity holds
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=30)) == _fresh(tbl, Q, k=30)
+    n, _ = lex.corpus_counts(tbl)   # marker/delta path, not stale counters
+    assert n == 20
+    tbl.refresh_lexical_index()
+    info = tbl.manifest.meta["lexical"]
+    assert merged <= set(info["segments"])
+    assert set(info["seg_counts"]) >= merged
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=30)) == _fresh(tbl, Q, k=30)
+
+
+def test_table_hybrid_search_front(spark, tdir):
+    """VectorTable.hybrid_search delegates to the at-rest path when the
+    lexical family exists and the from-text path otherwise — identical
+    results either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(37)
+    rows = [(i, rng.standard_normal(4).tolist(),
+             f"alpha beta tok{i % 5} end{i % 7}") for i in range(1, 21)]
+    tbl = VectorTable.create(spark, tdir, dim=4, metric="l2")
+    tbl.insert(spark.createDataFrame(
+        rows, "id long, vector array<double>, text string"))
+    tbl.commit()
+    qv = [0.2, 0.1, -0.3, 0.0]
+    before = [(r["id"], r["rrf_score"])
+              for r in tbl.hybrid_search(qv, "beta tok2", k=6).collect()]
+    tbl.build_lexical_index()
+    after = [(r["id"], r["rrf_score"])
+             for r in tbl.hybrid_search(qv, "beta tok2", k=6).collect()]
+    assert before == after and before

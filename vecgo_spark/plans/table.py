@@ -806,6 +806,22 @@ class VectorTable:
         return bm25mod.bm25_search(self.df(), query_text, k=k,
                                    id_col=self.id_col, text_col=text_col)
 
+    def hybrid_search(self, query_vector: Sequence[float], query_text: str,
+                      k: int = 10, filter=None, text_col: str = "text") -> DataFrame:
+        """DB.HybridSearch (engine.go:1538-1634): vector top-k + BM25 +
+        RRF over this table. The lexical leg serves from the stored
+        index when one exists (the persistent lexical.Index path); the
+        metadata filter applies to the vector leg only (engine.go:1555)."""
+        from vecgo_spark.operators import hybrid as hybridmod
+
+        if FAMILY_LEXICAL in self.manifest.meta:
+            return hybridmod.hybrid_search_at_rest(
+                self, query_vector, query_text, k=k, filter=filter)
+        return hybridmod.hybrid_search(
+            self.df(), query_vector, query_text, k=k, metric=self.metric,
+            filter=filter, id_col=self.id_col, vector_col=self.vector_col,
+            text_col=text_col)
+
     def refresh_minhash_index(self, **kw) -> int:
         """Index segments committed since the last build/refresh (stored
         dirs immutable; folds at the max_dirs cap). No-op when current."""
