@@ -85,9 +85,14 @@ def _write_lex_dir(tbl, segs, version: int, text_col: str, extra=None) -> str:
     out = _segment_rows(tbl, segs, text_col)
     if extra is not None:
         out = out.unionByName(extra.select(*out.columns))
-    # term-sorted files → parquet min/max stats turn `term IN (...)`
-    # into row-group pruning, the postings-lookup analog
-    out.sortWithinPartitions("term").write.mode("error").parquet(full)
+    # range-partition + sort by term → each FILE covers a narrow,
+    # near-disjoint term range and row groups are term-clustered inside
+    # it, so a query's `term IN (...)` prunes at both granularities —
+    # the postings-lookup analog (markers sort as NULLs into the first
+    # range; the N/Σdl marker scan reads only those files)
+    (out.repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("error").parquet(full))
     return rel
 
 
