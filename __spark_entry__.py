@@ -1214,7 +1214,19 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    """Banded SimHash pairs served from STORED per-segment signatures
+    (simhash_at_rest — the minhash r8 precedent applied to the second
+    signature family): the text column is never re-hashed; the banded
+    join starts from one long per doc. Stored == recompute bit-identical
+    (signature determinism), so the oracle is unchanged."""
+    from vecgo_spark.operators import simhash_at_rest as sar
+
+    dedup.release_caches()
+    tbl = _minhash_table(spark, sf_dir)
+    if "simhash" not in tbl.manifest.meta:
+        sar.build_simhash_index(tbl, text_col="text")
+    return dedup.simhash_pairs(
+        None, max_hamming=3, sigs=sar.stored_simhash_signatures(tbl))
 
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2327,7 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": _events_sessionization,
         "events_funnel_conversion": _events_funnel_conversion,
         "ann_ivf_at_rest": _ann_ivf_at_rest,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "dedup_simhash": _dedup_simhash,
         "bm25_search_at_rest": _bm25_search_at_rest,
         "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
         "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
@@ -2395,7 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_best_quality": _dedup_keep_best_quality,
         "embedding_neardup": _embedding_neardup,
-        "dedup_simhash": _dedup_simhash,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "stats_histogram": _stats_histogram,
         "stats_categorical_profile": _stats_categorical,
         "stats_vector_profile": _stats_vector,

@@ -343,6 +343,14 @@ COMMENTARY = {
         "projection exactly once. The comp label map joins back as a "
         "small broadcastable local relation."
     ),
+    "dedup_simhash": (
+        "Banded SimHash near-dup from STORED signatures (r9): the plan "
+        "starts at the simhash artifact scan (one long per doc — the "
+        "text column is never re-hashed; visibility algebra on sig "
+        "rows), then the minimal-chunk banded self-join — by pigeonhole "
+        "any pair within max_hamming shares an exact chunk, so no "
+        "O(n²); hot chunk buckets dropped via plan literals."
+    ),
     "bm25_search_at_rest": (
         "BM25 from the PERSISTENT lexical index: the scan reads the "
         "postings artifact with `term IN (query terms)` pushed down "

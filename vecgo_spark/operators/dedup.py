@@ -861,7 +861,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 def simhash_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
-    max_bucket: int | None = MAX_BUCKET,
+    max_bucket: int | None = MAX_BUCKET, sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
@@ -879,9 +879,20 @@ def simhash_pairs(
     key sets. Same output set, one less shuffle over the candidate pairs.
     The hot set is tiny by construction (only buckets above cap — the same
     boundedness _drop_hot's broadcast relies on), and the dropped-group
-    count is logged, never silent."""
-    # persisted: consumed by every chunk projection of the banded join
-    sigs = simhash(docs, id_col, text_col).persist()
+    count is logged, never silent.
+
+    `sigs` bypasses signature computation with a precomputed (id,
+    simhash) frame — e.g. simhash_at_rest.stored_simhash_signatures;
+    `docs` may be None then. Signatures are deterministic, so stored and
+    recomputed results are bit-identical."""
+    if sigs is None:
+        # persisted: consumed by every chunk projection of the banded
+        # join; registered for release_caches (the minhash stance)
+        sigs = simhash(docs, id_col, text_col).persist()
+        _CACHED.append(sigs)
+    elif set(sigs.columns) != {"id", "simhash"}:
+        raise ValueError(
+            f"sigs must carry exactly (id, simhash); got {sigs.columns}")
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1

@@ -771,6 +771,26 @@ class VectorTable:
         self._obs("on_build", time.perf_counter() - t0, "minhash")
         return v
 
+    def build_simhash_index(self, text_col: str = "text") -> int:
+        """Persist per-segment SimHash signatures as a table artifact
+        (operators/simhash_at_rest.py) so banded near-dup passes read one
+        long per doc instead of re-hashing the text column."""
+        from vecgo_spark.operators import simhash_at_rest as sar
+
+        t0 = time.perf_counter()
+        v = sar.build_simhash_index(self, text_col=text_col)
+        self._obs("on_build", time.perf_counter() - t0, "simhash")
+        return v
+
+    def refresh_simhash_index(self, **kw) -> int:
+        """Index segments committed since the last simhash build/refresh."""
+        from vecgo_spark.operators import simhash_at_rest as sar
+
+        t0 = time.perf_counter()
+        v = sar.refresh_simhash_index(self, **kw)
+        self._obs("on_build", time.perf_counter() - t0, "simhash-refresh")
+        return v
+
     def build_lexical_index(self, text_col: str = "text") -> int:
         """Persist the BM25 postings/counters as a table artifact
         (operators/lexical_at_rest.py) — the reference's persistent
@@ -1074,7 +1094,8 @@ class VectorTable:
         t0 = time.perf_counter()
         dropped = len(self.manifest.segments)
         prior_families = {f: dict(self.manifest.meta[f])
-                         for f in ("hnsw", "vamana", "minhash", "lexical")
+                         for f in ("hnsw", "vamana", "minhash", "simhash",
+                                   "lexical")
                          if f in self.manifest.meta}
         sq_params, pq_books, bin_params = self._resolve_quantizer(quantize)
         if cluster_by is None:
@@ -1180,6 +1201,7 @@ class VectorTable:
         meta.pop("hnsw", None)  # compaction replaces every indexed segment
         meta.pop("vamana", None)
         meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
+        meta.pop("simhash", None)
         meta.pop("lexical", None)  # ...and stored postings/counters
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
@@ -1222,6 +1244,8 @@ class VectorTable:
                 self.build_graph_index(
                     "vamana", r=info["r"], l=info["l"], alpha=info["alpha"],
                     pq=pq)
+            elif fam == "simhash":
+                self.build_simhash_index(text_col=info["text_col"])
             elif fam == "lexical":
                 self.build_lexical_index(text_col=info["text_col"])
             self._obs("on_build", time.perf_counter() - t0, f"{fam}-reindex")
@@ -1485,6 +1509,7 @@ class VectorTable:
         meta.pop("hnsw", None)
         meta.pop("vamana", None)
         meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
+        meta.pop("simhash", None)
         meta.pop("lexical", None)  # ...and stored postings/counters
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
@@ -1650,7 +1675,7 @@ class VectorTable:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
             referenced.update(m.tombstone_files)
-            for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash", "lexical"):  # every index artifact family
+            for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash", "simhash", "lexical"):  # every index artifact family
                 if idx in m.meta:
                     referenced.add(m.meta[idx]["path"])
                     # graph families grown by incremental refresh carry a
