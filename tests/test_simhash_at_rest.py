@@ -146,3 +146,24 @@ def test_fully_indexed_read_never_touches_text(spark, tdir):
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "split(" not in plan
     assert "_text" not in plan and "text#" not in plan
+
+
+def test_upsert_both_versions_indexed(spark, tdir):
+    """Both row versions of an upserted id live in INDEXED segments (the
+    build ran after the upsert): the artifact stores a signature row per
+    RAW row version, and the read's latest-LSN window must pick the new
+    text's signature — including when the newer version is token-less
+    (NULL sig shadows, the id drops out entirely)."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 11)))
+    tbl.commit()
+    tbl.insert(_docs(spark, [3], text="rewritten with a wholly new token stream"))
+    tbl.insert(_docs(spark, [4], text=" \t "))  # token-less version
+    tbl.commit()
+    tbl.build_simhash_index()  # build AFTER the upserts: all indexed
+    assert {s.path for s in tbl.manifest.segments} <= set(
+        tbl.manifest.meta["simhash"]["segments"])
+    stored = _sigset(sar.stored_simhash_signatures(tbl))
+    assert stored == _sigset(_fresh(tbl))
+    ids = {r[0] for r in stored}
+    assert 3 in ids and 4 not in ids
