@@ -447,3 +447,80 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
         got = {r["id"]: int(r["vector"][0]) for r in t.df().collect()}
         assert got == visible(), (seed, seq, op)
         assert t.count() == len(got), (seed, seq, op)
+
+
+def test_artifact_families_random_churn_parity(spark, tmp_path):
+    """Cross-family integration under churn: a table carrying minhash +
+    simhash + lexical artifacts goes through a seeded insert / delete /
+    upsert / refresh / partial-compact sequence; after EVERY op the
+    stored-serving reads (signatures, BM25) must stay bit-identical to
+    fresh recomputation over df() — the visibility algebra replayed on
+    index rows can never drift from the table's own."""
+    import random
+
+    from vecgo_spark.operators import bm25, dedup
+    from vecgo_spark.operators import lexical_at_rest as lex
+    from vecgo_spark.operators import minhash_at_rest as mar
+    from vecgo_spark.operators import simhash_at_rest as sar
+    from vecgo_spark.plans.policy import CompactionTask
+
+    rng = random.Random(13)
+
+    def docs(ids, text=None):
+        return spark.createDataFrame(
+            [(i, text if text is not None
+              else f"alpha beta tok{i % 7} mid{i % 5} end{i % 11} w{i}")
+             for i in ids], "id long, text string")
+
+    t = VectorTable.create(spark, str(tmp_path / "fam"), dim=None)
+    t.insert(docs(range(1, 31)))
+    t.commit()
+    mar.build_minhash_index(t)
+    sar.build_simhash_index(t)
+    t.build_lexical_index()
+
+    class PickRandom:
+        def pick(self, segments):
+            if len(segments) < 2:
+                return None
+            return CompactionTask(
+                segments=rng.sample(list(segments), 2))
+
+    def check(step):
+        assert sorted(map(tuple, mar.stored_minhash_signatures(t).collect())) \
+            == sorted(map(tuple, dedup.minhash_signatures(t.df(), "id", "text").collect())), step
+        assert sorted(map(tuple, sar.stored_simhash_signatures(t).collect())) \
+            == sorted(map(tuple, dedup.simhash(t.df(), "id", "text").collect())), step
+        got = [(r["id"], r["score"]) for r in
+               lex.bm25_search_at_rest(t, "beta tok3", k=40).collect()]
+        want = [(r["id"], r["score"]) for r in
+                bm25.bm25_search(t.df(), "beta tok3", k=40,
+                                 id_col="id", text_col="text").collect()]
+        assert got == want, step
+
+    nxt = 100
+    for step in range(8):
+        op = rng.choices(["ins", "del", "ups", "refresh", "pc"],
+                         weights=[30, 20, 20, 20, 10])[0]
+        if op == "ins":
+            t.insert(docs(range(nxt, nxt + 5)))
+            t.commit()
+            nxt += 5
+        elif op == "del":
+            pool = [r["id"] for r in t.df().select("id").collect()]
+            if pool:
+                t.delete(rng.sample(pool, min(3, len(pool))))
+                t.commit()
+        elif op == "ups":
+            pool = [r["id"] for r in t.df().select("id").collect()]
+            if pool:
+                i = rng.choice(pool)
+                t.insert(docs([i], text=f"rewritten version v{step} of {i}"))
+                t.commit()
+        elif op == "refresh":
+            mar.refresh_minhash_index(t)
+            sar.refresh_simhash_index(t)
+            t.refresh_lexical_index()
+        else:
+            t.maybe_compact(PickRandom())
+        check((step, op))
