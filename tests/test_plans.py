@@ -443,3 +443,46 @@ def test_exact_substring_dedup_single_tokenize_when_persisted(spark, sf_dir):
     assert plan_p.count("Scan parquet") < plan_n.count("Scan parquet")
     dedup.release_caches()
     assert not dedup._CACHED
+
+
+def test_lexical_postings_scan_pushes_term_filter(spark, tmp_path):
+    """The at-rest BM25 plan must push `term IN (query terms)` INTO the
+    postings parquet scan (PushedFilters) — with the term-range file
+    layout that is the postings-lookup analog; the text column must not
+    appear anywhere in the read schema."""
+    from vecgo_spark.operators import lexical_at_rest as lex
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "tlexplan"), dim=None)
+    t.insert(spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 5}") for i in range(1, 21)],
+        "id long, text string"))
+    t.commit()
+    t.build_lexical_index()
+    plan = spark_plan(lex.bm25_search_at_rest(t, "beta tok3", k=5))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("In(term" in ln for ln in pushed)
+    schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema and all("text" not in ln for ln in schema)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_simhash_stored_pairs_no_tokenizer(spark, tmp_path):
+    """simhash_pairs served from stored signatures must plan as artifact
+    scan → banded self-join: no tokenizer split(), no text scan, no
+    Python node anywhere."""
+    from vecgo_spark.operators import dedup
+    from vecgo_spark.operators import simhash_at_rest as sar
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "tsimplan"), dim=None)
+    t.insert(spark.createDataFrame(
+        [(i, f"the quick brown fox doc{i}") for i in range(1, 21)],
+        "id long, text string"))
+    t.commit()
+    t.build_simhash_index()
+    plan = spark_plan(dedup.simhash_pairs(
+        None, max_hamming=3, sigs=sar.stored_simhash_signatures(t)))
+    assert "split(" not in plan
+    assert "text#" not in plan
+    assert "Python" not in plan
