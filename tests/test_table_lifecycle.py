@@ -574,3 +574,31 @@ def test_schema_pin_not_committed_on_failed_write(spark, tdir):
     assert t.manifest.meta["schema_concrete"]["price"] == "double"
     t.commit()
     assert dict(t.df().dtypes)["price"] == "double"
+
+
+def test_compact_reindex_on_emptied_table(spark, tdir):
+    """Delete everything, then compact with all three text-index
+    families present: the rewrite publishes an empty segment, the
+    reindex rebuilds every family against it without error, and every
+    stored read serves the (empty) live snapshot."""
+    from vecgo_spark.operators import lexical_at_rest as lex
+    from vecgo_spark.operators import minhash_at_rest as mar
+    from vecgo_spark.operators import simhash_at_rest as sar
+
+    t = VectorTable.create(spark, tdir, dim=None)
+    t.insert(spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(1, 11)],
+        "id long, text string"))
+    t.commit()
+    mar.build_minhash_index(t)
+    sar.build_simhash_index(t)
+    t.build_lexical_index()
+    t.delete(list(range(1, 11)))
+    t.commit()
+    t.compact()
+    assert {"minhash", "simhash", "lexical"} <= set(t.manifest.meta)
+    assert t.manifest.tombstone_files == []
+    assert t.count() == 0
+    assert mar.stored_minhash_signatures(t).count() == 0
+    assert sar.stored_simhash_signatures(t).count() == 0
+    assert lex.bm25_search_at_rest(t, "alpha", k=5).count() == 0
