@@ -647,6 +647,28 @@ def test_connected_components_paths_agree(spark):
     assert dedup.connected_components(empty, driver_cap=0).count() == 0
 
 
+def test_connected_components_string_ids(spark):
+    """Both paths are id-type-agnostic: string doc ids (the common shape
+    for document corpora) must label identically on the driver fast path
+    and the distributed loop, with a STRING-typed output schema — the
+    fast path must not hardcode long (r9 ADVICE), and the empty graph
+    must return the input's id type too."""
+    edges = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y"), ("z", "z")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    fast = dedup.connected_components(pairs)
+    loop = dedup.connected_components(pairs, driver_cap=0)
+    assert dict(fast.dtypes) == {"id": "string", "comp": "string"}
+    assert dict(loop.dtypes) == {"id": "string", "comp": "string"}
+    f = {r["id"]: r["comp"] for r in fast.collect()}
+    assert f == {r["id"]: r["comp"] for r in loop.collect()}
+    assert f == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                 "x": "x", "y": "x", "z": "z"}
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    out = dedup.connected_components(empty)
+    assert dict(out.dtypes) == {"id": "string", "comp": "string"}
+    assert out.count() == 0
+
+
 def test_semantic_pairs_persist_assigned_parity(spark):
     """persist_assigned=True must register exactly one cache and return
     the identical pair set (it only changes how many times the assigned

@@ -277,3 +277,39 @@ def test_table_hybrid_search_front(spark, tdir):
     after = [(r["id"], r["rrf_score"])
              for r in tbl.hybrid_search(qv, "beta tok2", k=6).collect()]
     assert before == after and before
+
+
+def test_uncovered_text_col_falls_back_to_recompute(spark, tdir):
+    """A text_col the stored index does NOT cover must never be served
+    from the index (that would score the wrong column silently — r9
+    ADVICE): bm25_search/hybrid_search fall back to the recompute path
+    and return the results of the REQUESTED column."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(4).tolist(),
+             f"alpha beta tok{i % 5}", f"zeta eta tok{(i + 3) % 5}")
+            for i in range(1, 21)]
+    tbl = VectorTable.create(spark, tdir, dim=4, metric="l2")
+    tbl.insert(spark.createDataFrame(
+        rows, "id long, vector array<double>, text string, title string"))
+    tbl.commit()
+    tbl.build_lexical_index(text_col="text")
+    q = "tok2 beta zeta"
+    want_title = _res(bm25.bm25_search(tbl.df(), q, k=8,
+                                       id_col="id", text_col="title"))
+    got_title = _res(tbl.bm25_search(q, k=8, text_col="title"))
+    assert got_title == want_title and want_title
+    # and it differs from the indexed column's answer (proof it did not
+    # silently serve the index)
+    assert got_title != _res(tbl.bm25_search(q, k=8, text_col="text"))
+    # hybrid front: uncovered text_col → from-text path on that column
+    from vecgo_spark.operators import hybrid as hybridmod
+    qv = [0.5, -0.2, 0.1, 0.3]
+    coll = tbl.df().select("id", "vector", F.col("title").alias("t"))
+    want_h = [(r["id"], r["rrf_score"]) for r in hybridmod.hybrid_search(
+        coll, qv, q, k=6, metric="l2", id_col="id",
+        vector_col="vector", text_col="t").collect()]
+    got_h = [(r["id"], r["rrf_score"])
+             for r in tbl.hybrid_search(qv, q, k=6, text_col="title").collect()]
+    assert got_h == want_h and got_h

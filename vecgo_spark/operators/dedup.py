@@ -1530,12 +1530,16 @@ def connected_components(
     """(id, comp): comp = MIN node id in the node's connected component.
 
     Size-gated fast path: the edge list is sized by TRUE near-duplicate
-    pairs, not the corpus, so it usually fits on the driver — one
-    limit(driver_cap+1) collect, classic union-find with min-root, and
-    the label map returns as a createDataFrame (a single job instead of
-    2 shuffles + a count per propagation round). Graphs past the cap
-    fall back to the distributed loop below; both paths produce the
-    identical (id, min-id) labeling.
+    pairs, not the corpus, so it usually fits on the driver — the edge
+    frame is persisted once, a limit(driver_cap+1).count() bounds its
+    size EXECUTOR-side (no driver materialization of an over-cap graph),
+    and only an under-cap list is collected: classic union-find with
+    min-root, label map back as a createDataFrame (a single collect
+    instead of 2 shuffles + a count per propagation round). Graphs past
+    the cap fall back to the distributed loop below, reusing the same
+    persisted edges; both paths produce the identical (id, min-id)
+    labeling, in the ID TYPE OF THE INPUT (string doc ids round-trip —
+    the output schema is derived from pairs, never hardcoded).
 
     Min-label propagation with pointer jumping, pure DataFrame ops:
     each round (a) takes the min label over direct neighbors, then
@@ -1551,10 +1555,17 @@ def connected_components(
     of 0 changed labels, itself a cheap agg on the already-materialized
     checkpoint.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = pairs.schema[id_a].dataType
+    out_schema = StructType([StructField("id", id_type), StructField("comp", id_type)])
+    directed = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if driver_cap is not None:
-        head = edges.limit(driver_cap + 1).collect()
-        if len(head) <= driver_cap:
+        directed = directed.persist()
+        n_edges = directed.limit(driver_cap + 1).count()
+        if n_edges <= driver_cap:
+            head = directed.collect()
+            directed.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -1575,11 +1586,14 @@ def connected_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = [(n, find(n)) for n in parent]
-            return pairs.sparkSession.createDataFrame(
-                rows or [], "id long, comp long")
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            return pairs.sparkSession.createDataFrame(rows, out_schema)
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    if driver_cap is not None:
+        # the checkpoint above materialized from the cache; the iterative
+        # loop below only reads the checkpoint, so release the cache now
+        directed.unpersist()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))

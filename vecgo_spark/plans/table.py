@@ -813,15 +813,24 @@ class VectorTable:
         self._obs("on_build", time.perf_counter() - t0, "lexical-refresh")
         return v
 
+    def _lexical_serves(self, text_col: str) -> bool:
+        """True when the stored lexical index covers `text_col` — a
+        request against a DIFFERENT column must not be served from the
+        index (it would silently score the wrong column); such requests
+        fall back to the recompute path instead."""
+        info = self.manifest.meta.get(FAMILY_LEXICAL)
+        return info is not None and info.get("text_col", "text") == text_col
+
     def bm25_search(self, query_text: str, k: int = 10,
                     text_col: str = "text") -> DataFrame:
         """Top-k BM25 over the live snapshot — served from the stored
-        lexical index when one exists (its recorded text_col wins), else
-        computed from text."""
+        lexical index when it covers `text_col`, else computed from
+        text (a text_col the index does not cover never silently serves
+        the indexed column)."""
         from vecgo_spark.operators import bm25 as bm25mod
         from vecgo_spark.operators import lexical_at_rest as lex
 
-        if FAMILY_LEXICAL in self.manifest.meta:
+        if self._lexical_serves(text_col):
             return lex.bm25_search_at_rest(self, query_text, k=k)
         return bm25mod.bm25_search(self.df(), query_text, k=k,
                                    id_col=self.id_col, text_col=text_col)
@@ -834,7 +843,7 @@ class VectorTable:
         metadata filter applies to the vector leg only (engine.go:1555)."""
         from vecgo_spark.operators import hybrid as hybridmod
 
-        if FAMILY_LEXICAL in self.manifest.meta:
+        if self._lexical_serves(text_col):
             return hybridmod.hybrid_search_at_rest(
                 self, query_vector, query_text, k=k, filter=filter)
         return hybridmod.hybrid_search(
