@@ -192,9 +192,13 @@ _HYBRID_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
 
 def _hybrid_table(spark: SparkSession, sf_dir: str):
     """One VectorTable holding BOTH modalities (id, vector, text) with a
-    persistent lexical index — the reference's collection model, where
-    every write feeds the vector store AND lexicalIndex.Add
-    (engine.go insert path)."""
+    persistent lexical index AND the at-rest IVF cluster layout — the
+    reference's collection model, where every write feeds the vector
+    store AND lexicalIndex.Add (engine.go insert path) and compaction
+    builds the vector partitions (compaction.go:102-152). One table,
+    two index families: the shared serving fixture for the whole
+    hybrid_rrf*_at_rest family (exact-scan legs are unaffected by the
+    layout; the indexed leg probe-prunes files)."""
     import atexit
     import shutil
     import tempfile
@@ -205,12 +209,18 @@ def _hybrid_table(spark: SparkSession, sf_dir: str):
         return VectorTable.open(spark, _HYBRID_TABLES[sf_dir])
     coll = _hybrid_collection(spark, sf_dir).select(
         "id", F.col("embedding").alias("vector"), "text", "lang")
+    model = ivf.train_ivf(
+        load_table(spark, sf_dir, "embeddings"), "embedding", nlist=8,
+        max_iter=10, trainer="driver", max_train_rows=20_000,
+        order_col="vec_id", cache_key=f"{sf_dir}:embeddings:ivf8",
+    )
     tmp = tempfile.mkdtemp(prefix="vecgo_hybrid_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     path = f"{tmp}/tbl"
     tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2", id_col="id")
     tbl.insert(coll)
     tbl.commit()
+    tbl.compact(cluster_by=model)
     tbl.build_lexical_index(text_col="text")
     _HYBRID_TABLES[sf_dir] = path
     return tbl
@@ -234,6 +244,20 @@ def _hybrid_rrf_filtered_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid.hybrid_search_at_rest(
         _hybrid_table(spark, sf_dir), _query_vector(spark, sf_dir),
         QUERY_TEXT, k=10, filter=FilterSet().eq("lang", "en"))
+
+
+def _hybrid_rrf_indexed_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE one-table two-index serving path (engine.go:
+    1538-1634): the vector leg is the INDEXED search — probe-pruned
+    early-terminate over the at-rest IVF layout (engine.go:1549's
+    SearchIter never full-scans when an index exists) — the lexical leg
+    reads stored postings, RRF fuses. Bit-identical to the
+    cluster-restricted hybrid twin: search_early_terminate(k=vk,
+    nprobe=3) == exact top-vk over probed clusters (the triangle-
+    inequality bound), which is exactly the oracle's vec_where leg."""
+    return hybrid.hybrid_search_at_rest(
+        _hybrid_table(spark, sf_dir), _query_vector(spark, sf_dir),
+        QUERY_TEXT, k=10, nprobe=3)
 
 
 def _bm25_search_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2342,9 +2366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "bm25_search_at_rest": _bm25_search_at_rest,
         "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
-        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
+        "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # ---------------- tail: fresh r7/r8/r9 driver evidence ----------------
+        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
         "events_asof_join": _events_asof_join,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
@@ -2695,7 +2720,16 @@ def _ann_oracles() -> dict[str, str]:
         ORDER BY cluster_id, vec_id
     """
 
+    # indexed hybrid serving: the vector leg is the probed-cluster exact
+    # top-vk (search_early_terminate == search(nprobe=3) by the bound
+    # argument == assignment-restricted scan, the ann_ivf pattern); the
+    # lexical leg and the fuse are hybrid_rrf's own
+    hybrid_rrf_indexed = hybrid.hybrid_oracle_sql(
+        sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC",
+        vec_where=f"{ivf.assign_sql(ivf_m, 'c.embedding')} IN ({probes3})")
+
     return {
+        "hybrid_rrf_indexed_at_rest": hybrid_rrf_indexed,
         "embedding_cluster_balance": embedding_cluster_balance,
         "embedding_label_purity": stats.cluster_label_purity_sql(ivf_m),
         "docs_tfidf_keywords": pipeline.tfidf_keywords_sql(n_docs=_docs_n, k=3),

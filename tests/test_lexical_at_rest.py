@@ -279,6 +279,51 @@ def test_table_hybrid_search_front(spark, tdir):
     assert before == after and before
 
 
+def test_hybrid_indexed_at_rest_parity_and_file_pruning(spark, tdir):
+    """One table, two index families, fully indexed serving: with
+    nprobe the vector leg is search_early_terminate — bit-identical to
+    search(nprobe=) composed with the shared fuse — and the fused
+    plan's SEGMENT reads touch ONLY probed cluster files (the lexical
+    leg reads postings files, never segments' text)."""
+    import numpy as np
+
+    from vecgo_spark.operators import hybrid as hybridmod
+    from vecgo_spark.operators import knn
+
+    rng = np.random.default_rng(7)
+    centers = np.zeros((4, 6))
+    for c in range(4):
+        centers[c, c] = 40.0
+    rows = [(i, (centers[i % 4] + rng.normal(0, 0.1, 6)).tolist(),
+             f"alpha beta tok{i % 5} end{i % 7}") for i in range(1, 81)]
+    tbl = VectorTable.create(spark, tdir, dim=6, metric="l2")
+    tbl.insert(spark.createDataFrame(
+        rows, "id long, vector array<double>, text string"))
+    tbl.commit()
+    tbl.compact(cluster_by=4)
+    tbl.build_lexical_index()
+    qv = centers[1].tolist()
+    got = hybridmod.hybrid_search_at_rest(tbl, qv, "beta tok2", k=6, nprobe=2)
+    # parity: vector leg == search(nprobe=2) (the early-terminate
+    # guarantee), fused with the stored lexical leg by shared code
+    vk = max(2 * 6, 50)
+    vec = tbl.search(qv, k=vk, nprobe=2)
+    lexr = lex.bm25_search_at_rest(tbl, "beta tok2", k=vk)
+    want = hybridmod.rrf_fuse(vec, lexr, k=6, rrf_k=60,
+                              vec_ascending=knn.metric_ascending("l2"))
+    pairs = [(r["id"], r["rrf_score"]) for r in got.collect()]
+    assert pairs == [(r["id"], r["rrf_score"]) for r in want.collect()] and pairs
+    # file pruning: segment files in the fused plan stay within the
+    # probed clusters (≤2 of 4 cluster dirs); postings files are the
+    # lexical leg's own
+    seg_files = [f for f in got.inputFiles() if "_part=" in f]
+    touched = {f.split("_part=")[1].split("/")[0] for f in seg_files}
+    assert seg_files and len(touched) <= 2
+    all_parts = {f.split("_part=")[1].split("/")[0]
+                 for f in tbl.df().inputFiles() if "_part=" in f}
+    assert len(touched) < len(all_parts)  # strictly fewer files than a scan
+
+
 def test_uncovered_text_col_falls_back_to_recompute(spark, tdir):
     """A text_col the stored index does NOT cover must never be served
     from the index (that would score the wrong column silently — r9

@@ -128,22 +128,35 @@ def hybrid_oracle_sql(
 
 def hybrid_search_at_rest(
     tbl, query_vector: Sequence[float], query_text: str, k: int = 10,
-    rrf_k: int = DEFAULT_RRF_K, filter=None,
+    rrf_k: int = DEFAULT_RRF_K, filter=None, nprobe: int | None = None,
 ) -> DataFrame:
     """HybridSearch served from ONE VectorTable carrying both index
     families — the reference's actual serving path (engine.go:1538-1634:
     vector leg + persistent lexicalIndex.Search + RRF): the lexical leg
     reads STORED postings (operators/lexical_at_rest.py), the vector leg
-    is the table's exact top-k over the live snapshot, and the fuse is
-    the same 0-based-rank RRF. Bit-identical to hybrid_search over the
-    equivalent (id, vector, text) collection DataFrame, because both
-    legs are bit-identical and the fuse is shared code."""
+    is the table's top-k over the live snapshot, and the fuse is the
+    same 0-based-rank RRF.
+
+    Vector leg economics (engine.go:1549: SearchIter rides the table's
+    INDEXED path, never a corpus scan): with `nprobe` and the at-rest
+    IVF layout, the leg is `search_early_terminate` — probe pruning ==
+    file pruning, plus the SegmentPriority stop rule — bit-identical to
+    `search(nprobe=)` over the probed clusters while opening only the
+    probed (and not provably-losing) segment files. Without `nprobe`
+    the leg stays the exact full scan (SURVEY §7.1's primary path).
+    Either way the fuse is shared code, so results are bit-identical to
+    `hybrid_search` over the equivalent (id, vector, text) collection
+    restricted to the same cluster set."""
     from vecgo_spark.operators import lexical_at_rest as lex
 
     vector_k = max(2 * k, 50)  # engine.go:1545-1548
-    vec = knn.search(
-        tbl.df(), query_vector, k=vector_k, metric=tbl.metric, filter=filter,
-        id_col=tbl.id_col, vector_col=tbl.vector_col)
+    if nprobe is not None:
+        vec = tbl.search_early_terminate(
+            query_vector, k=vector_k, nprobe=nprobe, filter=filter)
+    else:
+        vec = knn.search(
+            tbl.df(), query_vector, k=vector_k, metric=tbl.metric, filter=filter,
+            id_col=tbl.id_col, vector_col=tbl.vector_col)
     if tbl.id_col != "id":
         vec = vec.withColumnRenamed(tbl.id_col, "id")
     lexr = lex.bm25_search_at_rest(tbl, query_text, k=vector_k)

@@ -836,16 +836,26 @@ class VectorTable:
                                    id_col=self.id_col, text_col=text_col)
 
     def hybrid_search(self, query_vector: Sequence[float], query_text: str,
-                      k: int = 10, filter=None, text_col: str = "text") -> DataFrame:
+                      k: int = 10, filter=None, text_col: str = "text",
+                      nprobe: int | None = None) -> DataFrame:
         """DB.HybridSearch (engine.go:1538-1634): vector top-k + BM25 +
         RRF over this table. The lexical leg serves from the stored
         index when one exists (the persistent lexical.Index path); the
-        metadata filter applies to the vector leg only (engine.go:1555)."""
+        metadata filter applies to the vector leg only (engine.go:1555).
+        With `nprobe` (requires the at-rest IVF layout + a covering
+        lexical index) the vector leg is probe-pruned early-terminate
+        search — the reference's indexed serving economics, engine.go:
+        1549: SearchIter never full-scans when an index exists."""
         from vecgo_spark.operators import hybrid as hybridmod
 
         if self._lexical_serves(text_col):
             return hybridmod.hybrid_search_at_rest(
-                self, query_vector, query_text, k=k, filter=filter)
+                self, query_vector, query_text, k=k, filter=filter,
+                nprobe=nprobe)
+        if nprobe is not None:
+            raise ValueError(
+                "nprobe requires a lexical index covering text_col plus "
+                "the IVF layout; build/compact first")
         return hybridmod.hybrid_search(
             self.df(), query_vector, query_text, k=k, metric=self.metric,
             filter=filter, id_col=self.id_col, vector_col=self.vector_col,
