@@ -279,6 +279,89 @@ def test_table_hybrid_search_front(spark, tdir):
     assert before == after and before
 
 
+def test_single_postings_scan_per_query(spark, tdir):
+    """Clean snapshot: per-term docFreq comes from the stored df
+    sidecars, so the returned plan contains EXACTLY ONE scan of the
+    postings dir (the scoring pass) — the df aggregate no longer reads
+    the postings a second time. Under churn the candidate frame is
+    persisted: the plan serves from InMemoryTableScan (the df aggregate
+    already materialized the single read). Results unchanged either
+    way."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 41)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    res = lex.bm25_search_at_rest(tbl, Q, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # exactly one parquet scan in the whole serving plan (the postings
+    # read feeding the score pass; the tiny df-sidecar lookup happened
+    # in its own collect, it is not part of this plan), with the term
+    # filter pushed to it
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, f"expected one postings scan, plan:\n{plan}"
+    assert "In(term" in scans[0]  # pushed term filter
+    assert "InMemoryTableScan" not in plan  # clean path persists nothing
+    assert _res(res) == _fresh(tbl, Q)
+    # churn: delete one doc → df sidecar no longer authoritative → the
+    # persisted-candidate path serves, still bit-identical
+    tbl.delete([3])
+    tbl.commit()
+    lex.release_caches()
+    res2 = lex.bm25_search_at_rest(tbl, Q, k=10)
+    plan2 = res2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan2
+    assert _res(res2) == _fresh(tbl, Q)
+    assert len(lex._CACHED) == 1
+    lex.release_caches()
+    assert not lex._CACHED
+
+
+def test_df_sidecar_written_folded_and_vacuumed(spark, tdir):
+    """The df sidecar rides every build/refresh/fold: Σ_seg stored df ==
+    true per-term docFreq on clean snapshots across refreshes and the
+    fold at max_dirs; vacuum keeps live sidecars and collects superseded
+    ones."""
+    import os
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    info = tbl.manifest.meta["lexical"]
+    assert os.path.exists(os.path.join(tdir, lex.df_dir(info["path"])))
+    dfmap = lex._stored_term_df(tbl, info, ["beta", "tok3", "nosuchterm"])
+    docs = {i: f"alpha beta gamma tok{i % 7} beta tok{i % 5} end{i % 11}"
+            for i in range(1, 21)}
+    assert dfmap == {
+        "beta": sum("beta" in t.split() for t in docs.values()),
+        "tok3": sum("tok3" in t.split() for t in docs.values()),
+        "nosuchterm": 0}
+    # two refreshes with max_dirs=2 → second one folds; sidecars follow
+    for lo, hi in ((21, 31), (31, 41)):
+        tbl.insert(_docs(spark, range(lo, hi)))
+        tbl.commit()
+        tbl.refresh_lexical_index(max_dirs=2)
+    info = tbl.manifest.meta["lexical"]
+    paths = info.get("paths", [info["path"]])
+    assert len(paths) <= 2
+    for p in paths:
+        assert os.path.exists(os.path.join(tdir, lex.df_dir(p)))
+    docs = {i: f"alpha beta gamma tok{i % 7} beta tok{i % 5} end{i % 11}"
+            for i in range(1, 41)}
+    dfmap = lex._stored_term_df(tbl, info, ["beta", "end2"])
+    assert dfmap == {
+        "beta": 40, "end2": sum("end2" in t.split() for t in docs.values())}
+    got = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
+    assert got == _fresh(tbl, Q) and got
+    # vacuum: live sidecars survive, superseded dirs (and their sidecars)
+    # are collected
+    removed = tbl.vacuum(keep_versions=1)["removed_files"]
+    for p in paths:
+        assert os.path.exists(os.path.join(tdir, lex.df_dir(p)))
+    assert any(r.endswith("-df") for r in removed)
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == got
+
+
 def test_hybrid_indexed_at_rest_parity_and_file_pruning(spark, tdir):
     """One table, two index families, fully indexed serving: with
     nprobe the vector leg is search_early_terminate — bit-identical to

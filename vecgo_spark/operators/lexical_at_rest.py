@@ -29,8 +29,11 @@ graph families use (operators/minhash_at_rest.py shape):
   vacuum:   dirs are referenced via meta["lexical"] paths.
 
 Scale posture: per-query reads touch |query terms| postings (row-group
-pruned) + either the manifest counters (clean snapshot: zero-job N/Σdl,
-the engine-stats stance of count()) or one narrow marker scan
+pruned) ONCE — per-term docFreq comes from stored per-segment df
+sidecars on clean snapshots (bm25.go:29-53's running docFreq; a
+|terms|-row lookup) and from a persisted shared candidate frame under
+churn — plus either the manifest counters (clean snapshot: zero-job
+N/Σdl, the engine-stats stance of count()) or one narrow marker scan
 (tombstones/upserts in play — per-doc visibility is genuinely required);
 the corpus text column is never touched for indexed segments.
 """
@@ -74,14 +77,22 @@ def _segment_rows(tbl, segs, text_col: str) -> DataFrame:
     return postings.select(*cols).unionByName(markers.select(*cols))
 
 
+def df_dir(rel: str) -> str:
+    """Sidecar per-term docFreq dir for a postings dir — BY CONVENTION at
+    `<postings-dir>-df` so refresh_family_dirs' single-path contract
+    stays untouched (vacuum and the reader both derive it)."""
+    return rel + "-df"
+
+
 def _write_lex_dir(tbl, segs, version: int, text_col: str, extra=None) -> str:
     from vecgo_spark.plans.manifest import fs_exists, fs_rmtree
     from vecgo_spark.plans.table import INDEX_DIR
 
     rel = os.path.join(INDEX_DIR, f"{FAMILY}-v{version:08d}")
     full = os.path.join(tbl.path, rel)
-    if fs_exists(full):
-        fs_rmtree(full)  # orphan of a failed earlier attempt
+    for p in (full, os.path.join(tbl.path, df_dir(rel))):
+        if fs_exists(p):
+            fs_rmtree(p)  # orphan of a failed earlier attempt
     out = _segment_rows(tbl, segs, text_col)
     if extra is not None:
         out = out.unionByName(extra.select(*out.columns))
@@ -93,6 +104,18 @@ def _write_lex_dir(tbl, segs, version: int, text_col: str, extra=None) -> str:
     (out.repartitionByRange(F.col("term"))
         .sortWithinPartitions("term")
         .write.mode("error").parquet(full))
+    # per-(segment, term) docFreq sidecar — the reference's running
+    # docFreq counter (bm25.go:29-53 keeps df per term on every Add).
+    # Derived from the WRITTEN rows (one posting row per (id, version,
+    # term)), so on a clean snapshot Σ_seg df == true per-term df and
+    # the query-time df aggregate over candidates disappears. Term-sorted
+    # for the same row-group pruning as the postings.
+    written = tbl.spark.read.parquet(full)
+    (written.where(F.col("term").isNotNull())
+        .groupBy("_seg", "term").agg(F.count(F.lit(1)).alias("df"))
+        .repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("error").parquet(os.path.join(tbl.path, df_dir(rel))))
     return rel
 
 
@@ -253,13 +276,63 @@ def corpus_counts(tbl) -> tuple[int, int]:
     return int(row["n"]), int(row["total"] or 0)
 
 
+_CACHED: list[DataFrame] = []  # persisted candidate frames (churn path)
+
+
+def release_caches() -> None:
+    """Unpersist candidate frames persisted by bm25_search_at_rest on the
+    churn path (long-lived sessions issuing many queries should call this
+    once results are consumed; Spark's LRU evicts them anyway)."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
+def _stored_term_df(tbl, info, terms: list[str]) -> dict[str, int] | None:
+    """{term: docFreq} summed from the per-segment df sidecars — valid
+    ONLY on a clean snapshot (no tombstones/upserts, every segment
+    indexed: then one posting row per (doc, term) ⇒ Σ_seg df is the true
+    per-term document frequency, the reference's running docFreq,
+    bm25.go:29-53). Returns None when the snapshot isn't clean or a
+    sidecar is missing (dirs written before the sidecar existed)."""
+    from vecgo_spark.operators.graph_at_rest import blob_paths
+    from vecgo_spark.plans.manifest import fs_exists
+
+    man = tbl.manifest
+    indexed = set(info["segments"])
+    clean = (not man.tombstone_files and not tbl._pending_tombs
+             and not man.meta.get("has_upserts")
+             and all(s.path in indexed for s in man.segments))
+    if not clean:
+        return None
+    rels = [df_dir(p) for p in blob_paths(info)]
+    if not all(fs_exists(os.path.join(tbl.path, r)) for r in rels):
+        return None
+    live = {s.path for s in man.segments}
+    rows = (
+        tbl.spark.read.parquet(*[os.path.join(tbl.path, r) for r in rels])
+        .where(F.col("term").isin(terms) & F.col("_seg").isin(sorted(live)))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    out = {t: 0 for t in terms}
+    out.update({r["term"]: int(r["df"]) for r in rows})
+    return out
+
+
 def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
     """Top-k BM25 served from the STORED index — bit-identical to
     `bm25.bm25_search(tbl.df(), ...)`: tf/dl/df/N are the same integers
     (stored groupBy counts == size(filter(tokens, =t)) by tokenizer
     determinism), so the literal-idf fixed-term-order score expression
     (bm25.bm25_score) reproduces the same doubles; score desc, id asc,
-    round(·, 10) exactly as the plain path."""
+    round(·, 10) exactly as the plain path.
+
+    Single postings read per query: on a clean snapshot the per-term
+    docFreq comes from the STORED df sidecars (a |terms|-row lookup, the
+    reference's running counters) and the candidate postings are read
+    exactly once by the scoring pass; under churn the candidate frame is
+    persisted so the df aggregate and the score pass share one read
+    (release_caches() frees them)."""
     spark = tbl.spark
     qterms: dict[str, int] = {}
     for t in tokenize_py(query_text):
@@ -274,6 +347,7 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
         return spark.createDataFrame([], "id long, score double")
     n = float(n_docs)
 
+    info = tbl.manifest.meta[FAMILY]
     cand = (
         _visible_rows(tbl, terms=terms, markers=False)
         .groupBy("id")
@@ -282,14 +356,19 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
                  F.max(F.when(F.col("term") == F.lit(t), F.col("tf"))),
                  F.lit(0)).alias(f"tf_{i}") for i, t in enumerate(terms)])
     )
-    row = cand.agg(
-        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-          for i in range(len(terms))],
-    ).first()
+    dfmap = _stored_term_df(tbl, info, terms)
+    if dfmap is None:  # churn path: share ONE postings read across
+        cand = cand.persist()  # the df aggregate and the score pass
+        _CACHED.append(cand)
+        row = cand.agg(
+            *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+              for i in range(len(terms))],
+        ).first()
+        dfmap = {t: int(row[f"df_{i}"] or 0) for i, t in enumerate(terms)}
 
     score = F.lit(0.0)
     for i, t in enumerate(terms):
-        df_t = int(row[f"df_{i}"] or 0)
+        df_t = dfmap[t]
         idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
         tf = F.col(f"tf_{i}").cast("double")
         dl = F.col("dl").cast("double")

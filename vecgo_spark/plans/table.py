@@ -1700,6 +1700,14 @@ class VectorTable:
                     # graph families grown by incremental refresh carry a
                     # paths LIST — every dir is live
                     referenced.update(m.meta[idx].get("paths", []))
+            if FAMILY_LEXICAL in m.meta:
+                # per-term docFreq sidecars live at <postings-dir>-df by
+                # convention (lexical_at_rest.df_dir)
+                from vecgo_spark.operators.lexical_at_rest import df_dir
+                from vecgo_spark.operators.graph_at_rest import blob_paths
+
+                referenced.update(
+                    df_dir(p) for p in blob_paths(m.meta[FAMILY_LEXICAL]))
         removed_manifests = []
         for v in versions:
             if v not in keep:
