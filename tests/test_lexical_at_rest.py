@@ -362,6 +362,34 @@ def test_df_sidecar_written_folded_and_vacuumed(spark, tdir):
     assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == got
 
 
+def test_manifest_records_blob_bytes(spark, tdir):
+    """Every at-rest family build/refresh records {dir: bytes} in its
+    manifest info (incl. the lexical df sidecar), stats() sums them
+    with no store walk, and the accounting follows folds."""
+    import os
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    info = tbl.manifest.meta["lexical"]
+    assert set(info["bytes"]) == {info["path"]}
+    posted = sum(os.path.getsize(os.path.join(r, f))
+                 for r, _, fs in os.walk(os.path.join(tdir, info["path"]))
+                 for f in fs)
+    side = sum(os.path.getsize(os.path.join(r, f))
+               for r, _, fs in os.walk(os.path.join(tdir, lex.df_dir(info["path"])))
+               for f in fs)
+    assert info["bytes"][info["path"]] == posted + side > 0
+    assert tbl.stats()["index_bytes"] == posted + side
+    tbl.insert(_docs(spark, range(21, 31)))
+    tbl.commit()
+    tbl.refresh_lexical_index()
+    info = tbl.manifest.meta["lexical"]
+    assert set(info["bytes"]) == set(info.get("paths", [info["path"]]))
+    assert tbl.stats()["index_bytes"] == sum(info["bytes"].values())
+
+
 def test_hybrid_indexed_at_rest_parity_and_file_pruning(spark, tdir):
     """One table, two index families, fully indexed serving: with
     nprobe the vector leg is search_early_terminate — bit-identical to

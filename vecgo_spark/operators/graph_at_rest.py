@@ -69,12 +69,13 @@ def build_graphs_at_rest(
         raise ValueError("nothing to index: table has no committed segments")
     version = man.version + 1
     rel = _write_blob_dir(tbl, segs, family, version, build_blob)
+    info = {"path": rel, "segments": [s.path for s in segs], **params}
+    record_dir_bytes(tbl, info)
     new = Manifest(
         version=version, lsn=man.lsn, next_id=man.next_id,
         created_at=time.time(), segments=list(segs),
         tombstone_files=list(man.tombstone_files),
-        meta={**man.meta,
-              family: {"path": rel, "segments": [s.path for s in segs], **params}},
+        meta={**man.meta, family: info},
         tombstone_stats=dict(man.tombstone_stats),
     )
     save_manifest(tbl.path, new)
@@ -147,6 +148,24 @@ def blob_paths(info: dict) -> list[str]:
     """Every live blob dir of an index family — refresh appends dirs
     instead of rewriting the original (paths[0] == the full-build dir)."""
     return list(info.get("paths", [info["path"]]))
+
+
+def record_dir_bytes(tbl, info: dict) -> None:
+    """Maintain info["bytes"] = {dir: on-disk bytes} over the family's
+    live blob dirs (+ any `<dir>-df` sidecar) — the manifest-level size
+    accounting the reference keeps per segment/index for GC reporting;
+    index footprint becomes an O(#dirs) manifest read instead of a
+    store walk."""
+    from vecgo_spark.plans.manifest import fs_du, fs_exists
+
+    sizes: dict[str, int] = {}
+    for p in blob_paths(info):
+        b = fs_du(os.path.join(tbl.path, p))
+        side = os.path.join(tbl.path, p + "-df")
+        if fs_exists(side):
+            b += fs_du(side)
+        sizes[p] = b
+    info["bytes"] = sizes
 
 
 def refresh_graphs_at_rest(tbl, family: str, build_blob, max_dirs: int = 8) -> int:
@@ -230,6 +249,7 @@ def refresh_family_dirs(tbl, family: str, write_dir, seg_col: str,
         # doc/length counters) — applied before the publish so it rides
         # the same manifest version
         info_update(new_info, new_segs)
+    record_dir_bytes(tbl, new_info)
     new = Manifest(
         version=version, lsn=man.lsn, next_id=man.next_id,
         created_at=time.time(), segments=list(man.segments),

@@ -327,11 +327,14 @@ _GRAPH_FORMAT = 1  # bump on any layout change; loaders reject unknown versions
 def _graph_blob(graph: HNSWGraph, ids: list[int]) -> bytes:
     """Explicit versioned snapshot encoding (the reference snapshots its
     graph with a versioned binary format rather than language-native
-    serialization): numpy .npz of flat arrays — vectors, per-node levels,
-    and the adjacency lists flattened CSR-style (node-major, level-minor).
-    No pickle: the blob is data, never code, so a tampered table layout
-    cannot execute anything at load, and the format survives Python/numpy
-    upgrades."""
+    serialization): numpy compressed .npz of flat arrays — vectors,
+    per-node levels, and the adjacency lists flattened CSR-style
+    (node-major, level-minor). Deflate-compressed, the stance of the
+    reference's LZ4 graph blobs (internal/segment/diskann/
+    compression.go); np.load reads plain and compressed npz alike, so
+    old blobs keep loading. No pickle: the blob is data, never code, so
+    a tampered table layout cannot execute anything at load, and the
+    format survives Python/numpy upgrades."""
     import io
 
     n = len(graph.levels)
@@ -342,7 +345,7 @@ def _graph_blob(graph: HNSWGraph, ids: list[int]) -> bytes:
             flat.extend(graph.links[node][level])
             offsets.append(len(flat))
     buf = io.BytesIO()
-    np.savez(
+    np.savez_compressed(
         buf,
         format=np.int64(_GRAPH_FORMAT),
         ids=np.asarray(ids, dtype=np.int64),

@@ -148,15 +148,18 @@ def build_lexical_index(tbl, text_col: str = "text") -> int:
         raise ValueError("nothing to index: table has no committed segments")
     version = man.version + 1
     rel = _write_lex_dir(tbl, man.segments, version, text_col)
+    info = {
+        "path": rel, "segments": [s.path for s in man.segments],
+        "text_col": text_col,
+        "seg_counts": _seg_counts(tbl, man.segments, text_col),
+    }
+    from vecgo_spark.operators.graph_at_rest import record_dir_bytes
+    record_dir_bytes(tbl, info)
     new = Manifest(
         version=version, lsn=man.lsn, next_id=man.next_id,
         created_at=time.time(), segments=list(man.segments),
         tombstone_files=list(man.tombstone_files),
-        meta={**man.meta, FAMILY: {
-            "path": rel, "segments": [s.path for s in man.segments],
-            "text_col": text_col,
-            "seg_counts": _seg_counts(tbl, man.segments, text_col),
-        }},
+        meta={**man.meta, FAMILY: info},
         tombstone_stats=dict(man.tombstone_stats),
     )
     save_manifest(tbl.path, new)

@@ -71,14 +71,16 @@ def build_simhash_index(tbl, text_col: str = "text") -> int:
         raise ValueError("nothing to index: table has no committed segments")
     version = man.version + 1
     rel = _write_sig_dir(tbl, man.segments, version, text_col)
+    from vecgo_spark.operators.graph_at_rest import record_dir_bytes
+
+    info = {"path": rel, "segments": [s.path for s in man.segments],
+            "text_col": text_col}
+    record_dir_bytes(tbl, info)
     new = Manifest(
         version=version, lsn=man.lsn, next_id=man.next_id,
         created_at=time.time(), segments=list(man.segments),
         tombstone_files=list(man.tombstone_files),
-        meta={**man.meta, FAMILY: {
-            "path": rel, "segments": [s.path for s in man.segments],
-            "text_col": text_col,
-        }},
+        meta={**man.meta, FAMILY: info},
         tombstone_stats=dict(man.tombstone_stats),
     )
     save_manifest(tbl.path, new)

@@ -254,8 +254,10 @@ class VamanaGraph:
 # --------------------------------------------------------------- blobs
 
 def graph_blob(graph: VamanaGraph, ids: list[int], pq=None) -> bytes:
-    """Explicit versioned .npz snapshot (flat arrays, CSR adjacency) — the
-    same no-pickle stance as the HNSW family. With `pq` (PQCodebooks) the
+    """Explicit versioned compressed .npz snapshot (flat arrays, CSR
+    adjacency; deflate — the reference LZ4-compresses its graph blobs,
+    compression.go, and np.load reads plain npz from older dirs too) —
+    the same no-pickle stance as the HNSW family. With `pq` (PQCodebooks) the
     blob stores m uint8 codes per node PLUS the codebooks INSTEAD of the
     full vectors — the reference DiskANN's compressed-in-memory layout
     (compression.go): ~d·8/m × smaller, served via ADC + exact rerank."""
@@ -278,7 +280,7 @@ def graph_blob(graph: VamanaGraph, ids: list[int], pq=None) -> bytes:
     else:
         payload["mat"] = graph.mat
     buf = io.BytesIO()
-    np.savez(
+    np.savez_compressed(
         buf,
         format=np.int64(_GRAPH_FORMAT),
         ids=np.asarray(ids, dtype=np.int64),

@@ -1740,6 +1740,12 @@ class VectorTable:
             "segments": len(m.segments),
             "rows_upper_bound": sum(s.rows for s in m.segments),
             "bytes": sum(s.bytes for s in m.segments),
+            # at-rest index footprint from the manifest's per-dir byte
+            # accounting (graph_at_rest.record_dir_bytes) — no store walk
+            "index_bytes": sum(
+                sum((m.meta[f].get("bytes") or {}).values())
+                for f in ("hnsw", "vamana", "minhash", "simhash", "lexical")
+                if f in m.meta),
             "tombstone_files": len(m.tombstone_files),
             "has_upserts": m.meta.get("has_upserts", False),
         }
