@@ -377,3 +377,46 @@ def test_bq_table_rejects_rabitq_serving_and_plain_compact_drops_binary(spark, t
     assert "binary" not in t.manifest.meta
     with pytest.raises(KeyError):
         t.search_quantized([0.0] * DIM, k=3, codes="bq")
+
+
+def test_segment_budget_priority_order_recall(spark, tmp_path):
+    """SegmentPriority probe ordering extended to quantized scans
+    (stats.go:643-677 over ADC): with planted far-separated clusters and
+    a query deep inside one, a budget of ONE segment must already return
+    the same top-k as the unbudgeted probe set (the priority order puts
+    the true cluster first → recall 1.0 at minimal budget), the plan
+    must touch strictly fewer files, and budget ≥ #segments must be
+    bit-identical to no budget at all."""
+    rng = np.random.default_rng(29)
+    centers = np.zeros((4, DIM))
+    for c in range(4):
+        centers[c, c] = 50.0
+    rows = [(i, (centers[i % 4] + rng.normal(0, 0.1, DIM)).tolist())
+            for i in range(200)]
+    t = VectorTable.create(spark, str(tmp_path / "tbudget"), dim=DIM, metric="l2")
+    t.insert(spark.createDataFrame(rows, "id long, vector array<double>"))
+    t.commit()
+    t.compact(cluster_by=4, quantize="sq8")
+    n_segs = len(t.manifest.segments)
+    assert n_segs > 1
+    q = centers[1].tolist()
+
+    def res(df):
+        return [(r["id"], r["score"]) for r in df.collect()]
+
+    full = res(t.search_quantized(q, k=5, nprobe=n_segs))
+    one = t.search_quantized(q, k=5, nprobe=n_segs, segment_budget=1)
+    assert res(one) == full  # priority order → recall 1.0 at budget 1
+    assert len(set(one.inputFiles())) < len(set(
+        t.search_quantized(q, k=5, nprobe=n_segs).inputFiles()))
+    # budget covering everything == no budget, bit for bit
+    assert res(t.search_quantized(q, k=5, nprobe=n_segs,
+                                  segment_budget=n_segs)) == full
+    # the indexless path: priority order over ALL segments
+    exact_all = res(t.search_quantized(q, k=5))
+    assert res(t.search_quantized(q, k=5, segment_budget=1)) == exact_all
+    assert res(t.search_quantized(q, k=5, segment_budget=n_segs)) == exact_all
+    # refine composes with the budget (rerank stays on full precision)
+    fr = res(t.search_quantized(q, k=3, nprobe=n_segs, refine=20,
+                                segment_budget=1))
+    assert fr == res(t.search_quantized(q, k=3, nprobe=n_segs, refine=20))

@@ -431,6 +431,59 @@ def test_streaming_ingest_with_incremental_minhash_dedup(spark, tmp_path):
     assert {s.path for s in t.manifest.segments} <= set(info["segments"])
 
 
+def test_streaming_ingest_with_simhash_refresh(spark, tmp_path):
+    """The simhash family in the ingest loop (the minhash test's twin):
+    micro-batches land as segments, refresh_simhash_index() indexes only
+    the new ones, and at EVERY batch boundary the stored signatures are
+    bit-identical to recomputing simhash over the live snapshot — so a
+    stored-sig near-dup pass after any batch equals the recompute pass."""
+    from vecgo_spark.operators import dedup
+    from vecgo_spark.operators import simhash_at_rest as sar
+    from vecgo_spark.plans.table import VectorTable
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    t = VectorTable.create(spark, str(tmp_path / "tsim"), dim=None)
+    t.insert(spark.createDataFrame(
+        [(i, f"{base} corpus{i}") for i in range(1, 16)], "id long, text string"))
+    t.commit()
+    sar.build_simhash_index(t)
+
+    src = str(tmp_path / "sim_src")
+    os.makedirs(src)
+    spark.createDataFrame([(100, f"{base} corpus1 x")],
+                          "id long, text string").coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(200, "completely different words p q r s")],
+                          "id long, text string").coalesce(1).write.parquet(src + "/b2")
+
+    seen: dict[int, int] = {}
+
+    def on_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        t.insert(batch_df, assign_ids=False)
+        t.commit()
+        sar.refresh_simhash_index(t)
+        stored = sorted(map(tuple, sar.stored_simhash_signatures(t)
+                            .select("id", "simhash").collect()))
+        fresh = sorted(map(tuple, dedup.simhash(
+            t.df(), id_col="id", text_col="text")
+            .select("id", "simhash").collect()))
+        assert stored == fresh, batch_id
+        seen[batch_id] = len(stored)
+
+    stream = (spark.readStream.schema("id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*/"))
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", str(tmp_path / "sim_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert sorted(seen.values()) == [16, 17]
+    # every segment indexed: the next stored read has no recompute leg
+    info = t.manifest.meta["simhash"]
+    assert {s.path for s in t.manifest.segments} <= set(info["segments"])
+
+
 def test_streaming_ingest_with_lexical_refresh(spark, tmp_path):
     """The serving loop for the PERSISTENT lexical index: micro-batches
     land as segments, refresh_lexical_index() indexes only the new ones,

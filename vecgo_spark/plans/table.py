@@ -1392,7 +1392,7 @@ class VectorTable:
     def search_quantized(
         self, query: Sequence[float], k: int = 10, filter=None,
         nprobe: int | None = None, refine: int | None = None,
-        codes: str | None = None,
+        codes: str | None = None, segment_budget: int | None = None,
     ) -> DataFrame:
         """ANN search scored from the AT-REST quantized codes — no encode
         pass over the corpus at query time (the reference's quantized flat
@@ -1404,7 +1404,16 @@ class VectorTable:
         Hamming / "rabitq" estimator — the last two serve the packed sign
         words the reference keeps in flat segments, binary.go:23-260,
         rabitq.go:13-190, writer.go:57-519); default: whichever the table
-        carries (sq > pq > binary when several)."""
+        carries (sq > pq > binary when several).
+
+        segment_budget: visit only the `segment_budget` most promising
+        segments in SegmentPriority centroid/radius order (stats.go:
+        643-677) — the probe-ORDERING analog of search_early_terminate
+        for quantized scans. ADC scores are ESTIMATES, so there is no
+        sound triangle-inequality stop rule here; the budget is an
+        explicit recall/cost knob (recall floor pinned in
+        tests/test_quantized_at_rest.py), and omitting it leaves every
+        quantized query bit-identical to before."""
         from vecgo_spark.operators import knn as knnmod
 
         if codes is None:
@@ -1431,8 +1440,17 @@ class VectorTable:
             from vecgo_spark.operators import ivf as ivfmod
 
             probes = ivfmod.probe_clusters(self._load_ivf(), q, nprobe)
-            base = self.df(FilterSet([Filter(CLUSTER_COL, "in", probes)]),
-                           keep_codes=True)
+            fs = FilterSet([Filter(CLUSTER_COL, "in", probes)])
+            segs = None
+            if segment_budget is not None:
+                cand = prune_segments(self.manifest.segments, fs)
+                ordered = segment_priority(cand, q, self.vector_col)
+                segs = [s for s, _ in ordered[:max(1, segment_budget)]]
+            base = self.df(fs, keep_codes=True, segments=segs)
+        elif segment_budget is not None:
+            best = [s for s, _ in
+                    self.segment_priorities(q)[:max(1, segment_budget)]]
+            base = self.df(keep_codes=True, segments=best)
         else:
             base = self.df(keep_codes=True)
         cond = to_condition(filter)
