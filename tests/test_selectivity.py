@@ -128,3 +128,104 @@ def test_filtered_boost_never_worse_than_postfilter(spark, tmp_path, dist):
         r_post = len(post_ids & truth_ids) / len(truth_ids)
         r_boost = len(boost_ids & truth_ids) / len(truth_ids)
         assert r_boost >= r_post, (dist, cat, est, r_boost, r_post)
+
+
+@pytest.mark.parametrize(
+    "dist", ["uniform", "zipfian", "seglocal", "correlated", "booladv"])
+def test_adaptive_ema_never_lowers_recall(spark, tmp_path, dist):
+    """Adaptive selectivity EMA (stats.go:205-224): per-field-set
+    observed-selectivity feedback, fed by the query's own action via a
+    free-riding Observation, min-blended into the static estimate. The
+    property across all five adversarial distributions and three filter
+    shapes (common eq, rare eq, ANDed correlated pair): after one
+    feedback query, the EMA-adjusted search NEVER returns worse filtered
+    recall than the static-0.30-cutoff strategy — min-blend can only
+    widen the probe set — and the adjusted estimate is never above the
+    static one."""
+    from vecgo_spark.operators import ivf
+    from vecgo_spark.plans.pruning import AdaptiveSelectivity
+    from vecgo_spark.testing import fixtures
+
+    path = fixtures.make_t1(str(tmp_path / dist), dist=dist, n=1000, dim=8)
+    df = spark.read.parquet(path).select("id", "vector", "category", "flag")
+    model = ivf.train_ivf(df, "vector", nlist=8, max_iter=10,
+                          trainer="driver", order_col="id")
+    assigned = ivf.assign(df, model, "vector").cache()
+    stats = collect_stats(df)
+    rows = [(r["id"], np.array(r["vector"], dtype=np.float64),
+             r["category"], r["flag"]) for r in df.collect()]
+    q = np.full(8, 0.5)
+    k = 10
+
+    def matches(fs, c, f):
+        ok = True
+        for flt in fs.filters:
+            v = c if flt.key == "category" else f
+            ok = ok and v is not None and v == flt.value
+        return ok
+
+    ema = AdaptiveSelectivity()
+    shapes = [FilterSet().eq("category", "A"),
+              FilterSet().eq("category", "D"),
+              FilterSet().eq("category", "A").eq("flag", True)]
+    for fs in shapes:
+        est = estimate_selectivity(stats, 1000, fs)
+        truth = sorted((float(((v - q) ** 2).sum()), rid)
+                       for rid, v, c, f in rows if matches(fs, c, f))
+        truth_ids = {rid for _, rid in truth[:k]}
+        if not truth_ids:
+            continue
+        static_ids = {r["id"] for r in ivf.search(
+            assigned, model, q.tolist(), k=k, nprobe=1,
+            filter=fs, selectivity=est).collect()}
+        # feedback pass: identical arguments, observation rides the scan
+        _ = ivf.search(assigned, model, q.tolist(), k=k, nprobe=1,
+                       filter=fs, selectivity=est, ema=ema).collect()
+        ema.drain()
+        adj = ema.adjust(fs, est)
+        assert adj <= est + 1e-12  # min-blend never claims less selective
+        adj_ids = {r["id"] for r in ivf.search(
+            assigned, model, q.tolist(), k=k, nprobe=1,
+            filter=fs, selectivity=est, ema=ema).collect()}
+        r_static = len(static_ids & truth_ids) / len(truth_ids)
+        r_adj = len(adj_ids & truth_ids) / len(truth_ids)
+        assert r_adj >= r_static, (dist, fs.filters, est, adj, r_adj, r_static)
+    assigned.unpersist()
+
+
+def test_adaptive_ema_learns_correlated_and(spark, tmp_path):
+    """The payoff direction on the adversarial correlated pair
+    (booladv: flag == parity(category bucket)): independence multiplies
+    the per-field fractions and lands ABOVE the truth; the EMA observes
+    the true joint fraction and pulls the estimate down — and when the
+    static estimate sat above a widening tier boundary while the truth
+    sits below it, the adjusted probe set is strictly wider."""
+    from vecgo_spark.operators import ivf
+    from vecgo_spark.plans.pruning import AdaptiveSelectivity
+    from vecgo_spark.testing import fixtures
+
+    path = fixtures.make_t1(str(tmp_path / "booladv2"), dist="booladv",
+                            n=1000, dim=8)
+    df = spark.read.parquet(path).select("id", "vector", "category", "flag")
+    model = ivf.train_ivf(df, "vector", nlist=8, max_iter=10,
+                          trainer="driver", order_col="id")
+    assigned = ivf.assign(df, model, "vector").cache()
+    stats = collect_stats(df)
+    # pick the (category, flag) pair that is IMPOSSIBLE under the
+    # correlation (flag fixed by category parity) — independence says
+    # ~sel(cat)·0.5, truth is ~0
+    n_true = df.where((F.col("category") == "A") & F.col("flag")).count()
+    want_flag = n_true == 0
+    fs = FilterSet().eq("category", "A").eq("flag", bool(want_flag))
+    truth_frac = df.where(
+        (F.col("category") == "A") & (F.col("flag") == bool(want_flag))
+    ).count() / 1000.0
+    est = estimate_selectivity(stats, 1000, fs)
+    assert est > truth_frac + 0.05  # independence really overestimates
+    ema = AdaptiveSelectivity()
+    _ = ivf.search(assigned, model, [0.5] * 8, k=5, nprobe=1,
+                   filter=fs, selectivity=est, ema=ema).collect()
+    ema.drain()
+    adj = ema.adjust(fs, est)
+    assert adj < est  # feedback pulled the estimate toward the truth
+    assigned.unpersist()

@@ -254,6 +254,7 @@ def search(
     filter: FilterSet | None = None,
     filtered_probe_boost: int = 2,
     selectivity: float | None = None,
+    ema=None,
     id_col: str = "id",
     vector_col: str = "vector",
     cluster_col: str = "cluster_id",
@@ -270,7 +271,19 @@ def search(
       selectivity > 30%  → no boost (enough matches inside nearest probes)
 
     Pass `selectivity` from plans.pruning.estimate_selectivity (manifest
-    histograms); None falls back to the static boost."""
+    histograms); None falls back to the static boost.
+
+    ema (pruning.AdaptiveSelectivity): the reference's observed-
+    selectivity feedback (stats.go:205-224) — the static estimate is
+    min-blended with the per-field-set EMA (only ever MORE selective ⇒
+    the probe set only ever WIDENS vs the static tiers, so recall never
+    drops below the static-cutoff behavior), and this query's own action
+    reports its true (scanned, matched) back through a free-riding
+    Observation. ANDed correlated predicates are the payoff: histogram
+    independence OVERestimates their match fraction, the EMA observes
+    the truth and widens what static would have kept narrow."""
+    if filter is not None and ema is not None and selectivity is not None:
+        selectivity = ema.adjust(filter, selectivity)
     if filter is None:
         effective = nprobe
     elif selectivity is None:
@@ -283,6 +296,13 @@ def search(
         effective = nprobe
     probes = probe_clusters(model, query, effective)
     pruned = df_assigned.where(F.col(cluster_col).isin(probes))
+    if filter is not None and ema is not None:
+        from vecgo_spark.filters import to_condition
+
+        # observation rides the probed pre-filter scan; rows reach
+        # knn.search already filtered, so the predicate is not re-applied
+        pruned = ema.attach(pruned, filter, to_condition(filter))
+        filter = None
     return knn.search(
         pruned, list(query), k=k, metric=model.metric, filter=filter,
         id_col=id_col, vector_col=vector_col,

@@ -446,6 +446,95 @@ def estimate_selectivity(stats: dict[str, Any], rows: int, fs: "FilterSet") -> f
     return sel
 
 
+class AdaptiveSelectivity:
+    """Per-field-set observed-selectivity feedback — the Spark-side
+    translation of the reference's adaptive selectivity EMA
+    (internal/manifest/stats.go:205-224: every executed filtered search
+    folds its OBSERVED match fraction into a per-field moving average
+    that refines later estimates).
+
+    Recall-safety invariant: `adjust` blends with **min(estimate, ema)**
+    — feedback may only claim the filter is MORE selective than the
+    static histogram estimate, and the filtered-ANN tiers widen probes
+    monotonically as selectivity falls (ivf.search: <2% → all clusters,
+    ≤30% → boosted, >30% → plain). The adaptive probe set is therefore
+    always a SUPERSET of the static one, so recall can never drop below
+    the static-cutoff behavior (property-tested across adversarial
+    distributions in tests/test_selectivity.py). The useful direction is
+    exactly the one histograms get wrong: ANDed correlated fields
+    multiply per-field fractions (independence), OVERestimating matches
+    — the EMA observes the true (lower) fraction and widens the probe
+    set the static estimate would have kept narrow.
+
+    Observations arrive either explicitly (`observe`) or free-riding a
+    query's own action via `pyspark.sql.Observation` (`attach` wraps the
+    scan with matched/scanned counters; `drain` folds every completed
+    observation in, non-blocking — a query that was never executed just
+    stays pending)."""
+
+    def __init__(self, alpha: float = 0.3):
+        self.alpha = float(alpha)
+        self._ema: dict[tuple, float] = {}
+        self._pending: list[tuple[Any, tuple]] = []
+
+    @staticmethod
+    def key(fs: "FilterSet") -> tuple:
+        return tuple(sorted((f.key, f.op) for f in fs.filters))
+
+    def observe(self, fs: "FilterSet", observed: float) -> None:
+        k = self.key(fs)
+        prev = self._ema.get(k)
+        x = max(0.0, min(1.0, float(observed)))
+        self._ema[k] = x if prev is None else (
+            self.alpha * x + (1.0 - self.alpha) * prev)
+
+    def adjust(self, fs: "FilterSet", estimate: float) -> float:
+        """min-blend: never LESS selective than the static estimate (see
+        class docstring for why that direction is recall-safe)."""
+        self.drain()
+        e = self._ema.get(self.key(fs))
+        return estimate if e is None else min(estimate, e)
+
+    def attach(self, df, fs: "FilterSet", cond):
+        """Wrap `df` (the pre-filter scan) so the caller's own action
+        reports (scanned, matched) — zero extra jobs. Returns the frame
+        to keep building on (with the observation riding it), already
+        filtered by `cond`."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(
+            obs, F.count(F.lit(1)).alias("scanned"),
+            F.sum(cond.cast("long")).alias("matched"))
+        self._pending.append((obs, self.key(fs)))
+        return df.where(cond)
+
+    def drain(self) -> None:
+        """Fold completed pending observations into the EMA (non-blocking
+        via the JVM Observation's getRowOrEmpty; an un-executed query
+        stays pending, and the hook degrades to a no-op if the internal
+        handle is unavailable)."""
+        still = []
+        for obs, k in self._pending:
+            try:
+                opt = obs._jo.getRowOrEmpty()
+                if opt.isEmpty():
+                    still.append((obs, k))
+                    continue
+                row = opt.get()
+                scanned = int(row.getAs("scanned") or 0)
+                matched = int(row.getAs("matched") or 0)
+            except Exception:
+                continue  # drop: internals unavailable → no feedback
+            if scanned > 0:
+                prev = self._ema.get(k)
+                x = matched / scanned
+                self._ema[k] = x if prev is None else (
+                    self.alpha * x + (1.0 - self.alpha) * prev)
+        self._pending = still
+
+
 def _can_prune(filter: Filter, stats: dict[str, Any], rows: int) -> bool:
     """True iff NO row in the segment can satisfy `filter`."""
     cs = stats.get(filter.key)
