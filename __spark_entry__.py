@@ -2311,10 +2311,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresh driver-green row from the previous round rotate to the tail;
     # scripts/verify_driver.py still checks all of them locally each round.
     return {
-        # -- r9 window: 1 new query + 8 whose code changed this round
-        # -- (visibility-join gate, single-scan exact-substring, purity
-        # -- tie-break, stored-sig dedup), then ALL 30 r6-stale entries
-        # -- (oldest driver evidence), then the regression canaries
+        # -- r10 window: 1 new + 3 changed-code (single-scan BM25 at rest,
+        # -- indexed hybrid leg), then ALL 34 r7-stale entries (oldest
+        # -- driver evidence), then the regression canaries (events_ +
+        # -- at-rest families; the quantized ones also carry the r10
+        # -- search_quantized signature change)
+        "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
+        "bm25_search_at_rest": _bm25_search_at_rest,
+        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
+        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
+        # ---- oldest driver evidence (r7 set, complete) ----
+        "docs_dsir_weights": _docs_dsir_weights,
+        "knn_l2": _knn("l2"),
+        "knn_dot": _knn("dot"),
+        "knn_cosine": _knn("cosine"),
+        "tpch_q9_profit_nation_year": _tpch_q9,
+        "tpch_q13_custdist": _tpch_q13,
+        "tpch_q16_supplier_variety": _tpch_q16,
+        "tpch_q21_waiting_supplier": _tpch_q21,
+        "chunk_dedup_frac": _chunk_dedup,
+        "doc_perplexity_bigram": _doc_perplexity_bigram,
+        "docs_pattern_scrub": _docs_pattern_scrub,
+        "docs_rule_funnel": _docs_rule_funnel,
+        "tpch_q11_important_parts": _tpch_q11,
+        "tpch_q20_dominant_supplier": _tpch_q20,
+        "kmv_distinct_shingles": _kmv_distinct_shingles,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "tpch_q2_min_cost_supplier": _tpch_q2,
+        "ann_ivf_bq_at_rest": _ann_ivf_bq_at_rest,
+        "knn_rabitq_at_rest": _knn_rabitq_at_rest,
+        "docs_bloom_decontam": _docs_bloom_decontam,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "contamination_ngram": _contamination_ngram,
+        "doc_novelty": _doc_novelty,
+        "doc_repetition": _doc_repetition,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_keep_best_quality": _dedup_keep_best_quality,
+        "embedding_neardup": _embedding_neardup,
+        "stats_histogram": _stats_histogram,
+        "stats_categorical_profile": _stats_categorical,
+        "stats_vector_profile": _stats_vector,
+        "knn_hamming_registered": _knn_hamming_registered,
+        "knn_int4_adc": _knn_int4_adc,
+        "knn_rabitq": _knn_rabitq,
+        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
+        # ---- canaries: events + at-rest families ----
+        "events_value_quartiles": _events_value_quartiles,
+        "events_retention_cohorts": _events_retention_cohorts,
+        "events_anomaly_zscore": _events_anomaly_zscore,
+        "events_tumbling_1h": _events_tumbling_1h,
+        "events_sliding_1h30m": _events_sliding_1h30m,
+        "events_sessionization": _events_sessionization,
+        "events_funnel_conversion": _events_funnel_conversion,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
+        # -------- driver window ends here (50 entries above) --------
+        # -------- tail: fresh r8/r9/r10 driver evidence --------
         "dedup_semantic_clusters": _dedup_semantic_clusters,
         "docs_exact_substring_spans": _docs_exact_substring_spans,
         "docs_exact_substring_dedup": _docs_exact_substring_dedup,
@@ -2325,7 +2380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest_wins": _upsert_latest_wins,
         "time_travel_versions": _time_travel,
         "ann_ivf_early_terminate": _ann_ivf_early_terminate,
-        # ---- oldest driver evidence (r6 set, complete) ----
         "knn_bq_hamming": _knn_bq_hamming,
         "knn_opq_adc": _knn_opq_adc,
         "ann_lsh": _ann_lsh,
@@ -2345,7 +2399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": _tpch_q4,
         "tpch_q14_promo_revenue": _tpch_q14,
         "tpch_q10_returned_items": _tpch_q10,
-        "events_value_quartiles": _events_value_quartiles,
         "stats_percentiles": _stats_percentiles,
         "knn_range": _knn_range,
         "schema_typed_filter": _schema_typed_filter,
@@ -2354,26 +2407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _ann_ivf,
         "ann_ivf_batch": _ann_ivf_batch,
         "hybrid_rrf": _hybrid_rrf,
-        "events_retention_cohorts": _events_retention_cohorts,
         "stats_numeric_profile": _stats_numeric,
-        # ---- canaries: events + at-rest families ----
-        "events_anomaly_zscore": _events_anomaly_zscore,
-        "events_tumbling_1h": _events_tumbling_1h,
-        "events_sliding_1h30m": _events_sliding_1h30m,
-        "events_sessionization": _events_sessionization,
-        "events_funnel_conversion": _events_funnel_conversion,
-        "ann_ivf_at_rest": _ann_ivf_at_rest,
         "dedup_simhash": _dedup_simhash,
-        "bm25_search_at_rest": _bm25_search_at_rest,
-        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
-        "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
-        # -------- driver window ends here (50 entries above) --------
-        # ---------------- tail: fresh r7/r8/r9 driver evidence ----------------
-        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
         "events_asof_join": _events_asof_join,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "dedup_semantic_pairs": _dedup_semantic_pairs,
         "tpch_q12_ship_priority": _tpch_q12,
         "docs_token_budget_mixture": _docs_token_budget_mixture,
@@ -2405,42 +2441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
         "docs_tfidf_keywords": _docs_tfidf_keywords,
         "events_json_props": _events_json_props,
-        "docs_dsir_weights": _docs_dsir_weights,
-        "knn_l2": _knn("l2"),
-        "knn_dot": _knn("dot"),
-        "knn_cosine": _knn("cosine"),
-        "tpch_q9_profit_nation_year": _tpch_q9,
-        "tpch_q13_custdist": _tpch_q13,
-        "tpch_q16_supplier_variety": _tpch_q16,
-        "tpch_q21_waiting_supplier": _tpch_q21,
-        "chunk_dedup_frac": _chunk_dedup,
-        "doc_perplexity_bigram": _doc_perplexity_bigram,
-        "docs_pattern_scrub": _docs_pattern_scrub,
-        "docs_rule_funnel": _docs_rule_funnel,
-        "tpch_q11_important_parts": _tpch_q11,
-        "tpch_q20_dominant_supplier": _tpch_q20,
-        "kmv_distinct_shingles": _kmv_distinct_shingles,
-        "docs_weighted_sample": _docs_weighted_sample,
-        "tpch_q2_min_cost_supplier": _tpch_q2,
-        "ann_ivf_bq_at_rest": _ann_ivf_bq_at_rest,
-        "knn_rabitq_at_rest": _knn_rabitq_at_rest,
-        "docs_bloom_decontam": _docs_bloom_decontam,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "contamination_ngram": _contamination_ngram,
-        "doc_novelty": _doc_novelty,
-        "doc_repetition": _doc_repetition,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_keep_best_quality": _dedup_keep_best_quality,
-        "embedding_neardup": _embedding_neardup,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "stats_histogram": _stats_histogram,
-        "stats_categorical_profile": _stats_categorical,
-        "stats_vector_profile": _stats_vector,
-        "knn_hamming_registered": _knn_hamming_registered,
-        "knn_int4_adc": _knn_int4_adc,
-        "knn_rabitq": _knn_rabitq,
-        "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
-        # rows-only by design (approximate/RNG) — always last
         "ann_hnsw_batch": _ann_hnsw_batch,
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,
         "ann_vamana_at_rest": _ann_vamana_at_rest,
