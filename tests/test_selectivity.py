@@ -229,3 +229,56 @@ def test_adaptive_ema_learns_correlated_and(spark, tmp_path):
     adj = ema.adjust(fs, est)
     assert adj < est  # feedback pulled the estimate toward the truth
     assigned.unpersist()
+
+
+def test_adaptive_ema_flips_graph_search_to_exact_branch(spark, tmp_path):
+    """Graph filtered search (graph_at_rest cutover 0.3, hnsw.go:1118)
+    with EMA feedback: a correlated AND pair whose independence estimate
+    sits ABOVE the cutover (→ static takes the post-filter branch) but
+    whose true joint fraction sits BELOW it. The first query's own
+    rerank scan feeds the truth back; the next query flips to the
+    exact-scan branch (recall 1.0 by construction) and returns exactly
+    the filtered ground truth. min-blend direction: the flip can only go
+    TOWARD exact, so recall never drops below the static behavior."""
+    from vecgo_spark.plans.pruning import AdaptiveSelectivity
+    from vecgo_spark.plans.table import VectorTable
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(200):
+        cat = "A" if i < 140 else "B"
+        flag = bool(110 <= i < 200)  # A∧True = ids 110..139 (0.15)
+        rows.append((i, rng.standard_normal(8).tolist(), cat, flag))
+    t = VectorTable.create(spark, str(tmp_path / "tg"), dim=8, metric="l2")
+    t.insert(spark.createDataFrame(
+        rows, "id long, vector array<double>, category string, flag boolean"))
+    t.commit()
+    t.build_graph_index("hnsw")
+    fs = FilterSet().eq("category", "A").eq("flag", True)
+    # static estimate from segment stats: independence puts it over 0.3
+    from vecgo_spark.plans.pruning import estimate_selectivity
+    segs = t.manifest.segments
+    total = sum(s.rows for s in segs)
+    est = sum(estimate_selectivity(s.stats, s.rows, fs) * s.rows
+              for s in segs) / total
+    assert est >= 0.3 > 30 / 200  # adversarial: estimate above, truth below
+
+    q = [0.1] * 8
+    truth = sorted(
+        (sum((a - b) ** 2 for a, b in zip(v, q)), i)
+        for i, v, c, f in rows if c == "A" and f)
+    truth_ids = [i for _, i in truth[:5]]
+
+    ema = AdaptiveSelectivity()
+    first = t.graph_search(q, k=5, filter=fs, ema=ema)
+    static_ids = [r["id"] for r in first.collect()]  # post-filter branch
+    ema.drain()
+    adj = ema.adjust(fs, est)
+    assert adj < 0.3 <= est  # feedback crossed the cutover boundary
+    second = t.graph_search(q, k=5, filter=fs, ema=ema)
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # exact branch: no graph probe
+    got = [r["id"] for r in second.collect()]
+    assert got == truth_ids  # exact branch == filtered ground truth
+    r_static = len(set(static_ids) & set(truth_ids)) / 5
+    assert len(set(got) & set(truth_ids)) / 5 >= r_static

@@ -357,6 +357,7 @@ def search_graphs_at_rest(
     probe_blob: Callable[[bytes, np.ndarray, int], list[tuple[int, float]]],
     filter=None,
     oversample: int = 4,
+    ema=None,
 ) -> DataFrame:
     """Serve approximate top-k from the stored graphs + exact delta leg +
     live-snapshot rerank. probe_blob(blob, q, k) → [(row_id, score)] runs
@@ -368,10 +369,18 @@ def search_graphs_at_rest(
     the filtered subset is small → exact-scan it (recall 1.0, and the
     predicate pushes down to the parquet scan); otherwise probe the graphs
     for k·oversample candidates and apply the predicate at the exact
-    rerank (post-filter — most candidates survive, so recall holds)."""
+    rerank (post-filter — most candidates survive, so recall holds).
+
+    ema (pruning.AdaptiveSelectivity): observed-selectivity feedback
+    (stats.go:205-224) min-blended into the static estimate before the
+    cutover comparison — only ever LOWER, so the adaptive path can only
+    FLIP toward the exact-scan branch (recall 1.0), never away from it:
+    recall never drops below the static-cutover behavior. The exact
+    branch feeds its own true (scanned, matched) back through a
+    free-riding Observation."""
     from vecgo_spark.filters import FilterSet, to_condition
     from vecgo_spark.operators import knn
-    from vecgo_spark.plans.pruning import estimate_selectivity
+    from vecgo_spark.plans.pruning import estimate_selectivity, prune_segments
 
     info = tbl.manifest.meta.get(family)
     if info is None:
@@ -386,9 +395,20 @@ def search_graphs_at_rest(
             total = sum(s.rows for s in segs) or 1
             matched = sum(estimate_selectivity(s.stats, s.rows, filter) * s.rows
                           for s in segs)
-            if matched / total < FILTER_SELECTIVITY_CUTOVER:
+            sel = matched / total
+            if ema is not None:
+                sel = ema.adjust(filter, sel)
+            if sel < FILTER_SELECTIVITY_CUTOVER:
                 # brute-force the filtered subset (predicate-aware path)
-                exact = tbl.df(filter).select(
+                if ema is not None:
+                    # same visibility algebra as df(filter): manifest
+                    # pruning first, predicate after — split so the
+                    # observation sees (scanned, matched)
+                    pre = tbl.df(segments=prune_segments(segs, filter))
+                    base = ema.attach(pre, filter, cond)
+                else:
+                    base = tbl.df(filter)
+                exact = base.select(
                     tbl.id_col,
                     knn.score_expr(tbl.metric, tbl.vector_col, list(q)).alias("score"))
                 return (exact.orderBy(F.col("score").asc()
@@ -435,6 +455,13 @@ def search_graphs_at_rest(
         coarse = coarse.unionByName(leg)
     base = tbl.df()
     if cond is not None:
-        base = base.where(cond)  # post-filter at the exact rerank
+        if ema is not None and isinstance(filter, FilterSet):
+            # post-filter branch feedback: the rerank's visibility scan
+            # sees every live row anyway, so its (scanned, matched)
+            # IS the true global selectivity — free-riding Observation,
+            # no extra job (filters don't push through CollectMetrics)
+            base = ema.attach(base, filter, cond)
+        else:
+            base = base.where(cond)  # post-filter at the exact rerank
     return knn.rerank(coarse, base, list(q), k=k, metric=tbl.metric,
                       id_col=tbl.id_col, vector_col=tbl.vector_col)

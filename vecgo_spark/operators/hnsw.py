@@ -458,7 +458,7 @@ def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
 
 
 def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64,
-                   filter=None) -> DataFrame:
+                   filter=None, ema=None) -> DataFrame:
     """Approximate top-k served from the STORED graphs, with the exact
     delta leg for post-build segments and the live-snapshot rerank that
     enforces tombstone/upsert visibility. With `filter`, the strategy is
@@ -472,4 +472,5 @@ def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64,
         g, ids = _graph_from_blob(blob)
         return [(ids[node], float(d)) for d, node in g.search(qv, kk, ef_search=ef_search)]
 
-    return search_graphs_at_rest(tbl, "hnsw", query, k, probe_blob, filter=filter)
+    return search_graphs_at_rest(tbl, "hnsw", query, k, probe_blob,
+                                 filter=filter, ema=ema)

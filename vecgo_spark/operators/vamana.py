@@ -422,7 +422,7 @@ def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
 
 
 def search_at_rest(tbl, query, k: int = 10, l_search: int = 64,
-                   filter=None) -> DataFrame:
+                   filter=None, ema=None) -> DataFrame:
     """Approximate top-k from the stored Vamana graphs + exact delta leg +
     live-snapshot rerank (graph_at_rest.py; search semantics
     segment.go:487-560). `filter` takes the selectivity-driven
@@ -435,4 +435,5 @@ def search_at_rest(tbl, query, k: int = 10, l_search: int = 64,
         return [(ids[node], float(d))
                 for d, node in _probe_one(g, pq, qv, kk, l_search)]
 
-    return search_graphs_at_rest(tbl, "vamana", query, k, probe_blob, filter=filter)
+    return search_graphs_at_rest(tbl, "vamana", query, k, probe_blob,
+                                 filter=filter, ema=ema)
