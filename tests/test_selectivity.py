@@ -269,8 +269,11 @@ def test_adaptive_ema_flips_graph_search_to_exact_branch(spark, tmp_path):
         for i, v, c, f in rows if c == "A" and f)
     truth_ids = [i for _, i in truth[:5]]
 
-    ema = AdaptiveSelectivity()
-    first = t.graph_search(q, k=5, filter=fs, ema=ema)
+    # the table-owned front: enable once, searches consult + feed it
+    ema = t.enable_adaptive_selectivity()
+    assert isinstance(ema, AdaptiveSelectivity)
+    assert t.enable_adaptive_selectivity() is ema  # idempotent
+    first = t.graph_search(q, k=5, filter=fs)
     static_ids = [r["id"] for r in first.collect()]  # post-filter branch
     ema.drain()
     adj = ema.adjust(fs, est)

@@ -150,6 +150,7 @@ class VectorTable:
         self._pending_tombs: list[str] = []
         self._pending_tomb_stats: dict[str, Any] = {}
         self._observer = None
+        self._sel_ema = None  # enable_adaptive_selectivity()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -878,14 +879,31 @@ class VectorTable:
 
         return mar.stored_minhash_signatures(self)
 
+    def enable_adaptive_selectivity(self, alpha: float = 0.3):
+        """Turn on the table-owned observed-selectivity EMA (the
+        reference keeps adaptive selectivity inside its manifest stats,
+        stats.go:205-224): filtered graph searches consult and feed it
+        automatically. Session-lifetime state — estimates, not data, so
+        it is deliberately NOT persisted in the manifest (a fresh open
+        re-learns from its own queries, like the reference's in-memory
+        EMA). Returns the pruning.AdaptiveSelectivity for inspection."""
+        if self._sel_ema is None:
+            from vecgo_spark.plans.pruning import AdaptiveSelectivity
+
+            self._sel_ema = AdaptiveSelectivity(alpha=alpha)
+        return self._sel_ema
+
     def graph_search(self, query: Sequence[float], k: int = 10,
                      kind: str | None = None, filter=None, **kw) -> DataFrame:
         """Approximate top-k from a persisted graph index (+ exact delta
         leg + live-snapshot rerank; filtered search is selectivity-driven
-        — operators/graph_at_rest.py). kind defaults to whichever index
-        the manifest carries (vamana preferred when both exist)."""
+        — operators/graph_at_rest.py, consulting the table-owned EMA
+        when enable_adaptive_selectivity() is on). kind defaults to
+        whichever index the manifest carries (vamana preferred when both
+        exist)."""
         if kind is None:
             kind = self._default_graph_kind()
+        kw.setdefault("ema", self._sel_ema)
         return self._graph_mod(kind).search_at_rest(self, query, k=k,
                                                     filter=filter, **kw)
 
