@@ -356,10 +356,24 @@ COMMENTARY = {
         "postings artifact with `term IN (query terms)` pushed down "
         "(term-sorted files → row-group pruning — the postings-lookup "
         "analog), N/avgdl come from manifest counters with ZERO jobs on "
-        "a clean snapshot, and the text column is never touched "
-        "(optimized-plan pin in test_lexical_at_rest). idf values ride "
-        "as literals into one codegen score projection; top-k is "
-        "TakeOrderedAndProject."
+        "a clean snapshot, per-term docFreq from the stored df sidecars "
+        "(bm25.go:29-53's running counters; a |terms|-row lookup) — so "
+        "the plan below is the query's ONLY postings scan (r10; "
+        "one-FileScan pin in test_lexical_at_rest), and the text column "
+        "is never touched. idf values ride as literals into one codegen "
+        "score projection; top-k is TakeOrderedAndProject."
+    ),
+    "hybrid_rrf_indexed_at_rest": (
+        "The COMPLETE one-table two-index serving path (engine.go:"
+        "1538-1634 with the 1549 stance that an indexed table never "
+        "corpus-scans): the vector leg is search_early_terminate over "
+        "the at-rest IVF layout — probe selection + SegmentPriority "
+        "skip are driver-side manifest arithmetic, the scan touches "
+        "only surviving probed cluster files (file-pruning pin in "
+        "test_lexical_at_rest), bit-identical to search(nprobe=) — the "
+        "lexical leg reads stored postings, and the shared RRF fuses "
+        "two k-row legs. Oracle: the cluster-restricted hybrid twin "
+        "(the ann_ivf literal-centroid pattern)."
     ),
     "hybrid_rrf_at_rest": (
         "The reference's full serving path (engine.go:1538-1634) over "
