@@ -469,3 +469,26 @@ def test_uncovered_text_col_falls_back_to_recompute(spark, tdir):
     got_h = [(r["id"], r["rrf_score"])
              for r in tbl.hybrid_search(qv, q, k=6, text_col="title").collect()]
     assert got_h == want_h and got_h
+
+
+def test_churn_cache_registry_self_caps(spark, tdir):
+    """The churn-path candidate cache registry evicts oldest-first at
+    _CACHED_CAP — a serving session issuing many churn queries keeps a
+    bounded cache footprint, and evicted queries still answer correctly
+    (unpersist only forgets the cache, not the plan)."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    tbl.delete([5])  # churn → persist path
+    tbl.commit()
+    lex.release_caches()
+    frames = []
+    for i in range(lex._CACHED_CAP + 3):
+        frames.append(lex.bm25_search_at_rest(tbl, f"beta tok{i % 5}", k=5))
+    assert len(lex._CACHED) == lex._CACHED_CAP
+    # earliest (evicted) and latest (cached) both still answer correctly
+    assert _res(frames[0]) == _res(bm25.bm25_search(
+        tbl.df(), "beta tok0", k=5, id_col="id", text_col="text"))
+    lex.release_caches()
+    assert not lex._CACHED

@@ -280,12 +280,17 @@ def corpus_counts(tbl) -> tuple[int, int]:
 
 
 _CACHED: list[DataFrame] = []  # persisted candidate frames (churn path)
+_CACHED_CAP = 8  # oldest frames auto-unpersist past this — a serving
+# session issuing thousands of churn-path queries must not accumulate
+# cache entries (each is ≤ |query terms| postings, but the registry
+# itself would grow without bound)
 
 
 def release_caches() -> None:
     """Unpersist candidate frames persisted by bm25_search_at_rest on the
     churn path (long-lived sessions issuing many queries should call this
-    once results are consumed; Spark's LRU evicts them anyway)."""
+    once results are consumed; the registry also self-caps at
+    _CACHED_CAP, evicting oldest-first)."""
     while _CACHED:
         _CACHED.pop().unpersist()
 
@@ -362,6 +367,8 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
     dfmap = _stored_term_df(tbl, info, terms)
     if dfmap is None:  # churn path: share ONE postings read across
         cand = cand.persist()  # the df aggregate and the score pass
+        while len(_CACHED) >= _CACHED_CAP:  # oldest-first self-eviction
+            _CACHED.pop(0).unpersist()
         _CACHED.append(cand)
         row = cand.agg(
             *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
