@@ -499,9 +499,9 @@ def test_artifact_families_random_churn_parity(spark, tmp_path):
         assert got == want, step
 
     nxt = 100
-    for step in range(8):
-        op = rng.choices(["ins", "del", "ups", "refresh", "pc"],
-                         weights=[30, 20, 20, 20, 10])[0]
+    for step in range(10):
+        op = rng.choices(["ins", "del", "ups", "refresh", "pc", "fc", "vac"],
+                         weights=[27, 18, 18, 17, 10, 6, 4])[0]
         if op == "ins":
             t.insert(docs(range(nxt, nxt + 5)))
             t.commit()
@@ -521,6 +521,15 @@ def test_artifact_families_random_churn_parity(spark, tmp_path):
             mar.refresh_minhash_index(t)
             sar.refresh_simhash_index(t)
             t.refresh_lexical_index()
-        else:
+        elif op == "pc":
             t.maybe_compact(PickRandom())
+        elif op == "fc":
+            # full compaction reindexes every family (fresh df sidecars,
+            # clean visibility) — the stored reads must stay identical
+            # right through the rebuild
+            t.compact(reindex=True)
+        else:
+            # vacuum collects superseded dirs AND their df sidecars; the
+            # live families must keep serving
+            t.vacuum(keep_versions=1)
         check((step, op))
