@@ -1962,9 +1962,15 @@ def _docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights vs the English slice as the target domain:
     per doc, Σ log(p_target/p_raw) over 4096 hashed bigram buckets — the
     pretraining mixture-selection signal. Both count tables are B-row
-    bounded by construction (sound broadcasts at any corpus size)."""
+    bounded by construction (sound broadcasts at any corpus size).
+    persist_grams=True → the corpus tokenizes ONCE: the c_raw count pass
+    and the per-doc probe pass share the cached hashed-gram stream (two
+    longs per gram), the same single-scan trade the exact-substring
+    pipeline makes (r10; release via pipeline.release_caches)."""
+    pipeline.release_caches()
     docs = load_table(spark, sf_dir, "documents")
-    return pipeline.dsir_importance(docs, docs.where(F.col("lang") == "en"), n=2)
+    return pipeline.dsir_importance(docs, docs.where(F.col("lang") == "en"),
+                                    n=2, persist_grams=True)
 
 
 def _sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
