@@ -187,6 +187,61 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_search(docs, QUERY_TEXT, k=10, id_col="doc_id", text_col="text")
 
 
+_CHURN_LEX_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
+CHURN_DELETED = [7, 23, 41]
+CHURN_UPSERTS = {11: "spark join window merge spark rewrite v2",
+                 29: "nothing relevant in this rewrite at all"}
+
+
+def _churned_lex_table(spark: SparkSession, sf_dir: str):
+    """A lexical-indexed table whose snapshot then CHURNS (upserts +
+    deletes committed AFTER the build) — the serving state the
+    reference's persistent index lives in permanently (every write goes
+    through lexicalIndex.Add while deletes ride visibility,
+    engine.go insert/delete paths). Queries against it exercise the full
+    at-rest churn machinery: marker rows restoring per-id max-LSN
+    visibility, the size-gated tombstone anti-join, the latest-LSN-wins
+    filter, the non-clean corpus counters, and the persisted-candidate
+    single-read path — externally oracle-checked, not just pytest-pinned."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    if sf_dir in _CHURN_LEX_TABLES:
+        return VectorTable.open(spark, _CHURN_LEX_TABLES[sf_dir])
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text")
+    tmp = tempfile.mkdtemp(prefix="vecgo_churnlex_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=None, id_col="id")
+    tbl.insert(docs)
+    tbl.commit()
+    tbl.build_lexical_index(text_col="text")
+    tbl.insert(spark.createDataFrame(
+        sorted(CHURN_UPSERTS.items()), "id long, text string"))
+    tbl.commit()
+    tbl.delete(CHURN_DELETED)
+    tbl.commit()
+    _CHURN_LEX_TABLES[sf_dir] = path
+    return tbl
+
+
+def _bm25_search_churned_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the stored index under CHURN (deletes + upserts landed
+    after the build): stored postings + marker rows replay df()'s
+    visibility algebra bit-identically (lexical_at_rest._visible_rows),
+    so the result equals recomputing over the live snapshot — whose
+    DuckDB twin is the documents table with the churn applied."""
+    from vecgo_spark.operators import lexical_at_rest as lex
+
+    lex.release_caches()  # churn path persists its candidate frame
+    return lex.bm25_search_at_rest(_churned_lex_table(spark, sf_dir),
+                                   QUERY_TEXT, k=10)
+
+
 _HYBRID_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
 
 
@@ -2376,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # -------- tail: fresh r8/r9/r10 driver evidence --------
+        "bm25_search_churned_at_rest": _bm25_search_churned_at_rest,
         "dedup_semantic_clusters": _dedup_semantic_clusters,
         "docs_exact_substring_spans": _docs_exact_substring_spans,
         "docs_exact_substring_dedup": _docs_exact_substring_dedup,
@@ -3086,6 +3142,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_at_rest": bm25.bm25_oracle_sql(
             QUERY_TEXT, 10, docs_table="documents",
             id_col="doc_id", text_col="text"),
+        # churned serving: stored postings + visibility replay ==
+        # recompute over the live snapshot == documents with the same
+        # upserts/deletes applied relationally
+        "bm25_search_churned_at_rest": f"""
+            WITH live AS (
+                SELECT doc_id,
+                       CASE {' '.join(f"WHEN doc_id = {i} THEN '{t}'"
+                                      for i, t in sorted(CHURN_UPSERTS.items()))}
+                            ELSE text END AS text
+                FROM documents
+                WHERE doc_id NOT IN ({', '.join(map(str, CHURN_DELETED))})
+            )
+            SELECT * FROM ({bm25.bm25_oracle_sql(
+                QUERY_TEXT, 10, docs_table='live',
+                id_col='doc_id', text_col='text')}) t
+        """,
         "hybrid_rrf": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),
         # at-rest serving path must reproduce hybrid_rrf exactly
