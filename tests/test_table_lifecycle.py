@@ -602,3 +602,68 @@ def test_compact_reindex_on_emptied_table(spark, tdir):
     assert mar.stored_minhash_signatures(t).count() == 0
     assert sar.stored_simhash_signatures(t).count() == 0
     assert lex.bm25_search_at_rest(t, "alpha", k=5).count() == 0
+
+
+def test_subset_scans_never_elect_stale_versions(spark, tdir):
+    """MVCC × pruning trap (found+fixed r10): when a stats-pruned filter
+    or an explicit segment subset drops the segment holding an id's
+    WINNING version, the latest-LSN resolution must still see the full
+    snapshot — a window over the subset would resurrect the stale
+    version (the exact hazard the lexical index's marker rows guard).
+    Covers the cluster-moved upsert through probe-pruned search, a
+    metadata filter whose new version is stats-pruned away, and the
+    delete→re-insert interplay."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from vecgo_spark.filters import Filter, FilterSet
+    from vecgo_spark.operators import ivf as ivfmod
+    from vecgo_spark.plans.table import CLUSTER_COL
+
+    rng = np.random.default_rng(5)
+    centers = np.zeros((2, 4))
+    centers[0, 0] = 20.0
+    centers[1, 1] = 20.0
+    rows = [(i, (centers[i % 2] + rng.normal(0, .1, 4)).tolist(), "a")
+            for i in range(40)]
+    t = VectorTable.create(spark, tdir, dim=4, metric="l2")
+    t.insert(spark.createDataFrame(
+        rows, "id long, vector array<double>, label string"))
+    t.commit()
+    t.compact(cluster_by=2)
+    # move id 0 to the OTHER cluster and flip its label; the new version
+    # lands in its own segment whose stats exclude the old cluster/label
+    t.insert(spark.createDataFrame(
+        [(0, centers[1].tolist(), "b")],
+        "id long, vector array<double>, label string"))
+    t.commit()
+    model = t._load_ivf()
+    q = centers[0].tolist()
+    probes = ivfmod.probe_clusters(model, q, 1)
+    fs = FilterSet([Filter(CLUSTER_COL, "in", probes)])
+    # the probed view must not contain any version of id 0 (its live
+    # version sits in the pruned cluster)
+    assert t.df(fs).where(F.col("id") == 0).count() == 0
+    assert not any(r["id"] == 0
+                   for r in t.search(q, k=40, nprobe=1).collect())
+    # metadata filter: id 0's LIVE label is b → eq(label, a) excludes it
+    # even though its stale 'a' version sits in a kept segment
+    assert t.df(FilterSet().eq("label", "a")).where(
+        F.col("id") == 0).count() == 0
+    # explicit segment subset (the segment_budget shape): visibility
+    # still resolves globally
+    seg0 = [t.manifest.segments[0]]
+    sub = t.df(segments=seg0).where(F.col("id") == 0).collect()
+    assert all(r["vector"][1] > 19.0 for r in sub)  # only the live version
+    # full view unchanged: exactly one live id 0, the new vector
+    live = t.df().where(F.col("id") == 0).collect()
+    assert len(live) == 1 and round(live[0]["vector"][1], 1) == 20.0
+    # delete → re-insert: the re-inserted version wins in subset views too
+    t.delete([2])
+    t.commit()
+    t.insert(spark.createDataFrame(
+        [(2, centers[1].tolist(), "b")],
+        "id long, vector array<double>, label string"))
+    t.commit()
+    assert t.df(fs).where(F.col("id") == 2).count() == 0
+    assert t.df().where(F.col("id") == 2).count() == 1

@@ -607,16 +607,18 @@ class VectorTable:
         reference's insert-immediately-searchable semantics
         (engine.go:833-921) for a writer session; other readers still see
         only the committed manifest."""
-        segs = self.manifest.segments if segments is None else segments
+        snapshot = self.manifest.segments if segments is None else segments
         if include_pending and segments is None:
-            segs = segs + self._pending
+            snapshot = snapshot + self._pending
+        segs = snapshot
         if isinstance(filter, FilterSet):
             segs = prune_segments(segs, filter)
         base = self._segment_df(segs)
         if base is None:
             return self.spark.createDataFrame([], self._empty_schema())
         tomb = self._tombstones(include_pending=include_pending)
-        if tomb is not None:
+
+        def tomb_filter(df):
             # a tombstone at LSN T kills versions with LSN <= T; a
             # re-insert AFTER the delete (row LSN > T) is visible again —
             # MVCC delete semantics (internal/pk/mvcc.go:258, versioned
@@ -624,14 +626,47 @@ class VectorTable:
             tmax = tomb.groupBy(self.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
             if self.tomb_broadcastable(include_pending):
                 tmax = F.broadcast(tmax)
-            base = (
-                base.join(tmax, self.id_col, "left")
+            return (
+                df.join(tmax, self.id_col, "left")
                 .where(F.col("_tomb_lsn").isNull() | (F.col("_lsn") > F.col("_tomb_lsn")))
                 .drop("_tomb_lsn")
             )
+
+        if tomb is not None:
+            base = tomb_filter(base)
         if self.manifest.meta.get("has_upserts"):
-            w = Window.partitionBy(self.id_col).orderBy(F.col("_lsn").desc())
-            base = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+            full = self.manifest.segments if segments is None else segments
+            if include_pending and segments is None:
+                full = full + self._pending
+            if {s.path for s in segs} == {s.path for s in full}:
+                # scanning the whole snapshot → the winner is in view
+                w = Window.partitionBy(self.id_col).orderBy(F.col("_lsn").desc())
+                base = (base.withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1).drop("_rn"))
+            else:
+                # SUBSET scan (stats-pruned filter / explicit segments=):
+                # the winning VERSION of an id may live in a segment the
+                # subset dropped — a latest-LSN window over the subset
+                # would elect a STALE version (the same trap the lexical
+                # index solves with marker rows). Resolve visibility over
+                # the FULL snapshot via a narrow (id, _lsn) projection —
+                # column-pruned scan, same tombstone algebra — and keep
+                # only subset rows carrying their id's true max LSN.
+                # Compaction folds versions (has_upserts → False), which
+                # restores pure prune-only cost; until then correctness
+                # genuinely needs the global version view, exactly like
+                # the reference's PK index consult on its read path
+                # (internal/pk/mvcc.go).
+                vis = self._segment_df(full).select(self.id_col, "_lsn")
+                if tomb is not None:
+                    vis = tomb_filter(vis)
+                vmax = vis.groupBy(self.id_col).agg(
+                    F.max("_lsn").alias("_vis_lsn"))
+                base = (
+                    base.join(vmax, self.id_col, "left")
+                    .where(F.col("_lsn") == F.col("_vis_lsn"))
+                    .drop("_vis_lsn")
+                )
         cond = to_condition(filter)
         if cond is not None:
             base = base.where(cond)
