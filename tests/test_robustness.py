@@ -447,6 +447,14 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
         got = {r["id"]: int(r["vector"][0]) for r in t.df().collect()}
         assert got == visible(), (seed, seq, op)
         assert t.count() == len(got), (seed, seq, op)
+        # subset-scan visibility (r10 fix): a stats-pruned point filter
+        # must return exactly the live version — never a stale one from
+        # a kept segment when the winner's segment was pruned
+        for probe_id in rng.sample(range(30), 3):
+            rows = t.df(FilterSet().eq("id", probe_id)).collect()
+            want = visible().get(probe_id)
+            assert [int(r["vector"][0]) for r in rows] == \
+                ([want] if want is not None else []), (seed, seq, op, probe_id)
 
 
 def test_artifact_families_random_churn_parity(spark, tmp_path):
