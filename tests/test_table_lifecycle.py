@@ -667,3 +667,20 @@ def test_subset_scans_never_elect_stale_versions(spark, tdir):
     t.commit()
     assert t.df(fs).where(F.col("id") == 2).count() == 0
     assert t.df().where(F.col("id") == 2).count() == 1
+
+
+def test_subset_scan_collapses_same_lsn_duplicates(spark, tdir):
+    """In-batch duplicate ids share one LSN; the subset-scan visibility
+    path must still return exactly ONE row per id (the full-view window's
+    cardinality), including through a stats-pruned point filter."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(5, [1.0, 0.0]), (5, [2.0, 0.0]), (7, [3.0, 0.0])],
+        "id long, vector array<float>"))
+    t.commit()
+    t.insert(spark.createDataFrame(  # second segment so pruning can drop it
+        [(9, [4.0, 0.0])], "id long, vector array<float>"))
+    t.commit()
+    assert t.manifest.meta.get("has_upserts") is True
+    assert t.df(FilterSet().eq("id", 5)).count() == 1
+    assert t.get(5).count() == 1

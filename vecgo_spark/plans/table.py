@@ -667,6 +667,13 @@ class VectorTable:
                     .where(F.col("_lsn") == F.col("_vis_lsn"))
                     .drop("_vis_lsn")
                 )
+                # same-LSN duplicates (one batch carrying an id twice)
+                # tie at the max — collapse to one row, matching the
+                # full-view window's cardinality; the window runs over
+                # the already max-filtered subset, so it is tiny
+                w = Window.partitionBy(self.id_col).orderBy(F.col("_lsn").desc())
+                base = (base.withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1).drop("_rn"))
         cond = to_condition(filter)
         if cond is not None:
             base = base.where(cond)
