@@ -684,3 +684,19 @@ def test_subset_scan_collapses_same_lsn_duplicates(spark, tdir):
     assert t.manifest.meta.get("has_upserts") is True
     assert t.df(FilterSet().eq("id", 5)).count() == 1
     assert t.get(5).count() == 1
+
+
+def test_clean_tables_skip_subset_visibility_join(spark, tdir):
+    """The global-version visibility join exists ONLY under upserts: a
+    bulk-loaded table's pruned scans stay prune-only (no extra (id,_lsn)
+    scan, no join) — the 100-TB fast path is untouched by the r10 fix."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "id long, vector array<float>"))
+    t.commit()
+    assert not t.manifest.meta.get("has_upserts")
+    df = t.df(FilterSet().eq("id", 7))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_vis_lsn" not in plan and "Join" not in plan
+    assert [r["id"] for r in df.collect()] == [7]
