@@ -229,6 +229,66 @@ def _churned_lex_table(spark: SparkSession, sf_dir: str):
     return tbl
 
 
+_CHURN_IVF_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
+CHURN_VEC_DELETED = [8, 21, 34]
+# float32-exact literals (i/8 grid) so Spark's array<float> storage and
+# the DuckDB double literal agree bit-for-bit
+CHURN_VEC_UPSERT = [((i % 13) - 6) / 8.0 for i in range(EMB_DIM)]
+
+
+def _churned_ivf_table(spark: SparkSession, sf_dir: str):
+    """The at-rest IVF layout under CHURN: compacted cluster partitions,
+    then an upsert that REASSIGNS a vector and deletes — the state where
+    probe pruning and MVCC visibility interact. The upsert VICTIM is the
+    pre-churn top-1 probed id (deterministic; the oracle recomputes it
+    relationally), so the stale version sits in a PROBED cluster at rank
+    1 while the winner moves to an unprobed far cluster — the exact trap
+    the r10 subset-visibility fix closes: pre-fix, this query returns
+    the stale row as its top hit and hash-mismatches the oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    if sf_dir in _CHURN_IVF_TABLES:
+        return VectorTable.open(spark, _CHURN_IVF_TABLES[sf_dir])
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    model = ivf.train_ivf(
+        load_table(spark, sf_dir, "embeddings"), "embedding", nlist=8,
+        max_iter=10, trainer="driver", max_train_rows=20_000,
+        order_col="vec_id", cache_key=f"{sf_dir}:embeddings:ivf8")
+    tmp = tempfile.mkdtemp(prefix="vecgo_churnivf_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
+    tbl.insert(emb)
+    tbl.commit()
+    tbl.compact(cluster_by=model)
+    victim = int(tbl.search(_query_vector(spark, sf_dir),
+                            k=1, nprobe=3).collect()[0]["id"])
+    tbl.insert(spark.createDataFrame(
+        [(victim, CHURN_VEC_UPSERT)], "id long, vector array<float>"))
+    tbl.commit()
+    tbl.delete(CHURN_VEC_DELETED)
+    tbl.commit()
+    _CHURN_IVF_TABLES[sf_dir] = path
+    return tbl
+
+
+def _ann_ivf_churned_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-pruned search over the churned layout: probes prune FILES,
+    the visibility algebra resolves versions GLOBALLY (r10 fix — a
+    stale version whose winner sits in a pruned cluster never
+    surfaces), and the result equals the assignment-restricted exact
+    scan of the LIVE snapshot, which the oracle replays relationally."""
+    tbl = _churned_ivf_table(spark, sf_dir)
+    rows = tbl.search(_query_vector(spark, sf_dir), k=10, nprobe=3).collect()
+    out = spark.createDataFrame(rows, "id long, score double")
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
 def _bm25_search_churned_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 from the stored index under CHURN (deletes + upserts landed
     after the build): stored postings + marker rows replay df()'s
@@ -2431,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # -------- tail: fresh r8/r9/r10 driver evidence --------
+        "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
         "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
         "dedup_semantic_clusters": _dedup_semantic_clusters,
         "docs_exact_substring_spans": _docs_exact_substring_spans,
@@ -2790,8 +2851,40 @@ def _ann_oracles() -> dict[str, str]:
         sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC",
         vec_where=f"{ivf.assign_sql(ivf_m, 'c.embedding')} IN ({probes3})")
 
+    # churned probe-pruned search: the live snapshot (upsert applied,
+    # deletes removed) restricted to the probed clusters — stale
+    # versions must never surface from probed segments (the r10
+    # subset-visibility fix, externally hash-checked here). The upsert
+    # victim is the PRE-churn top-1 probed id, recomputed relationally,
+    # so its stale rank-1 row sits in a probed cluster while its live
+    # version moved to an unprobed one — pre-fix code returns the stale
+    # row and mismatches
+    up_vec = "[" + ", ".join(repr(float(x)) for x in CHURN_VEC_UPSERT) + "]"
+    ann_ivf_churned = f"""
+        WITH q AS {_Q},
+        pre AS (
+            SELECT e.vec_id FROM embeddings e, q
+            WHERE {ivf.assign_sql(ivf_m, "e.embedding")} IN ({probes3})
+            ORDER BY {sq} ASC, e.vec_id ASC
+            LIMIT 1
+        ),
+        live AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id = (SELECT vec_id FROM pre) THEN {up_vec}
+                        ELSE embedding END AS embedding
+            FROM embeddings
+            WHERE vec_id NOT IN ({", ".join(map(str, CHURN_VEC_DELETED))})
+        )
+        SELECT e.vec_id, {sq_l2_sql("e.embedding", "q.qv")} AS score
+        FROM live e, q
+        WHERE {ivf.assign_sql(ivf_m, "e.embedding")} IN ({probes3})
+        ORDER BY score ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
     return {
         "hybrid_rrf_indexed_at_rest": hybrid_rrf_indexed,
+        "ann_ivf_churned_at_rest": ann_ivf_churned,
         "embedding_cluster_balance": embedding_cluster_balance,
         "embedding_label_purity": stats.cluster_label_purity_sql(ivf_m),
         "docs_tfidf_keywords": pipeline.tfidf_keywords_sql(n_docs=_docs_n, k=3),
