@@ -2439,7 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- search_quantized signature change)
         "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
         "bm25_search_at_rest": _bm25_search_at_rest,
-        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
+        "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
         "bm25_search_churned_at_rest": _bm25_search_churned_at_rest,
         # ---- oldest driver evidence (r7 set, complete) ----
         "docs_dsir_weights": _docs_dsir_weights,
@@ -2491,7 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
         # -------- tail: fresh r8/r9/r10 driver evidence --------
-        "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
+        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
         "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
         "dedup_semantic_clusters": _dedup_semantic_clusters,
         "docs_exact_substring_spans": _docs_exact_substring_spans,
