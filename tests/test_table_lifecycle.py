@@ -700,3 +700,29 @@ def test_clean_tables_skip_subset_visibility_join(spark, tdir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "_vis_lsn" not in plan and "Join" not in plan
     assert [r["id"] for r in df.collect()] == [7]
+
+
+def test_subset_visibility_scan_stays_narrow_and_pushed(spark, tdir):
+    """The global-visibility side-scan (r10 fix) must stay cheap at
+    scale: it reads ONLY (id, _lsn) — column pruning through the
+    union — and for an id-predicate filter Catalyst propagates the
+    equi-join key into the side-scan's pushed filters, so even the
+    'full snapshot' pass is row-group-pruned to the touched ids."""
+    import re
+
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "id long, vector array<float>"))
+    t.commit()
+    t.insert(spark.createDataFrame(
+        [(3, [9.0, 9.0])], "id long, vector array<float>"))
+    t.commit()
+    assert t.manifest.meta.get("has_upserts")
+    plan = t.df(FilterSet().eq("id", 5))._jdf.queryExecution() \
+        .executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2  # pruned base + visibility side-scan
+    narrow = [ln for ln in scans if re.search(r"\[id#\d+L,_lsn#\d+L\]", ln)]
+    assert len(narrow) == 1, plan  # side-scan projects exactly (id, _lsn)
+    assert "= 5)" in narrow[0]     # join key pushed into the side-scan
