@@ -363,6 +363,26 @@ COMMENTARY = {
         "is never touched. idf values ride as literals into one codegen "
         "score projection; top-k is TakeOrderedAndProject."
     ),
+    "bm25_search_churned_at_rest": (
+        "BM25 from stored postings UNDER CHURN (upserts + deletes landed "
+        "after the build): the postings scan adds the NULL-term marker "
+        "rows, the size-gated tombstone anti-join and the per-id "
+        "max-LSN filter replay df()'s visibility algebra on index rows, "
+        "and the candidate frame is persisted so the df aggregate and "
+        "the score pass share ONE postings read. Bit-identical to "
+        "recomputing over the live snapshot — the oracle applies the "
+        "same churn relationally."
+    ),
+    "ann_ivf_churned_at_rest": (
+        "Probe-pruned search over a churned cluster layout — the "
+        "adversarial shape for the r10 subset-visibility fix: the "
+        "upserted victim's stale rank-1 row sits in a PROBED cluster "
+        "while its live version moved to an unprobed one. The plan "
+        "shows the probed file scan plus the narrow (id, _lsn) "
+        "visibility side-scan (column-pruned, join keys pushed into "
+        "its DataFilters) whose max-LSN join excludes the stale row; "
+        "pre-fix code returns it as the top hit and hash-mismatches."
+    ),
     "hybrid_rrf_indexed_at_rest": (
         "The COMPLETE one-table two-index serving path (engine.go:"
         "1538-1634 with the 1549 stance that an indexed table never "
