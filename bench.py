@@ -79,6 +79,15 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # build-vs-serve split (r10 verdict nit): the scratch VectorTables
+    # (churned lex/ivf, hybrid two-index) are built ONCE during the
+    # untimed warm-up pass above; their build seconds are recorded here
+    # so per-query timings are read as pure serve time. A cold run of a
+    # single query (as the external driver's correctness pass does) pays
+    # the build inside that query instead.
+    build = dict(getattr(entrymod, "_BUILD_SECONDS", {}))
+    if build:
+        out["fixture_build_secs"] = {k: round(v, 2) for k, v in build.items()}
     payload = json.dumps(out)
     # The driver's stdout capture has head-truncated this line three
     # rounds running (BENCH_r04..r06 all "parsed": null), so the JSON is

@@ -378,10 +378,14 @@ COMMENTARY = {
         "adversarial shape for the r10 subset-visibility fix: the "
         "upserted victim's stale rank-1 row sits in a PROBED cluster "
         "while its live version moved to an unprobed one. The plan "
-        "shows the probed file scan plus the narrow (id, _lsn) "
-        "visibility side-scan (column-pruned, join keys pushed into "
-        "its DataFilters) whose max-LSN join excludes the stale row; "
-        "pre-fix code returns it as the top hit and hash-mismatches."
+        "shows the probed file scan plus the PK-SIDECAR visibility leg "
+        "(r11: the persisted PK index, engine.go:2226-2262 — a scan of "
+        "the tiny `_pk/` (id, _lsn) files, NEVER a corpus segment "
+        "outside the probe set; inputFiles pin in test_pk_sidecar) "
+        "whose max-LSN join excludes the stale row; pre-fix code "
+        "returns it as the top hit and hash-mismatches. The r10 form "
+        "of this leg re-projected every segment file per query — "
+        "O(corpus) under churn, the r10 verdict's one weak."
     ),
     "hybrid_rrf_indexed_at_rest": (
         "The COMPLETE one-table two-index serving path (engine.go:"

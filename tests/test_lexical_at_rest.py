@@ -311,7 +311,7 @@ def test_single_postings_scan_per_query(spark, tdir):
     plan2 = res2._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan2
     assert _res(res2) == _fresh(tbl, Q)
-    assert len(lex._CACHED) == 1
+    assert len(lex._CACHED.get(tbl.path, [])) == 1
     lex.release_caches()
     assert not lex._CACHED
 
@@ -486,9 +486,39 @@ def test_churn_cache_registry_self_caps(spark, tdir):
     frames = []
     for i in range(lex._CACHED_CAP + 3):
         frames.append(lex.bm25_search_at_rest(tbl, f"beta tok{i % 5}", k=5))
-    assert len(lex._CACHED) == lex._CACHED_CAP
+    assert len(lex._CACHED[tbl.path]) == lex._CACHED_CAP
     # earliest (evicted) and latest (cached) both still answer correctly
     assert _res(frames[0]) == _res(bm25.bm25_search(
         tbl.df(), "beta tok0", k=5, id_col="id", text_col="text"))
+    lex.release_caches()
+    assert not lex._CACHED
+
+
+def test_churn_cache_scoped_per_table(spark, tmp_path):
+    """r10 verdict #7: the candidate-cache registry is keyed by table
+    path — two churned tables served from one session each keep their
+    own _CACHED_CAP slots, so a hot table can never evict another
+    table's frames; release_caches(table_path) frees one table only."""
+    tables = []
+    for name in ("a", "b"):
+        t = VectorTable.create(spark, str(tmp_path / name), dim=None)
+        t.insert(_docs(spark, range(1, 21)))
+        t.commit()
+        t.build_lexical_index()
+        t.delete([2])  # churn → persist path
+        t.commit()
+        tables.append(t)
+    ta, tb = tables
+    lex.release_caches()
+    # alternate CAP queries per table: under the old module-global list
+    # this would hold only the last CAP frames across BOTH tables
+    for i in range(lex._CACHED_CAP):
+        lex.bm25_search_at_rest(ta, f"beta tok{i % 5}", k=3)
+        lex.bm25_search_at_rest(tb, f"alpha tok{i % 5}", k=3)
+    assert len(lex._CACHED[ta.path]) == lex._CACHED_CAP
+    assert len(lex._CACHED[tb.path]) == lex._CACHED_CAP
+    lex.release_caches(ta.path)
+    assert ta.path not in lex._CACHED
+    assert len(lex._CACHED[tb.path]) == lex._CACHED_CAP
     lex.release_caches()
     assert not lex._CACHED

@@ -285,3 +285,111 @@ def test_adaptive_ema_flips_graph_search_to_exact_branch(spark, tmp_path):
     assert got == truth_ids  # exact branch == filtered ground truth
     r_static = len(set(static_ids) & set(truth_ids)) / 5
     assert len(set(got) & set(truth_ids)) / 5 >= r_static
+
+
+def test_prune_accuracy_weighting(spark):
+    """PruneAccuracy (stats.go:210-214): decisions scored by whether the
+    static estimate and the observed fraction land on the same side of
+    the threshold; the blend leans static when static has been accurate
+    and observed when it has not — while staying ≤ the static estimate
+    (the min-blend recall invariant)."""
+    from vecgo_spark.plans.pruning import AdaptiveSelectivity
+
+    def fed(correct: bool) -> AdaptiveSelectivity:
+        """EMA fed via its own attach/drain path: static estimate 0.5,
+        observed 0.05 — a mis-estimating fixture; `correct` plants the
+        estimate on the right/wrong side of the decision threshold."""
+        ema = AdaptiveSelectivity(alpha=1.0)
+        df = spark.range(100).withColumn("v", F.col("id") % 20)
+        fs = FilterSet().eq("v", 3)
+        for _ in range(3):
+            out = ema.attach(df, fs, F.col("v") == 3,
+                             estimate=0.5,
+                             threshold=0.3 if correct is False else 0.6)
+            out.count()  # execute → observation completes (obs 0.05)
+            ema.drain()
+        return ema
+
+    fs = FilterSet().eq("v", 3)
+    # static WRONG side (est 0.5 ≥ thr 0.3, truth 0.05 < 0.3): acc → 0,
+    # full min-blend — the observed correction applies
+    wrong = fed(correct=False)
+    assert wrong.adjust(fs, 0.5) == pytest.approx(0.05, abs=1e-9)
+    # static RIGHT side (both under thr 0.6): acc → 1, blend leans static
+    right = fed(correct=True)
+    assert right.adjust(fs, 0.5) == pytest.approx(0.5, abs=1e-9)
+    # invariant: whatever the accuracy, never above the static estimate
+    for ema in (wrong, right):
+        for est in (0.01, 0.05, 0.5, 0.9):
+            assert ema.adjust(fs, est) <= est + 1e-12
+
+
+def test_adaptive_ema_pending_cap_and_hot_field(spark):
+    """r10 ADVICE: _pending must not grow unbounded when attached frames
+    are never executed. HotField (stats.go:216-219): the most frequently
+    filtered field surfaces through the table stats as an indexing
+    recommendation."""
+    from vecgo_spark.plans.pruning import AdaptiveSelectivity
+
+    ema = AdaptiveSelectivity()
+    df = spark.range(10)
+    fs = FilterSet().eq("id", 1)
+    for _ in range(ema.PENDING_CAP + 20):
+        ema.attach(df, fs, F.col("id") == 1)  # never executed
+    assert len(ema._pending) == ema.PENDING_CAP
+    # hot field: 'price' filtered more often than 'category'
+    for _ in range(3):
+        ema.adjust(FilterSet().gt("price", 1.0), 0.5)
+    ema.adjust(FilterSet().eq("category", "A"), 0.5)
+    assert ema.hot_field() == "price"
+
+
+def test_hot_field_recommendation_in_table_stats(spark, tmp_path):
+    t = VectorTable.create(spark, str(tmp_path / "hf"), dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0], float(i)) for i in range(50)],
+        "id long, vector array<double>, price double"))
+    t.commit()
+    assert "hot_field" not in t.stats()  # EMA off → no recommendation
+    ema = t.enable_adaptive_selectivity()
+    assert "hot_field" not in t.stats()  # no filtered workload yet
+    for _ in range(2):
+        ema.adjust(FilterSet().gt("price", 10.0), 0.4)
+    s = t.stats()
+    assert s["hot_field"] == "price"
+    assert "cluster/sort" in s["hot_field_hint"]
+
+
+def test_persisted_ema_lifecycle(spark, tmp_path):
+    """Opt-in FeedbackStore analog (stats.go:205-208): persist=True
+    snapshots the EMA into manifest meta at commit; a fresh open with
+    persist=True warms from it. Default stays session-only."""
+    path = str(tmp_path / "pe")
+    t = VectorTable.create(spark, path, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "id long, vector array<double>"))
+    t.commit()
+    fs = FilterSet().eq("id", 3).gt("id", 1)
+    ema = t.enable_adaptive_selectivity(persist=True)
+    ema.observe(fs, 0.07)
+    t.insert(spark.createDataFrame([(99, [9.0, 9.0])],
+                                   "id long, vector array<double>"))
+    t.commit()  # snapshot rides this publish
+    assert "selectivity_ema" in t.manifest.meta
+    # fresh open + persist=True → observed estimate present immediately
+    t2 = VectorTable.open(spark, path)
+    ema2 = t2.enable_adaptive_selectivity(persist=True)
+    assert ema2.adjust(fs, 0.5) == pytest.approx(0.07, abs=1e-9)
+    # fresh open WITHOUT persist → session-only state, nothing loaded
+    t3 = VectorTable.open(spark, path)
+    ema3 = t3.enable_adaptive_selectivity()
+    assert ema3.adjust(fs, 0.5) == 0.5
+    # and a table that never opted in has no meta entry
+    p2 = str(tmp_path / "pe2")
+    u = VectorTable.create(spark, p2, dim=2)
+    u.enable_adaptive_selectivity().observe(fs, 0.1)
+    u.insert(spark.createDataFrame([(1, [0.0, 0.0])],
+                                   "id long, vector array<double>"))
+    u.commit()
+    assert "selectivity_ema" not in u.manifest.meta

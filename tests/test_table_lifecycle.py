@@ -94,7 +94,8 @@ def test_vacuum_gc(spark, tdir):
     t.compact()
     res = t.vacuum(keep_versions=1)
     assert len(res["removed_manifests"]) >= 3
-    assert len(res["removed_files"]) == 3  # the three pre-compaction segments
+    # the three pre-compaction segments + their three PK sidecars
+    assert len(res["removed_files"]) == 6
     assert t.count() == 9  # live snapshot untouched
     with pytest.raises(ValueError):
         VectorTable.open(spark, tdir, version=2)
@@ -651,10 +652,24 @@ def test_subset_scans_never_elect_stale_versions(spark, tdir):
     assert t.df(FilterSet().eq("label", "a")).where(
         F.col("id") == 0).count() == 0
     # explicit segment subset (the segment_budget shape): visibility
-    # still resolves globally
-    seg0 = [t.manifest.segments[0]]
-    sub = t.df(segments=seg0).where(F.col("id") == 0).collect()
-    assert all(r["vector"][1] > 19.0 for r in sub)  # only the live version
+    # still resolves globally. Pick the segments that actually HOLD each
+    # version of id 0 (r10 ADVICE: segments[0] held no version of id 0,
+    # so the old assertion was vacuously true): the subset holding only
+    # the STALE 'a' version must surface nothing for id 0 — its winner
+    # lives outside the subset — while the subset holding the winner
+    # returns exactly the live row.
+    import os as _os
+
+    holders = [s for s in t.manifest.segments
+               if t.spark.read.parquet(_os.path.join(t.path, s.path))
+               .where(F.col("id") == 0).count() > 0]
+    hi = max(s.lsn for s in holders)
+    stale_segs = [s for s in holders if s.lsn < hi]
+    assert stale_segs, "the old 'a' version must still exist on disk"
+    assert t.df(segments=stale_segs).where(F.col("id") == 0).count() == 0
+    live_segs = [s for s in holders if s.lsn == hi]
+    got = t.df(segments=live_segs).where(F.col("id") == 0).collect()
+    assert len(got) == 1 and got[0]["vector"][1] > 19.0
     # full view unchanged: exactly one live id 0, the new vector
     live = t.df().where(F.col("id") == 0).collect()
     assert len(live) == 1 and round(live[0]["vector"][1], 1) == 20.0

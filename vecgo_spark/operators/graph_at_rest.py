@@ -395,7 +395,8 @@ def search_graphs_at_rest(
             total = sum(s.rows for s in segs) or 1
             matched = sum(estimate_selectivity(s.stats, s.rows, filter) * s.rows
                           for s in segs)
-            sel = matched / total
+            static_sel = matched / total
+            sel = static_sel
             if ema is not None:
                 sel = ema.adjust(filter, sel)
             if sel < FILTER_SELECTIVITY_CUTOVER:
@@ -403,9 +404,13 @@ def search_graphs_at_rest(
                 if ema is not None:
                     # same visibility algebra as df(filter): manifest
                     # pruning first, predicate after — split so the
-                    # observation sees (scanned, matched)
+                    # observation sees (scanned, matched); the static
+                    # estimate + cutover ride along so drain can score
+                    # the pruning DECISION (PruneAccuracy weighting)
                     pre = tbl.df(segments=prune_segments(segs, filter))
-                    base = ema.attach(pre, filter, cond)
+                    base = ema.attach(pre, filter, cond,
+                                      estimate=static_sel,
+                                      threshold=FILTER_SELECTIVITY_CUTOVER)
                 else:
                     base = tbl.df(filter)
                 exact = base.select(

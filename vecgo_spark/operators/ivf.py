@@ -282,6 +282,7 @@ def search(
     Observation. ANDed correlated predicates are the payoff: histogram
     independence OVERestimates their match fraction, the EMA observes
     the truth and widens what static would have kept narrow."""
+    static_sel = selectivity
     if filter is not None and ema is not None and selectivity is not None:
         selectivity = ema.adjust(filter, selectivity)
     if filter is None:
@@ -300,8 +301,11 @@ def search(
         from vecgo_spark.filters import to_condition
 
         # observation rides the probed pre-filter scan; rows reach
-        # knn.search already filtered, so the predicate is not re-applied
-        pruned = ema.attach(pruned, filter, to_condition(filter))
+        # knn.search already filtered, so the predicate is not re-applied.
+        # The static estimate + the full-probe tier boundary score the
+        # decision for the PruneAccuracy weighting (stats.go:210-214)
+        pruned = ema.attach(pruned, filter, to_condition(filter),
+                            estimate=static_sel, threshold=0.02)
         filter = None
     return knn.search(
         pruned, list(query), k=k, metric=model.metric, filter=filter,

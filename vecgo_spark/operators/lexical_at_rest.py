@@ -279,20 +279,36 @@ def corpus_counts(tbl) -> tuple[int, int]:
     return int(row["n"]), int(row["total"] or 0)
 
 
-_CACHED: list[DataFrame] = []  # persisted candidate frames (churn path)
-_CACHED_CAP = 8  # oldest frames auto-unpersist past this — a serving
-# session issuing thousands of churn-path queries must not accumulate
-# cache entries (each is ≤ |query terms| postings, but the registry
-# itself would grow without bound)
+# persisted candidate frames (churn path), KEYED BY TABLE PATH so two
+# tables served from one session never fight over the slots (r10 verdict
+# #7: a module-global list let one hot table evict another's frames).
+# Each table self-caps at _CACHED_CAP entries, evicting oldest-first.
+_CACHED: dict[str, list[DataFrame]] = {}
+_CACHED_CAP = 8  # per table — a serving session issuing thousands of
+# churn-path queries must not accumulate cache entries (each is ≤ |query
+# terms| postings, but the registry itself would grow without bound).
+# Eviction of a frame backing a returned-but-unconsumed DataFrame is
+# CORRECT (Spark recomputes from the postings) but costs the single-read
+# goal — consume results within _CACHED_CAP further churn queries on the
+# SAME table, or call release_caches() between batches.
 
 
-def release_caches() -> None:
+def _cache_candidate(table_path: str, frame: DataFrame) -> None:
+    slots = _CACHED.setdefault(table_path, [])
+    while len(slots) >= _CACHED_CAP:
+        slots.pop(0).unpersist()
+    slots.append(frame)
+
+
+def release_caches(table_path: str | None = None) -> None:
     """Unpersist candidate frames persisted by bm25_search_at_rest on the
     churn path (long-lived sessions issuing many queries should call this
-    once results are consumed; the registry also self-caps at
-    _CACHED_CAP, evicting oldest-first)."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    once results are consumed). With table_path, only that table's frames
+    are released."""
+    keys = [table_path] if table_path is not None else list(_CACHED)
+    for k in keys:
+        for frame in _CACHED.pop(k, []):
+            frame.unpersist()
 
 
 def _stored_term_df(tbl, info, terms: list[str]) -> dict[str, int] | None:
@@ -367,9 +383,7 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
     dfmap = _stored_term_df(tbl, info, terms)
     if dfmap is None:  # churn path: share ONE postings read across
         cand = cand.persist()  # the df aggregate and the score pass
-        while len(_CACHED) >= _CACHED_CAP:  # oldest-first self-eviction
-            _CACHED.pop(0).unpersist()
-        _CACHED.append(cand)
+        _cache_candidate(tbl.path, cand)
         row = cand.agg(
             *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
               for i in range(len(terms))],

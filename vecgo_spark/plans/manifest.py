@@ -44,6 +44,16 @@ class SegmentMeta:
     # all carry exactly `lsn`). Lets maybe_compact GC tombstones that can
     # no longer hide any surviving row.
     tomb_lsn_applied: int = 0
+    # relative path of the PK sidecar — a narrow (id, _lsn) parquet
+    # projection of this segment's rows, written with the segment (the
+    # reference persists the (id → lsn, location) PK index at commit,
+    # internal/engine/engine.go:2226-2262 persistPKIndex, and consults it
+    # on every read, search.go:1092-1105). Readers resolving upsert
+    # visibility under a SUBSET scan read the sidecar family instead of a
+    # corpus-wide (id, _lsn) projection. May be SHARED by several
+    # segments (one sidecar covering a multi-cluster rewrite). None for
+    # pre-sidecar segments → readers fall back to the narrow segment scan.
+    pk: str | None = None
 
 
 @dataclass

@@ -470,18 +470,55 @@ class AdaptiveSelectivity:
     query's own action via `pyspark.sql.Observation` (`attach` wraps the
     scan with matched/scanned counters; `drain` folds every completed
     observation in, non-blocking — a query that was never executed just
-    stays pending)."""
+    stays pending, capped at PENDING_CAP oldest-evicted).
 
-    def __init__(self, alpha: float = 0.3):
+    PruneAccuracy weighting (stats.go:210-214): each drained observation
+    that carried the static estimate + the decision threshold also
+    scores the DECISION — correct iff the static estimate and the
+    observed fraction land on the same side of the threshold
+    (correct_prunes + correct_non_prunes over total, as an EMA). adjust
+    then blends `acc·static + (1-acc)·min(static, ema)`: a historically
+    accurate static estimator keeps its own estimate; an inaccurate one
+    defers to the observed feedback. Both blend inputs are ≤ the static
+    estimate, so the convex combination preserves the min-blend recall
+    invariant above. Until any decision is scored acc defaults to 0.0 —
+    the plain min-blend.
+
+    HotField (stats.go:216-219): every adjust/observe bumps per-field
+    filter counters; `hot_field()` names the most frequently filtered
+    field so the owner can surface an index / cluster-by recommendation
+    (VectorTable.stats() does when the EMA is enabled)."""
+
+    PENDING_CAP = 64  # un-executed attached frames are dropped oldest-
+    # first past this — feedback is best-effort, the registry must not
+    # grow with abandoned plans (r10 ADVICE)
+    _warned_internals = False  # log once when the JVM probe is missing
+
+    def __init__(self, alpha: float = 0.3, persist: bool = False):
         self.alpha = float(alpha)
+        self.persist = bool(persist)
         self._ema: dict[tuple, float] = {}
-        self._pending: list[tuple[Any, tuple]] = []
+        self._acc: dict[tuple, float] = {}      # PruneAccuracy per key
+        self._fields: dict[str, int] = {}       # HotField counters
+        self._pending: list[tuple[Any, tuple, float | None, float | None]] = []
 
     @staticmethod
     def key(fs: "FilterSet") -> tuple:
         return tuple(sorted((f.key, f.op) for f in fs.filters))
 
+    def _bump_fields(self, fs: "FilterSet") -> None:
+        for f in fs.filters:
+            self._fields[f.key] = self._fields.get(f.key, 0) + 1
+
+    def hot_field(self) -> str | None:
+        """The most frequently filtered field (RuntimeStats.HotField) —
+        the adaptive-indexing recommendation input."""
+        if not self._fields:
+            return None
+        return max(self._fields.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
     def observe(self, fs: "FilterSet", observed: float) -> None:
+        self._bump_fields(fs)
         k = self.key(fs)
         prev = self._ema.get(k)
         x = max(0.0, min(1.0, float(observed)))
@@ -489,17 +526,26 @@ class AdaptiveSelectivity:
             self.alpha * x + (1.0 - self.alpha) * prev)
 
     def adjust(self, fs: "FilterSet", estimate: float) -> float:
-        """min-blend: never LESS selective than the static estimate (see
-        class docstring for why that direction is recall-safe)."""
+        """Accuracy-weighted min-blend — never LESS selective than the
+        static estimate (see class docstring for why that direction is
+        recall-safe)."""
         self.drain()
-        e = self._ema.get(self.key(fs))
-        return estimate if e is None else min(estimate, e)
+        self._bump_fields(fs)
+        k = self.key(fs)
+        e = self._ema.get(k)
+        if e is None:
+            return estimate
+        acc = self._acc.get(k, 0.0)
+        return acc * estimate + (1.0 - acc) * min(estimate, e)
 
-    def attach(self, df, fs: "FilterSet", cond):
+    def attach(self, df, fs: "FilterSet", cond,
+               estimate: float | None = None,
+               threshold: float | None = None):
         """Wrap `df` (the pre-filter scan) so the caller's own action
         reports (scanned, matched) — zero extra jobs. Returns the frame
         to keep building on (with the observation riding it), already
-        filtered by `cond`."""
+        filtered by `cond`. estimate/threshold (both optional) let drain
+        score the pruning DECISION for the accuracy weighting."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
@@ -507,32 +553,81 @@ class AdaptiveSelectivity:
         df = df.observe(
             obs, F.count(F.lit(1)).alias("scanned"),
             F.sum(cond.cast("long")).alias("matched"))
-        self._pending.append((obs, self.key(fs)))
+        while len(self._pending) >= self.PENDING_CAP:
+            self._pending.pop(0)
+        self._pending.append((obs, self.key(fs), estimate, threshold))
         return df.where(cond)
 
     def drain(self) -> None:
         """Fold completed pending observations into the EMA (non-blocking
-        via the JVM Observation's getRowOrEmpty; an un-executed query
-        stays pending, and the hook degrades to a no-op if the internal
-        handle is unavailable)."""
+        via the JVM Observation's getRowOrEmpty — no public non-blocking
+        probe exists; Observation.get would BLOCK on a never-executed
+        query. An un-executed query stays pending; if the internal handle
+        is unavailable the hook degrades to a no-op, logged once)."""
+        import logging
+
         still = []
-        for obs, k in self._pending:
+        for obs, k, est, thr in self._pending:
             try:
                 opt = obs._jo.getRowOrEmpty()
                 if opt.isEmpty():
-                    still.append((obs, k))
+                    still.append((obs, k, est, thr))
                     continue
                 row = opt.get()
                 scanned = int(row.getAs("scanned") or 0)
                 matched = int(row.getAs("matched") or 0)
             except Exception:
+                if not AdaptiveSelectivity._warned_internals:
+                    AdaptiveSelectivity._warned_internals = True
+                    logging.getLogger(__name__).warning(
+                        "AdaptiveSelectivity: non-blocking Observation "
+                        "probe unavailable on this PySpark build — "
+                        "selectivity feedback disabled (estimates stay "
+                        "static; recall unaffected)")
                 continue  # drop: internals unavailable → no feedback
             if scanned > 0:
                 prev = self._ema.get(k)
                 x = matched / scanned
                 self._ema[k] = x if prev is None else (
                     self.alpha * x + (1.0 - self.alpha) * prev)
+                if est is not None and thr is not None:
+                    correct = 1.0 if (est < thr) == (x < thr) else 0.0
+                    pa = self._acc.get(k)
+                    self._acc[k] = correct if pa is None else (
+                        self.alpha * correct + (1.0 - self.alpha) * pa)
         self._pending = still
+
+    # ------------------------------------------------- opt-in persistence
+    # The reference recomputes RuntimeStats from a FeedbackStore on load
+    # (stats.go:205-208: "Not persisted - recomputed from FeedbackStore");
+    # the Spark analog is an opt-in manifest-meta snapshot written at
+    # commit and loaded by enable_adaptive_selectivity(persist=True) so a
+    # serving fleet warms from history. Disabled by default.
+
+    @staticmethod
+    def _k2s(k: tuple) -> str:
+        return "|".join(f"{f}:{op}" for f, op in k)
+
+    @staticmethod
+    def _s2k(s: str) -> tuple:
+        return tuple(tuple(p.rsplit(":", 1)) for p in s.split("|") if p)
+
+    def to_meta(self) -> dict:
+        self.drain()
+        return {
+            "alpha": self.alpha,
+            "ema": {self._k2s(k): v for k, v in self._ema.items()},
+            "acc": {self._k2s(k): v for k, v in self._acc.items()},
+            "fields": dict(self._fields),
+        }
+
+    def load_meta(self, meta: dict) -> None:
+        self._ema.update({self._s2k(s): float(v)
+                          for s, v in (meta.get("ema") or {}).items()})
+        self._acc.update({self._s2k(s): float(v)
+                          for s, v in (meta.get("acc") or {}).items()})
+        for f, n in (meta.get("fields") or {}).items():
+            self._fields[f] = self._fields.get(f, 0) + int(n)
 
 
 def _can_prune(filter: Filter, stats: dict[str, Any], rows: int) -> bool:

@@ -64,6 +64,7 @@ from vecgo_spark.plans.pruning import (
 SEG_DIR = "_segments"
 TOMB_DIR = "_tombstones"
 INDEX_DIR = "_index"
+PK_DIR = "_pk"  # per-segment (id, _lsn) sidecars — the persisted PK index
 CLUSTER_COL = "_cluster"
 QCODE_COL = "_q_code"    # at-rest scalar-quantized codes (ARRAY<INT>, dim)
 PQCODE_COL = "_pq_code"  # at-rest product-quantized codes (ARRAY<INT>, m)
@@ -77,6 +78,23 @@ TOMB_BROADCAST_MAX_IDS = 1_000_000
 # max-LSN file once more than this many remain (tombstone migration)
 TOMB_FOLD_MAX_FILES = 8
 FAMILY_LEXICAL = "lexical"
+# loaded PK-index registry: (path, version, pending-state, snapshot) →
+# (persisted per-id winning-LSN frame, sidecar files it reads, uncovered
+# fallback segment paths) — see VectorTable._vis_vmax. Size of one entry
+# is O(distinct ids) — the reference's in-memory PK index has the same
+# footprint (pk/mvcc.go paged array); the cap bounds a session serving
+# many churned snapshots. The recorded sources let tests pin that the
+# leg reads ONLY `_pk/` bytes (a persisted frame hides its scan behind
+# InMemoryRelation, so inputFiles() can't).
+_VIS_CACHE: dict[tuple, tuple[DataFrame, list[str], list[str]]] = {}
+VIS_CACHE_CAP = 4
+
+
+def release_vis_caches() -> None:
+    """Unpersist every cached winning-LSN frame (long-lived sessions
+    under memory pressure; snapshots changed by another writer)."""
+    while _VIS_CACHE:
+        _VIS_CACHE.pop(next(iter(_VIS_CACHE)))[0].unpersist()
 
 # Declared metadata-schema field types (metadata/schema.go:7-17). "any"
 # accepts everything; undeclared fields always pass through (schema.go:46-49).
@@ -179,6 +197,7 @@ class VectorTable:
             version=1, lsn=0, next_id=1, created_at=time.time(),
             meta={"dim": dim, "metric": metric, "id_col": id_col,
                   "vector_col": vector_col, "has_upserts": False,
+                  "has_dup_ids": False,
                   **({"schema": dict(schema)} if schema else {})},
         )
         save_manifest(path, m)
@@ -315,6 +334,14 @@ class VectorTable:
                 # explicit ids may collide with existing rows → upsert
                 # semantics (latest-LSN-wins dedup on read)
                 self.manifest.meta["has_upserts"] = True
+            s_id = stats.get(self.id_col) or {}
+            if rows > 1 and (s_id.get("ndv") != rows
+                             or s_id.get("null_count", 1) != 0):
+                # the batch itself may carry an id twice — the ONLY
+                # source of same-LSN duplicates (one insert = one LSN);
+                # subset reads then keep their tie-collapse window.
+                # assign_ids batches mint fresh unique ids → never set.
+                self.manifest.meta["has_dup_ids"] = True
             # keep the auto-id counter ahead of every explicit id, or a
             # later assign_ids=True insert would mint a colliding id
             # (the reference's nextID invariant, engine.go:866)
@@ -322,8 +349,26 @@ class VectorTable:
             if s.get("max") is not None:
                 self.manifest.next_id = max(self.manifest.next_id, int(s["max"]) + 1)
         size = fs_du(full)
-        self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats))
+        pk_rel = self._write_pk_sidecar(written, name) if rows else None
+        self._pending.append(SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size,
+                                         stats=stats, pk=pk_rel))
         return rows, size
+
+    def _write_pk_sidecar(self, written: DataFrame, name: str) -> str:
+        """Persist the PK sidecar for a just-written segment: the narrow
+        (id, _lsn) projection, the reference's persisted PK index
+        (engine.go:2226-2262 persistPKIndex; consulted per read at
+        search.go:1092-1105 via internal/pk/mvcc.go:125). Map-only — no
+        distinct/shuffle: duplicate (id, lsn) rows are harmless because
+        every consumer reduces the family to per-id max(_lsn), and the
+        source parquet is page-hot right after its own write. Cost is
+        O(batch), never O(corpus); subset-visibility reads then touch
+        sidecar bytes only (~16 B/row) instead of re-projecting every
+        segment file."""
+        rel = os.path.join(PK_DIR, f"pk-{name}")
+        written.select(self.id_col, "_lsn").write.mode("error").parquet(
+            os.path.join(self.path, rel))
+        return rel
 
     def _ids_provably_fresh(self, stats: dict, rows: int) -> bool:
         """True iff the just-written segment's id stats PROVE no collision
@@ -530,6 +575,10 @@ class VectorTable:
             return self.manifest.version
         staged_rows = sum(s.rows for s in self._pending)
         m = self.manifest
+        meta = dict(m.meta)
+        if self._sel_ema is not None and self._sel_ema.persist:
+            # opt-in FeedbackStore analog (see enable_adaptive_selectivity)
+            meta["selectivity_ema"] = self._sel_ema.to_meta()
         new = Manifest(
             version=m.version + 1,
             lsn=m.lsn + len(self._pending) + len(self._pending_tombs),
@@ -537,7 +586,7 @@ class VectorTable:
             created_at=time.time(),
             segments=m.segments + self._pending,
             tombstone_files=m.tombstone_files + self._pending_tombs,
-            meta=dict(m.meta),
+            meta=meta,
             tombstone_stats={**m.tombstone_stats, **self._pending_tomb_stats},
         )
         save_manifest(self.path, new)
@@ -635,9 +684,17 @@ class VectorTable:
         if tomb is not None:
             base = tomb_filter(base)
         if self.manifest.meta.get("has_upserts"):
-            full = self.manifest.segments if segments is None else segments
-            if include_pending and segments is None:
+            # the visibility UNIVERSE is always the true snapshot — never
+            # the segments= argument (r10 ADVICE: treating an explicit
+            # subset as "full" made the latest-LSN resolve run
+            # subset-locally, surfacing stale versions through
+            # segment_budget / EMA exact-scan paths). Explicit segments
+            # outside the committed list (staged handles) still join in.
+            full = list(self.manifest.segments)
+            if include_pending:
                 full = full + self._pending
+            known = {s.path for s in full}
+            full += [s for s in snapshot if s.path not in known]
             if {s.path for s in segs} == {s.path for s in full}:
                 # scanning the whole snapshot → the winner is in view
                 w = Window.partitionBy(self.id_col).orderBy(F.col("_lsn").desc())
@@ -649,31 +706,56 @@ class VectorTable:
                 # subset dropped — a latest-LSN window over the subset
                 # would elect a STALE version (the same trap the lexical
                 # index solves with marker rows). Resolve visibility over
-                # the FULL snapshot via a narrow (id, _lsn) projection —
-                # column-pruned scan, same tombstone algebra — and keep
-                # only subset rows carrying their id's true max LSN.
-                # Compaction folds versions (has_upserts → False), which
-                # restores pure prune-only cost; until then correctness
-                # genuinely needs the global version view, exactly like
-                # the reference's PK index consult on its read path
-                # (internal/pk/mvcc.go).
-                vis = self._segment_df(full).select(self.id_col, "_lsn")
-                if tomb is not None:
-                    vis = tomb_filter(vis)
-                vmax = vis.groupBy(self.id_col).agg(
-                    F.max("_lsn").alias("_vis_lsn"))
-                base = (
-                    base.join(vmax, self.id_col, "left")
-                    .where(F.col("_lsn") == F.col("_vis_lsn"))
-                    .drop("_vis_lsn")
-                )
-                # same-LSN duplicates (one batch carrying an id twice)
-                # tie at the max — collapse to one row, matching the
-                # full-view window's cardinality; the window runs over
-                # the already max-filtered subset, so it is tiny
-                w = Window.partitionBy(self.id_col).orderBy(F.col("_lsn").desc())
-                base = (base.withColumn("_rn", F.row_number().over(w))
-                        .where(F.col("_rn") == 1).drop("_rn"))
+                # the FULL snapshot from the persisted PK sidecars — the
+                # reference's PK-index consult on its read path
+                # (internal/pk/mvcc.go:125; persisted engine.go:2226-2262)
+                # — and keep only subset rows carrying their id's true
+                # max LSN. Pre-sidecar segments fall back to the narrow
+                # (id, _lsn) projection of their own files; either way the
+                # leg never touches non-key segment bytes. No tombstone
+                # join here: tombstones kill a per-id LSN *prefix*
+                # (`_lsn > _tomb_lsn`), so the unfiltered max equals the
+                # live max whenever any live version exists, and base is
+                # already tombstone-filtered when none does.
+                # predicates on the ID COLUMN restrict the visibility
+                # universe soundly (any id they exclude is excluded from
+                # the final result by the same predicate at the end of
+                # df()) — push them into the sidecar scan so a point-get
+                # on a 100 TB churned table row-group-prunes the vis leg
+                # instead of aggregating every id; such one-off shapes
+                # skip the cache (the cached map stays predicate-free)
+                id_cond = None
+                if isinstance(filter, FilterSet):
+                    id_filters = [f for f in filter.filters
+                                  if f.key == self.id_col]
+                    if id_filters:
+                        id_cond = to_condition(FilterSet(id_filters))
+                vmax = self._vis_vmax(full, include_pending, id_cond)
+                if vmax is not None:
+                    if sum(s.rows for s in full) <= TOMB_BROADCAST_MAX_IDS:
+                        # row count bounds distinct ids — known from the
+                        # manifest, no probing job (tomb_broadcastable's
+                        # stance); past the bound the join stays unhinted
+                        vmax = F.broadcast(vmax)
+                    base = (
+                        base.join(vmax, self.id_col, "left")
+                        .where(F.col("_lsn") == F.col("_vis_lsn"))
+                        .drop("_vis_lsn")
+                    )
+                if self.manifest.meta.get("has_dup_ids", True):
+                    # same-LSN duplicates (one batch carrying an id twice)
+                    # tie at the max — collapse to one row, matching the
+                    # full-view window's cardinality; the window runs over
+                    # the already max-filtered subset, so it is tiny.
+                    # SKIPPED when every insert proved unique batch ids
+                    # (manifest flag; (id, lsn) is then globally unique so
+                    # the vis join already leaves one row per id) — one
+                    # exchange less per churned subset query. Pre-flag
+                    # manifests default to True (conservative).
+                    w = Window.partitionBy(self.id_col).orderBy(
+                        F.col("_lsn").desc())
+                    base = (base.withColumn("_rn", F.row_number().over(w))
+                            .where(F.col("_rn") == 1).drop("_rn"))
         cond = to_condition(filter)
         if cond is not None:
             base = base.where(cond)
@@ -684,6 +766,50 @@ class VectorTable:
             base = base.drop(CLUSTER_COL)
         return base if keep_codes else base.drop(
             QCODE_COL, PQCODE_COL, BINCODE_COL, BINNORM_COL)
+
+    def _vis_vmax(self, full: list[SegmentMeta], include_pending: bool,
+                  id_cond=None) -> DataFrame | None:
+        """Per-id winning-LSN frame over `full` — the loaded PK index.
+        The map is IMMUTABLE per (manifest version, pending state), so it
+        is persisted once and reused across every subset query of the
+        serving session (the reference loads its PK index once and
+        consults it per read, mvcc.go:125) — repeat churned queries pay
+        an InMemoryTableScan instead of re-aggregating the sidecars.
+        Registry is module-level (serving code reopens tables per query),
+        keyed by table path + snapshot identity, capped with oldest-first
+        unpersist; release_vis_caches() frees it explicitly."""
+        covered = [s for s in full if s.pk and s.rows]
+        uncovered = [s for s in full if not s.pk and s.rows]
+        if not covered and not uncovered:
+            return None
+        key = None
+        if id_cond is None:
+            key = (self.path, self.manifest.version, include_pending,
+                   len(self._pending), tuple(sorted(s.path for s in full)))
+            hit = _VIS_CACHE.get(key)
+            if hit is not None:
+                return hit[0]
+        legs, pk_files = [], []
+        if covered:
+            pk_files = sorted({os.path.join(self.path, s.pk)
+                               for s in covered})
+            legs.append(self.spark.read.parquet(*pk_files)
+                        .select(self.id_col, "_lsn"))
+        if uncovered:
+            legs.append(self._segment_df(uncovered)
+                        .select(self.id_col, "_lsn"))
+        vis = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        if id_cond is not None:
+            # id-restricted one-off: the predicate pushes through the
+            # union into each scan's PushedFilters (row-group pruning)
+            return (vis.where(id_cond).groupBy(self.id_col)
+                    .agg(F.max("_lsn").alias("_vis_lsn")))
+        vmax = vis.groupBy(self.id_col).agg(
+            F.max("_lsn").alias("_vis_lsn")).persist()
+        while len(_VIS_CACHE) >= VIS_CACHE_CAP:
+            _VIS_CACHE.pop(next(iter(_VIS_CACHE)))[0].unpersist()
+        _VIS_CACHE[key] = (vmax, pk_files, [s.path for s in uncovered])
+        return vmax
 
     def _empty_schema(self):
         from pyspark.sql.types import LongType, StructField, StructType
@@ -834,6 +960,43 @@ class VectorTable:
         self._obs("on_build", time.perf_counter() - t0, "simhash-refresh")
         return v
 
+    def build_pk_index(self) -> int:
+        """Backfill PK sidecars ((id, _lsn) projections) for segments
+        written before the sidecar family existed — the adoption path for
+        old tables (new writes carry their sidecar automatically; the
+        reference's persistPKIndex, engine.go:2226-2262). One narrow
+        column-pruned job per uncovered segment, ONCE — after which every
+        churned subset read stops paying the corpus-wide projection.
+        Publishes a metadata-only manifest version when a committed
+        segment gained a sidecar (staged segments just carry theirs into
+        the next commit). Returns the current manifest version."""
+        import re
+
+        self._check_writable()
+        def backfill(seg) -> bool:
+            if seg.pk or not seg.rows:
+                return False
+            src = self.spark.read.parquet(os.path.join(self.path, seg.path))
+            name = re.sub(r"[^A-Za-z0-9_.-]", "~", seg.path.strip("/"))
+            seg.pk = self._write_pk_sidecar(src, name)
+            return True
+
+        committed_changed = any([backfill(s) for s in self.manifest.segments])
+        for s in self._pending:
+            backfill(s)
+        if not committed_changed:
+            return self.manifest.version
+        m = self.manifest
+        new = Manifest(
+            version=m.version + 1, lsn=m.lsn, next_id=m.next_id,
+            created_at=time.time(), segments=m.segments,
+            tombstone_files=m.tombstone_files, meta=dict(m.meta),
+            tombstone_stats=dict(m.tombstone_stats),
+        )
+        save_manifest(self.path, new)
+        self.manifest = new
+        return new.version
+
     def build_lexical_index(self, text_col: str = "text") -> int:
         """Persist the BM25 postings/counters as a table artifact
         (operators/lexical_at_rest.py) — the reference's persistent
@@ -921,18 +1084,25 @@ class VectorTable:
 
         return mar.stored_minhash_signatures(self)
 
-    def enable_adaptive_selectivity(self, alpha: float = 0.3):
+    def enable_adaptive_selectivity(self, alpha: float = 0.3,
+                                    persist: bool = False):
         """Turn on the table-owned observed-selectivity EMA (the
         reference keeps adaptive selectivity inside its manifest stats,
         stats.go:205-224): filtered graph searches consult and feed it
-        automatically. Session-lifetime state — estimates, not data, so
-        it is deliberately NOT persisted in the manifest (a fresh open
-        re-learns from its own queries, like the reference's in-memory
-        EMA). Returns the pruning.AdaptiveSelectivity for inspection."""
+        automatically. Session-lifetime state by default — estimates,
+        not data (the reference likewise doesn't persist RuntimeStats,
+        recomputing it from a FeedbackStore on load, stats.go:205-208).
+        persist=True is the FeedbackStore analog: commit() snapshots the
+        EMA/accuracy/hot-field state into manifest meta and a later
+        enable_adaptive_selectivity(persist=True) on a fresh open warms
+        from it, so a serving fleet starts with observed estimates.
+        Returns the pruning.AdaptiveSelectivity for inspection."""
         if self._sel_ema is None:
             from vecgo_spark.plans.pruning import AdaptiveSelectivity
 
-            self._sel_ema = AdaptiveSelectivity(alpha=alpha)
+            self._sel_ema = AdaptiveSelectivity(alpha=alpha, persist=persist)
+            if persist and "selectivity_ema" in self.manifest.meta:
+                self._sel_ema.load_meta(self.manifest.meta["selectivity_ema"])
         return self._sel_ema
 
     def graph_search(self, query: Sequence[float], k: int = 10,
@@ -1244,6 +1414,11 @@ class VectorTable:
                 F.max(nrm).alias("vmax_norm"),
             ).collect()
         }
+        # ONE shared sidecar covers every cluster segment of this rewrite
+        # (SegmentMeta.pk may be shared): per-cluster sidecars would mean
+        # model.k extra write jobs for zero read benefit — the visibility
+        # leg wants the whole family anyway
+        pk_rel = self._write_pk_sidecar(written, name) if per else None
         segments = []
         for d in sorted(fs_listdir(full)):
             if not d.startswith("_part="):
@@ -1265,7 +1440,8 @@ class VectorTable:
                     "max_norm": float(r["vmax_norm"]),
                 }
             segments.append(SegmentMeta(
-                path=sub_rel, rows=int(r["rows"]), lsn=lsn, bytes=size, stats=stats
+                path=sub_rel, rows=int(r["rows"]), lsn=lsn, bytes=size,
+                stats=stats, pk=pk_rel
             ))
         idx_rel = os.path.join(INDEX_DIR, f"ivf-v{version:08d}.json")
         fs_makedirs(os.path.join(self.path, INDEX_DIR))
@@ -1276,6 +1452,7 @@ class VectorTable:
         )
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False
+        meta["has_dup_ids"] = False  # rewrite materialized unique winners
         meta["ivf"] = {"k": model.k, "metric": model.metric, "path": idx_rel}
         meta.pop("hnsw", None)  # compaction replaces every indexed segment
         meta.pop("vamana", None)
@@ -1598,6 +1775,7 @@ class VectorTable:
         size = fs_du(full)
         meta = dict(self.manifest.meta)
         meta["has_upserts"] = False  # dedup materialized
+        meta["has_dup_ids"] = False  # rewrite materialized unique winners
         meta.pop("ivf", None)  # a plain rewrite drops the clustered layout
         # every indexed segment is being replaced → the per-segment
         # artifact entries are dead here; compact(reindex=True) rebuilds
@@ -1609,10 +1787,12 @@ class VectorTable:
         meta.pop("simhash", None)
         meta.pop("lexical", None)  # ...and stored postings/counters
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
+        pk_rel = self._write_pk_sidecar(written, name) if rows else None
         new = Manifest(
             version=version, lsn=lsn,
             next_id=self.manifest.next_id, created_at=time.time(),
-            segments=[SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size, stats=stats)],
+            segments=[SegmentMeta(path=rel, rows=rows, lsn=lsn, bytes=size,
+                                  stats=stats, pk=pk_rel)],
             tombstone_files=[], meta=meta,
         )
         save_manifest(self.path, new)
@@ -1657,9 +1837,10 @@ class VectorTable:
         keep = [s for s in self.manifest.segments if s.path not in picked]
         applied = max((self._tomb_lsn(t) for t in self.manifest.tombstone_files),
                       default=0)
+        pk_rel = self._write_pk_sidecar(written, name) if rows else None
         segments = keep + [SegmentMeta(path=rel, rows=rows, lsn=max_lsn,
                                        bytes=size, stats=stats,
-                                       tomb_lsn_applied=applied)]
+                                       tomb_lsn_applied=applied, pk=pk_rel)]
         # tombstone GC: a tombstone T can be dropped when NO surviving
         # segment can still hold a row it hides — an original append
         # segment is safe iff every row's lsn (== segment lsn) exceeds
@@ -1771,6 +1952,7 @@ class VectorTable:
         for v in keep:
             m = load_manifest(self.path, version=v)
             referenced.update(s.path for s in m.segments)
+            referenced.update(s.pk for s in m.segments if s.pk)
             referenced.update(m.tombstone_files)
             for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash", "simhash", "lexical"):  # every index artifact family
                 if idx in m.meta:
@@ -1791,8 +1973,12 @@ class VectorTable:
             if v not in keep:
                 fs_remove_file(manifest_path(self.path, v))
                 removed_manifests.append(v)
+        # PK sidecars registered on in-memory (not-yet-committed) segment
+        # entries stay live — backfill before commit must not be GC'd
+        referenced.update(
+            s.pk for s in list(self.manifest.segments) + self._pending if s.pk)
         removed_files = []
-        for sub in (SEG_DIR, TOMB_DIR, INDEX_DIR):
+        for sub in (SEG_DIR, TOMB_DIR, INDEX_DIR, PK_DIR):
             root = os.path.join(self.path, sub)
             for name in fs_listdir(root):
                 rel = os.path.join(sub, name)
@@ -1826,4 +2012,16 @@ class VectorTable:
                 if f in m.meta),
             "tombstone_files": len(m.tombstone_files),
             "has_upserts": m.meta.get("has_upserts", False),
+            # HotField adaptive-indexing recommendation (stats.go:216-219:
+            # "most frequently filtered field, used for adaptive index
+            # building") — present when the EMA is enabled and has seen
+            # filtered queries; compact(cluster_by=) / stats-sorted
+            # rewrites are the actuators a user points at it
+            **({"hot_field": hf,
+                "hot_field_hint":
+                    f"field {hf!r} dominates the filter workload — "
+                    "cluster/sort segments by it at the next compact() "
+                    "so manifest stats prune its scans"}
+               if self._sel_ema is not None
+               and (hf := self._sel_ema.hot_field()) is not None else {}),
         }
