@@ -317,6 +317,70 @@ def _bm25_search_churned_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    QUERY_TEXT, k=10)
 
 
+_CHURN_PK_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
+CHURN_PK_UPSERT_ID = 42   # overwritten post-build (label → 999)
+CHURN_PK_DELETED_ID = 43  # tombstoned post-build
+CHURN_PK_LABEL = 999
+
+
+def _churned_pk_table(spark: SparkSession, sf_dir: str):
+    """A churned table whose segments split the ID RANGE (two halves),
+    so an id-equality filter genuinely PRUNES segments — the shape where
+    the point-get visibility path matters: the winning-LSN consult must
+    be id-restricted (pushed into the PK-sidecar scan, row-group
+    pruning) instead of aggregating every id of a 100 TB table. The
+    reference's per-read PK-index lookup is exactly this O(candidates)
+    consult (internal/pk/mvcc.go:125; persisted engine.go:2226-2262)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    if sf_dir in _CHURN_PK_TABLES:
+        return VectorTable.open(spark, _CHURN_PK_TABLES[sf_dir])
+    _t0_build = time.perf_counter()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"),
+        "label")
+    half = emb.agg(F.max("id")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="vecgo_churnpk_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2")
+    tbl.insert(emb.where(F.col("id") <= half))
+    tbl.commit()
+    tbl.insert(emb.where(F.col("id") > half))
+    tbl.commit()
+    tbl.insert(spark.createDataFrame(
+        [(CHURN_PK_UPSERT_ID, CHURN_VEC_UPSERT, CHURN_PK_LABEL)],
+        "id long, vector array<float>, label int"))
+    tbl.commit()
+    tbl.delete([CHURN_PK_DELETED_ID])
+    tbl.commit()
+    _CHURN_PK_TABLES[sf_dir] = path
+    _BUILD_SECONDS["churned_pk"] = time.perf_counter() - _t0_build
+    print(f"[fixture-build] churned_pk: "
+          f"{_BUILD_SECONDS['churned_pk']:.2f}s", file=sys.stderr)
+    return tbl
+
+
+def _point_get_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-get on a CHURNED table: the id filter prunes the far-half
+    segment (subset scan), so visibility must consult the global PK
+    view — id-RESTRICTED (df() pushes id predicates into the sidecar
+    scan; one-off, uncached). Probes both churn outcomes in one query:
+    the upserted id returns its LATEST version (label 999, not the
+    stale original) and the deleted id returns nothing. The oracle
+    replays the churn relationally over the embeddings table."""
+    tbl = _churned_pk_table(spark, sf_dir)
+    fs = FilterSet().isin("id", [CHURN_PK_UPSERT_ID, CHURN_PK_DELETED_ID])
+    return (tbl.df(fs)
+            .select(F.col("id").alias("vec_id"), "label",
+                    F.size("vector").alias("dim"))
+            .orderBy("vec_id"))
+
+
 _HYBRID_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
 
 
@@ -2453,9 +2517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r11 window: changed-code first (the PK-sidecar visibility
         # -- rewrite touches every churned/upsert/tombstone read, the
-        # -- lexical candidate cache is now table-scoped), then ALL 32
-        # -- r8-stale entries (oldest driver evidence), then the
+        # -- lexical candidate cache is now table-scoped; point_get_churned
+        # -- is NEW — it drives the id-restricted PK-sidecar consult),
+        # -- then the r8-stale entries (oldest driver evidence), then the
         # -- regression canaries (events_ + at-rest families)
+        "point_get_churned": _point_get_churned,
         "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
         "bm25_search_churned_at_rest": _bm25_search_churned_at_rest,
         "upsert_latest_wins": _upsert_latest_wins,
@@ -2507,10 +2573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
         "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
         "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         # -------- driver window ends here (50 entries above) --------
-        # -------- tail: r9-stale first (next rotation's candidates),
-        # -------- then the r10-fresh set --------
+        # -------- tail: r10-fresh first (freshest evidence — the new
+        # -------- point_get_churned pushed it out), then r9-stale
+        # -------- (next rotation's candidates), then the r10 set --------
+        "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
         "dedup_semantic_clusters": _dedup_semantic_clusters,
         "docs_exact_substring_spans": _docs_exact_substring_spans,
@@ -3271,6 +3338,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({bm25.bm25_oracle_sql(
                 QUERY_TEXT, 10, docs_table='live',
                 id_col='doc_id', text_col='text')}) t
+        """,
+        # churned point-get: the upserted id serves its LATEST version
+        # (label {CHURN_PK_LABEL}, upsert vector's dim), the deleted id
+        # serves nothing — the churn replayed relationally
+        "point_get_churned": f"""
+            WITH live AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id = {CHURN_PK_UPSERT_ID}
+                            THEN {CHURN_PK_LABEL} ELSE label END AS label,
+                       CAST(len(embedding) AS INT) AS dim
+                FROM embeddings
+                WHERE vec_id <> {CHURN_PK_DELETED_ID}
+            )
+            SELECT vec_id, label, dim FROM live
+            WHERE vec_id IN ({CHURN_PK_UPSERT_ID}, {CHURN_PK_DELETED_ID})
+            ORDER BY vec_id
         """,
         "hybrid_rrf": hybrid.hybrid_oracle_sql(
             sq_l2_sql("c.embedding", "q.qv"), QUERY_TEXT, 10, vec_order="ASC"),

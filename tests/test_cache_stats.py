@@ -1,0 +1,74 @@
+"""Engine CacheStats — combined hit/miss counters of the read-path
+caches (the reference's Engine.CacheStats, engine.go:2210-2223, over
+blockCache + diskCache; per-cache detail mirrors ShardStats,
+internal/cache/sharded_lru.go:112). Our caches are the keyed artifact
+registries: loaded PK-index frames, trained IVF centroids, PQ/OPQ
+codebooks — see vecgo_spark/cache_stats.py."""
+
+import pytest
+
+from vecgo_spark import cache_stats
+from vecgo_spark.plans.table import VectorTable
+
+
+@pytest.fixture(autouse=True)
+def _reset_counters():
+    cache_stats.reset()
+    yield
+    cache_stats.reset()
+
+
+def _rows(spark, ids, tag="a"):
+    return spark.createDataFrame(
+        [(i, [float(i), 0.0], tag) for i in ids],
+        "id long, vector array<float>, tag string")
+
+
+def test_pk_index_hits_and_misses(spark, tmp_path):
+    from vecgo_spark.plans import table as tmod
+
+    tmod.release_vis_caches()
+    t = VectorTable.create(spark, str(tmp_path / "t"), dim=2)
+    t.insert(_rows(spark, range(10)))
+    t.commit()
+    t.insert(_rows(spark, [1], tag="b"))  # upsert → churn
+    t.commit()
+    sub = [s for s in t.manifest.segments if s.lsn == 1]
+    assert VectorTable.cache_stats() == (0, 0)
+    t.df(segments=sub).count()  # builds the winning-LSN frame → miss
+    assert VectorTable.cache_stats() == (0, 1)
+    t.df(segments=sub).count()  # same snapshot → hit
+    t.df(segments=sub).count()
+    assert VectorTable.cache_stats() == (2, 1)
+    detail = VectorTable.cache_stats_detail()
+    assert detail["pk_index"] == {"hits": 2, "misses": 1}
+    # releasing the loaded frames → next consult is a miss again
+    tmod.release_vis_caches()
+    t.df(segments=sub).count()
+    assert VectorTable.cache_stats_detail()["pk_index"]["misses"] == 2
+
+
+def test_trained_artifact_caches_count(spark):
+    from vecgo_spark.operators.ivf import _MODEL_CACHE, train_ivf
+    from vecgo_spark.quantization.pq import _PQ_CACHE, train_pq
+
+    _MODEL_CACHE.clear()
+    _PQ_CACHE.clear()
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.0]) for i in range(64)],
+        "id long, vector array<float>")
+    train_ivf(df, nlist=2, cache_key="cs", trainer="driver", order_col="id")
+    train_ivf(df, nlist=2, cache_key="cs", trainer="driver", order_col="id")
+    assert cache_stats.cache_stats_detail()["ivf_model"] == {
+        "hits": 1, "misses": 1}
+    train_pq(df, "vector", m=2, k=4, cache_key="cs", order_col="id")
+    train_pq(df, "vector", m=2, k=4, cache_key="cs", order_col="id")
+    assert cache_stats.cache_stats_detail()["pq_codebooks"] == {
+        "hits": 1, "misses": 1}
+    # no cache_key → the cache is bypassed: counts neither
+    before = cache_stats.cache_stats()
+    train_ivf(df, nlist=2, trainer="driver", order_col="id")
+    assert cache_stats.cache_stats() == before
+    # combined = sums across caches (the reference folds block + disk)
+    h, m = cache_stats.cache_stats()
+    assert (h, m) == (2, 2)

@@ -603,6 +603,8 @@ def test_bloom_decontaminate_superset_and_exact_copy(spark):
     for d, n_shared in truth.items():
         assert out[d]["n_flagged"] >= n_shared
     # corpus side must not join anything: benchmark is a literal bitset
+    # (built via ONE parsed F.expr — per-element F.lit chatter cost
+    # seconds of plan construction per query, r11 profiling)
     plan = pipeline.bloom_decontaminate(docs, bench, n=3)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan

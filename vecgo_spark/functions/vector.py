@@ -29,10 +29,47 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _dlit_sql(x: float) -> str:
+    """One double literal as SQL text. repr() is the IEEE-754 shortest
+    round-trip form — Java's Double.parseDouble returns the identical
+    bit pattern, so the parsed literal equals F.lit(x) exactly."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def double_array_expr(vals: Sequence[float]) -> Column:
+    """An ARRAY<DOUBLE> literal via ONE parsed SQL string. Every F.lit()
+    element is a py4j roundtrip (~0.5 ms each — a 2048-element table
+    costs 1-2.5 s of pure driver chatter PER QUERY BUILD, measured r11
+    on the bloom bit vector); F.expr hands Catalyst one string to parse
+    JVM-side in ~20 ms. Identical literal in the optimized plan."""
+    return F.expr("array(" + ",".join(_dlit_sql(float(x)) for x in vals) + ")")
+
+
+def double_matrix_expr(rows) -> Column:
+    """An ARRAY<ARRAY<DOUBLE>> literal (centroid tables, ADC lookup
+    tables) via ONE parsed SQL string — see double_array_expr."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(_dlit_sql(float(x)) for x in row) + ")"
+            for row in rows) + ")")
+
+
+def long_array_expr(vals) -> Column:
+    """An ARRAY<BIGINT> literal via ONE parsed SQL string — see
+    double_array_expr."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def _as_double_array(v: Column | str | Sequence[float]) -> Column:
     """Normalize input to an ARRAY<DOUBLE> column (literals allowed)."""
     if isinstance(v, (list, tuple)):
-        return F.array(*[F.lit(float(x)) for x in v])
+        return double_array_expr(v)
     col = F.col(v) if isinstance(v, str) else v
     return col.cast("array<double>")
 

@@ -42,7 +42,7 @@ def release_caches() -> None:
         _CACHED.pop().unpersist()
 
 from vecgo_spark.functions.hashing import shingles_sql, stable_hash64, stable_hash64_sql
-from vecgo_spark.functions.vector import cosine_similarity
+from vecgo_spark.functions.vector import cosine_similarity, double_matrix_expr
 from vecgo_spark.oracles import cosine_sql
 
 
@@ -1311,9 +1311,7 @@ def semantic_dedup_pairs(
 
     from vecgo_spark.operators import ivf as ivfmod
 
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids]
-    )
+    cents = double_matrix_expr(model.centroids)
     v = F.col(vector_col).cast("array<double>")
     d = emb.select(
         F.col(id_col).alias("id"),
@@ -1438,9 +1436,7 @@ def semantic_dedup(
 
     from vecgo_spark.operators import ivf as ivfmod
 
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids]
-    )
+    cents = double_matrix_expr(model.centroids)
     v = F.col(vector_col).cast("array<double>")
     d = emb.select(
         F.col(id_col).alias("id"),

@@ -32,7 +32,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from vecgo_spark import cache_stats
 from vecgo_spark.filters import FilterSet
+from vecgo_spark.functions.vector import double_matrix_expr
 from vecgo_spark.operators import knn
 
 
@@ -79,6 +81,7 @@ def train_ivf(
         # settings must never serve the first call's centroids
         cache_key = (f"{cache_key}|ivf:k{nlist}:m{metric}:s{seed}:i{max_iter}"
                      f":t{trainer}:n{max_train_rows}:o{order_col}")
+        cache_stats.record("ivf_model", cache_key in _MODEL_CACHE)
         if cache_key in _MODEL_CACHE:
             return _MODEL_CACHE[cache_key]
     if nlist is None:
@@ -108,9 +111,7 @@ def assign_expr(model: IVFModel, vector_col: Column | str) -> Column:
     match) — deterministic, mirroring the reference's sequential argmin.
     """
     v = (F.col(vector_col) if isinstance(vector_col, str) else vector_col).cast("array<double>")
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids]
-    )
+    cents = double_matrix_expr(model.centroids)
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -143,7 +144,7 @@ def probe_expr(model: IVFModel, qvector_col: Column | str, nprobe: int) -> Colum
     (dist, cid) structs → slice). Lets probe selection run for millions of
     queries without a driver round-trip."""
     v = (F.col(qvector_col) if isinstance(qvector_col, str) else qvector_col).cast("array<double>")
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in model.centroids])
+    cents = double_matrix_expr(model.centroids)
     scored = F.transform(
         cents,
         lambda c, i: F.struct(

@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vecgo_spark.functions import vector as vfn
+
 from vecgo_spark.operators import knn
 
 
@@ -48,7 +50,7 @@ def bucket_expr(model: LSHPlanes, vector_col: Column | str) -> Column:
     v = (F.col(vector_col) if isinstance(vector_col, str) else vector_col).cast("array<double>")
     out = F.lit(0)
     for i, plane in enumerate(model.planes):
-        lit_p = F.array(*[F.lit(float(x)) for x in plane])
+        lit_p = vfn.double_array_expr(plane)
         d = F.aggregate(
             F.zip_with(v, lit_p, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )

@@ -135,6 +135,16 @@ def _bloom_positions(c, m: int, k: int) -> list:
     return [F.pmod(h1 + F.lit(s) * h2, F.lit(m)) for s in range(k)]
 
 
+def _bigint_array_expr(values: list[int]):
+    """An ARRAY<BIGINT> plan literal via ONE parsed SQL string —
+    F.lit([...]) builds per-element py4j literals (~1-2.5s at 2048
+    elements, measured); F.expr parses the same literal JVM-side in
+    ~20 ms. Identical column in the optimized plan."""
+    from vecgo_spark.functions.vector import long_array_expr
+
+    return long_array_expr(values)
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -179,11 +189,16 @@ def bloom_decontaminate(
         bits[p >> 3] |= 1 << (p & 7)
     words = [int.from_bytes(bits[i:i + 8], "little", signed=True)
              for i in range(0, len(bits), 8)]
-    # ONE py4j literal each — element-wise F.lit() would cost m/64 + 64
-    # driver roundtrips (~4s of pure plan-construction chatter)
-    words_lit = F.lit(words).cast("array<bigint>")
-    pow2 = F.lit([1 << b if b < 63 else -(1 << 63)
-                  for b in range(64)]).cast("array<bigint>")
+    # the m/64-word bit vector stays a PLAN LITERAL (codegen-friendly,
+    # join-free) but is built as ONE parsed SQL expression: F.lit() on a
+    # 2048-element array costs ~1-2.5s of per-element py4j chatter PER
+    # QUERY BUILD (measured r11 — it had become the query's single
+    # biggest cost and the source of its r10 bench drift), while
+    # F.expr("array(...)") hands Catalyst one ~20 KB string to parse
+    # JVM-side in ~20 ms. Same literal in the optimized plan either way.
+    words_lit = _bigint_array_expr(words)
+    pow2 = _bigint_array_expr([1 << b if b < 63 else -(1 << 63)
+                               for b in range(64)])
 
     csh = _doc_shingles(docs, id_col, text_col, n)
     probes = _bloom_positions(F.col("shingle"), m, k)

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from vecgo_spark import cache_stats
 from vecgo_spark.filters import Filter, FilterSet, to_condition
 from vecgo_spark.operators import knn
 from vecgo_spark.plans.manifest import (
@@ -787,6 +788,7 @@ class VectorTable:
             key = (self.path, self.manifest.version, include_pending,
                    len(self._pending), tuple(sorted(s.path for s in full)))
             hit = _VIS_CACHE.get(key)
+            cache_stats.record("pk_index", hit is not None)
             if hit is not None:
                 return hit[0]
         legs, pk_files = [], []
@@ -1393,9 +1395,10 @@ class VectorTable:
         # bound as long as the radius is measured against it
         written = self.spark.read.parquet(full)
         vv = F.col(self.vector_col).cast("array<double>")
+        from vecgo_spark.functions.vector import double_matrix_expr
+
         cent_of_row = F.element_at(
-            F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                      for c in model.centroids]),
+            double_matrix_expr(model.centroids),
             F.col(CLUSTER_COL).cast("int") + 1)
         d2 = F.aggregate(
             F.zip_with(vv, cent_of_row, lambda x, y: (x - y) * (x - y)),
@@ -2025,3 +2028,21 @@ class VectorTable:
                if self._sel_ema is not None
                and (hf := self._sel_ema.hot_field()) is not None else {}),
         }
+
+    @staticmethod
+    def cache_stats() -> tuple[int, int]:
+        """Combined (hits, misses) of the engine's read-path caches —
+        the reference's ``Engine.CacheStats`` (engine.go:2210-2223,
+        blockCache + diskCache combined). Here the caches are the keyed
+        artifact registries the serving session consults: the loaded
+        PK-index frames (``_VIS_CACHE``), trained IVF centroids, and PQ
+        codebooks — see vecgo_spark/cache_stats.py for the counting
+        stance. Process-global like the registries themselves (a
+        SparkSession serves every table in the process), hence static."""
+        return cache_stats.cache_stats()
+
+    @staticmethod
+    def cache_stats_detail() -> dict:
+        """Per-cache breakdown (the reference's ShardStats debug view,
+        internal/cache/sharded_lru.go:112)."""
+        return cache_stats.cache_stats_detail()

@@ -30,6 +30,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+from vecgo_spark import cache_stats
+from vecgo_spark.functions.vector import double_matrix_expr
+
 
 @dataclass
 class PQCodebooks:
@@ -133,6 +136,7 @@ def train_pq(
     codebooks (required for oracle-checked queries)."""
     if cache_key is not None:
         cache_key = f"{cache_key}|pq:m{m}:k{k}:i{iters}:n{max_train_rows}:s{seed}:o{order_col}"
+        cache_stats.record("pq_codebooks", cache_key in _PQ_CACHE)
         if cache_key in _PQ_CACHE:
             return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
@@ -187,6 +191,7 @@ def train_opq(
         # must never serve the first call's codebooks
         cache_key = (f"{cache_key}|opq:m{m}:k{k}:i{iters}:oi{opq_iters}"
                      f":n{max_train_rows}:s{seed}:o{order_col}")
+        cache_stats.record("pq_codebooks", cache_key in _PQ_CACHE)
         if cache_key in _PQ_CACHE:
             return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
@@ -367,7 +372,7 @@ def adc_score_expr(pq: PQCodebooks, query: list[float], codes_col: Column | str)
     query so only worth it when Python workers are unavailable."""
     c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     table = adc_table(pq, query)
-    lit_table = F.array(*[F.array(*[F.lit(v) for v in row]) for row in table])
+    lit_table = double_matrix_expr(table)
     return F.aggregate(
         F.zip_with(c, lit_table, lambda code, row: F.get(row, code)),
         F.lit(0.0),

@@ -67,7 +67,9 @@ def train_scalar(
 
 
 def _lit_arr(vals) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    from vecgo_spark.functions.vector import double_array_expr
+
+    return double_array_expr(vals)
 
 
 def encode(params: ScalarParams, vector_col: Column | str) -> Column:
