@@ -387,6 +387,18 @@ COMMENTARY = {
         "of this leg re-projected every segment file per query — "
         "O(corpus) under churn, the r10 verdict's one weak."
     ),
+    "point_get_churned": (
+        "Churned point-get — the id-RESTRICTED PK consult (the "
+        "reference's per-read O(candidates) index lookup, mvcc.go:125). "
+        "The id predicate prunes the far-half segment via manifest "
+        "stats AND is pushed into the visibility leg's sidecar scan "
+        "(PushedFilters on the `_pk/` read — row-group pruning instead "
+        "of aggregating every id of the table; such one-off shapes "
+        "skip the vis cache so the cached map stays predicate-free). "
+        "Both scans show In(id, …) in PushedFilters; at 100 TB the "
+        "plan touches one segment's row groups + key-only sidecar "
+        "bytes."
+    ),
     "hybrid_rrf_indexed_at_rest": (
         "The COMPLETE one-table two-index serving path (engine.go:"
         "1538-1634 with the 1549 stance that an indexed table never "

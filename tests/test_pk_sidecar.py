@@ -132,6 +132,45 @@ def test_vis_cache_reuse_and_invalidation(spark, tdir):
     assert not tmod._VIS_CACHE
 
 
+def test_vacuum_evicts_stale_snapshot_vis_frames(spark, tdir):
+    """A cached winning-LSN frame of a DROPPED snapshot may lazily
+    reference PK sidecars that vacuum just GC'd — if the frame was never
+    materialized, its first use would hit FileNotFound. vacuum() must
+    evict this table's stale-version cache entries (the current
+    snapshot's entry survives: its sidecars are referenced, never GC'd)."""
+    from vecgo_spark.plans import table as tmod
+
+    tmod.release_vis_caches()
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_rows(spark, range(10)))
+    t.commit()
+    t.insert(_rows(spark, [1], tag="b"))
+    t.commit()
+    old_sub = [s for s in t.manifest.segments if s.lsn == 1]
+    # build the cache entry WITHOUT materializing it (no action)
+    _ = t.df(segments=old_sub)
+    stale_version = t.manifest.version
+    # compaction replaces every segment; the old sidecars become
+    # unreferenced once retention drops the pre-compact versions
+    t.compact()
+    t.insert(_rows(spark, [2], tag="c"))
+    t.commit()
+    cur = t.df(segments=[s for s in t.manifest.segments if s.lsn < t.manifest.lsn])
+    cur.count()  # current snapshot's entry, materialized
+    out = t.vacuum(keep_versions=1)
+    assert any(f.startswith(PK_DIR) for f in out["removed_files"]), \
+        "vacuum should GC the pre-compact PK sidecars"
+    keys = [k for k in tmod._VIS_CACHE if k[0] == t.path]
+    assert keys and all(k[1] == t.manifest.version for k in keys), \
+        "stale-version vis frames must be evicted, current kept"
+    assert all(k[1] != stale_version for k in keys)
+    # and the surviving entry still answers: id 2's winner lives in the
+    # excluded newest segment, so the subset serves the other 9 ids
+    assert cur.count() == t.df().count() - 1
+    tmod.release_vis_caches(t.path)
+    assert not [k for k in tmod._VIS_CACHE if k[0] == t.path]
+
+
 def test_explicit_subset_returns_live_versions_only(spark, tdir):
     """r10 ADVICE (high): df(segments=<subset>) used to treat the subset
     as the whole snapshot, electing stale versions subset-locally."""

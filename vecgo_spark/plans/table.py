@@ -91,11 +91,15 @@ _VIS_CACHE: dict[tuple, tuple[DataFrame, list[str], list[str]]] = {}
 VIS_CACHE_CAP = 4
 
 
-def release_vis_caches() -> None:
-    """Unpersist every cached winning-LSN frame (long-lived sessions
-    under memory pressure; snapshots changed by another writer)."""
-    while _VIS_CACHE:
-        _VIS_CACHE.pop(next(iter(_VIS_CACHE)))[0].unpersist()
+def release_vis_caches(table_path: str | None = None) -> None:
+    """Unpersist cached winning-LSN frames (long-lived sessions under
+    memory pressure; snapshots changed by another writer). With
+    table_path, only that table's frames are released — the per-table
+    scoping stance of lexical_at_rest.release_caches."""
+    keys = [k for k in _VIS_CACHE
+            if table_path is None or k[0] == table_path]
+    for k in keys:
+        _VIS_CACHE.pop(k)[0].unpersist()
 
 # Declared metadata-schema field types (metadata/schema.go:7-17). "any"
 # accepts everything; undeclared fields always pass through (schema.go:46-49).
@@ -1996,6 +2000,15 @@ class VectorTable:
                     else:
                         fs_rmtree(target)
                     removed_files.append(rel)
+        if removed_files:
+            # cached winning-LSN frames of DROPPED snapshots may lazily
+            # reference just-GC'd PK sidecars — a never-materialized
+            # frame would hit FileNotFound on first use. Evict this
+            # table's stale-version entries; the current snapshot's
+            # entry stays (its sidecars are referenced ⇒ never GC'd).
+            for k in [k for k in _VIS_CACHE
+                      if k[0] == self.path and k[1] != self.manifest.version]:
+                _VIS_CACHE.pop(k)[0].unpersist()
         return {"removed_manifests": removed_manifests, "removed_files": removed_files}
 
     def stats(self) -> dict:
