@@ -390,10 +390,10 @@ def test_token_budget_two_phase_hypothesis(spark, docs_spec, budgets, bucket_bit
 @pytest.mark.parametrize("seed", [1, 7, 42])
 def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
     """Randomized MVCC model check: a seeded sequence of insert / delete /
-    partial-compact / full-compact / vacuum, committed per op, must keep
-    the live snapshot identical to a python model of the visibility
-    algebra (a tombstone at LSN T kills versions with lsn <= T; latest
-    surviving insert wins). TOMB_FOLD_MAX_FILES is forced to 2 so
+    partial-compact / full-compact / vacuum / PK-cache-release /
+    PK-sidecar-backfill, committed per op, must keep the live snapshot
+    identical to a python model of the visibility algebra (a tombstone at
+    LSN T kills versions with lsn <= T; latest surviving insert wins). TOMB_FOLD_MAX_FILES is forced to 2 so
     tombstone folding, interval GC, and the mixed-stats count fallback
     all fire repeatedly — the r9 compaction-migration surface under
     churn. The winning VERSION is checked too (vector[0] encodes the
@@ -422,8 +422,8 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
 
     for _ in range(12):
         seq += 1
-        op = rng.choices(["ins", "del", "pc", "fc", "vac"],
-                         weights=[40, 30, 15, 10, 5])[0]
+        op = rng.choices(["ins", "del", "pc", "fc", "vac", "rel", "bpk"],
+                         weights=[40, 30, 15, 10, 5, 5, 3])[0]
         if op == "ins":
             ids = rng.sample(range(30), rng.randint(1, 6))
             t.insert(spark.createDataFrame(
@@ -442,8 +442,15 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
             t.maybe_compact(PickRandom())
         elif op == "fc":
             t.compact()
-        else:
+        elif op == "vac":
             t.vacuum(keep_versions=1)
+        elif op == "rel":
+            # loaded-PK-index cache release mid-serving (r11): the next
+            # subset read rebuilds the frame from sidecars — results
+            # must be identical either way
+            tbl_mod.release_vis_caches(t.path)
+        else:  # bpk — the sidecar backfill must be a correctness no-op
+            t.build_pk_index()
         got = {r["id"]: int(r["vector"][0]) for r in t.df().collect()}
         assert got == visible(), (seed, seq, op)
         assert t.count() == len(got), (seed, seq, op)
@@ -455,6 +462,15 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
             want = visible().get(probe_id)
             assert [int(r["vector"][0]) for r in rows] == \
                 ([want] if want is not None else []), (seed, seq, op, probe_id)
+        # explicit-subset visibility (r11, the PK-sidecar read path —
+        # cache hit or rebuild depending on the op mix): rows from ONE
+        # random segment must be exactly the live versions stored there
+        if t.manifest.segments:
+            seg = rng.choice(t.manifest.segments)
+            sub = {r["id"]: int(r["vector"][0])
+                   for r in t.df(segments=[seg]).collect()}
+            assert all(visible().get(i) == s for i, s in sub.items()), \
+                (seed, seq, op, seg.path)
 
 
 def test_artifact_families_random_churn_parity(spark, tmp_path):
