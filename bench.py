@@ -80,6 +80,9 @@ def main() -> None:
                 continue
             dt = time.perf_counter() - t0
             ptotal += dt
+            errors.pop(name, None)  # a later success supersedes a
+            # transient pass-1 failure — never report a query as both
+            # errored and timed
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 4)
         pass_totals.append(round(ptotal, 4))

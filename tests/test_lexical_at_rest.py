@@ -522,3 +522,31 @@ def test_churn_cache_scoped_per_table(spark, tmp_path):
     assert len(lex._CACHED[tb.path]) == lex._CACHED_CAP
     lex.release_caches()
     assert not lex._CACHED
+
+
+def test_churn_cache_global_bound_across_tables():
+    """Per-table keying (r11) must not lose the TOTAL bound: a session
+    touching many churned tables would otherwise hold _CACHED_CAP frames
+    per table forever. Past _CACHED_GLOBAL_CAP the oldest-registered
+    table loses its oldest frame first."""
+    from unittest.mock import MagicMock
+
+    from vecgo_spark.operators import lexical_at_rest as lex
+
+    lex.release_caches()
+    per, cap = lex._CACHED_CAP, lex._CACHED_GLOBAL_CAP
+    n_tables = cap // per + 2
+    frames = {}
+    for t in range(n_tables):
+        for _ in range(per):
+            f = MagicMock()
+            frames.setdefault(f"t{t}", []).append(f)
+            lex._cache_candidate(f"t{t}", f)
+    total = sum(len(v) for v in lex._CACHED.values())
+    assert total <= cap
+    # the first-registered table was evicted first, oldest frames first
+    assert frames["t0"][0].unpersist.called
+    # the newest table keeps its full per-table allotment
+    assert len(lex._CACHED[f"t{n_tables - 1}"]) == per
+    lex.release_caches()
+    assert not lex._CACHED

@@ -238,6 +238,36 @@ def test_build_pk_index_backfills_and_publishes(spark, tdir):
     assert t2.df(segments=old_seg).where(F.col("id") == 1).count() == 0
 
 
+def test_build_pk_index_retries_over_crashed_attempt(spark, tdir):
+    """Backfill names are DETERMINISTIC and the manifest publishes only
+    after every segment succeeds — a crashed prior attempt leaves orphan
+    sidecars no manifest references. The retry must overwrite them (r11
+    review: mode('error') wedged the adoption path until a vacuum)."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(_rows(spark, range(6)))
+    t.commit()
+    t.insert(_rows(spark, range(6, 12)))
+    t.commit()
+    import shutil
+
+    shutil.rmtree(os.path.join(t.path, PK_DIR))
+    covered = list(t.manifest.segments)
+    for s in covered:
+        s.pk = None
+    # simulate the crash: backfill ran for segment 0 only, no publish
+    import re
+
+    seg0 = covered[0]
+    name = re.sub(r"[^A-Za-z0-9_.-]", "~", seg0.path.strip("/"))
+    src = spark.read.parquet(os.path.join(t.path, seg0.path))
+    t._write_pk_sidecar(src, name)  # orphan on disk, seg.pk stays None
+    v = t.build_pk_index()  # must not raise on the existing path
+    assert all(s.pk for s in t.manifest.segments)
+    side = spark.read.parquet(os.path.join(t.path, t.manifest.segments[0].pk))
+    assert side.count() == seg0.rows
+    assert v == VectorTable.open(spark, tdir).manifest.version
+
+
 def test_vacuum_gc_for_sidecars(spark, tdir):
     t = VectorTable.create(spark, tdir, dim=2)
     t.insert(_rows(spark, range(10)))

@@ -393,3 +393,54 @@ def test_persisted_ema_lifecycle(spark, tmp_path):
                                    "id long, vector array<double>"))
     u.commit()
     assert "selectivity_ema" not in u.manifest.meta
+
+
+def test_enable_persist_upgrades_existing_ema(spark, tmp_path):
+    """r11 review: enable_adaptive_selectivity(persist=True) on a table
+    whose EMA was already enabled session-only used to be silently
+    ignored — no commit snapshot, no warm-start, no error. The call now
+    upgrades in place: stored snapshot loaded (live observations win),
+    subsequent commits persist."""
+    path = str(tmp_path / "pu")
+    t = VectorTable.create(spark, path, dim=2)
+    t.insert(spark.createDataFrame([(1, [0.0, 0.0])],
+                                   "id long, vector array<double>"))
+    t.commit()
+    fs_live = FilterSet().eq("id", 1)
+    fs_stored = FilterSet().gt("id", 5)
+    # a previous persist=True session stored estimates for fs_stored
+    seed = t.enable_adaptive_selectivity(persist=True)
+    seed.observe(fs_stored, 0.02)
+    t.insert(spark.createDataFrame([(2, [0.0, 0.0])],
+                                   "id long, vector array<double>"))
+    t.commit()
+    # fresh open, EMA enabled session-only first, then upgraded
+    t2 = VectorTable.open(spark, path)
+    ema = t2.enable_adaptive_selectivity()
+    ema.observe(fs_live, 0.4)
+    up = t2.enable_adaptive_selectivity(persist=True)
+    assert up.persist is True
+    assert up.adjust(fs_live, 0.9) == pytest.approx(0.4)    # live kept
+    assert up.adjust(fs_stored, 0.9) == pytest.approx(0.02)  # warmed
+    t2.insert(spark.createDataFrame([(3, [0.0, 0.0])],
+                                    "id long, vector array<double>"))
+    t2.commit()  # upgraded instance now snapshots at commit
+    meta = t2.manifest.meta["selectivity_ema"]
+    assert any(abs(v - 0.4) < 1e-9 for v in meta["ema"].values())
+
+
+def test_persisted_ema_key_roundtrip_with_separator_chars():
+    """Field names containing '|' or ':' must round-trip through the
+    manifest snapshot (r11 review: the old split-based format corrupted
+    them, so warmed estimates silently never applied)."""
+    from vecgo_spark.plans.pruning import AdaptiveSelectivity
+
+    a = AdaptiveSelectivity(persist=True)
+    fs = FilterSet().eq("weird|field:name", 7)
+    a.observe(fs, 0.11)
+    b = AdaptiveSelectivity(persist=True)
+    b.load_meta(a.to_meta())
+    assert b.adjust(fs, 0.9) == pytest.approx(0.11)
+    # legacy separator strings still best-effort parse
+    assert AdaptiveSelectivity._s2k("id:eq|lang:eq") == \
+        (("id", "eq"), ("lang", "eq"))

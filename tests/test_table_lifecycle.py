@@ -741,3 +741,38 @@ def test_subset_visibility_scan_stays_narrow_and_pushed(spark, tdir):
     narrow = [ln for ln in scans if re.search(r"\[id#\d+L,_lsn#\d+L\]", ln)]
     assert len(narrow) == 1, plan  # side-scan projects exactly (id, _lsn)
     assert "= 5)" in narrow[0]     # join key pushed into the side-scan
+
+
+def test_compact_with_staged_batch_flushes_first(spark, tdir):
+    """r11 self-review find: compact() while a STAGED (uncommitted) batch
+    carries colliding ids used to publish has_upserts=False (the staged
+    collision survived the reset — df() then skipped version dedup and
+    returned BOTH versions) and restarted the LSN cursor so the first
+    staged batch's LSN tied the compacted rows'. compact() now flushes
+    staged state first (the reference compacts flushed segments), folding
+    the staged rows into the rewrite itself."""
+    t = VectorTable.create(spark, tdir, dim=2)
+    t.insert(spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "id long, vector array<float>"))
+    t.commit()
+    # staged upsert of id 3 — NOT committed
+    t.insert(spark.createDataFrame(
+        [(3, [99.0, 0.0])], "id long, vector array<float>"))
+    assert t.manifest.meta.get("has_upserts") is True  # set at insert
+    t.compact()
+    # the rewrite folded the staged version in: one row per id, id 3 is
+    # the staged (latest) version, flags honestly reset
+    assert not t._pending and not t._pending_tombs
+    assert t.manifest.meta.get("has_upserts") is False
+    rows = {r["id"]: r["vector"][0] for r in t.df().collect()}
+    assert rows == {0: 0.0, 1: 1.0, 2: 2.0, 3: 99.0, 4: 4.0, 5: 5.0}
+    t.commit()  # idempotent: nothing staged remains
+    assert {r["id"] for r in t.df().collect()} == set(range(6))
+    # staged DELETE before compact folds the same way
+    t.delete([5])
+    t.compact(cluster_by=2)
+    assert not t._pending_tombs
+    assert t.manifest.meta.get("has_upserts") is False
+    assert {r["id"] for r in t.df().collect()} == {0, 1, 2, 3, 4}
+    assert t.df(FilterSet().eq("id", 3)).collect()[0]["vector"][0] == 99.0

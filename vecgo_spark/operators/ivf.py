@@ -303,10 +303,20 @@ def search(
 
         # observation rides the probed pre-filter scan; rows reach
         # knn.search already filtered, so the predicate is not re-applied.
-        # The static estimate + the full-probe tier boundary score the
-        # decision for the PruneAccuracy weighting (stats.go:210-214)
-        pruned = ema.attach(pruned, filter, to_condition(filter),
-                            estimate=static_sel, threshold=0.02)
+        # PruneAccuracy scoring (estimate/threshold) is passed ONLY when
+        # the scan is global (effective == model.k, the full-probe tier):
+        # a probe-restricted observation measures P(filter | probed
+        # clusters), and scoring a GLOBAL static estimate against a
+        # CONDITIONED fraction would systematically penalize an accurate
+        # estimator whenever the filter correlates with the clustering
+        # (r11 review; the reference scores like-for-like,
+        # stats.go:210-214). The EMA itself still drains either way —
+        # min-blending a conditioned fraction only ever widens probes.
+        global_scan = effective >= model.k
+        pruned = ema.attach(
+            pruned, filter, to_condition(filter),
+            estimate=static_sel if global_scan else None,
+            threshold=0.02 if global_scan else None)
         filter = None
     return knn.search(
         pruned, list(query), k=k, metric=model.metric, filter=filter,

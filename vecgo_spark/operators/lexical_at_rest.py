@@ -291,6 +291,11 @@ _CACHED_CAP = 8  # per table — a serving session issuing thousands of
 # CORRECT (Spark recomputes from the postings) but costs the single-read
 # goal — consume results within _CACHED_CAP further churn queries on the
 # SAME table, or call release_caches() between batches.
+_CACHED_GLOBAL_CAP = 32  # across ALL tables — per-table keying (r11)
+# must not lose the total bound the original global list enforced: a
+# session touching many churned tables (per-tenant scratch tables) would
+# otherwise hold 8 persisted frames per table forever. Past the cap the
+# oldest-registered table loses its oldest frame first.
 
 
 def _cache_candidate(table_path: str, frame: DataFrame) -> None:
@@ -298,6 +303,12 @@ def _cache_candidate(table_path: str, frame: DataFrame) -> None:
     while len(slots) >= _CACHED_CAP:
         slots.pop(0).unpersist()
     slots.append(frame)
+    while sum(len(v) for v in _CACHED.values()) > _CACHED_GLOBAL_CAP:
+        victim = next(k for k, v in _CACHED.items() if v)
+        victim_slots = _CACHED[victim]
+        victim_slots.pop(0).unpersist()
+        if not victim_slots:
+            del _CACHED[victim]
 
 
 def release_caches(table_path: str | None = None) -> None:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from vecgo_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from vecgo_spark.functions.vector import long_array_expr
 from vecgo_spark.operators.dedup import _doc_shingles
 
 _TOKS_SQL = "list_filter(string_split_regex(lower({c}), '[\\x00-\\x20]+'), t -> t != '')"
@@ -135,16 +136,6 @@ def _bloom_positions(c, m: int, k: int) -> list:
     return [F.pmod(h1 + F.lit(s) * h2, F.lit(m)) for s in range(k)]
 
 
-def _bigint_array_expr(values: list[int]):
-    """An ARRAY<BIGINT> plan literal via ONE parsed SQL string —
-    F.lit([...]) builds per-element py4j literals (~1-2.5s at 2048
-    elements, measured); F.expr parses the same literal JVM-side in
-    ~20 ms. Identical column in the optimized plan."""
-    from vecgo_spark.functions.vector import long_array_expr
-
-    return long_array_expr(values)
-
-
 def bloom_decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -196,9 +187,9 @@ def bloom_decontaminate(
     # biggest cost and the source of its r10 bench drift), while
     # F.expr("array(...)") hands Catalyst one ~20 KB string to parse
     # JVM-side in ~20 ms. Same literal in the optimized plan either way.
-    words_lit = _bigint_array_expr(words)
-    pow2 = _bigint_array_expr([1 << b if b < 63 else -(1 << 63)
-                               for b in range(64)])
+    words_lit = long_array_expr(words)
+    pow2 = long_array_expr([1 << b if b < 63 else -(1 << 63)
+                            for b in range(64)])
 
     csh = _doc_shingles(docs, id_col, text_col, n)
     probes = _bloom_positions(F.col("shingle"), m, k)

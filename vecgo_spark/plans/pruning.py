@@ -606,11 +606,22 @@ class AdaptiveSelectivity:
 
     @staticmethod
     def _k2s(k: tuple) -> str:
-        return "|".join(f"{f}:{op}" for f, op in k)
+        # JSON, not a hand-rolled separator: field names may contain
+        # '|' or ':' (r11 review — a split-based round-trip silently
+        # corrupted such keys, so warmed estimates never applied)
+        import json
+
+        return json.dumps([list(pair) for pair in k])
 
     @staticmethod
     def _s2k(s: str) -> tuple:
-        return tuple(tuple(p.rsplit(":", 1)) for p in s.split("|") if p)
+        import json
+
+        try:
+            return tuple(tuple(pair) for pair in json.loads(s))
+        except (ValueError, TypeError):
+            # pre-r11 separator format — best-effort legacy parse
+            return tuple(tuple(p.rsplit(":", 1)) for p in s.split("|") if p)
 
     def to_meta(self) -> dict:
         self.drain()

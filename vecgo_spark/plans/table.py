@@ -359,7 +359,8 @@ class VectorTable:
                                          stats=stats, pk=pk_rel))
         return rows, size
 
-    def _write_pk_sidecar(self, written: DataFrame, name: str) -> str:
+    def _write_pk_sidecar(self, written: DataFrame, name: str,
+                          mode: str = "error") -> str:
         """Persist the PK sidecar for a just-written segment: the narrow
         (id, _lsn) projection, the reference's persisted PK index
         (engine.go:2226-2262 persistPKIndex; consulted per read at
@@ -369,9 +370,12 @@ class VectorTable:
         source parquet is page-hot right after its own write. Cost is
         O(batch), never O(corpus); subset-visibility reads then touch
         sidecar bytes only (~16 B/row) instead of re-projecting every
-        segment file."""
+        segment file. mode="error" for segment writes (names carry a
+        uuid — a collision is a real bug); the backfill passes
+        "overwrite" because ITS names are deterministic and a crashed
+        prior attempt leaves orphan sidecars no manifest references."""
         rel = os.path.join(PK_DIR, f"pk-{name}")
-        written.select(self.id_col, "_lsn").write.mode("error").parquet(
+        written.select(self.id_col, "_lsn").write.mode(mode).parquet(
             os.path.join(self.path, rel))
         return rel
 
@@ -794,6 +798,9 @@ class VectorTable:
             hit = _VIS_CACHE.get(key)
             cache_stats.record("pk_index", hit is not None)
             if hit is not None:
+                # LRU, not FIFO: refresh recency so >cap hot snapshots
+                # don't thrash persist/unpersist every query (r11 review)
+                _VIS_CACHE[key] = _VIS_CACHE.pop(key)
                 return hit[0]
         legs, pk_files = [], []
         if covered:
@@ -984,7 +991,10 @@ class VectorTable:
                 return False
             src = self.spark.read.parquet(os.path.join(self.path, seg.path))
             name = re.sub(r"[^A-Za-z0-9_.-]", "~", seg.path.strip("/"))
-            seg.pk = self._write_pk_sidecar(src, name)
+            # overwrite: deterministic names + publish-after-all means a
+            # crashed prior run leaves unreferenced orphans here — the
+            # retry must replace them, not wedge on mode("error")
+            seg.pk = self._write_pk_sidecar(src, name, mode="overwrite")
             return True
 
         committed_changed = any([backfill(s) for s in self.manifest.segments])
@@ -1109,6 +1119,21 @@ class VectorTable:
             self._sel_ema = AdaptiveSelectivity(alpha=alpha, persist=persist)
             if persist and "selectivity_ema" in self.manifest.meta:
                 self._sel_ema.load_meta(self.manifest.meta["selectivity_ema"])
+        elif persist and not self._sel_ema.persist:
+            # upgrade in place (r11 review: a persist=True call on an
+            # already-enabled table was silently ignored — no snapshot
+            # at commit, no warm-start, no error); live observations win
+            # over the stored snapshot, so load first
+            if "selectivity_ema" in self.manifest.meta:
+                loaded = type(self._sel_ema)(alpha=self._sel_ema.alpha)
+                loaded.load_meta(self.manifest.meta["selectivity_ema"])
+                loaded._ema.update(self._sel_ema._ema)
+                loaded._acc.update(self._sel_ema._acc)
+                for f, n in self._sel_ema._fields.items():
+                    loaded._fields[f] = loaded._fields.get(f, 0) + n
+                loaded._pending = self._sel_ema._pending
+                self._sel_ema = loaded
+            self._sel_ema.persist = True
         return self._sel_ema
 
     def graph_search(self, query: Sequence[float], k: int = 10,
@@ -1346,6 +1371,18 @@ class VectorTable:
         the drop-and-rebuild-manually behavior.
         """
         self._check_writable()
+        if self._pending or self._pending_tombs:
+            # flush-before-compact (the reference compacts FLUSHED
+            # segments; its memtable flushes first, compaction.go:29-46).
+            # A staged batch must not survive a rewrite that resets the
+            # MVCC gates and restarts the LSN cursor: r11 self-review
+            # found that compact() with a staged colliding insert
+            # published has_upserts=False — df() then skipped version
+            # dedup entirely — and the first staged batch's LSN tied the
+            # compacted rows', corrupting latest-wins. Committing first
+            # folds the staged rows into the rewrite; there is no
+            # rollback API, so publishing earlier changes no outcome.
+            self.commit()
         t0 = time.perf_counter()
         dropped = len(self.manifest.segments)
         prior_families = {f: dict(self.manifest.meta[f])
