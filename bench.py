@@ -68,6 +68,7 @@ def main() -> None:
     # statistic the baseline's Go benchmarks report (b.N-averaged warm
     # iterations) and the same best-of-two the r10 judge computed by hand.
     errors: dict[str, str] = {}
+    flaky: dict[str, str] = {}
     pass_totals = []
     for _pass in range(2):
         ptotal = 0.0
@@ -76,7 +77,17 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).count()
             except Exception as exc:  # noqa: BLE001 — report, don't crash
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                msg = f"{type(exc).__name__}: {exc}"[:500]
+                # (r11 ADVICE) succeed-then-fail must not land in BOTH
+                # 'queries' and 'errors': a query with a recorded timing
+                # that fails on a later pass is reported as FLAKY (its
+                # pass-1 timing stays in 'value' — it did run — but the
+                # end-of-run breakage is visible, not silent); 'errors'
+                # is reserved for queries with no successful pass.
+                if name in timings:
+                    flaky[name] = msg
+                else:
+                    errors[name] = msg
                 continue
             dt = time.perf_counter() - t0
             ptotal += dt
@@ -89,8 +100,16 @@ def main() -> None:
     total = sum(timings.values())
 
     out = {
-        "metric": "vecgo_spark query suite wall time (per-query best of 2 passes)",
+        # (r11 ADVICE) the metric string is VERSIONED: "v2" marks the
+        # r11 methodology change from one timed pass to per-query
+        # best-of-2 — round-over-round 'value' comparisons across that
+        # boundary (r10 and earlier vs r11+) compare methodologies, not
+        # engines. "first_pass_total" is the closest like-for-like
+        # number to the old single-pass metric; BENCH_r01..r10 used v1.
+        "metric": "vecgo_spark query suite wall time "
+                  "(v2: per-query best of 2 passes; v1 ≈ first_pass_total)",
         "value": round(total, 4),
+        "first_pass_total": pass_totals[0] if pass_totals else None,
         "unit": "sec",
         "queries": timings,
         "pass_totals": pass_totals,
@@ -98,6 +117,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if flaky:
+        out["flaky"] = flaky
     # build-vs-serve split (r10 verdict nit): the scratch VectorTables
     # (churned lex/ivf, hybrid two-index) are built ONCE during the
     # untimed warm-up pass above; their build seconds are recorded here

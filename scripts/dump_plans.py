@@ -365,11 +365,15 @@ COMMENTARY = {
     ),
     "bm25_search_churned_at_rest": (
         "BM25 from stored postings UNDER CHURN (upserts + deletes landed "
-        "after the build): the postings scan adds the NULL-term marker "
-        "rows, the size-gated tombstone anti-join and the per-id "
-        "max-LSN filter replay df()'s visibility algebra on index rows, "
-        "and the candidate frame is persisted so the df aggregate and "
-        "the score pass share ONE postings read. Bit-identical to "
+        "after the build). ONE visibility mechanism (r12): the term-"
+        "filtered postings join the table's cached PK-index frame "
+        "(table._vis_vmax — the same persisted winning-LSN map df() "
+        "serves vector reads from) plus the size-gated tombstone "
+        "anti-join; marker rows are read only by the memoized N/Σdl "
+        "corpus counters, never by the scoring pass. The (candidate "
+        "frame, dfmap) pair is keyed by (snapshot, artifact, terms) and "
+        "reused across calls, so a repeat query's plan is a top-k over "
+        "InMemoryTableScan — zero postings reads. Bit-identical to "
         "recomputing over the live snapshot — the oracle applies the "
         "same churn relationally."
     ),

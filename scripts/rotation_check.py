@@ -25,9 +25,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CANARY_PREFIXES = ("events_", "ann_ivf_at_rest", "ann_ivf_sq8_at_rest",
-                   "ann_ivf_pq_at_rest", "ann_ivf_opq_at_rest",
-                   "ann_ivf_batch_at_rest")
+# r12 policy: a reduced SENTINEL set — one representative per
+# historically-fragile family (events windowing, at-rest fixtures) stays
+# pinned in the window; the rest of those families rotate normally under
+# window pressure (they broke together when driver testdata regenerated,
+# so one sentinel per family catches the class).
+CANARY_PREFIXES = ("events_tumbling_1h", "events_sessionization",
+                   "ann_ivf_at_rest", "ann_ivf_opq_at_rest")
 
 
 def main() -> int:

@@ -72,3 +72,40 @@ def test_trained_artifact_caches_count(spark):
     # combined = sums across caches (the reference folds block + disk)
     h, m = cache_stats.cache_stats()
     assert (h, m) == (2, 2)
+
+
+def test_per_table_scoped_counters(spark, tmp_path):
+    """r11 verdict #8 — per-engine-instance counters: two churned tables
+    served from one session report INDEPENDENT pk_index hit/miss counts
+    via table_cache_stats(); the global view still folds both, and a
+    table with no consults reports zeros."""
+    from vecgo_spark.plans import table as tmod
+
+    tmod.release_vis_caches()
+    tables = []
+    for name in ("a", "b"):
+        t = VectorTable.create(spark, str(tmp_path / name), dim=2)
+        t.insert(_rows(spark, range(10)))
+        t.commit()
+        t.insert(_rows(spark, [1], tag="b"))  # upsert → churn
+        t.commit()
+        tables.append(t)
+    ta, tb = tables
+    sub_a = [s for s in ta.manifest.segments if s.lsn == 1]
+    sub_b = [s for s in tb.manifest.segments if s.lsn == 1]
+    ta.df(segments=sub_a).count()  # miss
+    ta.df(segments=sub_a).count()  # hit
+    ta.df(segments=sub_a).count()  # hit
+    tb.df(segments=sub_b).count()  # miss (b's own frame)
+    assert ta.table_cache_stats() == (2, 1)
+    assert tb.table_cache_stats() == (0, 1)
+    assert ta.table_cache_stats_detail()["pk_index"] == {
+        "hits": 2, "misses": 1}
+    # global view unchanged: the fold of both tables
+    assert VectorTable.cache_stats() == (2, 2)
+    assert VectorTable.cache_stats_detail()["pk_index"] == {
+        "hits": 2, "misses": 2}
+    # a fresh table with no consults reports zeros, not another's counts
+    tc = VectorTable.create(spark, str(tmp_path / "c"), dim=2)
+    assert tc.table_cache_stats() == (0, 0)
+    tmod.release_vis_caches()

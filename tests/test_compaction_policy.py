@@ -202,3 +202,73 @@ def test_partial_compaction_folds_many_tombstones(spark, tmp_path):
     # reopening serves the folded file identically
     re = VectorTable.open(spark, t.path)
     assert sorted(r["id"] for r in re.df().collect()) == before
+
+
+def test_leveled_policy_mirrors_reference_behavior():
+    """LeveledPolicy unit semantics, mirroring the reference's own test
+    (/root/reference/internal/engine/leveled_policy_test.go): L0 fan-in
+    at the threshold (all of L0 → target level 1, oldest first), per-
+    level size budgets Target(L_i)=base·ratio^(i-1) promoting the OLDEST
+    over-budget level's victim one level up, level clamping at
+    max_levels, and the top level never promoting."""
+    from vecgo_spark.plans.manifest import SegmentMeta
+    from vecgo_spark.plans.policy import LeveledPolicy
+
+    def seg(path, size, lsn=1, level=0):
+        return SegmentMeta(path=path, rows=1, lsn=lsn, bytes=size,
+                           level=level)
+
+    mb = 1024 * 1024
+    pol = LeveledPolicy(l0_threshold=2)  # low threshold, as the ref test
+    # 1. no compaction needed
+    assert pol.pick([seg("a", 100)]) is None
+    # 2. L0 triggered: ALL of L0, oldest (lowest lsn) first, target L1
+    task = pol.pick([seg("s2", 100, lsn=2), seg("s1", 100, lsn=1)])
+    assert task is not None and task.target_level == 1
+    assert [s.path for s in task.segments] == ["s1", "s2"]
+    # 3. L1 over budget (150MB > 100MB base) → its oldest victim to L2
+    task = pol.pick([seg("l1", 150 * mb, lsn=3, level=1)])
+    assert task is not None and task.target_level == 2
+    assert [s.path for s in task.segments] == ["l1"]
+    # 4. L2 over budget (1.2GB > 1000MB) → to L3
+    task = pol.pick([seg("l2", 1200 * mb, lsn=4, level=2)])
+    assert task is not None and task.target_level == 3
+    # under-budget levels never trigger
+    assert pol.pick([seg("ok", 50 * mb, level=1),
+                     seg("ok2", 900 * mb, level=2)]) is None
+    # level >= max_levels clamps to the top level, which never promotes
+    assert pol.pick([seg("huge", 1 << 62, level=99)]) is None
+    # victim selection is oldest-first within the over-budget level
+    task = pol.pick([seg("new", 80 * mb, lsn=9, level=1),
+                     seg("old", 80 * mb, lsn=2, level=1)])
+    assert task is not None and [s.path for s in task.segments] == ["old"]
+    assert task.target_level == 2
+
+
+def test_leveled_policy_end_to_end_promotes_levels(spark, tmp_path):
+    """Leveled compaction through maybe_compact: four L0 commits merge
+    into one L1 segment (level stamped in the manifest and surviving a
+    reopen); visibility identical before/after; an L1 over its budget
+    promotes to L2 on the next pick."""
+    from vecgo_spark.plans.policy import LeveledPolicy
+
+    t = VectorTable.create(spark, str(tmp_path / "lv"), dim=2, metric="l2")
+    for b in range(4):
+        _insert_batch(spark, t, range(b * 10, b * 10 + 10))
+    t.delete([3])
+    t.commit()
+    before = sorted(r["id"] for r in t.df().collect())
+    pol = LeveledPolicy(l0_threshold=4, base_bytes=1)  # tiny budget: any
+    v = t.maybe_compact(pol)                           # L1 is over budget
+    assert v is not None
+    assert [s.level for s in t.manifest.segments] == [1]
+    assert sorted(r["id"] for r in t.df().collect()) == before
+    t2 = VectorTable.open(spark, str(tmp_path / "lv"))
+    assert [s.level for s in t2.manifest.segments] == [1]  # persisted
+    # next pick: the single L1 segment exceeds base_bytes=1 → promote
+    v2 = t.maybe_compact(pol)
+    assert v2 is not None and v2 > v
+    assert [s.level for s in t.manifest.segments] == [2]
+    assert sorted(r["id"] for r in t.df().collect()) == before
+    # below both thresholds → policy passes
+    assert t.maybe_compact(LeveledPolicy()) is None

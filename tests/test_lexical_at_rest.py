@@ -471,6 +471,54 @@ def test_uncovered_text_col_falls_back_to_recompute(spark, tdir):
     assert got_h == want_h and got_h
 
 
+def test_churn_visibility_served_from_pk_index_frame(spark, tdir):
+    """r11 verdict #1 — ONE visibility mechanism: under upsert churn the
+    lexical serving path resolves latest-version-wins against the SAME
+    cached winning-LSN frame df() consults (the persisted PK index,
+    table._vis_vmax / mvcc.go:125), not by re-aggregating its own marker
+    rows. Pins: (a) the frame lands in table._VIS_CACHE with pk-sidecar-
+    only lineage, (b) the serving plan carries NO `term IS NULL` marker
+    clause (the pre-r12 signature of the second mechanism), (c) results
+    stay bit-identical to the from-text path, including the stale-
+    postings trap (winning version contains none of the query terms)."""
+    from vecgo_spark.plans import table as tmod
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    tbl.insert(_docs(spark, [5], text="completely different words now"))
+    tbl.insert(_docs(spark, [6], text=""))  # zero-token upsert
+    tbl.commit()
+    tbl.delete([7])
+    tbl.commit()
+    assert tbl.manifest.meta.get("has_upserts") is True
+    tmod.release_vis_caches()
+    lex.release_caches()
+    res = lex.bm25_search_at_rest(tbl, Q, k=30)
+    got = _res(res)
+    assert got == _fresh(tbl, Q, k=30) and got
+    assert not {5, 6, 7} & {i for i, _ in got}
+    # (a) the shared frame was built and is pk-sidecar-only
+    mine = [v for key, v in tmod._VIS_CACHE.items() if key[0] == tbl.path]
+    assert mine, "lexical churn path did not consult the PK-index frame"
+    for _frame, pk_files, uncovered in mine:
+        assert pk_files and all("/_pk/" in f for f in pk_files)
+        assert uncovered == []
+    # (b) no marker clause anywhere in the serving plan
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnull(term" not in plan.lower().replace(" ", "")
+    # (c) a second query on the same snapshot REUSES the frame (cache
+    # hit, no second build) — the serving-session economics of the
+    # reference's load-once PK index
+    before = len(tmod._VIS_CACHE)
+    assert _res(lex.bm25_search_at_rest(tbl, "alpha tok2", k=5)) == _fresh(
+        tbl, "alpha tok2", k=5)
+    assert len(tmod._VIS_CACHE) == before
+    lex.release_caches()
+    tmod.release_vis_caches()
+
+
 def test_churn_cache_registry_self_caps(spark, tdir):
     """The churn-path candidate cache registry evicts oldest-first at
     _CACHED_CAP — a serving session issuing many churn queries keeps a
@@ -485,7 +533,10 @@ def test_churn_cache_registry_self_caps(spark, tdir):
     lex.release_caches()
     frames = []
     for i in range(lex._CACHED_CAP + 3):
-        frames.append(lex.bm25_search_at_rest(tbl, f"beta tok{i % 5}", k=5))
+        # DISTINCT term sets: identical queries now share one entry by
+        # design (r12 repeat-query reuse), so cap pressure needs
+        # distinct keys
+        frames.append(lex.bm25_search_at_rest(tbl, f"beta tok{i}", k=5))
     assert len(lex._CACHED[tbl.path]) == lex._CACHED_CAP
     # earliest (evicted) and latest (cached) both still answer correctly
     assert _res(frames[0]) == _res(bm25.bm25_search(
@@ -513,8 +564,10 @@ def test_churn_cache_scoped_per_table(spark, tmp_path):
     # alternate CAP queries per table: under the old module-global list
     # this would hold only the last CAP frames across BOTH tables
     for i in range(lex._CACHED_CAP):
-        lex.bm25_search_at_rest(ta, f"beta tok{i % 5}", k=3)
-        lex.bm25_search_at_rest(tb, f"alpha tok{i % 5}", k=3)
+        # distinct term sets per call (identical queries share an entry
+        # since the r12 repeat-query reuse)
+        lex.bm25_search_at_rest(ta, f"beta tok{i}", k=3)
+        lex.bm25_search_at_rest(tb, f"alpha tok{i}", k=3)
     assert len(lex._CACHED[ta.path]) == lex._CACHED_CAP
     assert len(lex._CACHED[tb.path]) == lex._CACHED_CAP
     lex.release_caches(ta.path)
@@ -538,10 +591,10 @@ def test_churn_cache_global_bound_across_tables():
     n_tables = cap // per + 2
     frames = {}
     for t in range(n_tables):
-        for _ in range(per):
+        for i in range(per):
             f = MagicMock()
             frames.setdefault(f"t{t}", []).append(f)
-            lex._cache_candidate(f"t{t}", f)
+            lex._cache_candidate(f"t{t}", (1, "p", ("term", i)), f)
     total = sum(len(v) for v in lex._CACHED.values())
     assert total <= cap
     # the first-registered table was evicted first, oldest frames first
@@ -550,3 +603,41 @@ def test_churn_cache_global_bound_across_tables():
     assert len(lex._CACHED[f"t{n_tables - 1}"]) == per
     lex.release_caches()
     assert not lex._CACHED
+
+
+def test_repeat_churn_query_served_from_cache(spark, tdir):
+    """r12: the churn-path (candidate frame, dfmap) pair is keyed by
+    (snapshot, artifact, terms) — a REPEAT query reuses both (zero new
+    cache entries, bit-identical results, counted as a cache hit), a
+    different term set builds its own entry, and a new commit (new
+    snapshot) never serves through the stale key."""
+    from vecgo_spark import cache_stats
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    tbl.delete([5])  # churn
+    tbl.commit()
+    lex.release_caches()
+    cache_stats.reset()
+    first = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
+    assert len(lex._CACHED[tbl.path]) == 1
+    assert cache_stats.cache_stats_detail(scope=tbl.path)[
+        "lexical_candidates"] == {"hits": 0, "misses": 1}
+    again = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
+    assert again == first == _fresh(tbl, Q)
+    assert len(lex._CACHED[tbl.path]) == 1  # reused, not re-added
+    assert cache_stats.cache_stats_detail(scope=tbl.path)[
+        "lexical_candidates"] == {"hits": 1, "misses": 1}
+    # different terms → second entry
+    lex.bm25_search_at_rest(tbl, "alpha tok1", k=5).count()
+    assert len(lex._CACHED[tbl.path]) == 2
+    # new snapshot → the old entry is never consulted (fresh build)
+    tbl.delete([6])
+    tbl.commit()
+    fresh = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
+    assert fresh == _fresh(tbl, Q)
+    assert 6 not in {i for i, _ in fresh}
+    lex.release_caches()
+    cache_stats.reset()

@@ -135,3 +135,30 @@ def test_token_budget_no_single_partition_window(spark, sf_dir):
     for parts, orders in specs:
         if parts == ["source"]:
             assert orders == ["_bk"], f"source-only window over raw rows: {orders}"
+
+
+def test_comp_map_joins_back_broadcast(spark, sf_dir):
+    """r11 verdict #3: the connected-components label map is a driver-
+    built relation bounded by the union-find edge cap — its join-back
+    against the corpus must plan as a BroadcastHashJoin, never a
+    SortMergeJoin with two corpus-sized exchanges (the audited r11
+    dedup_semantic_clusters plan, PLANS.md step 9). Pinned both on the
+    real suite query and on the primitive (hint must survive the
+    callers' rename + left join)."""
+    from vecgo_spark.operators.dedup import connected_components
+
+    df = entrymod.queries()["dedup_semantic_clusters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # primitive: driver-path label map + rename + left join → broadcast
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    joined = (spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+              .join(comp, "doc_id", "left"))
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan and "SortMergeJoin" not in jplan
+    # and the labeling itself is unchanged by the hint
+    got = {r["doc_id"]: r["comp"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -390,14 +390,27 @@ def test_token_budget_two_phase_hypothesis(spark, docs_spec, budgets, bucket_bit
 @pytest.mark.parametrize("seed", [1, 7, 42])
 def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
     """Randomized MVCC model check: a seeded sequence of insert / delete /
-    partial-compact / full-compact / vacuum / PK-cache-release /
-    PK-sidecar-backfill, committed per op, must keep the live snapshot
+    STAGE-insert / STAGE-delete (no commit) / explicit commit /
+    partial-compact / full-compact (possibly WHILE STAGED) / vacuum /
+    PK-cache-release / PK-sidecar-backfill must keep the live snapshot
     identical to a python model of the visibility algebra (a tombstone at
-    LSN T kills versions with lsn <= T; latest surviving insert wins). TOMB_FOLD_MAX_FILES is forced to 2 so
-    tombstone folding, interval GC, and the mixed-stats count fallback
-    all fire repeatedly — the r9 compaction-migration surface under
-    churn. The winning VERSION is checked too (vector[0] encodes the
-    insert sequence number), not just the visible id set."""
+    LSN T kills versions with lsn <= T; latest surviving insert wins).
+    TOMB_FOLD_MAX_FILES is forced to 2 so tombstone folding, interval GC,
+    and the mixed-stats count fallback all fire repeatedly — the r9
+    compaction-migration surface under churn. The winning VERSION is
+    checked too (vector[0] encodes the insert sequence number), not just
+    the visible id set.
+
+    Staged-state ops (r11 verdict #5): the round's self-found
+    compact()-while-staged MVCC bug (staged colliding insert + compact
+    published has_upserts=False and restarted the LSN cursor into a
+    same-LSN tie) was caught by review, not by this check, because every
+    op committed immediately. 'sins'/'sdel' stage without committing —
+    the committed view must NOT see them, the include_pending
+    read-your-writes view MUST — and 'fc'/'pc'/'vac' now run against a
+    possibly-staged table. Sanity-run note: with the table.py
+    flush-before-compact guard reverted, seeds 1 and 42 fail this test
+    at the first fc-while-staged step (recorded in COVERAGE.md r12)."""
     import random
 
     from vecgo_spark.plans import table as tbl_mod
@@ -406,9 +419,11 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
     monkeypatch.setattr(tbl_mod, "TOMB_FOLD_MAX_FILES", 2)
     rng = random.Random(seed)
     t = VectorTable.create(spark, str(tmp_path / f"t{seed}"), dim=2, metric="l2")
-    inserts: dict[int, int] = {}   # id -> latest insert seq
-    tombs: dict[int, int] = {}     # id -> latest delete seq
-    seq = 0
+    inserts: dict[int, int] = {}   # id -> latest COMMITTED insert seq
+    tombs: dict[int, int] = {}     # id -> latest COMMITTED delete seq
+    st_ins: dict[int, int] = {}    # staged (uncommitted) layer — LSNs are
+    st_tombs: dict[int, int] = {}  # assigned at STAGE time (_next_lsn), so
+    seq = 0                        # global seq order == LSN order
 
     class PickRandom:
         def pick(self, segments):
@@ -417,43 +432,31 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
             n = rng.randint(2, len(segments))
             return CompactionTask(segments=rng.sample(list(segments), n))
 
+    def flush_model():
+        # commit() publishes every pending batch in stage order; per-id
+        # latest-seq-wins matches the LSN order they were staged in
+        inserts.update(st_ins)
+        tombs.update(st_tombs)
+        st_ins.clear()
+        st_tombs.clear()
+
     def visible():
         return {i: s for i, s in inserts.items() if s > tombs.get(i, -1)}
 
-    for _ in range(12):
-        seq += 1
-        op = rng.choices(["ins", "del", "pc", "fc", "vac", "rel", "bpk"],
-                         weights=[40, 30, 15, 10, 5, 5, 3])[0]
-        if op == "ins":
-            ids = rng.sample(range(30), rng.randint(1, 6))
-            t.insert(spark.createDataFrame(
-                [(i, [float(seq), float(i)]) for i in ids],
-                "id long, vector array<float>"))
-            t.commit()
-            for i in ids:
-                inserts[i] = seq
-        elif op == "del":
-            ids = rng.sample(range(30), rng.randint(1, 6))
-            t.delete(ids)
-            t.commit()
-            for i in ids:
-                tombs[i] = seq
-        elif op == "pc":
-            t.maybe_compact(PickRandom())
-        elif op == "fc":
-            t.compact()
-        elif op == "vac":
-            t.vacuum(keep_versions=1)
-        elif op == "rel":
-            # loaded-PK-index cache release mid-serving (r11): the next
-            # subset read rebuilds the frame from sidecars — results
-            # must be identical either way
-            tbl_mod.release_vis_caches(t.path)
-        else:  # bpk — the sidecar backfill must be a correctness no-op
-            t.build_pk_index()
+    def visible_pending():
+        ins = {**inserts, **st_ins}
+        tmb = {**tombs, **st_tombs}
+        return {i: s for i, s in ins.items() if s > tmb.get(i, -1)}
+
+    def check(op):
         got = {r["id"]: int(r["vector"][0]) for r in t.df().collect()}
         assert got == visible(), (seed, seq, op)
         assert t.count() == len(got), (seed, seq, op)
+        # read-your-writes: the include_pending view sees the staged
+        # layer exactly (insert-immediately-searchable, engine.go:833)
+        got_p = {r["id"]: int(r["vector"][0])
+                 for r in t.df(include_pending=True).collect()}
+        assert got_p == visible_pending(), (seed, seq, op)
         # subset-scan visibility (r10 fix): a stats-pruned point filter
         # must return exactly the live version — never a stale one from
         # a kept segment when the winner's segment was pruned
@@ -471,6 +474,90 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
                    for r in t.df(segments=[seg]).collect()}
             assert all(visible().get(i) == s for i, s in sub.items()), \
                 (seed, seq, op, seg.path)
+
+    for _ in range(14):
+        seq += 1
+        op = rng.choices(
+            ["ins", "del", "sins", "sdel", "cmt", "pc", "fc", "vac",
+             "rel", "bpk"],
+            weights=[28, 22, 12, 8, 8, 12, 8, 4, 4, 3])[0]
+        if op == "ins":
+            ids = rng.sample(range(30), rng.randint(1, 6))
+            t.insert(spark.createDataFrame(
+                [(i, [float(seq), float(i)]) for i in ids],
+                "id long, vector array<float>"))
+            for i in ids:
+                st_ins[i] = seq
+            t.commit()
+            flush_model()
+        elif op == "del":
+            ids = rng.sample(range(30), rng.randint(1, 6))
+            t.delete(ids)
+            for i in ids:
+                st_tombs[i] = seq
+            t.commit()
+            flush_model()
+        elif op == "sins":  # stage WITHOUT commit
+            ids = rng.sample(range(30), rng.randint(1, 6))
+            t.insert(spark.createDataFrame(
+                [(i, [float(seq), float(i)]) for i in ids],
+                "id long, vector array<float>"))
+            for i in ids:
+                st_ins[i] = seq
+        elif op == "sdel":  # stage a delete WITHOUT commit
+            ids = rng.sample(range(30), rng.randint(1, 6))
+            t.delete(ids)
+            for i in ids:
+                st_tombs[i] = seq
+        elif op == "cmt":
+            t.commit()
+            flush_model()
+        elif op == "pc":
+            # partial compaction leaves staged batches pending
+            t.maybe_compact(PickRandom())
+        elif op == "fc":
+            # compact-while-staged: flushes staged state FIRST (the r11
+            # self-found fix) — the model flushes with it
+            t.compact()
+            flush_model()
+        elif op == "vac":
+            t.vacuum(keep_versions=1)
+        elif op == "rel":
+            # loaded-PK-index cache release mid-serving (r11): the next
+            # subset read rebuilds the frame from sidecars — results
+            # must be identical either way
+            tbl_mod.release_vis_caches(t.path)
+        else:  # bpk — the sidecar backfill must be a correctness no-op
+            t.build_pk_index()
+        check(op)
+
+    # FORCED staged-compact epilogue: the random mix above may or may not
+    # hit the compact-while-staged interleaving for a given seed (a
+    # seed-search showed ~2 of the 3 pinned seeds don't), so every seed
+    # ends with the exact r11 self-found shape — a staged COLLIDING
+    # insert plus a staged delete, then compact(). Pre-fix code fails
+    # here deterministically: it published has_upserts=False with the
+    # staged collision still pending and restarted the LSN cursor into a
+    # same-LSN tie with the staged batch.
+    seq += 1
+    pool = sorted(inserts)
+    ids = rng.sample(pool if len(pool) >= 3 else list(range(5)), 3)
+    t.insert(spark.createDataFrame(
+        [(i, [float(seq), float(i)]) for i in ids],
+        "id long, vector array<float>"))
+    for i in ids:
+        st_ins[i] = seq
+    check("epilogue-staged-collide")
+    seq += 1
+    del_ids = rng.sample(range(30), 3)
+    t.delete(del_ids)
+    for i in del_ids:
+        st_tombs[i] = seq
+    check("epilogue-staged-delete")
+    seq += 1
+    t.compact()  # flush-before-compact (r11 fix) folds both staged batches
+    flush_model()
+    check("epilogue-compact-while-staged")
 
 
 def test_artifact_families_random_churn_parity(spark, tmp_path):

@@ -26,6 +26,15 @@ an id-restricted one-off visibility build, or training without a
 cache_key) count neither. Counters are process-global like the module
 registries they instrument; ``reset()`` zeroes them (tests, epoch
 boundaries).
+
+Per-table scoping (r11 verdict #8): lookups whose cache key carries a
+table identity (today: ``pk_index`` — the ``_VIS_CACHE`` key leads with
+the table path) ALSO count into a per-scope ledger, so
+``VectorTable.table_cache_stats()`` answers the reference's
+per-engine-instance question ("is THIS table's serving session
+amortizing?") while the global view is unchanged. The IVF/PQ model
+caches are keyed by caller-provided strings (any corpus, not
+necessarily a table), so they appear only in the global view.
 """
 
 from __future__ import annotations
@@ -34,31 +43,40 @@ from threading import Lock
 
 _LOCK = Lock()
 _STATS: dict[str, list[int]] = {}  # name -> [hits, misses]
+_SCOPED: dict[str, dict[str, list[int]]] = {}  # scope -> name -> [h, m]
 
 
-def record(name: str, hit: bool) -> None:
-    """Count one lookup against the named cache."""
+def record(name: str, hit: bool, scope: str | None = None) -> None:
+    """Count one lookup against the named cache; with ``scope`` (a table
+    path), also against that scope's ledger."""
     with _LOCK:
         s = _STATS.setdefault(name, [0, 0])
         s[0 if hit else 1] += 1
+        if scope is not None:
+            t = _SCOPED.setdefault(scope, {}).setdefault(name, [0, 0])
+            t[0 if hit else 1] += 1
 
 
-def cache_stats() -> tuple[int, int]:
+def cache_stats(scope: str | None = None) -> tuple[int, int]:
     """Combined (hits, misses) over every engine cache — the reference's
-    ``CacheStats`` signature (engine.go:2211)."""
+    ``CacheStats`` signature (engine.go:2211). With ``scope``, only the
+    lookups attributed to that table (per-engine-instance counters)."""
     with _LOCK:
-        return (sum(s[0] for s in _STATS.values()),
-                sum(s[1] for s in _STATS.values()))
+        src = _SCOPED.get(scope, {}) if scope is not None else _STATS
+        return (sum(s[0] for s in src.values()),
+                sum(s[1] for s in src.values()))
 
 
-def cache_stats_detail() -> dict[str, dict[str, int]]:
+def cache_stats_detail(scope: str | None = None) -> dict[str, dict[str, int]]:
     """Per-cache breakdown (the reference's per-shard ``ShardStats``
-    debugging view, sharded_lru.go:112)."""
+    debugging view, sharded_lru.go:112); optionally scope-restricted."""
     with _LOCK:
+        src = _SCOPED.get(scope, {}) if scope is not None else _STATS
         return {k: {"hits": s[0], "misses": s[1]}
-                for k, s in sorted(_STATS.items())}
+                for k, s in sorted(src.items())}
 
 
 def reset() -> None:
     with _LOCK:
         _STATS.clear()
+        _SCOPED.clear()

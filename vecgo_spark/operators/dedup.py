@@ -1582,7 +1582,17 @@ def connected_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = [(n, find(n)) for n in parent]
-            return pairs.sparkSession.createDataFrame(rows, out_schema)
+            # BROADCAST hint (r11 verdict #3): this label map is a
+            # driver-built relation bounded by driver_cap edges (≤ 2·cap
+            # nodes of (id, comp)) — without the hint the callers'
+            # corpus-side join-back planned as a SortMergeJoin, riding
+            # two full exchanges of a corpus-sized projection on the
+            # suite's slowest query. The hint survives the callers'
+            # renames/projections into the join. The distributed
+            # fallback below stays unhinted: past the cap the map is no
+            # longer provably executor-sized.
+            return F.broadcast(
+                pairs.sparkSession.createDataFrame(rows, out_schema))
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()

@@ -54,6 +54,12 @@ class SegmentMeta:
     # segments (one sidecar covering a multi-cluster rewrite). None for
     # pre-sidecar segments → readers fall back to the narrow segment scan.
     pk: str | None = None
+    # LSM level for LeveledPolicy (SegmentStats.Level,
+    # /root/reference/internal/engine/policy.go:10-16): fresh commits are
+    # L0; maybe_compact stamps the merged segment with the task's
+    # target_level. 0 for pre-level manifests and for policies that don't
+    # use levels — only LeveledPolicy reads it.
+    level: int = 0
 
 
 @dataclass
