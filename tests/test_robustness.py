@@ -513,8 +513,14 @@ def test_mvcc_lifecycle_random_model(spark, tmp_path, seed, monkeypatch):
             t.commit()
             flush_model()
         elif op == "pc":
-            # partial compaction leaves staged batches pending
-            t.maybe_compact(PickRandom())
+            # partial compaction leaves staged batches pending;
+            # alternate between a random picker and the LeveledPolicy
+            # (r12) so level-stamped rewrites interleave with churn too
+            if rng.random() < 0.5:
+                from vecgo_spark.plans.policy import LeveledPolicy
+                t.maybe_compact(LeveledPolicy(l0_threshold=2, base_bytes=1))
+            else:
+                t.maybe_compact(PickRandom())
         elif op == "fc":
             # compact-while-staged: flushes staged state FIRST (the r11
             # self-found fix) — the model flushes with it
@@ -610,13 +616,26 @@ def test_artifact_families_random_churn_parity(spark, tmp_path):
         assert got == want, step
 
     nxt = 100
-    for step in range(10):
-        op = rng.choices(["ins", "del", "ups", "refresh", "pc", "fc", "vac"],
-                         weights=[27, 18, 18, 17, 10, 6, 4])[0]
+    for step in range(11):
+        op = rng.choices(["ins", "del", "ups", "refresh", "pc", "fc", "vac",
+                          "sups"],
+                         weights=[24, 16, 16, 16, 10, 6, 4, 8])[0]
         if op == "ins":
             t.insert(docs(range(nxt, nxt + 5)))
             t.commit()
             nxt += 5
+        elif op == "sups":
+            # STAGED colliding upsert, NOT committed (r12): staging flips
+            # has_upserts in the in-memory manifest before any commit —
+            # the stored-serving reads (committed view) must be
+            # unaffected until the batch actually publishes (a later
+            # ins/del/ups commit or the compact flush folds it in; the
+            # fresh-recompute side of check() sees the same committed
+            # view, so parity pins the class)
+            pool = [r["id"] for r in t.df().select("id").collect()]
+            if pool:
+                i = rng.choice(pool)
+                t.insert(docs([i], text=f"staged rewrite s{step} of {i}"))
         elif op == "del":
             pool = [r["id"] for r in t.df().select("id").collect()]
             if pool:
@@ -644,3 +663,7 @@ def test_artifact_families_random_churn_parity(spark, tmp_path):
             # live families must keep serving
             t.vacuum(keep_versions=1)
         check((step, op))
+    # publish anything still staged and re-check — the staged upserts
+    # must surface through every family once committed
+    t.commit()
+    check("final-commit")
