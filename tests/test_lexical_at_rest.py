@@ -281,27 +281,38 @@ def test_table_hybrid_search_front(spark, tdir):
 
 def test_single_postings_scan_per_query(spark, tdir):
     """Clean snapshot: per-term docFreq comes from the stored df
-    sidecars, so the returned plan contains EXACTLY ONE scan of the
-    postings dir (the scoring pass) — the df aggregate no longer reads
-    the postings a second time. Under churn the candidate frame is
-    persisted: the plan serves from InMemoryTableScan (the df aggregate
-    already materialized the single read). Results unchanged either
-    way."""
+    sidecars, so the serving plan contains EXACTLY ONE scan of the
+    postings dir (the scoring pass; the df aggregate never reads the
+    postings a second time) — and since the sidecar dfmap proves the
+    candidate set bounded, that one read also populates the resident
+    frame (r12: InMemoryTableScan in the plan, a REPEAT query is a
+    cache hit with no new entry). Under churn the candidate frame is
+    persisted by the df aggregate. Results unchanged everywhere."""
+    from vecgo_spark import cache_stats
+
     tbl = VectorTable.create(spark, tdir, dim=None)
     tbl.insert(_docs(spark, range(1, 41)))
     tbl.commit()
     tbl.build_lexical_index()
+    lex.release_caches()
+    cache_stats.reset()
     res = lex.bm25_search_at_rest(tbl, Q, k=10)
     plan = res._jdf.queryExecution().executedPlan().toString()
     # exactly one parquet scan in the whole serving plan (the postings
-    # read feeding the score pass; the tiny df-sidecar lookup happened
+    # read feeding the score pass — it sits inside the InMemoryRelation
+    # that keeps the frame resident; the tiny df-sidecar lookup happened
     # in its own collect, it is not part of this plan), with the term
     # filter pushed to it
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert len(scans) == 1, f"expected one postings scan, plan:\n{plan}"
     assert "In(term" in scans[0]  # pushed term filter
-    assert "InMemoryTableScan" not in plan  # clean path persists nothing
     assert _res(res) == _fresh(tbl, Q)
+    assert len(lex._CACHED.get(tbl.path, {})) == 1  # clean-path residency
+    # repeat clean query: cache hit, no new entry, identical result
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == _res(res)
+    assert len(lex._CACHED[tbl.path]) == 1
+    assert cache_stats.cache_stats_detail(scope=tbl.path)[
+        "lexical_candidates"]["hits"] == 1
     # churn: delete one doc → df sidecar no longer authoritative → the
     # persisted-candidate path serves, still bit-identical
     tbl.delete([3])
@@ -311,9 +322,30 @@ def test_single_postings_scan_per_query(spark, tdir):
     plan2 = res2._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan2
     assert _res(res2) == _fresh(tbl, Q)
-    assert len(lex._CACHED.get(tbl.path, [])) == 1
+    assert len(lex._CACHED.get(tbl.path, {})) == 1
     lex.release_caches()
     assert not lex._CACHED
+    cache_stats.reset()
+
+
+def test_clean_residency_gate_streams_oversized_candidates(spark, tdir,
+                                                           monkeypatch):
+    """The clean-path residency gate: when Σ df over the query terms
+    exceeds _RESIDENT_MAX_CANDIDATES, the frame STREAMS (no persist, no
+    cache entry — a stop-word query on a 100 TB corpus must never pin a
+    corpus-sized frame); results identical either way."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    lex.release_caches()
+    monkeypatch.setattr(lex, "_RESIDENT_MAX_CANDIDATES", 0)
+    res = lex.bm25_search_at_rest(tbl, Q, k=10)
+    assert _res(res) == _fresh(tbl, Q)
+    assert not lex._CACHED.get(tbl.path)  # gate held: nothing resident
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    lex.release_caches()
 
 
 def test_df_sidecar_written_folded_and_vacuumed(spark, tdir):

@@ -340,6 +340,11 @@ _CACHED_CAP = 8  # per table — a serving session issuing thousands of
 # the single-read goal — consume results within _CACHED_CAP further
 # distinct churn queries on the SAME table, or call release_caches()
 # between batches.
+_RESIDENT_MAX_CANDIDATES = 2_000_000  # clean-path residency gate: Σ df
+# over the query terms (known from the sidecars BEFORE any job) bounds
+# the candidate frame's rows; above this, the frame streams per query
+# instead of occupying the block store — a query for a stop-word-like
+# term on a 100 TB corpus must never pin a corpus-sized frame.
 _CACHED_GLOBAL_CAP = 32  # across ALL tables — per-table keying (r11)
 # must not lose the total bound the original global list enforced: a
 # session touching many churned tables (per-tenant scratch tables) would
@@ -427,14 +432,20 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
     (bm25.bm25_score) reproduces the same doubles; score desc, id asc,
     round(·, 10) exactly as the plain path.
 
-    Single postings read per query: on a clean snapshot the per-term
-    docFreq comes from the STORED df sidecars (a |terms|-row lookup, the
-    reference's running counters) and the candidate postings are read
-    exactly once by the scoring pass; under churn the candidate frame is
-    persisted so the df aggregate and the score pass share one read, and
-    a REPEAT query on the same snapshot serves frame + dfmap straight
-    from the cache — zero postings reads, the reference's resident-index
-    economics (release_caches() frees the frames)."""
+    At most one postings read per query, zero on a repeat: the (frame,
+    dfmap) pair is immutable per committed snapshot + artifact + term
+    set, so a REPEAT query serves both from the keyed cache — the
+    reference's resident-index economics (its postings live in memory;
+    here residency is the persisted frame; release_caches() frees them).
+    A fresh CLEAN-snapshot query takes per-term docFreq from the STORED
+    df sidecars (a |terms|-row lookup, the reference's running counters)
+    and the scoring pass reads the candidate postings exactly once —
+    persisting them for reuse ONLY when the sidecar dfmap proves the
+    candidate set is bounded (Σ df ≤ _RESIDENT_MAX_CANDIDATES; a
+    common-term corpus-sized frame on a 100 TB table must stream, never
+    occupy the block store). A fresh CHURN-path query persists
+    unconditionally so the df aggregate and the score pass share one
+    read (the df aggregate already materializes it)."""
     spark = tbl.spark
     qterms: dict[str, int] = {}
     for t in tokenize_py(query_text):
@@ -449,24 +460,19 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
         return spark.createDataFrame([], "id long, score double")
     n = float(n_docs)
 
-    info = tbl.manifest.meta[FAMILY]
-    dfmap = _stored_term_df(tbl, info, terms)
-    cand = None
-    if dfmap is None:
-        # churn path: the (frame, dfmap) pair is immutable per committed
-        # snapshot + artifact + term set — a REPEAT query serves both
-        # from the cache (zero postings reads; the reference's resident
-        # index), a fresh one shares ONE postings read across the df
-        # aggregate and the score pass via persist
-        from vecgo_spark import cache_stats
+    from vecgo_spark import cache_stats
 
-        ckey = (tbl.manifest.version, info.get("path"), tuple(terms))
-        hit = _cached_candidate(tbl.path, ckey)
-        cache_stats.record("lexical_candidates", hit is not None,
-                           scope=tbl.path)
-        if hit is not None:
-            cand, dfmap = hit
-    if cand is None:
+    info = tbl.manifest.meta[FAMILY]
+    ckey = (tbl.manifest.version, info.get("path"), tuple(terms))
+    hit = _cached_candidate(tbl.path, ckey)
+    cache_stats.record("lexical_candidates", hit is not None,
+                       scope=tbl.path)
+    if hit is not None:
+        # repeat query: frame AND dfmap from the cache — not even the
+        # |terms|-row sidecar lookup runs
+        cand, dfmap = hit
+    else:
+        dfmap = _stored_term_df(tbl, info, terms)
         cand = (
             _visible_rows(tbl, terms=terms, markers=False)
             .groupBy("id")
@@ -482,6 +488,11 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
                   for i in range(len(terms))],
             ).first()
             dfmap = {t: int(row[f"df_{i}"] or 0) for i, t in enumerate(terms)}
+            _cache_candidate(tbl.path, ckey, cand, dfmap)
+        elif sum(dfmap.values()) <= _RESIDENT_MAX_CANDIDATES:
+            # clean path: the sidecar dfmap bounds |candidates| BEFORE
+            # any job runs — small enough to keep resident for repeats
+            cand = cand.persist()
             _cache_candidate(tbl.path, ckey, cand, dfmap)
 
     score = F.lit(0.0)
