@@ -358,9 +358,12 @@ COMMENTARY = {
         "analog), N/avgdl come from manifest counters with ZERO jobs on "
         "a clean snapshot, per-term docFreq from the stored df sidecars "
         "(bm25.go:29-53's running counters; a |terms|-row lookup) — so "
-        "the plan below is the query's ONLY postings scan (r10; "
-        "one-FileScan pin in test_lexical_at_rest), and the text column "
-        "is never touched. idf values ride as literals into one codegen "
+        "the plan has exactly ONE postings scan, and since the sidecar "
+        "dfmap bounds the candidate set it sits inside an "
+        "InMemoryRelation that keeps the frame RESIDENT (r12): a repeat "
+        "query is a top-k over InMemoryTableScan, zero reads — the "
+        "reference's resident-postings serving. The text column is "
+        "never touched. idf values ride as literals into one codegen "
         "score projection; top-k is TakeOrderedAndProject."
     ),
     "bm25_search_churned_at_rest": (
