@@ -673,3 +673,36 @@ def test_repeat_churn_query_served_from_cache(spark, tdir):
     assert 6 not in {i for i, _ in fresh}
     lex.release_caches()
     cache_stats.reset()
+
+
+def test_drop_and_recreate_never_serves_stale_cache(spark, tdir):
+    """r12 self-review: the counts memo and candidate cache are keyed by
+    (path, version, artifact) — a table DROPPED and RE-CREATED at the
+    same path restarts its version numbers, so the keys also carry the
+    uuid-suffixed segment identity. The re-created table must answer
+    from ITS corpus, never the predecessor's cached frames/counters."""
+    import shutil
+
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    tbl.delete([5])  # churn → memo + candidate cache populate
+    tbl.commit()
+    old = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
+    assert old and lex.corpus_counts(tbl)[0] == 19
+    # drop and re-create at the SAME path with a DIFFERENT corpus,
+    # replaying the same op sequence so version numbers line up
+    shutil.rmtree(tdir)
+    t2 = VectorTable.create(spark, tdir, dim=None)
+    t2.insert(_docs(spark, range(1, 11)))  # half the docs
+    t2.commit()
+    t2.build_lexical_index()
+    t2.delete([5])
+    t2.commit()
+    assert t2.manifest.version == tbl.manifest.version  # keys would clash
+    assert lex.corpus_counts(t2)[0] == 9  # not the stale 19
+    got = _res(lex.bm25_search_at_rest(t2, Q, k=10))
+    assert got == _fresh(t2, Q)
+    assert {i for i, _ in got} <= set(range(1, 11))
+    lex.release_caches()

@@ -307,8 +307,11 @@ def corpus_counts(tbl) -> tuple[int, int]:
     # the marker scan reads committed rows only, so the memo key is the
     # committed snapshot identity (+ the lexical artifact version, which
     # changes what is stored vs recomputed but not the answer — included
-    # anyway so a rebuild never serves through a stale entry)
-    key = (tbl.path, man.version, info.get("path"))
+    # anyway so a rebuild never serves through a stale entry). Segment
+    # paths (uuid-suffixed) ride the key so a table DROPPED and
+    # RE-CREATED at the same path — whose version numbers restart — can
+    # never serve a stale entry (the _VIS_CACHE keying stance).
+    key = (tbl.path, man.version, info.get("path"), _snapshot_id(man))
     hit = _COUNTS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -350,6 +353,15 @@ _CACHED_GLOBAL_CAP = 32  # across ALL tables — per-table keying (r11)
 # session touching many churned tables (per-tenant scratch tables) would
 # otherwise hold 8 persisted frames per table forever. Past the cap the
 # oldest-registered table loses its oldest frame first.
+
+
+def _snapshot_id(man) -> tuple:
+    """Identity of a committed snapshot beyond (path, version): segment
+    file names are uuid-suffixed, so this tuple distinguishes a table
+    dropped and re-created at the same path (whose version numbers
+    restart) plus tombstone-set changes that share a version."""
+    return (tuple(sorted(s.path for s in man.segments)),
+            tuple(sorted(man.tombstone_files)))
 
 
 def _cached_candidate(table_path: str, key: tuple):
@@ -463,7 +475,8 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
     from vecgo_spark import cache_stats
 
     info = tbl.manifest.meta[FAMILY]
-    ckey = (tbl.manifest.version, info.get("path"), tuple(terms))
+    ckey = (tbl.manifest.version, info.get("path"),
+            _snapshot_id(tbl.manifest), tuple(terms))
     hit = _cached_candidate(tbl.path, ckey)
     cache_stats.record("lexical_candidates", hit is not None,
                        scope=tbl.path)
