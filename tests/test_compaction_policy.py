@@ -272,3 +272,55 @@ def test_leveled_policy_end_to_end_promotes_levels(spark, tmp_path):
     assert sorted(r["id"] for r in t.df().collect()) == before
     # below both thresholds → policy passes
     assert t.maybe_compact(LeveledPolicy()) is None
+
+
+def test_leveled_policy_converges_and_respects_invariants():
+    """Property (hypothesis): for ANY segment population, the leveled
+    compaction loop — pick, merge the picked set into one segment at
+    target_level, repeat — terminates (no infinite background-loop
+    churn, the reference's loop calls Pick until nil), and every task
+    satisfies the level invariants: picked segments are a non-empty
+    subset of the live set, the target is one level up (or the L0
+    fan-in to L1), and the top level never promotes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vecgo_spark.plans.manifest import SegmentMeta
+    from vecgo_spark.plans.policy import LeveledPolicy
+
+    seg_st = st.tuples(
+        st.integers(min_value=0, max_value=1 << 40),  # bytes
+        st.integers(min_value=0, max_value=9),        # level (incl. >max)
+        st.integers(min_value=1, max_value=1000),     # lsn
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(seg_st, min_size=0, max_size=24))
+    def run(raw):
+        pol = LeveledPolicy(l0_threshold=3, level_ratio=4,
+                            base_bytes=1024, max_levels=5)
+        segs = [SegmentMeta(path=f"s{i}", rows=1, lsn=lsn, bytes=b, level=lv)
+                for i, (b, lv, lsn) in enumerate(raw)]
+        for step in range(len(segs) * pol.max_levels + 5):
+            task = pol.pick(segs)
+            if task is None:
+                return
+            assert 1 <= task.target_level < pol.max_levels
+            picked = {s.path for s in task.segments}
+            live = {s.path for s in segs}
+            assert picked and picked <= live
+            by_path = {s.path: s for s in segs}
+            lvls = {min(by_path[p].level, pol.max_levels - 1) for p in picked}
+            if task.target_level == 1:
+                assert lvls == {0} and len(picked) >= pol.l0_threshold
+            else:
+                assert lvls == {task.target_level - 1} and len(picked) == 1
+            merged = SegmentMeta(
+                path=f"m{step}", rows=1,
+                lsn=max(s.lsn for s in task.segments),
+                bytes=sum(s.bytes for s in task.segments),
+                level=task.target_level)
+            segs = [s for s in segs if s.path not in picked] + [merged]
+        raise AssertionError("leveled compaction loop did not converge")
+
+    run()
