@@ -706,3 +706,30 @@ def test_drop_and_recreate_never_serves_stale_cache(spark, tdir):
     assert got == _fresh(t2, Q)
     assert {i for i, _ in got} <= set(range(1, 11))
     lex.release_caches()
+
+
+def test_vacuum_evicts_stale_candidate_frames(spark, tdir):
+    """r12 self-review (the _VIS_CACHE vacuum stance, applied to the
+    lexical caches): after a compact+vacuum GCs superseded postings
+    dirs, the table's cached candidate frames and count memos for the
+    OLD snapshot are evicted — a cap-evicted stale frame could otherwise
+    recompute against deleted files. The new snapshot's queries rebuild
+    and re-cache cleanly."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    tbl.delete([5])  # churn → candidate frame + counts memo populate
+    tbl.commit()
+    lex.release_caches()
+    lex.bm25_search_at_rest(tbl, Q, k=10).count()
+    assert len(lex._CACHED.get(tbl.path, {})) == 1
+    assert any(k[0] == tbl.path for k in lex._COUNTS_CACHE)
+    tbl.compact()            # new snapshot + reindexed family
+    tbl.vacuum(keep_versions=1)
+    assert not lex._CACHED.get(tbl.path)  # stale frame evicted
+    assert not any(k[0] == tbl.path for k in lex._COUNTS_CACHE)
+    # fresh snapshot serves and re-caches correctly
+    got = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
+    assert got == _fresh(tbl, Q) and 5 not in {i for i, _ in got}
+    lex.release_caches()

@@ -393,6 +393,25 @@ def _cache_candidate(table_path: str, key: tuple, frame: DataFrame,
             del _CACHED[victim]
 
 
+def evict_stale(table_path: str, man) -> None:
+    """Drop this table's cached candidate frames and corpus-count memos
+    belonging to SUPERSEDED snapshots (called by vacuum: their postings
+    dirs may have just been GC'd, and a cap-evicted stale frame would
+    otherwise hit FileNotFound on a recompute — the _VIS_CACHE vacuum
+    stance). The current snapshot's entries stay: their dirs are
+    referenced and never GC'd."""
+    snap = (man.version, _snapshot_id(man))
+    slots = _CACHED.get(table_path)
+    if slots:
+        for key in [k for k in slots if (k[0], k[2]) != snap]:
+            slots.pop(key)[0].unpersist()
+        if not slots:
+            del _CACHED[table_path]
+    for key in [k for k in _COUNTS_CACHE
+                if k[0] == table_path and (k[1], k[3]) != snap]:
+        _COUNTS_CACHE.pop(key)
+
+
 def release_caches(table_path: str | None = None) -> None:
     """Unpersist candidate frames persisted by bm25_search_at_rest on the
     churn path (long-lived sessions issuing many queries should call this

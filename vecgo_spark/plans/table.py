@@ -2082,6 +2082,13 @@ class VectorTable:
             for k in [k for k in _VIS_CACHE
                       if k[0] == self.path and k[1] != self.manifest.version]:
                 _VIS_CACHE.pop(k)[0].unpersist()
+            # same exposure for the lexical candidate frames (r12):
+            # frames cached for superseded snapshots may reference
+            # postings dirs just GC'd — evict stale-snapshot entries,
+            # keep the current snapshot's (its dirs are referenced)
+            from vecgo_spark.operators import lexical_at_rest as _lex
+
+            _lex.evict_stale(self.path, self.manifest)
         return {"removed_manifests": removed_manifests, "removed_files": removed_files}
 
     def stats(self) -> dict:
