@@ -323,6 +323,15 @@ def _bm25_search_churned_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    QUERY_TEXT, k=10)
 
 
+# Queries whose timed bench passes are knowingly repeat-query cache hits
+# (the warm-up pass populates a keyed materialized frame that the timed
+# passes then serve from — r12 ADVICE: surface it instead of letting a
+# cache-hit latency read as engine serve time). bench.py times these
+# queries' first-ever warm-up execution and reports it as
+# cold_serve_secs alongside the steady-state number.
+CACHE_WARM_QUERIES = ("bm25_search_churned_at_rest",)
+
+
 _CHURN_PK_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
 CHURN_PK_UPSERT_ID = 42   # overwritten post-build (label → 999)
 CHURN_PK_DELETED_ID = 43  # tombstoned post-build
@@ -1931,35 +1940,70 @@ def _embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): within-cluster cosine pruning over
-    the SAME deterministic k-means model the IVF family trains (one
-    artifact, many consumers) — semantic near-dups are only ever compared
-    inside their cluster, never all-pairs."""
+_SEMDEDUP_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path
+
+
+def _semdedup_table(spark: SparkSession, sf_dir: str):
+    """Scratch embeddings table with the SemDeDup pair graph AT REST
+    (r12 verdict #1 — the last dedup family recomputing per call): the
+    per-cluster gemm runs ONCE at index build (the reference persists
+    everything servable at commit, internal/segment/flat/writer.go) and
+    every query re-reads the exact-verified pair list + narrow
+    assignment rows. Stored values are the same per-pair sequential-fold
+    cosines the recompute path emits, so the DuckDB oracle (which
+    recomputes from the embeddings) still hash-matches bit-exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    if sf_dir in _SEMDEDUP_TABLES:
+        return VectorTable.open(spark, _SEMDEDUP_TABLES[sf_dir])
+    _t0_build = time.perf_counter()
     emb = load_table(spark, sf_dir, "embeddings")
-    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
-                          max_train_rows=20_000, order_col="vec_id",
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10,
+                          trainer="driver", max_train_rows=20_000,
+                          order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
+    tmp = tempfile.mkdtemp(prefix="vecgo_semdedup_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2",
+                             id_col="vec_id", vector_col="embedding")
+    tbl.insert(emb.select("vec_id", "embedding"))
+    tbl.commit()
+    tbl.build_semdedup_index(model, threshold=0.3)
+    _SEMDEDUP_TABLES[sf_dir] = path
+    _BUILD_SECONDS["semdedup"] = time.perf_counter() - _t0_build
+    print(f"[fixture-build] semdedup: "
+          f"{_BUILD_SECONDS['semdedup']:.2f}s", file=sys.stderr)
+    return tbl
+
+
+def _dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) pairs served from the STORED
+    artifact: within-cluster cosine pruning over the SAME deterministic
+    k-means model the IVF family trains, gemm'd once at index build —
+    the query reads the exact-verified pair list (bit-identical values,
+    oracle unchanged)."""
+    from vecgo_spark.operators import semdedup_at_rest as sdr
+
     dedup.release_caches()
-    # persist_assigned stays False here: at this embedding width the
-    # cache materialization costs more than the two extra scans it saves
-    # (measured r9); the flag exists for wide/expensive assignment cases
-    return dedup.semantic_dedup_pairs(emb, model, threshold=0.3).orderBy(
+    return sdr.semdedup_pairs_at_rest(_semdedup_table(spark, sf_dir)).orderBy(
         "cluster_id", "id_a", "id_b")
 
 
 def _dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup's removal action (Abbas et al. 2023 §3): the pair graph's
-    connected components become duplicate groups, and exactly ONE member
-    per group survives — the lowest-centroid-cosine example (keep the
-    cluster edge, prune the dense core). Same deterministic k-means
-    artifact the pairs query shares."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
-                          max_train_rows=20_000, order_col="vec_id",
-                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    """SemDeDup's removal action (Abbas et al. 2023 §3) from the STORED
+    pair graph: components over the at-rest pair list, keep = the
+    lowest-centroid-cosine member per group, cent_cos from the stored
+    narrow assignment rows — the per-call cost drops to the
+    components/window join-back floor."""
+    from vecgo_spark.operators import semdedup_at_rest as sdr
+
     dedup.release_caches()
-    return dedup.semantic_dedup(emb, model, threshold=0.3)
+    return sdr.semantic_dedup_at_rest(_semdedup_table(spark, sf_dir))
 
 
 def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,44 @@ import __spark_entry__ as entrymod
 from vecgo_spark.session import get_spark
 
 
+def _read_cpu_stat() -> tuple[float, float] | None:
+    """(total_jiffies, steal_jiffies) from /proc/stat's aggregate cpu
+    line, or None where /proc is absent. Steal is field 8 (0-based)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [float(v) for v in parts[1:]]
+        return (sum(vals), vals[7] if len(vals) > 7 else 0.0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _best_of(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _gemm_gflops() -> float | None:
+    """One-shot BLAS calibration: time a 1024^3 float64 matmul and report
+    GFLOPS. r12 forensics: two of three timed suites ran on a host whose
+    OpenBLAS had collapsed to ~2 GFLOPS under CPU steal and only
+    pass-total archaeology revealed it — this number lets any consumer
+    of BENCH_r*.json discount a polluted run at the source. Healthy
+    hosts here measure tens-to-hundreds of GFLOPS; single digits mean
+    the timings below are contaminated."""
+    try:
+        import numpy as np
+        n = 1024
+        a = np.ones((n, n), dtype=np.float64)
+        b = np.ones((n, n), dtype=np.float64)
+        a @ b  # warm the BLAS thread pool before timing
+        dt = min(_best_of(lambda: a @ b) for _ in range(3))
+        return round((2.0 * n ** 3) / dt / 1e9, 1) if dt > 0 else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -26,6 +64,8 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    stat0 = _read_cpu_stat()
+    gemm = _gemm_gflops()
 
     # Warm the JVM before measuring: run the whole suite once, untimed, at
     # the TARGET SF — whole-stage-codegen classes, JIT-compiled loops,
@@ -49,11 +89,30 @@ def main() -> None:
         entrymod._at_rest_opq_table(spark, sf_dir)
     except Exception:
         pass
+    # (r12 ADVICE) Queries whose timed passes are knowingly served from a
+    # warm materialized cache (e.g. the churned-BM25 candidate frame is
+    # populated by this very warm-up pass, so BOTH timed passes measure a
+    # repeat-query cache hit): their FIRST-EVER execution here is the
+    # cold serve, so time it and surface it as cold_serve_secs — a
+    # round-over-round reader must not mistake cache-hit latency for
+    # engine serve time.
+    cache_warm = sorted(getattr(entrymod, "CACHE_WARM_QUERIES", ()))
+    cold_serve: dict[str, float] = {}
     for _name, _fn in queries.items():
+        builds0 = sum(getattr(entrymod, "_BUILD_SECONDS", {}).values())
+        t0 = time.perf_counter()
         try:
             _fn(spark, sf_dir).count()
         except Exception:
-            pass  # a warm-up failure must never sink the measured run
+            continue  # a warm-up failure must never sink the measured run
+        if _name in cache_warm:
+            # a lazy fixture build inside the first-ever call is already
+            # reported under fixture_build_secs — subtract it so
+            # cold_serve_secs is the cold SERVE, not build+serve
+            built = (sum(getattr(entrymod, "_BUILD_SECONDS", {}).values())
+                     - builds0)
+            cold_serve[_name] = round(
+                max(0.0, time.perf_counter() - t0 - built), 4)
 
     # Per-query fault isolation: one broken query must never erase the
     # suite's number — record its error string and keep timing the rest.
@@ -119,6 +178,22 @@ def main() -> None:
         out["errors"] = errors
     if flaky:
         out["flaky"] = flaky
+    # host-health disclosure (r12 verdict #7): steal% over the run and a
+    # one-shot gemm rate, so a contaminated run is discountable at the
+    # source. v2 metric semantics unchanged — these are side-channel.
+    stat1 = _read_cpu_stat()
+    health: dict[str, object] = {}
+    if gemm is not None:
+        health["gemm_gflops"] = gemm
+    if stat0 is not None and stat1 is not None and stat1[0] > stat0[0]:
+        health["cpu_steal_pct"] = round(
+            100.0 * (stat1[1] - stat0[1]) / (stat1[0] - stat0[0]), 2)
+    if health:
+        out["host_health"] = health
+    if cache_warm:
+        out["cache_warm_queries"] = cache_warm
+    if cold_serve:
+        out["cold_serve_secs"] = cold_serve
     # build-vs-serve split (r10 verdict nit): the scratch VectorTables
     # (churned lex/ivf, hybrid two-index) are built ONCE during the
     # untimed warm-up pass above; their build seconds are recorded here

@@ -1,0 +1,274 @@
+"""SemDeDup pair graph at rest (operators/semdedup_at_rest.py):
+lifecycle (build → reopen → refresh → fold → vacuum → compact-drop /
+compact-reindex), bit-parity of the stored read against fresh recompute
+under tombstones / upserts / delta segments / hot-cluster transitions,
+and the 100-TB plan guarantee that clean-snapshot reads never touch the
+vector column."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vecgo_spark.operators import dedup
+from vecgo_spark.operators import semdedup_at_rest as sdr
+from vecgo_spark.operators.ivf import IVFModel
+from vecgo_spark.plans.table import VectorTable
+
+TH = 0.9
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _model():
+    return IVFModel(
+        centroids=np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]),
+        metric="l2")
+
+
+def _vec(i, flip=False):
+    """Cluster = i % 2; same-cluster vectors are near-dups (cos ≈ 1,
+    well above TH), cross-cluster cos ≈ 0 (well below). flip=True moves
+    the row to the OTHER cluster — the upsert shape."""
+    d = (i + (1 if flip else 0)) % 2
+    v = [0.0, 0.0, 0.0, 0.0]
+    v[d] = 1.0
+    v[2] = 0.01 * (i // 2 + 1)  # distinct but high-cosine within cluster
+    return v
+
+
+def _rows(spark, ids, flip=False):
+    return spark.createDataFrame(
+        [(i, _vec(i, flip)) for i in ids], "id long, vector array<float>")
+
+
+def _pairset(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _fresh_pairs(tbl, max_cluster=None):
+    return dedup.semantic_dedup_pairs(
+        tbl.df(), _model(), id_col="id", vector_col="vector",
+        threshold=TH, max_cluster=max_cluster)
+
+
+def _fresh_clusters(tbl, max_cluster=None):
+    return dedup.semantic_dedup(
+        tbl.df(), _model(), id_col="id", vector_col="vector",
+        threshold=TH, max_cluster=max_cluster)
+
+
+def test_build_and_parity(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 13)))
+    tbl.commit()
+    v0 = tbl.manifest.version
+    assert tbl.build_semdedup_index(_model(), threshold=TH) == v0 + 1
+    got = sdr.semdedup_pairs_at_rest(tbl)
+    assert got.columns == ["cluster_id", "id_a", "id_b", "cos_sim", "drop_id"]
+    assert _pairset(got) == _pairset(_fresh_pairs(tbl))
+    assert len(_pairset(got)) > 0  # the near-dups actually paired
+    assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
+        _fresh_clusters(tbl))
+
+
+def test_reopen_serves_stored(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    want = _pairset(sdr.semdedup_pairs_at_rest(tbl))
+    re = VectorTable.open(spark, tdir)
+    assert _pairset(sdr.semdedup_pairs_at_rest(re)) == want
+    assert _pairset(re.semantic_dedup()) == _pairset(_fresh_clusters(re))
+
+
+def test_delta_tombstone_upsert_parity(spark, tdir):
+    """Rows inserted after the build dirty their cluster (recompute leg);
+    deletes and upserts drop stale stored pairs through the (id, lsn)
+    endpoint-visibility join — including the upsert that MOVES a row to
+    the other cluster, where both the old pair set and the old
+    assignment must vanish."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 11)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    tbl.insert(_rows(spark, range(11, 15)))          # delta segment
+    tbl.insert(_rows(spark, [5], flip=True))          # upsert → other cluster
+    tbl.commit()
+    tbl.delete([2, 12])
+    tbl.commit()
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+        _fresh_pairs(tbl))
+    got = sdr.semantic_dedup_at_rest(tbl)
+    assert _pairset(got) == _pairset(_fresh_clusters(tbl))
+    ids = {r["id"] for r in got.collect()}
+    assert 5 in ids and 11 in ids and not {2, 12} & ids
+
+
+def test_refresh_indexes_only_new_segments(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    v = tbl.manifest.version
+    assert tbl.refresh_semdedup_index() == v  # no-op, no manifest bump
+    tbl.insert(_rows(spark, range(9, 13)))
+    tbl.commit()
+    v2 = tbl.refresh_semdedup_index()
+    assert v2 > v
+    info = tbl.manifest.meta["semdedup"]
+    assert len(info["paths"]) == 2  # original dir + refresh dir, both live
+    assert set(info["segments"]) == {s.path for s in tbl.manifest.segments}
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+        _fresh_pairs(tbl))
+    assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
+        _fresh_clusters(tbl))
+
+
+def test_clean_read_never_touches_vectors(spark, tdir):
+    """The 100-TB point of the artifact: with every live segment indexed
+    and nothing dirty, both query plans read the narrow parquet artifact
+    only — no per-cluster gemm (no applyInPandas / python worker) and no
+    scan of the segments' vector column."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    for q in (sdr.semdedup_pairs_at_rest(tbl),):
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "vector#" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_hot_cluster_transitions(spark, tdir):
+    """Hot at build (raw count > max_cluster): no stored pairs, cluster
+    recorded; hot now (visible count): dropped from the output exactly
+    like dedup._drop_hot; hot-at-build-but-not-now (deletes shrank it):
+    the recompute leg restores its pairs — parity with the plain path at
+    every step."""
+    mc = 5
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    # cluster 0 gets 8 rows (hot at mc=5), cluster 1 gets 4
+    ids = [2 * i for i in range(1, 9)] + [2 * i + 1 for i in range(1, 5)]
+    tbl.insert(_rows(spark, ids))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH, max_cluster=mc)
+    info = tbl.manifest.meta["semdedup"]
+    assert info["hot_clusters"] == [0]
+    # hot now too → both paths drop cluster 0's pairs
+    got = sdr.semdedup_pairs_at_rest(tbl)
+    assert _pairset(got) == _pairset(_fresh_pairs(tbl, max_cluster=mc))
+    assert not [r for r in got.collect() if r["cluster_id"] == 0]
+    # deletes shrink cluster 0 below the cap → not hot now, recompute leg
+    tbl.delete([2 * i for i in range(1, 5)])
+    tbl.commit()
+    got = sdr.semdedup_pairs_at_rest(tbl)
+    assert _pairset(got) == _pairset(_fresh_pairs(tbl, max_cluster=mc))
+    assert [r for r in got.collect() if r["cluster_id"] == 0]
+    assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
+        _fresh_clusters(tbl, max_cluster=mc))
+
+
+def test_vacuum_keeps_live_dirs_drops_stale(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    tbl.insert(_rows(spark, range(9, 13)))
+    tbl.commit()
+    tbl.refresh_semdedup_index()
+    want = _pairset(sdr.semdedup_pairs_at_rest(tbl))
+    out = tbl.vacuum(keep_versions=1)
+    assert not any("semdedup" in f for f in out["removed_files"])
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == want
+    # reindex=False compaction drops the family; vacuum collects dirs
+    tbl.compact(reindex=False)
+    assert "semdedup" not in tbl.manifest.meta
+    with pytest.raises(KeyError, match="semdedup"):
+        sdr.semdedup_pairs_at_rest(tbl)
+    out = tbl.vacuum(keep_versions=1)
+    # two versions × (assigned dir + -pairs sidecar) = 4 dirs collected
+    assert sum("semdedup" in f for f in out["removed_files"]) == 4
+
+
+def test_refresh_folds_dirs_at_cap(spark, tdir):
+    """Bounded dir growth under the ingest→refresh loop: with max_dirs=3
+    repeated refreshes fold still-live assigned rows (and the pair rows
+    verbatim) into the new dir; parity holds across every fold and
+    vacuum collects the superseded dirs + sidecars."""
+    import os
+
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    seen = set(tbl.manifest.meta["semdedup"].get(
+        "paths", [tbl.manifest.meta["semdedup"]["path"]]))
+    for i in range(5):
+        tbl.insert(_rows(spark, range(100 + 4 * i, 104 + 4 * i)))
+        tbl.commit()
+        tbl.refresh_semdedup_index(max_dirs=3)
+        info = tbl.manifest.meta["semdedup"]
+        assert len(info["paths"]) <= 3, info["paths"]
+        seen.update(info["paths"])
+        assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+            _fresh_pairs(tbl))
+    assert len(seen) > 3  # folding actually happened
+    info = tbl.manifest.meta["semdedup"]
+    tbl.vacuum(keep_versions=1)
+    live = set(info["paths"])
+    for p in seen:
+        for d in (p, sdr.pairs_dir(p)):
+            assert os.path.isdir(os.path.join(tbl.path, d)) == (p in live), d
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+        _fresh_pairs(tbl))
+
+
+def test_build_requires_segments_and_refresh_requires_build(spark, tdir):
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    with pytest.raises(ValueError, match="no committed segments"):
+        tbl.build_semdedup_index(_model())
+    tbl.insert(_rows(spark, [1]))
+    tbl.commit()
+    with pytest.raises(KeyError, match="build it first"):
+        tbl.refresh_semdedup_index()
+
+
+def test_upsert_both_versions_indexed(spark, tdir):
+    """Both row versions of an upserted id live in INDEXED segments (the
+    build ran after the upsert): the artifact stores assignment + pairs
+    per RAW row version and the winning-LSN filter must keep exactly the
+    new version's pairs — including the cluster move."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.insert(_rows(spark, [3], flip=True))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+        _fresh_pairs(tbl))
+    got = sdr.semantic_dedup_at_rest(tbl)
+    assert _pairset(got) == _pairset(_fresh_clusters(tbl))
+
+
+def test_compact_reindexes_semdedup_by_default(spark, tdir):
+    """compact() rebuilds the artifact against the rewritten segments
+    with the recorded params (centroids ride the manifest meta) — no
+    manual build call, stored reads stay bit-identical."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 13)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH, max_cluster=7)
+    tbl.delete([4, 6])
+    tbl.commit()
+    tbl.compact()
+    info = tbl.manifest.meta["semdedup"]
+    assert set(info["segments"]) == {s.path for s in tbl.manifest.segments}
+    assert (info["threshold"], info["max_cluster"]) == (TH, 7)
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+        _fresh_pairs(tbl, max_cluster=7))
+    ids = {r["id"] for r in sdr.semantic_dedup_at_rest(tbl).collect()}
+    assert not {4, 6} & ids

@@ -21,9 +21,13 @@ re-paying work the cache should amortize?" — is the same:
 
 Counting stance (same as the reference's sharded LRU,
 internal/cache/sharded_lru.go): a lookup that finds its key is a hit, a
-lookup that must build/insert is a miss; paths that BYPASS a cache (e.g.
-an id-restricted one-off visibility build, or training without a
-cache_key) count neither. Counters are process-global like the module
+lookup that must build/insert is a miss; paths that BYPASS a cache count
+neither. Id-restricted point-get visibility counts symmetrically where
+the cache is APPLICABLE (broadcast-sized snapshot: hit when the loaded
+frame serves it, miss when it falls through to the row-group-pruned
+scan); above the broadcast gate the cache can never serve a point-get,
+so those bypass and count neither. Training without a cache_key also
+counts neither. Counters are process-global like the module
 registries they instrument; ``reset()`` zeroes them (tests, epoch
 boundaries).
 

@@ -152,18 +152,19 @@ def blob_paths(info: dict) -> list[str]:
 
 def record_dir_bytes(tbl, info: dict) -> None:
     """Maintain info["bytes"] = {dir: on-disk bytes} over the family's
-    live blob dirs (+ any `<dir>-df` sidecar) — the manifest-level size
-    accounting the reference keeps per segment/index for GC reporting;
-    index footprint becomes an O(#dirs) manifest read instead of a
-    store walk."""
+    live blob dirs (+ any `<dir>-df` / `<dir>-pairs` sidecar) — the
+    manifest-level size accounting the reference keeps per segment/index
+    for GC reporting; index footprint becomes an O(#dirs) manifest read
+    instead of a store walk."""
     from vecgo_spark.plans.manifest import fs_du, fs_exists
 
     sizes: dict[str, int] = {}
     for p in blob_paths(info):
         b = fs_du(os.path.join(tbl.path, p))
-        side = os.path.join(tbl.path, p + "-df")
-        if fs_exists(side):
-            b += fs_du(side)
+        for suffix in ("-df", "-pairs"):
+            side = os.path.join(tbl.path, p + suffix)
+            if fs_exists(side):
+                b += fs_du(side)
         sizes[p] = b
     info["bytes"] = sizes
 

@@ -205,8 +205,9 @@ def decode_audio(
     columns when allow_stub=True and the call raises NotImplementedError
     upfront when allow_stub=False (honest, never silently fake —
     undecodable-→-NULL is the same stance parquet readers take on
-    corrupt values). RMS folds samples sequentially in float64 per
-    channel-interleaved stream, normalized to [-1, 1] by the sample
+    corrupt values). RMS folds the channel-interleaved float64 stream
+    with numpy pairwise summation (np.add.reduce — BLAS-free, so
+    run-to-run deterministic), normalized to [-1, 1] by the sample
     width, so two runs bit-agree."""
     sf_mod = _try_soundfile()
     if sf_mod is None and not allow_stub:
@@ -266,9 +267,11 @@ def decode_audio(
                         col.append(None)
                     continue
                 rate, nch, n, x = got
-                acc = 0.0
-                for v in x:  # sequential fold → run-to-run bit identity
-                    acc += float(v) * float(v)
+                # vectorized fold: numpy's pairwise summation over a
+                # fixed float64 array is deterministic run-to-run (no
+                # BLAS involved for add.reduce), so bit identity holds
+                # without the former O(samples) Python loop
+                acc = float(np.add.reduce(np.square(x))) if len(x) else 0.0
                 rates.append(rate)
                 chans.append(nch)
                 counts.append(n)

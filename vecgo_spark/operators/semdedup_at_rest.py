@@ -1,0 +1,455 @@
+"""SemDeDup pair graph AT REST — the persistent-index treatment
+(internal/segment/flat/writer.go:57-519 persists everything servable at
+commit) applied to the semantic-dedup family. Before this module the
+SemDeDup queries were the only dedup family recomputing their candidate
+graph per call while every sibling (minhash_at_rest, simhash_at_rest,
+lexical_at_rest, graph_at_rest) served from stored per-segment artifacts
+with visibility replay (r12 verdict #1).
+
+Artifacts per versioned dir (shared lifecycle with the minhash family):
+
+  _index/semdedup-v*        one NARROW row per RAW segment row version:
+                            (id, _lsn, _seg, cluster_id, cent_cos) — the
+                            assignment the pair gemm and the keep policy
+                            both need; no vectors stored (they stay in
+                            the segments; the clean read path never
+                            touches them).
+  _index/semdedup-v*-pairs  the exact-verified thresholded pair list:
+                            (cluster_id, id_a, lsn_a, id_b, lsn_b,
+                            cos_sim, drop_id). Pairs reference row
+                            VERSIONS, so read-time visibility is a
+                            (id, lsn) semi-join against the live
+                            assigned rows — deletes and upserts drop
+                            stale pairs without touching the artifact.
+
+  build:    assignment rows + per-cluster gemm pairs for every committed
+            segment (the same cutoff-margin candidate generation + exact
+            sequential-fold verification dedup.semantic_dedup_pairs
+            runs, so stored cos_sim/drop_id are bit-identical to a fresh
+            recompute); clusters above max_cluster RAW rows are recorded
+            in meta["hot_clusters"] instead of paired (SemDeDup's own
+            hot-cluster drop).
+  refresh:  new segments get their assigned rows in a new dir plus the
+            NEW pairs (>=1 endpoint in a new segment) gemm'd against all
+            live indexed rows; fold at the max_dirs cap copies stored
+            rows (assigned rows filtered to live segments; pair rows
+            verbatim — read-time visibility drops dead ones).
+            hot_clusters accumulates monotonically until a full rebuild:
+            a cluster that was ever skipped may be missing old pairs, so
+            it must keep taking the recompute leg while it stays listed.
+  read:     stored pairs of clusters that are neither hot NOW (visible
+            counts — matching dedup._drop_hot semantics) nor DIRTY
+            (containing unindexed row versions, or hot-at-build but not
+            hot now), endpoint-visibility-filtered ∪ a recompute leg
+            that runs dedup.semantic_dedup_pairs over the visible
+            snapshot RESTRICTED to the dirty clusters — a clean snapshot
+            recomputes nothing.
+  compact / full compaction rebuilds the family with the recorded params
+  vacuum:   (model centroids ride the manifest meta); dirs + -pairs
+            sidecars are referenced via meta["semdedup"] paths.
+
+Scale posture: the clean-path read is two narrow parquet scans (assigned
+rows ∪ pair rows) and one (id, lsn) semi-join sized by the pair list —
+the corpus vectors are never touched; the dirty-path gemm is per-cluster
+(bounded by max_cluster²) and only over dirty clusters.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vecgo_spark.functions.vector import cosine_similarity, double_matrix_expr
+
+FAMILY = "semdedup"
+
+PAIR_COLS = ["cluster_id", "id_a", "lsn_a", "id_b", "lsn_b",
+             "cos_sim", "drop_id"]
+PAIR_SCHEMA = ("cluster_id int, id_a long, lsn_a long, id_b long, "
+               "lsn_b long, cos_sim double, drop_id long")
+
+
+def pairs_dir(rel: str) -> str:
+    """Sidecar pair-list dir for an assigned-rows dir — by convention at
+    `<dir>-pairs` (the lexical `<dir>-df` sidecar stance) so
+    refresh_family_dirs' single-path contract stays untouched."""
+    return rel + "-pairs"
+
+
+def _model_from_info(info: dict):
+    from vecgo_spark.operators.ivf import IVFModel
+
+    return IVFModel(centroids=np.array(info["centroids"], dtype=np.float64),
+                    metric=info.get("metric", "l2"))
+
+
+def _raw_rows(tbl, segs, model, with_vector: bool) -> DataFrame:
+    """One row per RAW row version of `segs`: (id, _lsn, _seg,
+    cluster_id, cent_cos [, v]). NULL-vector versions keep NULL
+    cluster/cent_cos — they must exist so a later upsert shadows its
+    predecessor (the minhash NULL-sig stance)."""
+    from vecgo_spark.operators import ivf as ivfmod
+    from vecgo_spark.operators.graph_at_rest import seg_tag_expr
+
+    cents = double_matrix_expr(model.centroids)
+    v = F.col(tbl.vector_col).cast("array<double>")
+    base = (
+        tbl._segment_df(segs)
+        .select(F.col(tbl.id_col).alias("id"), F.col("_lsn"),
+                F.col(tbl.vector_col))
+        .withColumn("_seg", seg_tag_expr())
+        .withColumn("cluster_id",
+                    ivfmod.assign_expr(model, tbl.vector_col).cast("int"))
+        .withColumn("cent_cos", cosine_similarity(
+            v, F.element_at(cents, F.col("cluster_id") + 1)))
+    )
+    cols = ["id", "_lsn", "_seg", "cluster_id", "cent_cos"]
+    if with_vector:
+        return base.select(*cols, v.alias("v"))
+    return base.select(*cols)
+
+
+def _pair_rows(tbl, model, threshold, max_cluster, segs, new_segs=None,
+               skip_clusters=()) -> tuple[DataFrame, list[int]]:
+    """Exact-verified pair rows among the RAW row versions of `segs`,
+    restricted to pairs with >=1 endpoint in `new_segs` (None = full
+    build: every pair). Returns (pairs_df, hot_cluster_ids) where hot is
+    judged on RAW row counts over `segs` (the artifact's conservative
+    superset of dedup._drop_hot's visible counts — a raw-hot cluster is
+    recorded, never silently part-paired).
+
+    Candidate generation is the same per-cluster gemm at cutoff =
+    threshold - 1e-9 dedup.semantic_dedup_pairs runs; the candidates are
+    then verified with the exact sequential-fold cosine and the raw
+    cent_cos drop rule, so the stored cos_sim/drop_id are bit-identical
+    to a fresh recompute over the same row versions."""
+    raw = _raw_rows(tbl, segs, model, with_vector=True)
+    if new_segs is None:
+        raw = raw.withColumn("_new", F.lit(True))
+    else:
+        raw = raw.withColumn(
+            "_new", F.col("_seg").isin([s.path for s in new_segs]))
+    pool = raw.where(F.col("v").isNotNull())
+    sizes = pool.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()  # ≤ nlist rows
+    hot = sorted(int(r["cluster_id"]) for r in sizes
+                 if max_cluster is not None and r["n"] > max_cluster)
+    excl = sorted(set(hot) | set(int(c) for c in skip_clusters))
+    if excl:
+        pool = pool.where(~F.col("cluster_id").isin(excl))
+    cutoff = threshold - 1e-9
+
+    def emit(key, pdf):
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"), "lsn_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"), "lsn_b": pd.Series(dtype="int64")})
+        if len(pdf) < 2 or not pdf["_new"].any():
+            return empty
+        m = np.stack(pdf["v"].values).astype(np.float64)
+        nz = np.linalg.norm(m, axis=1)
+        nz[nz == 0.0] = np.nan  # zero vectors never match (NULL cosine)
+        m = m / nz[:, None]
+        sims = m @ m.T
+        ai, bi = np.where(sims >= cutoff)
+        ids = pdf["id"].values.astype(np.int64)
+        lsns = pdf["_lsn"].values.astype(np.int64)
+        new = pdf["_new"].values.astype(bool)
+        # strict id_a < id_b: two VERSIONS of one id never pair (they are
+        # never simultaneously visible), and the canonical ordering
+        # matches the plain path's upper triangle
+        keep = (ids[ai] < ids[bi]) & (new[ai] | new[bi])
+        return pd.DataFrame({"id_a": ids[ai][keep], "lsn_a": lsns[ai][keep],
+                             "id_b": ids[bi][keep], "lsn_b": lsns[bi][keep]})
+
+    cand = pool.select("cluster_id", "id", "_lsn", "v", "_new").groupBy(
+        "cluster_id").applyInPandas(
+        emit, "id_a long, lsn_a long, id_b long, lsn_b long")
+    a = pool.select(F.col("id").alias("id_a"), F.col("_lsn").alias("lsn_a"),
+                    F.col("v").alias("va"), F.col("cent_cos").alias("ca"),
+                    F.col("cluster_id").alias("_ca_cluster"))
+    b = pool.select(F.col("id").alias("id_b"), F.col("_lsn").alias("lsn_b"),
+                    F.col("v").alias("vb"), F.col("cent_cos").alias("cb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    out = (
+        cand.join(a, ["id_a", "lsn_a"]).join(b, ["id_b", "lsn_b"])
+        .select(
+            F.col("_ca_cluster").alias("cluster_id"),
+            "id_a", "lsn_a", "id_b", "lsn_b", sim.alias("cos_sim"),
+            F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+            .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+            .otherwise(F.col("id_b")).alias("drop_id"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return out.select(*PAIR_COLS), hot
+
+
+def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
+                        max_cluster, pair_segs=None, new_segs=None,
+                        skip_clusters=(), extra=None, copy_pairs=None,
+                        hot_out=None) -> str:
+    """Write one version's assigned-rows dir + -pairs sidecar. `segs`
+    feed the assigned rows (new segments at refresh); `pair_segs` is the
+    pairing pool (build: ==segs; refresh: live indexed ∪ new). `extra`
+    is the folded assigned rows; `copy_pairs` a DataFrame of stored pair
+    rows copied verbatim at fold (read-time visibility drops dead ones).
+    Appends the raw-hot cluster ids to `hot_out` when given."""
+    from vecgo_spark.plans.manifest import fs_exists, fs_rmtree
+    from vecgo_spark.plans.table import INDEX_DIR
+
+    rel = os.path.join(INDEX_DIR, f"{FAMILY}-v{version:08d}")
+    full = os.path.join(tbl.path, rel)
+    for p in (full, os.path.join(tbl.path, pairs_dir(rel))):
+        if fs_exists(p):
+            fs_rmtree(p)  # orphan of a failed earlier attempt
+    assigned = _raw_rows(tbl, segs, model, with_vector=False)
+    if extra is not None:
+        assigned = assigned.unionByName(extra.select(*assigned.columns))
+    assigned.write.mode("error").parquet(full)
+    pairs, hot = _pair_rows(tbl, model, threshold, max_cluster,
+                            pair_segs or segs, new_segs=new_segs,
+                            skip_clusters=skip_clusters)
+    if hot_out is not None:
+        hot_out.extend(hot)
+    if copy_pairs is not None:
+        pairs = pairs.unionByName(copy_pairs.select(*PAIR_COLS))
+    pairs.write.mode("error").parquet(os.path.join(tbl.path, pairs_dir(rel)))
+    return rel
+
+
+def build_semdedup_index(tbl, model, threshold: float = 0.95,
+                         max_cluster: int | None = None) -> int:
+    """Compute assignment rows + the exact-verified pair list for every
+    committed segment and publish a manifest version recording the
+    artifact (+ the model centroids, so refresh/reindex reconstruct the
+    same assignment without retraining)."""
+    from vecgo_spark.operators.dedup import MAX_BUCKET
+    from vecgo_spark.operators.graph_at_rest import record_dir_bytes
+    from vecgo_spark.plans.manifest import Manifest, save_manifest
+
+    if max_cluster is None:
+        max_cluster = MAX_BUCKET
+    tbl._check_writable()
+    man = tbl.manifest
+    if not man.segments:
+        raise ValueError("nothing to index: table has no committed segments")
+    version = man.version + 1
+    hot: list[int] = []
+    rel = _write_semdedup_dir(tbl, man.segments, version, model, threshold,
+                              max_cluster, hot_out=hot)
+    info = {
+        "path": rel, "segments": [s.path for s in man.segments],
+        "threshold": float(threshold), "max_cluster": max_cluster,
+        "centroids": model.centroids.tolist(), "metric": model.metric,
+        "hot_clusters": sorted(set(hot)),
+    }
+    record_dir_bytes(tbl, info)
+    new = Manifest(
+        version=version, lsn=man.lsn, next_id=man.next_id,
+        created_at=time.time(), segments=list(man.segments),
+        tombstone_files=list(man.tombstone_files),
+        meta={**man.meta, FAMILY: info},
+        tombstone_stats=dict(man.tombstone_stats),
+    )
+    save_manifest(tbl.path, new)
+    tbl.manifest = new
+    return version
+
+
+def refresh_semdedup_index(tbl, max_dirs: int = 8) -> int:
+    """Index segments committed after the last build/refresh: their
+    assigned rows land in a new dir, and the NEW pairs (>=1 endpoint in
+    a new segment, gemm'd against every live indexed row version) in its
+    -pairs sidecar. Fold at the max_dirs cap (shared
+    graph_at_rest.refresh_family_dirs semantics); hot_clusters
+    accumulates — a cluster ever skipped keeps taking the read-time
+    recompute leg until a full rebuild resets the family."""
+    from vecgo_spark.operators.graph_at_rest import (blob_paths,
+                                                     refresh_family_dirs)
+
+    info = tbl.manifest.meta.get(FAMILY) or {}
+    model = _model_from_info(info) if info else None
+    hot: list[int] = []
+
+    def write_dir(new_segs, version, extra):
+        old = tbl.manifest.meta[FAMILY]
+        live = {s.path for s in tbl.manifest.segments}
+        live_indexed = [s for s in tbl.manifest.segments
+                        if s.path in set(old["segments"])]
+        copy_pairs = None
+        if extra is not None:  # fold: superseded dirs orphan — copy pairs
+            copy_pairs = tbl.spark.read.parquet(
+                *[os.path.join(tbl.path, pairs_dir(p))
+                  for p in blob_paths(old)])
+        return _write_semdedup_dir(
+            tbl, new_segs, version, model, old["threshold"],
+            old["max_cluster"], pair_segs=live_indexed + list(new_segs),
+            new_segs=new_segs, skip_clusters=old.get("hot_clusters") or (),
+            extra=extra, copy_pairs=copy_pairs, hot_out=hot)
+
+    def info_update(new_info, new_segs):
+        new_info["hot_clusters"] = sorted(
+            set(new_info.get("hot_clusters") or []) | set(hot))
+
+    return refresh_family_dirs(tbl, FAMILY, write_dir, seg_col="_seg",
+                               max_dirs=max_dirs, info_update=info_update)
+
+
+def _visible_assigned(tbl) -> DataFrame:
+    """Assigned rows of the CURRENT live snapshot — stored legs ∪ a
+    recompute delta leg for unindexed segments (flagged `_delta`), then
+    EXACTLY df()'s visibility algebra (size-gated tombstone anti-join +
+    winning-LSN upsert filter via the table's cached PK-index frame)."""
+    from vecgo_spark.operators.graph_at_rest import blob_paths
+
+    info = tbl.manifest.meta.get(FAMILY)
+    if info is None:
+        raise KeyError("table has no semdedup index; build it first")
+    man = tbl.manifest
+    current = {s.path for s in man.segments}
+    live_indexed = sorted(set(info["segments"]) & current)
+    cols = ["id", "_lsn", "_seg", "cluster_id", "cent_cos"]
+    legs = []
+    if live_indexed:
+        stored = tbl.spark.read.parquet(
+            *[os.path.join(tbl.path, p) for p in blob_paths(info)])
+        legs.append(stored.where(F.col("_seg").isin(live_indexed))
+                    .select(*cols).withColumn("_delta", F.lit(False)))
+    delta = [s for s in man.segments if s.path not in set(info["segments"])]
+    if delta:
+        legs.append(
+            _raw_rows(tbl, delta, _model_from_info(info), with_vector=False)
+            .select(*cols).withColumn("_delta", F.lit(True)))
+    if not legs:
+        return tbl.spark.createDataFrame(
+            [], "id long, _lsn long, _seg string, cluster_id int, "
+                "cent_cos double, _delta boolean")
+    base = legs[0]
+    for leg in legs[1:]:
+        base = base.unionByName(leg)
+    tomb = tbl._tombstones()
+    if tomb is not None:
+        tmax = (tomb.groupBy(tbl.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
+                .withColumnRenamed(tbl.id_col, "id"))
+        if tbl.tomb_broadcastable():  # size-gated — table.tomb_broadcastable
+            tmax = F.broadcast(tmax)
+        base = (
+            base.join(tmax, "id", "left")
+            .where(F.col("_tomb_lsn").isNull()
+                   | (F.col("_lsn") > F.col("_tomb_lsn")))
+            .drop("_tomb_lsn")
+        )
+    if man.meta.get("has_upserts"):
+        # winning LSN from the table's cached PK-index frame — the ONE
+        # visibility mechanism every serving path consults (mvcc.go:125)
+        vmax = tbl._vis_vmax(list(man.segments), include_pending=False)
+        if vmax is not None:
+            from vecgo_spark.plans.table import TOMB_BROADCAST_MAX_IDS
+
+            vmax = vmax.withColumnRenamed(tbl.id_col, "id")
+            if sum(s.rows for s in man.segments) <= TOMB_BROADCAST_MAX_IDS:
+                vmax = F.broadcast(vmax)
+            base = (base.join(vmax, "id", "left")
+                    .where(F.col("_lsn") == F.col("_vis_lsn"))
+                    .drop("_vis_lsn"))
+    return base
+
+
+def semdedup_pairs_at_rest(tbl) -> DataFrame:
+    """(cluster_id, id_a, id_b, cos_sim, drop_id) for the live snapshot,
+    bit-identical to dedup.semantic_dedup_pairs over tbl.df() — served
+    from the stored pair list wherever the cluster is CLEAN; dirty
+    clusters (unindexed row versions, or ever-skipped-as-hot but not hot
+    on the visible counts) take a recompute leg restricted to exactly
+    those clusters. Hot-NOW clusters (visible counts > max_cluster) are
+    dropped everywhere — dedup._drop_hot's semantics."""
+    from vecgo_spark.operators import dedup
+    from vecgo_spark.operators.graph_at_rest import blob_paths
+
+    info = tbl.manifest.meta.get(FAMILY)
+    if info is None:
+        raise KeyError("table has no semdedup index; build it first")
+    model = _model_from_info(info)
+    threshold, max_cluster = info["threshold"], info["max_cluster"]
+    A = _visible_assigned(tbl)
+    sizes = A.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()  # ≤ nlist rows
+    hot_now = {int(r["cluster_id"]) for r in sizes
+               if r["cluster_id"] is not None
+               and max_cluster is not None and r["n"] > max_cluster}
+    dirty = {int(r["cluster_id"]) for r in A.where(F.col("_delta"))
+             .select("cluster_id").distinct().collect()
+             if r["cluster_id"] is not None}
+    hot_build = set(int(c) for c in info.get("hot_clusters") or [])
+    recompute = (dirty | (hot_build - hot_now)) - hot_now
+    legs = []
+    excl = sorted(hot_now | recompute)
+    stored = tbl.spark.read.parquet(
+        *[os.path.join(tbl.path, pairs_dir(p)) for p in blob_paths(info)])
+    if excl:
+        stored = stored.where(~F.col("cluster_id").isin(excl))
+    # endpoint visibility: a pair is live iff BOTH row versions are the
+    # visible version of their id — an (id, lsn) semi-join sized by the
+    # pair list, never the corpus
+    vis = A.select("id", "_lsn")
+    stored = (
+        stored.join(vis.select(F.col("id").alias("id_a"),
+                               F.col("_lsn").alias("lsn_a")),
+                    ["id_a", "lsn_a"], "left_semi")
+        .join(vis.select(F.col("id").alias("id_b"),
+                         F.col("_lsn").alias("lsn_b")),
+              ["id_b", "lsn_b"], "left_semi")
+    )
+    legs.append(stored.select("cluster_id", "id_a", "id_b",
+                              "cos_sim", "drop_id"))
+    if recompute:
+        from vecgo_spark.operators import ivf as ivfmod
+
+        emb = tbl.df().select(tbl.id_col, tbl.vector_col).where(
+            ivfmod.assign_expr(model, tbl.vector_col).cast("int")
+            .isin(sorted(recompute)))
+        # max_cluster=None: recompute clusters are non-hot by
+        # construction (hot_now is excluded above), so _drop_hot would
+        # be a no-op job — skip it
+        legs.append(dedup.semantic_dedup_pairs(
+            emb, model, id_col=tbl.id_col, vector_col=tbl.vector_col,
+            threshold=threshold, max_cluster=None))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def semantic_dedup_at_rest(tbl) -> DataFrame:
+    """(id_col, group_id, cent_cos, keep) for the live snapshot —
+    dedup.semantic_dedup served from the stored artifact: components
+    over the at-rest pair list, the keep window over the stored (or
+    delta-recomputed) cent_cos, rounded at round(·, 9) exactly like the
+    plain path."""
+    from vecgo_spark.operators import dedup
+
+    pairs = semdedup_pairs_at_rest(tbl)
+    comp = dedup.connected_components(pairs)
+    d = _visible_assigned(tbl).select(
+        "id", F.round("cent_cos", 9).alias("cent_cos"))
+    g = (
+        d.join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("group_id"),
+                "cent_cos")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.coalesce("cent_cos", F.lit(2.0)).asc(), F.col("id").asc())
+    return (
+        g.withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col("id").alias(tbl.id_col), "group_id", "cent_cos",
+            (F.col("_rn") == 1).alias("keep"),
+        )
+        .orderBy(tbl.id_col)
+    )

@@ -816,11 +816,17 @@ class VectorTable:
             # path — a point-get must never shuffle a corpus-sized
             # frame. A COLD point-get also keeps the scan: building the
             # O(distinct ids) frame for a one-off would be a loss.
-            if (hit is not None
-                    and sum(s.rows for s in full) <= TOMB_BROADCAST_MAX_IDS):
-                cache_stats.record("pk_index", True, scope=self.path)
-                _VIS_CACHE[key] = _VIS_CACHE.pop(key)
-                return hit[0]
+            # Counting stance (r12 ADVICE): a point-get counts exactly
+            # when the cache is APPLICABLE (broadcast-sized snapshot) —
+            # hit when the frame is loaded, miss when it falls through
+            # to the scan; over-gate point-gets bypass by design and
+            # count neither (symmetric — cache_stats.py docstring).
+            if sum(s.rows for s in full) <= TOMB_BROADCAST_MAX_IDS:
+                cache_stats.record("pk_index", hit is not None,
+                                   scope=self.path)
+                if hit is not None:
+                    _VIS_CACHE[key] = _VIS_CACHE.pop(key)
+                    return hit[0]
             key = None
         legs, pk_files = [], []
         if covered:
@@ -972,6 +978,42 @@ class VectorTable:
         v = mar.build_minhash_index(self, text_col=text_col, **kw)
         self._obs("on_build", time.perf_counter() - t0, "minhash")
         return v
+
+    def build_semdedup_index(self, model, threshold: float = 0.95,
+                             max_cluster: int | None = None) -> int:
+        """Persist the SemDeDup assignment rows + exact-verified pair
+        list as a table artifact (operators/semdedup_at_rest.py) so the
+        semantic-dedup queries serve from stored rows instead of
+        re-running the per-cluster gemm per call."""
+        from vecgo_spark.operators import semdedup_at_rest as sdr
+
+        t0 = time.perf_counter()
+        v = sdr.build_semdedup_index(self, model, threshold=threshold,
+                                     max_cluster=max_cluster)
+        self._obs("on_build", time.perf_counter() - t0, "semdedup")
+        return v
+
+    def refresh_semdedup_index(self, **kw) -> int:
+        """Index segments committed since the last semdedup build/refresh."""
+        from vecgo_spark.operators import semdedup_at_rest as sdr
+
+        t0 = time.perf_counter()
+        v = sdr.refresh_semdedup_index(self, **kw)
+        self._obs("on_build", time.perf_counter() - t0, "semdedup-refresh")
+        return v
+
+    def semantic_dedup_pairs(self) -> DataFrame:
+        """Stored-artifact SemDeDup pair list for the live snapshot."""
+        from vecgo_spark.operators import semdedup_at_rest as sdr
+
+        return sdr.semdedup_pairs_at_rest(self)
+
+    def semantic_dedup(self) -> DataFrame:
+        """Stored-artifact SemDeDup keep/drop labeling for the live
+        snapshot."""
+        from vecgo_spark.operators import semdedup_at_rest as sdr
+
+        return sdr.semantic_dedup_at_rest(self)
 
     def build_simhash_index(self, text_col: str = "text") -> int:
         """Persist per-segment SimHash signatures as a table artifact
@@ -1421,7 +1463,7 @@ class VectorTable:
         dropped = len(self.manifest.segments)
         prior_families = {f: dict(self.manifest.meta[f])
                          for f in ("hnsw", "vamana", "minhash", "simhash",
-                                   "lexical")
+                                   "lexical", "semdedup")
                          if f in self.manifest.meta}
         sq_params, pq_books, bin_params = self._resolve_quantizer(quantize)
         if cluster_by is None:
@@ -1537,6 +1579,7 @@ class VectorTable:
         meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
         meta.pop("simhash", None)
         meta.pop("lexical", None)  # ...and stored postings/counters
+        meta.pop("semdedup", None)  # ...and stored assignment/pair rows
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         new = Manifest(
             version=version, lsn=lsn,
@@ -1582,6 +1625,13 @@ class VectorTable:
                 self.build_simhash_index(text_col=info["text_col"])
             elif fam == "lexical":
                 self.build_lexical_index(text_col=info["text_col"])
+            elif fam == "semdedup":
+                from vecgo_spark.operators import semdedup_at_rest as sdr
+
+                self.build_semdedup_index(
+                    sdr._model_from_info(info),
+                    threshold=info["threshold"],
+                    max_cluster=info["max_cluster"])
             self._obs("on_build", time.perf_counter() - t0, f"{fam}-reindex")
 
     def _resolve_quantizer(self, quantize):
@@ -1864,6 +1914,7 @@ class VectorTable:
         meta.pop("minhash", None)  # rewritten segments invalidate stored signatures
         meta.pop("simhash", None)
         meta.pop("lexical", None)  # ...and stored postings/counters
+        meta.pop("semdedup", None)  # ...and stored assignment/pair rows
         self._record_sq_meta(meta, sq_params, pq_books, version, bin_params)
         pk_rel = self._write_pk_sidecar(written, name) if rows else None
         new = Manifest(
@@ -2034,7 +2085,7 @@ class VectorTable:
             referenced.update(s.path for s in m.segments)
             referenced.update(s.pk for s in m.segments if s.pk)
             referenced.update(m.tombstone_files)
-            for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash", "simhash", "lexical"):  # every index artifact family
+            for idx in ("ivf", "sq", "pq", "hnsw", "vamana", "minhash", "simhash", "lexical", "semdedup"):  # every index artifact family
                 if idx in m.meta:
                     referenced.add(m.meta[idx]["path"])
                     # graph families grown by incremental refresh carry a
@@ -2048,6 +2099,14 @@ class VectorTable:
 
                 referenced.update(
                     df_dir(p) for p in blob_paths(m.meta[FAMILY_LEXICAL]))
+            if "semdedup" in m.meta:
+                # pair-list sidecars live at <assigned-dir>-pairs by
+                # convention (semdedup_at_rest.pairs_dir)
+                from vecgo_spark.operators.graph_at_rest import blob_paths
+                from vecgo_spark.operators.semdedup_at_rest import pairs_dir
+
+                referenced.update(
+                    pairs_dir(p) for p in blob_paths(m.meta["semdedup"]))
         removed_manifests = []
         for v in versions:
             if v not in keep:
@@ -2104,7 +2163,8 @@ class VectorTable:
             # accounting (graph_at_rest.record_dir_bytes) — no store walk
             "index_bytes": sum(
                 sum((m.meta[f].get("bytes") or {}).values())
-                for f in ("hnsw", "vamana", "minhash", "simhash", "lexical")
+                for f in ("hnsw", "vamana", "minhash", "simhash", "lexical",
+                          "semdedup")
                 if f in m.meta),
             "tombstone_files": len(m.tombstone_files),
             "has_upserts": m.meta.get("has_upserts", False),
