@@ -2565,114 +2565,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresh driver-green row from the previous round rotate to the tail;
     # scripts/verify_driver.py still checks all of them locally each round.
     return {
-        # -- r12 window: changed-code first (the lexical-churn visibility
-        # -- unification rides every bm25/hybrid at-rest read; the
-        # -- broadcast comp-map rides the dedup cluster queries; table.py
-        # -- grew the level field + injective backfill sidecar names →
-        # -- churned/upsert/tombstone/time-travel reads re-checked), then
-        # -- ALL remaining r9-evidence queries — this completes the
-        # -- rotation: after this round the oldest driver evidence
-        # -- anywhere is r10 — then a reduced canary SENTINEL set (one
-        # -- per historically-fragile family; the full events/at-rest
-        # -- families carry fresh r11 evidence and rotate to the tail
-        # -- under window pressure)
-        "bm25_search_churned_at_rest": _bm25_search_churned_at_rest,
-        "bm25_search_at_rest": _bm25_search_at_rest,
-        "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
-        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
+        # -- r13 window: changed-code first (the SemDeDup at-rest
+        # -- artifact rides the two semantic queries; the read-your-writes
+        # -- pending leg touched the lexical/minhash stored read paths),
+        # -- then ALL 34 remaining r10-evidence queries (r12 verdict #4:
+        # -- after this round the oldest driver evidence anywhere is
+        # -- r11), then the oldest r11 events cohort, then the canary
+        # -- sentinels (one per historically-fragile family)
+        "dedup_semantic_pairs": _dedup_semantic_pairs,
         "dedup_semantic_clusters": _dedup_semantic_clusters,
-        "dedup_clusters": _dedup_clusters,
-        "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
-        "point_get_churned": _point_get_churned,
-        "upsert_latest_wins": _upsert_latest_wins,
-        "tombstone_antijoin": _tombstone_antijoin,
-        "time_travel_versions": _time_travel,
-        # ---- r9 evidence, rotation completed this round ----
-        "docs_exact_substring_spans": _docs_exact_substring_spans,
-        "docs_exact_substring_dedup": _docs_exact_substring_dedup,
+        "bm25_search_at_rest": _bm25_search_at_rest,
+        "bm25_search_churned_at_rest": _bm25_search_churned_at_rest,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_minhash_incremental": _dedup_minhash_incremental,
-        "embedding_label_purity": _embedding_label_purity,
-        "ann_ivf_early_terminate": _ann_ivf_early_terminate,
-        "knn_bq_hamming": _knn_bq_hamming,
-        "knn_opq_adc": _knn_opq_adc,
-        "ann_lsh": _ann_lsh,
-        "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
-        "bm25_search": _bm25_search,
-        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
-        "multimodal_features": _multimodal_features,
-        "dedup_exact": _dedup_exact,
-        "doc_fingerprint": _doc_fingerprint,
-        "sample_hash_bernoulli": _sample_hash_bernoulli,
-        "pack_sequences_budget": _pack_sequences_budget,
-        "stratified_sample_per_source": _stratified_sample,
-        "corpus_balance_sources": _corpus_balance,
-        "vocab_top_terms": _vocab_top_terms,
-        "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q18_large_orders": _tpch_q18,
-        "tpch_q4_order_priority": _tpch_q4,
-        "tpch_q14_promo_revenue": _tpch_q14,
-        "tpch_q10_returned_items": _tpch_q10,
-        "stats_percentiles": _stats_percentiles,
-        "knn_range": _knn_range,
-        "schema_typed_filter": _schema_typed_filter,
-        "knn_sq8_adc": _knn_sq8_adc,
-        "knn_pq_adc": _knn_pq_adc,
-        "ann_ivf": _ann_ivf,
-        "ann_ivf_batch": _ann_ivf_batch,
-        "hybrid_rrf": _hybrid_rrf,
-        "stats_numeric_profile": _stats_numeric,
-        "dedup_simhash": _dedup_simhash,
-        # ---- canary sentinels ----
-        "events_tumbling_1h": _events_tumbling_1h,
-        "events_sessionization": _events_sessionization,
-        "ann_ivf_at_rest": _ann_ivf_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        # -------- driver window ends here (50 entries above) --------
-        # -------- tail: r11-fresh first (rotated out of the window),
-        # -------- then the r10-evidence set --------
-        "events_asof_join": _events_asof_join,
-        "events_json_props": _events_json_props,
-        "events_value_quartiles": _events_value_quartiles,
-        "events_retention_cohorts": _events_retention_cohorts,
-        "events_anomaly_zscore": _events_anomaly_zscore,
-        "events_sliding_1h30m": _events_sliding_1h30m,
-        "events_funnel_conversion": _events_funnel_conversion,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        # ---- r10 evidence, rotation completed this round ----
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
-        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
-        "dedup_semantic_pairs": _dedup_semantic_pairs,
-        "tpch_q12_ship_priority": _tpch_q12,
-        "docs_token_budget_mixture": _docs_token_budget_mixture,
-        "knn_l2_filtered": _knn_l2_filtered,
-        "knn_l2_projected": _knn_l2_projected,
-        "knn_batch": _knn_batch,
-        "knn_threshold": _knn_threshold,
-        "point_get": _point_get,
-        "scan_filter": _scan_filter,
-        "scan_filter_in_ne": _scan_filter_in_ne,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q6_forecast_revenue": _tpch_q6,
-        "tpch_rollup": _tpch_rollup,
-        "topk_per_group": _topk_per_group,
-        "topk_per_group_salted": _topk_per_group_salted,
-        "text_stats": _text_stats,
-        "docs_quality_filter": _docs_quality_filter,
-        "doc_langid_ngram": _doc_langid_ngram,
-        "tpch_q15_top_supplier": _tpch_q15,
-        "tpch_q17_small_qty_revenue": _tpch_q17,
-        "tpch_q19_discounted_revenue": _tpch_q19,
-        "tpch_q22_idle_customers": _tpch_q22,
-        "doc_chunking_overlap": _doc_chunking_overlap,
-        "tpch_q7_nation_volume": _tpch_q7,
-        "tpch_q8_market_share": _tpch_q8,
-        "embedding_cluster_balance": _embedding_cluster_balance,
-        "knn_sq8_rerank": _knn_sq8_rerank,
-        "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
-        "docs_tfidf_keywords": _docs_tfidf_keywords,
-        # ---- r10-fresh driver evidence ----
         "docs_dsir_weights": _docs_dsir_weights,
         "knn_l2": _knn("l2"),
         "knn_dot": _knn("dot"),
@@ -2706,6 +2613,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_int4_adc": _knn_int4_adc,
         "knn_rabitq": _knn_rabitq,
         "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
+        # ---- oldest r11 evidence ----
+        "events_asof_join": _events_asof_join,
+        "events_json_props": _events_json_props,
+        "events_value_quartiles": _events_value_quartiles,
+        "events_retention_cohorts": _events_retention_cohorts,
+        "events_anomaly_zscore": _events_anomaly_zscore,
+        "events_sliding_1h30m": _events_sliding_1h30m,
+        # ---- canary sentinels ----
+        "events_tumbling_1h": _events_tumbling_1h,
+        "events_sessionization": _events_sessionization,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        # -------- driver window ends here (50 entries above) --------
+        # -------- tail: r12-fresh first (rotated out of the window),
+        # -------- then the r11-evidence set --------
+        "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
+        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
+        "dedup_clusters": _dedup_clusters,
+        "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
+        "point_get_churned": _point_get_churned,
+        "upsert_latest_wins": _upsert_latest_wins,
+        "tombstone_antijoin": _tombstone_antijoin,
+        "time_travel_versions": _time_travel,
+        "docs_exact_substring_spans": _docs_exact_substring_spans,
+        "docs_exact_substring_dedup": _docs_exact_substring_dedup,
+        "embedding_label_purity": _embedding_label_purity,
+        "ann_ivf_early_terminate": _ann_ivf_early_terminate,
+        "knn_bq_hamming": _knn_bq_hamming,
+        "knn_opq_adc": _knn_opq_adc,
+        "ann_lsh": _ann_lsh,
+        "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
+        "bm25_search": _bm25_search,
+        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
+        "multimodal_features": _multimodal_features,
+        "dedup_exact": _dedup_exact,
+        "doc_fingerprint": _doc_fingerprint,
+        "sample_hash_bernoulli": _sample_hash_bernoulli,
+        "pack_sequences_budget": _pack_sequences_budget,
+        "stratified_sample_per_source": _stratified_sample,
+        "corpus_balance_sources": _corpus_balance,
+        "vocab_top_terms": _vocab_top_terms,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q18_large_orders": _tpch_q18,
+        "tpch_q4_order_priority": _tpch_q4,
+        "tpch_q14_promo_revenue": _tpch_q14,
+        "tpch_q10_returned_items": _tpch_q10,
+        "stats_percentiles": _stats_percentiles,
+        "knn_range": _knn_range,
+        "schema_typed_filter": _schema_typed_filter,
+        "knn_sq8_adc": _knn_sq8_adc,
+        "knn_pq_adc": _knn_pq_adc,
+        "ann_ivf": _ann_ivf,
+        "ann_ivf_batch": _ann_ivf_batch,
+        "hybrid_rrf": _hybrid_rrf,
+        "stats_numeric_profile": _stats_numeric,
+        "dedup_simhash": _dedup_simhash,
+        # ---- r11-fresh driver evidence ----
+        "events_funnel_conversion": _events_funnel_conversion,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
+        "tpch_q12_ship_priority": _tpch_q12,
+        "docs_token_budget_mixture": _docs_token_budget_mixture,
+        "knn_l2_filtered": _knn_l2_filtered,
+        "knn_l2_projected": _knn_l2_projected,
+        "knn_batch": _knn_batch,
+        "knn_threshold": _knn_threshold,
+        "point_get": _point_get,
+        "scan_filter": _scan_filter,
+        "scan_filter_in_ne": _scan_filter_in_ne,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "tpch_rollup": _tpch_rollup,
+        "topk_per_group": _topk_per_group,
+        "topk_per_group_salted": _topk_per_group_salted,
+        "text_stats": _text_stats,
+        "docs_quality_filter": _docs_quality_filter,
+        "doc_langid_ngram": _doc_langid_ngram,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q17_small_qty_revenue": _tpch_q17,
+        "tpch_q19_discounted_revenue": _tpch_q19,
+        "tpch_q22_idle_customers": _tpch_q22,
+        "doc_chunking_overlap": _doc_chunking_overlap,
+        "tpch_q7_nation_volume": _tpch_q7,
+        "tpch_q8_market_share": _tpch_q8,
+        "embedding_cluster_balance": _embedding_cluster_balance,
+        "knn_sq8_rerank": _knn_sq8_rerank,
+        "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
+        "docs_tfidf_keywords": _docs_tfidf_keywords,
+        # ---- rows-only (no oracle; recall pinned by tests) ----
         "ann_hnsw_batch": _ann_hnsw_batch,
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,
         "ann_vamana_at_rest": _ann_vamana_at_rest,

@@ -109,3 +109,65 @@ def test_per_table_scoped_counters(spark, tmp_path):
     tc = VectorTable.create(spark, str(tmp_path / "c"), dim=2)
     assert tc.table_cache_stats() == (0, 0)
     tmod.release_vis_caches()
+
+
+def test_table_scoped_model_caches(spark, tmp_path):
+    """r12 verdict #6 — table-driven IVF/PQ training (compact with
+    cluster_by= / quantize='pq') is snapshot-keyed and scoped to the
+    table: a recompaction of the SAME committed snapshot is a model
+    cache hit attributed to that table, two tables stay independent,
+    and free-standing (string-keyed) training stays global-only."""
+    from vecgo_spark.operators.ivf import _MODEL_CACHE, train_ivf
+    from vecgo_spark.quantization.pq import _PQ_CACHE
+
+    _MODEL_CACHE.clear()
+    _PQ_CACHE.clear()
+    tables = []
+    for name in ("a", "b"):
+        t = VectorTable.create(spark, str(tmp_path / name), dim=8)
+        t.insert(spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), 1.0, 0.0] * 2) for i in range(64)],
+            "id long, vector array<float>"))
+        t.commit()
+        tables.append(t)
+    ta, tb = tables
+    ta.compact(cluster_by=2)                      # miss (trains)
+    assert ta.table_cache_stats_detail()["ivf_model"] == {
+        "hits": 0, "misses": 1}
+    # a recompaction sees a NEW committed version → new key → retrains
+    # (a stale-layout reuse is impossible by construction); the lookup
+    # still counts into this table's ledger
+    ta.compact(cluster_by=2)
+    assert ta.table_cache_stats_detail()["ivf_model"] == {
+        "hits": 0, "misses": 2}
+    # a second handle at the SAME version reuses the deterministic model
+    from vecgo_spark.operators import ivf as ivfmod
+
+    ivfmod.train_ivf(
+        ta.df(), ta.vector_col, nlist=2, metric="l2", trainer="driver",
+        order_col=ta.id_col,
+        cache_key=f"{ta.path}@v{ta.manifest.version}:{ta.vector_col}",
+        scope=ta.path)  # the exact key compact() would use at this version
+    ivfmod.train_ivf(
+        ta.df(), ta.vector_col, nlist=2, metric="l2", trainer="driver",
+        order_col=ta.id_col,
+        cache_key=f"{ta.path}@v{ta.manifest.version}:{ta.vector_col}",
+        scope=ta.path)
+    assert ta.table_cache_stats_detail()["ivf_model"]["hits"] == 1
+    # table b trains its own model; a's ledger is untouched
+    tb.compact(cluster_by=2)
+    assert tb.table_cache_stats_detail()["ivf_model"]["misses"] == 1
+    a_ivf = ta.table_cache_stats_detail()["ivf_model"]
+    # quantize='pq' rides the same scoping through train_pq
+    tb.compact(quantize="pq")
+    assert tb.table_cache_stats_detail()["pq_codebooks"]["misses"] == 1
+    assert "pq_codebooks" not in ta.table_cache_stats_detail()
+    assert ta.table_cache_stats_detail()["ivf_model"] == a_ivf
+    # free-standing training (string key, no scope) counts global-only
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 0.0, 1.0, 0.0] * 2) for i in range(32)],
+        "id long, vector array<float>")
+    train_ivf(df, nlist=2, cache_key="free", trainer="driver", order_col="id")
+    assert "free" not in str(ta.table_cache_stats_detail())
+    g = cache_stats.cache_stats_detail()["ivf_model"]
+    assert g["misses"] >= 3  # a, b, and the free-standing corpus

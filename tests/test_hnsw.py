@@ -453,3 +453,34 @@ def test_compact_reindexes_graph_by_default(spark, table):
     assert (info["m"], info["ef_construction"]) == (6, 32)
     got = [r["id"] for r in hnsw.search_at_rest(table, [0.0] * 8, k=5).collect()]
     assert got == want
+
+
+def test_at_rest_read_your_writes_pending(spark, table):
+    """include_pending=True makes STAGED rows findable through the
+    stored-graph serving path (r12 verdict #2 — the reference inserts
+    straight into the memtable HNSW, engine.go:833-921): a staged exact
+    match surfaces first, a staged delete shadows its committed row, and
+    the committed-view default is untouched."""
+    hnsw.build_at_rest(table, m=8, ef_construction=64)
+    q = [9.0] * 8
+    committed_top = [r["id"] for r in
+                     hnsw.search_at_rest(table, q, k=3).collect()]
+    # stage (NO commit): an exact match at the probe point + a delete of
+    # the committed-best row
+    table.insert(spark.createDataFrame([(9000, [9.0] * 8)],
+                                       "id long, vector array<double>"))
+    table.delete([committed_top[0]])
+    got = [r["id"] for r in
+           hnsw.search_at_rest(table, q, k=3, include_pending=True).collect()]
+    assert got[0] == 9000                      # staged row served
+    assert committed_top[0] not in got         # staged delete shadows
+    # committed view unchanged by the staged batch
+    assert [r["id"] for r in hnsw.search_at_rest(table, q, k=3).collect()] \
+        == committed_top
+    # batch path honors the same option
+    qs = spark.createDataFrame([(0, [9.0] * 8)], "qid long, qvector array<double>")
+    batch = hnsw.batch_search_at_rest(table, qs, k=3,
+                                      include_pending=True).collect()
+    assert [r["id"] for r in sorted(batch, key=lambda r: r["rank"])] == got
+    table.commit()
+    assert [r["id"] for r in hnsw.search_at_rest(table, q, k=3).collect()] == got

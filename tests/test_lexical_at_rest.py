@@ -733,3 +733,38 @@ def test_vacuum_evicts_stale_candidate_frames(spark, tdir):
     got = _res(lex.bm25_search_at_rest(tbl, Q, k=10))
     assert got == _fresh(tbl, Q) and 5 not in {i for i, _ in got}
     lex.release_caches()
+
+
+def test_read_your_writes_pending_parity(spark, tdir):
+    """include_pending=True serves STAGED rows through the at-rest path
+    (r12 verdict #2 — the reference's insert-immediately-searchable
+    lexicalIndex.Add, engine.go:833-921): staged inserts/upserts/deletes
+    are bit-identical to the plain path over df(include_pending=True),
+    while the committed-view default is untouched — and after commit the
+    pending view converges to the committed one."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 31)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    committed = _fresh(tbl, Q)
+    # stage (NO commit): new rows, an upsert rewriting a committed doc to
+    # carry the query terms, and a delete of a committed matcher
+    tbl.insert(_docs(spark, range(31, 36)))
+    tbl.insert(_docs(spark, [3], text="beta beta tok3 end2 fresh staged"))
+    tbl.delete([10])
+    want = _res(bm25.bm25_search(tbl.df(include_pending=True), Q, k=10,
+                                 id_col="id", text_col="text"))
+    got = _res(lex.bm25_search_at_rest(tbl, Q, k=10, include_pending=True))
+    assert got == want
+    assert 3 in {i for i, _ in got}            # staged upsert visible
+    assert 10 not in {i for i, _ in got}       # staged delete shadows
+    # committed-view default unchanged by the staged batch
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == committed
+    # table front exposes the same option
+    assert _res(tbl.bm25_search(Q, k=10, include_pending=True)) == want
+    # post-commit: both views converge and parity holds from the
+    # (partly recompute-delta) stored path
+    tbl.commit()
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == _fresh(tbl, Q)
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=10,
+                                        include_pending=True)) == _fresh(tbl, Q)

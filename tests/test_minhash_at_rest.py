@@ -341,3 +341,26 @@ def test_compact_reindexes_minhash_by_default(spark, tdir):
     assert _sigset(stored) == _sigset(
         dedup.minhash_signatures(tbl.df(), "id", "text", 2, 8))
     assert not {3, 4} & {r[0] for r in stored.collect()}
+
+
+def test_read_your_writes_pending_parity(spark, tdir):
+    """include_pending=True serves STAGED rows through the stored-path
+    read (r12 verdict #2): parity with recomputing over
+    df(include_pending=True), committed default untouched."""
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    mar.build_minhash_index(tbl)
+    committed = _sigset(mar.stored_minhash_signatures(tbl))
+    tbl.insert(_docs(spark, range(21, 26)))   # staged, NO commit
+    tbl.insert(_docs(spark, [5], text="rewritten with a wholly new stream"))
+    tbl.delete([7])
+    want = _sigset(dedup.minhash_signatures(
+        tbl.df(include_pending=True), "id", "text"))
+    got = _sigset(mar.stored_minhash_signatures(tbl, include_pending=True))
+    assert got == want
+    ids = {r[0] for r in got}
+    assert 21 in ids and 7 not in ids
+    assert _sigset(mar.stored_minhash_signatures(tbl)) == committed
+    tbl.commit()
+    assert _sigset(mar.stored_minhash_signatures(tbl)) == _sigset(_fresh(tbl))

@@ -272,3 +272,25 @@ def test_compact_reindexes_semdedup_by_default(spark, tdir):
         _fresh_pairs(tbl, max_cluster=7))
     ids = {r["id"] for r in sdr.semantic_dedup_at_rest(tbl).collect()}
     assert not {4, 6} & ids
+
+
+def test_no_pairs_artifact_roundtrips(spark, tdir):
+    """A corpus with zero above-threshold pairs writes an EMPTY pair
+    sidecar — it must read back (build, refresh, and both queries) with
+    every row its own singleton group."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.8, 0.0, 0.6, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0]), (4, [0.0, 0.8, 0.0, 0.6])],
+        "id long, vector array<float>"))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=0.999)
+    assert sdr.semdedup_pairs_at_rest(tbl).count() == 0
+    got = sdr.semantic_dedup_at_rest(tbl).collect()
+    assert len(got) == 4 and all(r["keep"] for r in got)
+    tbl.insert(spark.createDataFrame(
+        [(5, [0.6, 0.0, 0.0, 0.8])], "id long, vector array<float>"))
+    tbl.commit()
+    tbl.refresh_semdedup_index()
+    assert sdr.semdedup_pairs_at_rest(tbl).count() == 0
+    assert sdr.semantic_dedup_at_rest(tbl).count() == 5

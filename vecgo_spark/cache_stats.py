@@ -31,14 +31,18 @@ counts neither. Counters are process-global like the module
 registries they instrument; ``reset()`` zeroes them (tests, epoch
 boundaries).
 
-Per-table scoping (r11 verdict #8): lookups whose cache key carries a
-table identity (today: ``pk_index`` — the ``_VIS_CACHE`` key leads with
-the table path) ALSO count into a per-scope ledger, so
-``VectorTable.table_cache_stats()`` answers the reference's
+Per-table scoping (r11 verdict #8, extended r12 verdict #6): lookups
+whose caller carries a table identity ALSO count into a per-scope
+ledger, so ``VectorTable.table_cache_stats()`` answers the reference's
 per-engine-instance question ("is THIS table's serving session
-amortizing?") while the global view is unchanged. The IVF/PQ model
-caches are keyed by caller-provided strings (any corpus, not
-necessarily a table), so they appear only in the global view.
+amortizing?") while the global view is unchanged. Scoped today:
+``pk_index`` (the ``_VIS_CACHE`` key leads with the table path),
+``lexical_candidates``, and — for TABLE-DRIVEN work —
+``ivf_model``/``pq_codebooks``: compact(cluster_by=)/quantize='pq'
+train with a ``{table.path}@v{version}`` cache key and pass
+``scope=table.path``, so every table-initiated training lookup lands in
+that table's ledger. Free-standing corpora (caller-provided string
+keys, no scope) keep global-only accounting.
 """
 
 from __future__ import annotations

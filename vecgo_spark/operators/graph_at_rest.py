@@ -271,6 +271,7 @@ def batch_search_graphs_at_rest(
     probe_batch_blob,
     qid_col: str = "qid",
     qvec_col: str = "qvector",
+    include_pending: bool = False,
 ) -> DataFrame:
     """Many queries against the stored graphs in ONE blob scan — each
     stored graph is loaded once and probed for the whole broadcast query
@@ -278,6 +279,8 @@ def batch_search_graphs_at_rest(
     segment, not per query). Segments committed after the build take the
     exact broadcast-theta-join delta leg; a per-query exact rerank against
     the live snapshot enforces tombstone/upsert visibility.
+    include_pending=True adds staged segments to the delta leg and
+    reranks against the read-your-writes view (r12 verdict #2).
     probe_batch_blob(blob, qids, qmat, k) → [(qid, row_id, score)].
     Returns (qid, id, score, rank) with rank ≤ k per query."""
     import numpy as np
@@ -311,10 +314,13 @@ def batch_search_graphs_at_rest(
 
         legs.append(blobs.mapInPandas(probe, "qid long, id long, score double"))
     delta = [s for s in tbl.manifest.segments if s.path not in set(info["segments"])]
+    if include_pending:
+        delta = delta + list(tbl._pending)
     if delta:
         legs.append(
             knn.batch_search(
-                tbl.df(segments=delta), queries, k=k, metric="l2",
+                tbl.df(segments=delta, include_pending=include_pending),
+                queries, k=k, metric="l2",
                 id_col=tbl.id_col, vector_col=tbl.vector_col,
                 qid_col=qid_col, qvector_col=qvec_col,
             ).select(F.col(qid_col).alias("qid"),
@@ -330,7 +336,8 @@ def batch_search_graphs_at_rest(
     cand = coarse.select("qid", "id").distinct()
     qdf = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qv"))
     exact = (
-        cand.join(tbl.df().select(F.col(tbl.id_col).alias("id"), tbl.vector_col), "id")
+        cand.join(tbl.df(include_pending=include_pending)
+                  .select(F.col(tbl.id_col).alias("id"), tbl.vector_col), "id")
         .join(F.broadcast(qdf), "qid")
         .select("qid", "id",
                 knn.score_expr("l2", tbl.vector_col, F.col("_qv")).alias("score"))
@@ -359,10 +366,18 @@ def search_graphs_at_rest(
     filter=None,
     oversample: int = 4,
     ema=None,
+    include_pending: bool = False,
 ) -> DataFrame:
     """Serve approximate top-k from the stored graphs + exact delta leg +
     live-snapshot rerank. probe_blob(blob, q, k) → [(row_id, score)] runs
     inside the executor task for each stored graph.
+
+    include_pending=True is the writer's read-your-writes view (r12
+    verdict #2 — the reference inserts straight into the memtable HNSW,
+    engine.go:833-921): staged segments join the exact delta leg and the
+    rerank resolves visibility against df(include_pending=True), so a
+    staged row is findable immediately and a staged delete/upsert
+    shadows its committed predecessor.
 
     With `filter` (a FilterSet), the strategy is selectivity-driven like
     the reference's filtered HNSW search (hnsw.go:1118): when manifest
@@ -408,12 +423,17 @@ def search_graphs_at_rest(
                     # observation sees (scanned, matched); the static
                     # estimate + cutover ride along so drain can score
                     # the pruning DECISION (PruneAccuracy weighting)
-                    pre = tbl.df(segments=prune_segments(segs, filter))
+                    scan_segs = prune_segments(segs, filter)
+                    if include_pending:
+                        scan_segs = scan_segs + prune_segments(
+                            list(tbl._pending), filter)
+                    pre = tbl.df(segments=scan_segs,
+                                 include_pending=include_pending)
                     base = ema.attach(pre, filter, cond,
                                       estimate=static_sel,
                                       threshold=FILTER_SELECTIVITY_CUTOVER)
                 else:
-                    base = tbl.df(filter)
+                    base = tbl.df(filter, include_pending=include_pending)
                 exact = base.select(
                     tbl.id_col,
                     knn.score_expr(tbl.metric, tbl.vector_col, list(q)).alias("score"))
@@ -444,8 +464,10 @@ def search_graphs_at_rest(
         legs.append(blobs.mapInPandas(probe, "id long, score double")
                     .withColumnRenamed("id", tbl.id_col))
     delta = [s for s in tbl.manifest.segments if s.path not in set(info["segments"])]
+    if include_pending:
+        delta = delta + list(tbl._pending)
     if delta:
-        ddf = tbl.df(segments=delta)
+        ddf = tbl.df(segments=delta, include_pending=include_pending)
         if cond is not None:
             ddf = ddf.where(cond)
         legs.append(
@@ -459,7 +481,7 @@ def search_graphs_at_rest(
     coarse = legs[0]
     for leg in legs[1:]:
         coarse = coarse.unionByName(leg)
-    base = tbl.df()
+    base = tbl.df(include_pending=include_pending)
     if cond is not None:
         if ema is not None and isinstance(filter, FilterSet):
             # post-filter branch feedback: the rerank's visibility scan

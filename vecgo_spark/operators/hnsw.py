@@ -439,7 +439,8 @@ def refresh_at_rest(tbl, max_dirs: int = 8) -> int:
 
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
                          ef_search: int = 64, qid_col: str = "qid",
-                         qvec_col: str = "qvector") -> DataFrame:
+                         qvec_col: str = "qvector",
+                         include_pending: bool = False) -> DataFrame:
     """Batch QPS serving from the stored graphs: each per-segment graph
     blob is deserialized ONCE and beam-probed for the whole broadcast
     query batch (graph_at_rest.batch_search_graphs_at_rest)."""
@@ -454,11 +455,13 @@ def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
         return out
 
     return batch_search_graphs_at_rest(tbl, "hnsw", queries, k, probe_batch,
-                                       qid_col=qid_col, qvec_col=qvec_col)
+                                       qid_col=qid_col, qvec_col=qvec_col,
+                                       include_pending=include_pending)
 
 
 def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64,
-                   filter=None, ema=None) -> DataFrame:
+                   filter=None, ema=None,
+                   include_pending: bool = False) -> DataFrame:
     """Approximate top-k served from the STORED graphs, with the exact
     delta leg for post-build segments and the live-snapshot rerank that
     enforces tombstone/upsert visibility. With `filter`, the strategy is
@@ -473,4 +476,5 @@ def search_at_rest(tbl, query, k: int = 10, ef_search: int = 64,
         return [(ids[node], float(d)) for d, node in g.search(qv, kk, ef_search=ef_search)]
 
     return search_graphs_at_rest(tbl, "hnsw", query, k, probe_blob,
-                                 filter=filter, ema=ema)
+                                 filter=filter, ema=ema,
+                                 include_pending=include_pending)

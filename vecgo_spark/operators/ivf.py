@@ -57,6 +57,7 @@ def default_nlist(n_rows: int) -> int:
 # segment build (compaction.go:102-152), NOT per query — a cache_key gives
 # query paths the same amortization (one model per corpus per session)
 _MODEL_CACHE: dict[str, "IVFModel"] = {}
+MODEL_CACHE_CAP = 128  # oldest-first eviction; see train_ivf
 
 
 def train_ivf(
@@ -70,18 +71,26 @@ def train_ivf(
     trainer: str = "mllib",
     max_train_rows: int = 100_000,
     order_col: str | None = None,
+    scope: str | None = None,
 ) -> IVFModel:
     """trainer="mllib": distributed KMeans over the full corpus (the
     100 TB path). trainer="driver": numpy Lloyd's on a bounded sample in
     the driver — the reference's own stance (kmeans.go runs in-process on
     the segment being built); one collect job instead of ~max_iter
-    distributed rounds, right when the corpus or sample is small."""
+    distributed rounds, right when the corpus or sample is small.
+
+    `scope` (a table path) attributes the cache lookup to that table's
+    CacheStats ledger (r12 verdict #6) — table-driven callers
+    (compact(cluster_by=), quantize paths) pass their path so
+    table_cache_stats() covers this cache too; free-standing corpora
+    keep the global-only accounting."""
     if cache_key is not None:
         # hyperparameters ride the key — a reused key with different
         # settings must never serve the first call's centroids
         cache_key = (f"{cache_key}|ivf:k{nlist}:m{metric}:s{seed}:i{max_iter}"
                      f":t{trainer}:n{max_train_rows}:o{order_col}")
-        cache_stats.record("ivf_model", cache_key in _MODEL_CACHE)
+        cache_stats.record("ivf_model", cache_key in _MODEL_CACHE,
+                           scope=scope)
         if cache_key in _MODEL_CACHE:
             return _MODEL_CACHE[cache_key]
     if nlist is None:
@@ -100,6 +109,12 @@ def train_ivf(
         model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
         out = IVFModel(centroids=np.array(model.clusterCenters(), dtype=np.float64), metric=metric)
     if cache_key is not None:
+        # bounded: snapshot-keyed table entries (compact retrains per
+        # committed version) would otherwise accumulate one model per
+        # compaction across a long ingest loop; centroids are small but
+        # the registry itself must not grow without bound
+        while len(_MODEL_CACHE) >= MODEL_CACHE_CAP:
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
         _MODEL_CACHE[cache_key] = out
     return out
 

@@ -25,6 +25,12 @@ graph families use (operators/minhash_at_rest.py shape):
             `bm25_search_at_rest` is BIT-IDENTICAL to running
             `bm25.bm25_search` over `tbl.df()`: integer tf/dl/df/N feed
             the same literal-idf fixed-order score expression.
+            include_pending=True extends the delta leg to staged
+            (uncommitted) segments and flips the visibility legs to the
+            read-your-writes view — parity target becomes
+            `tbl.df(include_pending=True)` (r12 verdict #2; the
+            reference's insert-immediately-searchable lexicalIndex.Add,
+            engine.go:833-921).
   compact / full compaction rebuilds the family (table.compact reindex);
   vacuum:   dirs are referenced via meta["lexical"] paths.
 
@@ -194,11 +200,21 @@ def refresh_lexical_index(tbl, max_dirs: int = 8) -> int:
         seg_col="_seg", max_dirs=max_dirs, info_update=info_update)
 
 
-def _visible_rows(tbl, terms: list[str] | None, markers: bool) -> DataFrame:
+def _visible_rows(tbl, terms: list[str] | None, markers: bool,
+                  include_pending: bool = False) -> DataFrame:
     """Index rows for the CURRENT live snapshot — stored legs ∪ recompute
     delta leg, then df()'s visibility algebra on the rows. With `terms`,
     postings are filtered at the SCAN (row-group pruned); markers=True
-    additionally keeps the per-doc dl rows (term IS NULL)."""
+    additionally keeps the per-doc dl rows (term IS NULL).
+
+    include_pending=True is the read-your-writes view (r12 verdict #2 —
+    the reference serves staged rows immediately through memtable
+    lexicalIndex.Add, engine.go:833-921): staged-but-uncommitted
+    segments ride the recompute delta leg (they are real written
+    parquet, just unpublished) and the tombstone/winning-LSN legs flip
+    to the pending-inclusive view exactly as df(include_pending=True)
+    does — so the at-rest search sees the same world as the plain path
+    over the writer's snapshot. Other readers still see committed-only."""
     from vecgo_spark.operators.graph_at_rest import blob_paths
 
     info = tbl.manifest.meta.get(FAMILY)
@@ -224,6 +240,8 @@ def _visible_rows(tbl, terms: list[str] | None, markers: bool) -> DataFrame:
             *[os.path.join(tbl.path, p) for p in blob_paths(info)])
         legs.append(pick(stored.where(F.col("_seg").isin(live_indexed))))
     delta = [s for s in man.segments if s.path not in set(info["segments"])]
+    if include_pending:
+        delta = delta + list(tbl._pending)
     if delta:
         legs.append(pick(_segment_rows(tbl, delta, info["text_col"])))
     if not legs:
@@ -232,11 +250,11 @@ def _visible_rows(tbl, terms: list[str] | None, markers: bool) -> DataFrame:
     base = legs[0]
     for leg in legs[1:]:
         base = base.unionByName(leg)
-    tomb = tbl._tombstones()
+    tomb = tbl._tombstones(include_pending=include_pending)
     if tomb is not None:
         tmax = (tomb.groupBy(tbl.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
                 .withColumnRenamed(tbl.id_col, "id"))
-        if tbl.tomb_broadcastable():  # size-gated — table.tomb_broadcastable
+        if tbl.tomb_broadcastable(include_pending):  # size-gated
             tmax = F.broadcast(tmax)
         base = (
             base.join(tmax, "id", "left")
@@ -258,10 +276,13 @@ def _visible_rows(tbl, terms: list[str] | None, markers: bool) -> DataFrame:
         # version whose postings happen to match. ALL rows of the
         # winning version survive the equality join (an id's postings
         # share one _lsn) — same survivors as the old max-filter.
-        vmax = tbl._vis_vmax(list(man.segments), include_pending=False)
+        full = list(man.segments)
+        if include_pending:
+            full = full + list(tbl._pending)
+        vmax = tbl._vis_vmax(full, include_pending=include_pending)
         if vmax is not None:
             vmax = vmax.withColumnRenamed(tbl.id_col, "id")
-            if sum(s.rows for s in man.segments) <= _vis_broadcast_cap():
+            if sum(s.rows for s in full) <= _vis_broadcast_cap():
                 vmax = F.broadcast(vmax)
             base = (base.join(vmax, "id", "left")
                     .where(F.col("_lsn") == F.col("_vis_lsn"))
@@ -284,14 +305,15 @@ _COUNTS_CACHE: dict[tuple, tuple[int, int]] = {}
 _COUNTS_CACHE_CAP = 64
 
 
-def corpus_counts(tbl) -> tuple[int, int]:
+def corpus_counts(tbl, include_pending: bool = False) -> tuple[int, int]:
     """(n_docs, total_len) of the live snapshot. Clean snapshot (no
-    tombstones, no upserts, everything indexed) → summed from the
-    manifest counters with ZERO jobs (the reference's running counters /
-    count()'s O(#segments) stance); otherwise one narrow marker scan
-    with the visibility algebra — per-doc dl genuinely needs it — run
-    ONCE per committed snapshot (memoized: the reference reads running
-    counters per query; repeat churn queries here read the memo)."""
+    tombstones, no upserts, everything indexed, no staged rows in view)
+    → summed from the manifest counters with ZERO jobs (the reference's
+    running counters / count()'s O(#segments) stance); otherwise one
+    narrow marker scan with the visibility algebra — per-doc dl
+    genuinely needs it — run ONCE per snapshot state (memoized: the
+    reference reads running counters per query; repeat churn queries
+    here read the memo)."""
     info = tbl.manifest.meta.get(FAMILY)
     if info is None:
         raise KeyError("table has no lexical index; build it first")
@@ -299,6 +321,7 @@ def corpus_counts(tbl) -> tuple[int, int]:
     counts = info.get("seg_counts") or {}
     clean = (not man.tombstone_files and not tbl._pending_tombs
              and not man.meta.get("has_upserts")
+             and not (include_pending and tbl._pending)
              and all(s.path in counts for s in man.segments))
     if clean:
         n = sum(counts[s.path]["docs"] for s in man.segments)
@@ -310,12 +333,17 @@ def corpus_counts(tbl) -> tuple[int, int]:
     # anyway so a rebuild never serves through a stale entry). Segment
     # paths (uuid-suffixed) ride the key so a table DROPPED and
     # RE-CREATED at the same path — whose version numbers restart — can
-    # never serve a stale entry (the _VIS_CACHE keying stance).
-    key = (tbl.path, man.version, info.get("path"), _snapshot_id(man))
+    # never serve a stale entry (the _VIS_CACHE keying stance). The
+    # pending view appends its state (the _VIS_CACHE len(_pending)
+    # stance) so a staged batch never reads a stale committed-view memo
+    # and vice versa.
+    key = (tbl.path, man.version, info.get("path"), _snapshot_id(man),
+           include_pending, len(tbl._pending), len(tbl._pending_tombs))
     hit = _COUNTS_CACHE.get(key)
     if hit is not None:
         return hit
-    row = (_visible_rows(tbl, terms=[], markers=True)
+    row = (_visible_rows(tbl, terms=[], markers=True,
+                         include_pending=include_pending)
            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
            .first())
     out = (int(row["n"]), int(row["total"] or 0))
@@ -423,13 +451,15 @@ def release_caches(table_path: str | None = None) -> None:
             frame.unpersist()
 
 
-def _stored_term_df(tbl, info, terms: list[str]) -> dict[str, int] | None:
+def _stored_term_df(tbl, info, terms: list[str],
+                    include_pending: bool = False) -> dict[str, int] | None:
     """{term: docFreq} summed from the per-segment df sidecars — valid
     ONLY on a clean snapshot (no tombstones/upserts, every segment
-    indexed: then one posting row per (doc, term) ⇒ Σ_seg df is the true
-    per-term document frequency, the reference's running docFreq,
-    bm25.go:29-53). Returns None when the snapshot isn't clean or a
-    sidecar is missing (dirs written before the sidecar existed)."""
+    indexed, no staged rows in view: then one posting row per (doc,
+    term) ⇒ Σ_seg df is the true per-term document frequency, the
+    reference's running docFreq, bm25.go:29-53). Returns None when the
+    snapshot isn't clean or a sidecar is missing (dirs written before
+    the sidecar existed)."""
     from vecgo_spark.operators.graph_at_rest import blob_paths
     from vecgo_spark.plans.manifest import fs_exists
 
@@ -437,6 +467,7 @@ def _stored_term_df(tbl, info, terms: list[str]) -> dict[str, int] | None:
     indexed = set(info["segments"])
     clean = (not man.tombstone_files and not tbl._pending_tombs
              and not man.meta.get("has_upserts")
+             and not (include_pending and tbl._pending)
              and all(s.path in indexed for s in man.segments))
     if not clean:
         return None
@@ -455,7 +486,8 @@ def _stored_term_df(tbl, info, terms: list[str]) -> dict[str, int] | None:
     return out
 
 
-def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
+def bm25_search_at_rest(tbl, query_text: str, k: int = 10,
+                        include_pending: bool = False) -> DataFrame:
     """Top-k BM25 served from the STORED index — bit-identical to
     `bm25.bm25_search(tbl.df(), ...)`: tf/dl/df/N are the same integers
     (stored groupBy counts == size(filter(tokens, =t)) by tokenizer
@@ -485,7 +517,7 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
         return spark.createDataFrame([], "id long, score double")
     terms = sorted(qterms)
 
-    n_docs, total_len = corpus_counts(tbl)
+    n_docs, total_len = corpus_counts(tbl, include_pending=include_pending)
     avg_dl = float(total_len) / float(n_docs) if n_docs else 0.0
     if n_docs == 0 or avg_dl == 0.0:
         return spark.createDataFrame([], "id long, score double")
@@ -494,8 +526,11 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
     from vecgo_spark import cache_stats
 
     info = tbl.manifest.meta[FAMILY]
+    # pending state rides the key (the _VIS_CACHE stance): a staged
+    # batch never reuses a committed-view frame and vice versa
     ckey = (tbl.manifest.version, info.get("path"),
-            _snapshot_id(tbl.manifest), tuple(terms))
+            _snapshot_id(tbl.manifest), tuple(terms),
+            include_pending, len(tbl._pending), len(tbl._pending_tombs))
     hit = _cached_candidate(tbl.path, ckey)
     cache_stats.record("lexical_candidates", hit is not None,
                        scope=tbl.path)
@@ -504,9 +539,11 @@ def bm25_search_at_rest(tbl, query_text: str, k: int = 10) -> DataFrame:
         # |terms|-row sidecar lookup runs
         cand, dfmap = hit
     else:
-        dfmap = _stored_term_df(tbl, info, terms)
+        dfmap = _stored_term_df(tbl, info, terms,
+                                include_pending=include_pending)
         cand = (
-            _visible_rows(tbl, terms=terms, markers=False)
+            _visible_rows(tbl, terms=terms, markers=False,
+                          include_pending=include_pending)
             .groupBy("id")
             .agg(F.max("dl").alias("dl"),
                  *[F.coalesce(

@@ -138,11 +138,15 @@ def _write_sig_dir(tbl, segs, version: int, text_col: str, n: int,
     return rel
 
 
-def stored_minhash_signatures(tbl) -> DataFrame:
+def stored_minhash_signatures(tbl, include_pending: bool = False) -> DataFrame:
     """(id, m0..m{H-1}) for the CURRENT live snapshot, served from stored
     signatures wherever a live segment is indexed; bit-identical to
     minhash_signatures(tbl.df(), ...) by construction (determinism +
-    df()'s own visibility algebra replayed on the signature rows)."""
+    df()'s own visibility algebra replayed on the signature rows).
+    include_pending=True is the writer's read-your-writes view (r12
+    verdict #2): staged segments ride the recompute delta leg and the
+    visibility legs flip to the pending-inclusive view — parity target
+    becomes minhash_signatures(tbl.df(include_pending=True), ...)."""
     from vecgo_spark.operators.graph_at_rest import blob_paths
 
     info = tbl.manifest.meta.get(FAMILY)
@@ -160,6 +164,8 @@ def stored_minhash_signatures(tbl) -> DataFrame:
             stored.where(F.col("_seg").isin(live_indexed))
             .select("id", "_lsn", *mcols))
     delta = [s for s in man.segments if s.path not in set(info["segments"])]
+    if include_pending:
+        delta = delta + list(tbl._pending)
     if delta:
         legs.append(
             _segment_sigs(tbl, delta, info["text_col"], info["n"],
@@ -170,11 +176,11 @@ def stored_minhash_signatures(tbl) -> DataFrame:
     base = legs[0]
     for leg in legs[1:]:
         base = base.unionByName(leg)
-    tomb = tbl._tombstones()
+    tomb = tbl._tombstones(include_pending=include_pending)
     if tomb is not None:
         tmax = (tomb.groupBy(tbl.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
                 .withColumnRenamed(tbl.id_col, "id"))
-        if tbl.tomb_broadcastable():  # size-gated — see table.tomb_broadcastable
+        if tbl.tomb_broadcastable(include_pending):  # size-gated
             tmax = F.broadcast(tmax)
         base = (
             base.join(tmax, "id", "left")

@@ -404,7 +404,8 @@ def refresh_at_rest(tbl, pq=None, max_dirs: int = 8) -> int:
 
 def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
                          l_search: int = 64, qid_col: str = "qid",
-                         qvec_col: str = "qvector") -> DataFrame:
+                         qvec_col: str = "qvector",
+                         include_pending: bool = False) -> DataFrame:
     """Batch QPS serving from the stored Vamana graphs — one blob load
     per segment for the whole broadcast query batch."""
     from vecgo_spark.operators.graph_at_rest import batch_search_graphs_at_rest
@@ -418,11 +419,13 @@ def batch_search_at_rest(tbl, queries: DataFrame, k: int = 10,
         return out
 
     return batch_search_graphs_at_rest(tbl, "vamana", queries, k, probe_batch,
-                                       qid_col=qid_col, qvec_col=qvec_col)
+                                       qid_col=qid_col, qvec_col=qvec_col,
+                                       include_pending=include_pending)
 
 
 def search_at_rest(tbl, query, k: int = 10, l_search: int = 64,
-                   filter=None, ema=None) -> DataFrame:
+                   filter=None, ema=None,
+                   include_pending: bool = False) -> DataFrame:
     """Approximate top-k from the stored Vamana graphs + exact delta leg +
     live-snapshot rerank (graph_at_rest.py; search semantics
     segment.go:487-560). `filter` takes the selectivity-driven
@@ -436,4 +439,5 @@ def search_at_rest(tbl, query, k: int = 10, l_search: int = 64,
                 for d, node in _probe_one(g, pq, qv, kk, l_search)]
 
     return search_graphs_at_rest(tbl, "vamana", query, k, probe_blob,
-                                 filter=filter, ema=ema)
+                                 filter=filter, ema=ema,
+                                 include_pending=include_pending)

@@ -1120,17 +1120,23 @@ class VectorTable:
         return info is not None and info.get("text_col", "text") == text_col
 
     def bm25_search(self, query_text: str, k: int = 10,
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    include_pending: bool = False) -> DataFrame:
         """Top-k BM25 over the live snapshot — served from the stored
         lexical index when it covers `text_col`, else computed from
         text (a text_col the index does not cover never silently serves
-        the indexed column)."""
+        the indexed column). include_pending=True is the writer's
+        read-your-writes view: staged rows are searchable immediately,
+        the reference's insert path (engine.go:833-921 wires every
+        insert through lexicalIndex.Add before any commit)."""
         from vecgo_spark.operators import bm25 as bm25mod
         from vecgo_spark.operators import lexical_at_rest as lex
 
         if self._lexical_serves(text_col):
-            return lex.bm25_search_at_rest(self, query_text, k=k)
-        return bm25mod.bm25_search(self.df(), query_text, k=k,
+            return lex.bm25_search_at_rest(self, query_text, k=k,
+                                           include_pending=include_pending)
+        return bm25mod.bm25_search(self.df(include_pending=include_pending),
+                                   query_text, k=k,
                                    id_col=self.id_col, text_col=text_col)
 
     def hybrid_search(self, query_vector: Sequence[float], query_text: str,
@@ -1483,10 +1489,17 @@ class VectorTable:
                 ivfmod.default_nlist(sum(s.rows for s in self.manifest.segments))
                 if cluster_by == "auto" else int(cluster_by)
             )
+            # key = table path + SNAPSHOT version (r12 verdict #6): two
+            # compactions of the same committed snapshot reuse the
+            # deterministic model; any commit in between changes the
+            # version and retrains — never a stale-layout reuse. The
+            # scope attributes the lookup to this table's CacheStats.
             model = ivfmod.train_ivf(
                 self.df(), self.vector_col, nlist=nlist, metric=self.metric
                 if self.metric in ("l2", "cosine") else "l2",
                 trainer="driver", order_col=self.id_col,
+                cache_key=f"{self.path}@v{self.manifest.version}:{self.vector_col}",
+                scope=self.path,
             )
         lsn = self.manifest.lsn + 1
         version = self.manifest.version + 1
@@ -1665,7 +1678,12 @@ class VectorTable:
         if levels is not None:
             return sqz.train_scalar(self.df(), self.vector_col, levels=levels), None, None
         if quantize == "pq":
-            return None, pqz.train_pq(self.df(), self.vector_col, order_col=self.id_col), None
+            # snapshot-keyed + table-scoped (r12 verdict #6) — same
+            # stance as the compact(cluster_by=) IVF training above
+            return None, pqz.train_pq(
+                self.df(), self.vector_col, order_col=self.id_col,
+                cache_key=f"{self.path}@v{self.manifest.version}:{self.vector_col}",
+                scope=self.path), None
         if quantize in ("bq", "rabitq"):
             return None, None, bqz.BinaryParams(kind=quantize)
         raise ValueError(

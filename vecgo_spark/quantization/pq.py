@@ -101,6 +101,13 @@ def _sample_vectors(
 # codebook artifact cache — same amortization stance as ivf._MODEL_CACHE
 # (the reference trains PQ once per segment build, pq.go:68-145)
 _PQ_CACHE: dict[str, "PQCodebooks"] = {}
+PQ_CACHE_CAP = 128  # oldest-first eviction (the ivf.MODEL_CACHE_CAP stance)
+
+
+def _pq_cache_put(key: str, books: "PQCodebooks") -> None:
+    while len(_PQ_CACHE) >= PQ_CACHE_CAP:
+        _PQ_CACHE.pop(next(iter(_PQ_CACHE)))
+    _PQ_CACHE[key] = books
 
 
 def train_pq_np(
@@ -130,19 +137,23 @@ def train_pq(
     seed: int = 42,
     cache_key: str | None = None,
     order_col: str | None = None,
+    scope: str | None = None,
 ) -> PQCodebooks:
     """Train m sub-codebooks on a bounded sample (Train, pq.go:68-145).
     order_col pins the sample to ORDER BY order_col LIMIT n → reproducible
-    codebooks (required for oracle-checked queries)."""
+    codebooks (required for oracle-checked queries). `scope` (a table
+    path) attributes the cache lookup to that table's CacheStats ledger
+    (r12 verdict #6 — table-driven quantize paths pass their path)."""
     if cache_key is not None:
         cache_key = f"{cache_key}|pq:m{m}:k{k}:i{iters}:n{max_train_rows}:s{seed}:o{order_col}"
-        cache_stats.record("pq_codebooks", cache_key in _PQ_CACHE)
+        cache_stats.record("pq_codebooks", cache_key in _PQ_CACHE,
+                           scope=scope)
         if cache_key in _PQ_CACHE:
             return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
     out = train_pq_np(x, m=m, k=k, iters=iters, seed=seed)
     if cache_key is not None:
-        _PQ_CACHE[cache_key] = out
+        _pq_cache_put(cache_key, out)
     return out
 
 
@@ -183,21 +194,23 @@ def train_opq(
     seed: int = 42,
     cache_key: str | None = None,
     order_col: str | None = None,
+    scope: str | None = None,
 ) -> PQCodebooks:
     """OPQ-NP: alternate (encode under R) / (Procrustes R = UVᵀ of XᵀX̂)
-    — opq.go:15-305 runs the same SVD iteration."""
+    — opq.go:15-305 runs the same SVD iteration. `scope`: see train_pq."""
     if cache_key is not None:
         # fold the hyperparameters in: a key reused with different settings
         # must never serve the first call's codebooks
         cache_key = (f"{cache_key}|opq:m{m}:k{k}:i{iters}:oi{opq_iters}"
                      f":n{max_train_rows}:s{seed}:o{order_col}")
-        cache_stats.record("pq_codebooks", cache_key in _PQ_CACHE)
+        cache_stats.record("pq_codebooks", cache_key in _PQ_CACHE,
+                           scope=scope)
         if cache_key in _PQ_CACHE:
             return _PQ_CACHE[cache_key]
     x = _sample_vectors(df, vector_col, max_train_rows, order_col=order_col)
     out = train_opq_np(x, m=m, k=k, iters=iters, opq_iters=opq_iters, seed=seed)
     if cache_key is not None:
-        _PQ_CACHE[cache_key] = out
+        _pq_cache_put(cache_key, out)
     return out
 
 
