@@ -332,16 +332,16 @@ COMMENTARY = {
         "test_exact_substring_dedup_single_tokenize_when_persisted)."
     ),
     "dedup_semantic_clusters": (
-        "SemDeDup removal action: the pair graph (per-cluster gemm, as "
-        "dedup_semantic_pairs) collapses to duplicate groups via "
-        "connected components — a size-gated driver union-find under 1M "
-        "edges (the pair stream is sized by true near-dups, not the "
-        "corpus; one limit-collect at build time), distributed "
-        "pointer-jumping past the cap — and the keep choice is ONE "
-        "row_number window partitioned by group_id (group sizes bound "
-        "the window); the corpus streams through the cent_cos "
-        "projection exactly once. The comp label map joins back as a "
-        "small broadcastable local relation."
+        "SemDeDup removal action FROM THE STORED ARTIFACT (r13): the "
+        "pair graph is read from the _index/semdedup-v* pair sidecar "
+        "(exact-verified at build — no gemm, no applyInPandas in this "
+        "plan on a clean snapshot) and collapses to duplicate groups "
+        "via connected components — a size-gated driver union-find "
+        "under 1M edges, distributed pointer-jumping past the cap — "
+        "and the keep choice is ONE row_number window partitioned by "
+        "group_id; cent_cos comes from the stored narrow assignment "
+        "rows (the corpus vector column is never touched). The comp "
+        "label map joins back as a small broadcastable local relation."
     ),
     "dedup_simhash": (
         "Banded SimHash near-dup from STORED signatures (r9): the plan "
@@ -444,16 +444,18 @@ COMMENTARY = {
         "against the shared ann_ivf oracle."
     ),
     "dedup_semantic_pairs": (
-        "SemDeDup within-cluster cosine pruning: the k-means centroids "
-        "ride as an O(nlist) plan literal (assignment + centroid-cosine "
-        "are codegen projections in the scan); candidate pairs are born "
-        "inside a cluster_id-grouped applyInPandas gemm — cross-cluster "
-        "pairs are structurally impossible and the quadratic term is "
-        "bounded by the largest cluster (nlist-tunable, hot clusters "
-        "dropped via the broadcast anti-join cap); the exact "
-        "sequential-fold cosine + centroid drop-choice verify runs only "
-        "on surviving candidates (oracle-bit-exact), 9.6x the naive "
-        "within-cluster HOF theta-join at sf0.1."
+        "SemDeDup within-cluster cosine pruning FROM THE STORED "
+        "ARTIFACT (r13): on a clean snapshot the plan is two narrow "
+        "parquet scans — the exact-verified pair list joined (pairs as "
+        "the statistics-known broadcast side, the corpus-sized assigned "
+        "frame STREAMED, zero exchanges of it) against the per-version "
+        "visibility rows; the per-cluster applyInPandas gemm ran ONCE "
+        "at index build and appears in no serving plan. Dirty clusters "
+        "(unindexed row versions, hot transitions) take a recompute leg "
+        "restricted to exactly those clusters; cross-cluster pairs stay "
+        "structurally impossible and stored cos_sim/drop_id are the "
+        "same sequential-fold doubles the recompute emits "
+        "(oracle-bit-exact)."
     ),
     "tpch_q12_ship_priority": (
         "Q12 shape: the date + flag filter reaches the lineitem scan as "

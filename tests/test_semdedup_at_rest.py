@@ -294,3 +294,51 @@ def test_no_pairs_artifact_roundtrips(spark, tdir):
     tbl.refresh_semdedup_index()
     assert sdr.semdedup_pairs_at_rest(tbl).count() == 0
     assert sdr.semantic_dedup_at_rest(tbl).count() == 5
+
+
+def test_refresh_after_upsert_parity(spark, tdir):
+    """Refresh indexes the upsert's segment: the new version's pairs are
+    gemm'd against every live indexed row (never against its own older
+    version — strict id ordering), the stale version's stored pairs drop
+    out through (id, lsn) visibility, and the clean post-refresh read
+    recomputes nothing."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 11)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    tbl.insert(_rows(spark, [4]))              # same-cluster rewrite
+    tbl.insert(_rows(spark, [5], flip=True))   # cluster move
+    tbl.commit()
+    tbl.refresh_semdedup_index()
+    assert set(tbl.manifest.meta["semdedup"]["segments"]) == {
+        s.path for s in tbl.manifest.segments}
+    got = sdr.semdedup_pairs_at_rest(tbl)
+    assert _pairset(got) == _pairset(_fresh_pairs(tbl))
+    # fully indexed + clean → the read is stored-only (no gemm worker)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
+        _fresh_clusters(tbl))
+
+
+def test_manifest_cluster_counts_cover_segments(spark, tdir):
+    """Per-(segment, cluster) counts ride the manifest (the lexical
+    seg_counts stance): build and refresh keep them covering exactly the
+    indexed segments, so clean-snapshot reads derive hot/dirty clusters
+    with zero jobs — and the counts agree with the artifact rows."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    info = tbl.manifest.meta["semdedup"]
+    assert set(info["cluster_counts"]) == {s.path for s in tbl.manifest.segments}
+    assert sum(sum(c.values()) for c in info["cluster_counts"].values()) == 8
+    tbl.insert(_rows(spark, range(9, 13)))
+    tbl.commit()
+    tbl.refresh_semdedup_index()
+    info = tbl.manifest.meta["semdedup"]
+    assert set(info["cluster_counts"]) == {s.path for s in tbl.manifest.segments}
+    assert sum(sum(c.values()) for c in info["cluster_counts"].values()) == 12
+    # clean read (manifest-counter branch) still bit-matches recompute
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+        _fresh_pairs(tbl))

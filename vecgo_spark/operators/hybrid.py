@@ -137,6 +137,13 @@ def hybrid_search_at_rest(
     is the table's top-k over the live snapshot, and the fuse is the
     same 0-based-rank RRF.
 
+    COMMITTED-VIEW ONLY (documented stance): both legs read the
+    committed snapshot. The underlying families each support
+    include_pending (bm25_search_at_rest / graph search, r12 verdict
+    #2), but fusing a pending lexical leg with a committed vector leg —
+    or vice versa — would rank across two different worlds, so hybrid
+    exposes no pending flag until both legs thread it together.
+
     Vector leg economics (engine.go:1549: SearchIter rides the table's
     INDEXED path, never a corpus scan): with `nprobe` and the at-rest
     IVF layout, the leg is `search_early_terminate` — probe pruning ==

@@ -193,7 +193,7 @@ def _pair_rows(tbl, model, threshold, max_cluster, segs, new_segs=None,
 def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
                         max_cluster, pair_segs=None, new_segs=None,
                         skip_clusters=(), extra=None, copy_pairs=None,
-                        hot_out=None) -> str:
+                        hot_out=None, counts_out=None) -> str:
     """Write one version's assigned-rows dir + -pairs sidecar. `segs`
     feed the assigned rows (new segments at refresh); `pair_segs` is the
     pairing pool (build: ==segs; refresh: live indexed ∪ new). `extra`
@@ -212,6 +212,21 @@ def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
     if extra is not None:
         assigned = assigned.unionByName(extra.select(*assigned.columns))
     assigned.write.mode("error").parquet(full)
+    if counts_out is not None:
+        # per-(segment, cluster) RAW row counts off the just-written
+        # artifact (page-hot) — the manifest-counter stance of lexical
+        # seg_counts: a clean-snapshot read derives hot/dirty clusters
+        # with ZERO jobs instead of re-scanning the assigned frame
+        written = tbl.spark.read.parquet(full)
+        new_paths = {s.path for s in segs}
+        for r in (written.where(F.col("_seg").isin(sorted(new_paths)))
+                  .groupBy("_seg", "cluster_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()):
+            counts_out.setdefault(r["_seg"], {})[
+                "null" if r["cluster_id"] is None
+                else str(int(r["cluster_id"]))] = int(r["n"])
+        for p in new_paths:  # zero-row segments still count as covered
+            counts_out.setdefault(p, {})
     pairs, hot = _pair_rows(tbl, model, threshold, max_cluster,
                             pair_segs or segs, new_segs=new_segs,
                             skip_clusters=skip_clusters)
@@ -241,13 +256,15 @@ def build_semdedup_index(tbl, model, threshold: float = 0.95,
         raise ValueError("nothing to index: table has no committed segments")
     version = man.version + 1
     hot: list[int] = []
+    counts: dict[str, dict[str, int]] = {}
     rel = _write_semdedup_dir(tbl, man.segments, version, model, threshold,
-                              max_cluster, hot_out=hot)
+                              max_cluster, hot_out=hot, counts_out=counts)
     info = {
         "path": rel, "segments": [s.path for s in man.segments],
         "threshold": float(threshold), "max_cluster": max_cluster,
         "centroids": model.centroids.tolist(), "metric": model.metric,
         "hot_clusters": sorted(set(hot)),
+        "cluster_counts": counts,
     }
     record_dir_bytes(tbl, info)
     new = Manifest(
@@ -276,10 +293,10 @@ def refresh_semdedup_index(tbl, max_dirs: int = 8) -> int:
     info = tbl.manifest.meta.get(FAMILY) or {}
     model = _model_from_info(info) if info else None
     hot: list[int] = []
+    counts: dict[str, dict[str, int]] = {}
 
     def write_dir(new_segs, version, extra):
         old = tbl.manifest.meta[FAMILY]
-        live = {s.path for s in tbl.manifest.segments}
         live_indexed = [s for s in tbl.manifest.segments
                         if s.path in set(old["segments"])]
         copy_pairs = None
@@ -291,11 +308,17 @@ def refresh_semdedup_index(tbl, max_dirs: int = 8) -> int:
             tbl, new_segs, version, model, old["threshold"],
             old["max_cluster"], pair_segs=live_indexed + list(new_segs),
             new_segs=new_segs, skip_clusters=old.get("hot_clusters") or (),
-            extra=extra, copy_pairs=copy_pairs, hot_out=hot)
+            extra=extra, copy_pairs=copy_pairs, hot_out=hot,
+            counts_out=counts)
 
     def info_update(new_info, new_segs):
         new_info["hot_clusters"] = sorted(
             set(new_info.get("hot_clusters") or []) | set(hot))
+        live = set(new_info["segments"])
+        merged = {p: c for p, c in
+                  (new_info.get("cluster_counts") or {}).items() if p in live}
+        merged.update(counts)
+        new_info["cluster_counts"] = merged
 
     return refresh_family_dirs(tbl, FAMILY, write_dir, seg_col="_seg",
                                max_dirs=max_dirs, info_update=info_update)
@@ -378,14 +401,34 @@ def semdedup_pairs_at_rest(tbl) -> DataFrame:
     model = _model_from_info(info)
     threshold, max_cluster = info["threshold"], info["max_cluster"]
     A = _visible_assigned(tbl)
-    sizes = A.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n")).collect()  # ≤ nlist rows
-    hot_now = {int(r["cluster_id"]) for r in sizes
-               if r["cluster_id"] is not None
-               and max_cluster is not None and r["n"] > max_cluster}
-    dirty = {int(r["cluster_id"]) for r in A.where(F.col("_delta"))
-             .select("cluster_id").distinct().collect()
-             if r["cluster_id"] is not None}
+    man = tbl.manifest
+    counts = info.get("cluster_counts") or {}
+    clean = (not man.tombstone_files and not tbl._pending_tombs
+             and not man.meta.get("has_upserts")
+             and all(s.path in counts for s in man.segments))
+    if clean:
+        # every raw row version of every (indexed, counted) segment is
+        # visible → hot/dirty derive from the stored manifest counters
+        # with ZERO jobs (the lexical corpus_counts stance); there are
+        # no delta rows because the all-counted check subsumes
+        # all-indexed
+        totals: dict[int, int] = {}
+        for s in man.segments:
+            for c, n in counts[s.path].items():
+                if c != "null":
+                    totals[int(c)] = totals.get(int(c), 0) + int(n)
+        hot_now = {c for c, n in totals.items()
+                   if max_cluster is not None and n > max_cluster}
+        dirty = set()
+    else:
+        sizes = A.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()  # ≤ nlist rows
+        hot_now = {int(r["cluster_id"]) for r in sizes
+                   if r["cluster_id"] is not None
+                   and max_cluster is not None and r["n"] > max_cluster}
+        dirty = {int(r["cluster_id"]) for r in A.where(F.col("_delta"))
+                 .select("cluster_id").distinct().collect()
+                 if r["cluster_id"] is not None}
     hot_build = set(int(c) for c in info.get("hot_clusters") or [])
     recompute = (dirty | (hot_build - hot_now)) - hot_now
     legs = []
@@ -395,16 +438,22 @@ def semdedup_pairs_at_rest(tbl) -> DataFrame:
     if excl:
         stored = stored.where(~F.col("cluster_id").isin(excl))
     # endpoint visibility: a pair is live iff BOTH row versions are the
-    # visible version of their id — an (id, lsn) semi-join sized by the
-    # pair list, never the corpus
+    # visible version of their id. INNER joins with the pair list as the
+    # (statistics-known, true-dup-sized) small side: Catalyst broadcasts
+    # the pairs and STREAMS the corpus-sized assigned frame — zero
+    # exchanges of A at any corpus size. A left-semi formulation would
+    # have to build on A (semi builds right), which broadcasts fine at
+    # test SF but degrades to shuffling the corpus twice at 100 TB.
+    # Oversized pair lists (low thresholds) fall back to SMJ by the same
+    # statistics — never a forced broadcast of an unbounded frame.
     vis = A.select("id", "_lsn")
     stored = (
         stored.join(vis.select(F.col("id").alias("id_a"),
                                F.col("_lsn").alias("lsn_a")),
-                    ["id_a", "lsn_a"], "left_semi")
+                    ["id_a", "lsn_a"])
         .join(vis.select(F.col("id").alias("id_b"),
                          F.col("_lsn").alias("lsn_b")),
-              ["id_b", "lsn_b"], "left_semi")
+              ["id_b", "lsn_b"])
     )
     legs.append(stored.select("cluster_id", "id_a", "id_b",
                               "cos_sim", "drop_id"))
