@@ -342,3 +342,52 @@ def test_manifest_cluster_counts_cover_segments(spark, tdir):
     # clean read (manifest-counter branch) still bit-matches recompute
     assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
         _fresh_pairs(tbl))
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_lifecycle_parity(spark, tdir, seed):
+    """Randomized model check (the MVCC-model-check pattern applied to
+    this family): a random interleaving of inserts, cluster-moving
+    upserts, deletes, refreshes, vacuums and full compact-reindexes must
+    keep BOTH stored reads bit-identical to fresh recompute at every
+    committed state — including hot-cluster transitions (max_cluster is
+    set low enough for the random mix to cross it both ways)."""
+    import random
+
+    rng = random.Random(seed)
+    mc = 7
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 9)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH, max_cluster=mc)
+    live = set(range(1, 9))
+    next_id = 9
+    ops = []
+    for _ in range(9):
+        op = rng.choice(["ins", "ups", "del", "refresh", "vacuum", "compact"])
+        ops.append(op)
+        if op == "ins":
+            ids = list(range(next_id, next_id + 3))
+            next_id += 3
+            tbl.insert(_rows(spark, ids))
+            tbl.commit()
+            live |= set(ids)
+        elif op == "ups" and live:
+            i = rng.choice(sorted(live))
+            tbl.insert(_rows(spark, [i], flip=rng.random() < 0.5))
+            tbl.commit()
+        elif op == "del" and len(live) > 2:
+            victims = rng.sample(sorted(live), 2)
+            tbl.delete(victims)
+            tbl.commit()
+            live -= set(victims)
+        elif op == "refresh":
+            tbl.refresh_semdedup_index(max_dirs=3)
+        elif op == "vacuum":
+            tbl.vacuum(keep_versions=1)
+        elif op == "compact":
+            tbl.compact()  # reindex=True rebuilds from recorded params
+        assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+            _fresh_pairs(tbl, max_cluster=mc)), (seed, ops)
+        assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
+            _fresh_clusters(tbl, max_cluster=mc)), (seed, ops)
