@@ -364,7 +364,8 @@ def test_random_lifecycle_parity(spark, tdir, seed):
     next_id = 9
     ops = []
     for _ in range(9):
-        op = rng.choice(["ins", "ups", "del", "refresh", "vacuum", "compact"])
+        op = rng.choice(["ins", "ups", "del", "refresh", "vacuum", "compact",
+                         "pcompact"])
         ops.append(op)
         if op == "ins":
             ids = list(range(next_id, next_id + 3))
@@ -387,7 +388,48 @@ def test_random_lifecycle_parity(spark, tdir, seed):
             tbl.vacuum(keep_versions=1)
         elif op == "compact":
             tbl.compact()  # reindex=True rebuilds from recorded params
+        elif op == "pcompact":
+            # partial compaction preserves (id, _lsn) — the refresh-time
+            # pair dedupe (r13 self-found) is exactly what keeps the
+            # next refresh from double-storing the tier rows' pairs
+            from vecgo_spark.plans.policy import TieredPolicy
+
+            tbl.maybe_compact(TieredPolicy(min_segments=2, max_merge=4))
         assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
             _fresh_pairs(tbl, max_cluster=mc)), (seed, ops)
         assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
             _fresh_clusters(tbl, max_cluster=mc)), (seed, ops)
+
+
+def test_partial_compaction_parity_and_refresh_reindexes(spark, tdir):
+    """maybe_compact replaces the picked segments with one tier segment:
+    their stored assignment/pair rows drop out (dead _seg / dead row
+    versions), the tier segment dirties its clusters (recompute leg)
+    until the next refresh re-indexes it — parity with fresh recompute
+    at every step (the minhash partial-compaction contract)."""
+    from vecgo_spark.plans.policy import TieredPolicy
+
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    for lo in (1, 7, 13):  # three small segments
+        tbl.insert(_rows(spark, range(lo, lo + 6)))
+        tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    before = _pairset(sdr.semdedup_pairs_at_rest(tbl))
+
+    v = tbl.maybe_compact(TieredPolicy(min_segments=3, max_merge=3))
+    assert v is not None  # a partial compaction actually ran
+    info = tbl.manifest.meta["semdedup"]
+    live = {s.path for s in tbl.manifest.segments}
+    assert not set(info["segments"]) & live  # every indexed segment died
+    # tier segment takes the recompute leg — parity
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == before
+    assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
+        _fresh_clusters(tbl))
+    # refresh re-indexes the tier segment; read returns to stored-only
+    tbl.refresh_semdedup_index()
+    info = tbl.manifest.meta["semdedup"]
+    assert live <= set(info["segments"])
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == before
+    plan = (sdr.semdedup_pairs_at_rest(tbl)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "FlatMapGroupsInPandas" not in plan  # no recompute leg left

@@ -193,7 +193,8 @@ def _pair_rows(tbl, model, threshold, max_cluster, segs, new_segs=None,
 def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
                         max_cluster, pair_segs=None, new_segs=None,
                         skip_clusters=(), extra=None, copy_pairs=None,
-                        hot_out=None, counts_out=None) -> str:
+                        dedupe_against=None, hot_out=None,
+                        counts_out=None) -> str:
     """Write one version's assigned-rows dir + -pairs sidecar. `segs`
     feed the assigned rows (new segments at refresh); `pair_segs` is the
     pairing pool (build: ==segs; refresh: live indexed ∪ new). `extra`
@@ -232,6 +233,18 @@ def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
                             skip_clusters=skip_clusters)
     if hot_out is not None:
         hot_out.extend(hot)
+    if dedupe_against is not None:
+        # partial compaction rewrites rows PRESERVING (id, _lsn): the
+        # tier segment is "new" at refresh, so its rows would regenerate
+        # pairs whose row versions are identical to pairs already stored
+        # in still-live dirs — and (id, lsn) endpoint visibility cannot
+        # drop a duplicate whose endpoints ARE visible (r13 self-found
+        # via the partial-compaction test: 72 duplicate rows). Anti-join
+        # the fresh pairs against everything already stored; both sides
+        # are pair-list-sized (broadcast)
+        pairs = pairs.join(
+            dedupe_against.select("id_a", "lsn_a", "id_b", "lsn_b"),
+            ["id_a", "lsn_a", "id_b", "lsn_b"], "left_anti")
     if copy_pairs is not None:
         pairs = pairs.unionByName(copy_pairs.select(*PAIR_COLS))
     pairs.write.mode("error").parquet(os.path.join(tbl.path, pairs_dir(rel)))
@@ -299,17 +312,17 @@ def refresh_semdedup_index(tbl, max_dirs: int = 8) -> int:
         old = tbl.manifest.meta[FAMILY]
         live_indexed = [s for s in tbl.manifest.segments
                         if s.path in set(old["segments"])]
-        copy_pairs = None
-        if extra is not None:  # fold: superseded dirs orphan — copy pairs
-            copy_pairs = tbl.spark.read.parquet(
-                *[os.path.join(tbl.path, pairs_dir(p))
-                  for p in blob_paths(old)])
+        old_pairs = tbl.spark.read.parquet(
+            *[os.path.join(tbl.path, pairs_dir(p))
+              for p in blob_paths(old)])
+        # fold: superseded dirs orphan — copy their pairs verbatim
+        copy_pairs = old_pairs if extra is not None else None
         return _write_semdedup_dir(
             tbl, new_segs, version, model, old["threshold"],
             old["max_cluster"], pair_segs=live_indexed + list(new_segs),
             new_segs=new_segs, skip_clusters=old.get("hot_clusters") or (),
-            extra=extra, copy_pairs=copy_pairs, hot_out=hot,
-            counts_out=counts)
+            extra=extra, copy_pairs=copy_pairs, dedupe_against=old_pairs,
+            hot_out=hot, counts_out=counts)
 
     def info_update(new_info, new_segs):
         new_info["hot_clusters"] = sorted(
