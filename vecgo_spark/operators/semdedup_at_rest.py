@@ -17,10 +17,11 @@ Artifacts per versioned dir (shared lifecycle with the minhash family):
   _index/semdedup-v*-pairs  the exact-verified thresholded pair list:
                             (cluster_id, id_a, lsn_a, id_b, lsn_b,
                             cos_sim, drop_id). Pairs reference row
-                            VERSIONS, so read-time visibility is a
-                            (id, lsn) semi-join against the live
-                            assigned rows — deletes and upserts drop
-                            stale pairs without touching the artifact.
+                            VERSIONS, so read-time visibility is an
+                            (id, lsn) join against the live assigned
+                            rows (pairs broadcast, corpus streamed) —
+                            deletes and upserts drop stale pairs
+                            without touching the artifact.
 
   build:    assignment rows + per-cluster gemm pairs for every committed
             segment (the same cutoff-margin candidate generation + exact
@@ -48,10 +49,13 @@ Artifacts per versioned dir (shared lifecycle with the minhash family):
   vacuum:   (model centroids ride the manifest meta); dirs + -pairs
             sidecars are referenced via meta["semdedup"] paths.
 
-Scale posture: the clean-path read is two narrow parquet scans (assigned
-rows ∪ pair rows) and one (id, lsn) semi-join sized by the pair list —
-the corpus vectors are never touched; the dirty-path gemm is per-cluster
-(bounded by max_cluster²) and only over dirty clusters.
+Scale posture: the clean-path read derives hot/dirty clusters from the
+manifest's per-(segment, cluster) counters with ZERO jobs, then runs two
+narrow parquet scans (assigned rows streamed through (id, lsn) joins
+with the statistics-known pair list as the broadcast side — zero
+exchanges of the corpus-sized frame); the corpus vectors are never
+touched; the dirty-path gemm is per-cluster (bounded by max_cluster²)
+and only over dirty clusters.
 """
 
 from __future__ import annotations
@@ -71,8 +75,6 @@ FAMILY = "semdedup"
 
 PAIR_COLS = ["cluster_id", "id_a", "lsn_a", "id_b", "lsn_b",
              "cos_sim", "drop_id"]
-PAIR_SCHEMA = ("cluster_id int, id_a long, lsn_a long, id_b long, "
-               "lsn_b long, cos_sim double, drop_id long")
 
 
 def pairs_dir(rel: str) -> str:
