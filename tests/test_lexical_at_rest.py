@@ -768,3 +768,51 @@ def test_read_your_writes_pending_parity(spark, tdir):
     assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == _fresh(tbl, Q)
     assert _res(lex.bm25_search_at_rest(tbl, Q, k=10,
                                         include_pending=True)) == _fresh(tbl, Q)
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_random_staged_interleaving_pending_parity(spark, tdir, seed):
+    """Randomized model check for the read-your-writes leg: a random
+    interleaving of staged inserts/upserts/deletes and commits must keep
+    bm25_search_at_rest(include_pending=True) bit-identical to the plain
+    path over df(include_pending=True) at EVERY state (staged and
+    committed), while the committed-view serve stays bit-identical to
+    the plain committed path — the cache keys carry the staged state, so
+    a repeat query after staging more rows must never serve the earlier
+    staged frame."""
+    import random
+
+    rng = random.Random(seed)
+    tbl = VectorTable.create(spark, tdir, dim=None)
+    tbl.insert(_docs(spark, range(1, 21)))
+    tbl.commit()
+    tbl.build_lexical_index()
+    live = set(range(1, 21))
+    next_id = 21
+    for _ in range(8):
+        op = rng.choice(["sins", "sups", "sdel", "cmt"])
+        if op == "sins":
+            ids = list(range(next_id, next_id + 2))
+            next_id += 2
+            tbl.insert(_docs(spark, ids))
+            live |= set(ids)
+        elif op == "sups" and live:
+            i = rng.choice(sorted(live))
+            tbl.insert(_docs(spark, [i],
+                             text=f"beta tok3 rewritten staged v{next_id}"))
+        elif op == "sdel" and len(live) > 2:
+            v = rng.choice(sorted(live))
+            tbl.delete([v])
+            live.discard(v)
+        elif op == "cmt":
+            tbl.commit()
+        want_pending = _res(bm25.bm25_search(
+            tbl.df(include_pending=True), Q, k=10,
+            id_col="id", text_col="text"))
+        got_pending = _res(lex.bm25_search_at_rest(
+            tbl, Q, k=10, include_pending=True))
+        assert got_pending == want_pending, (seed, op)
+        assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == _fresh(tbl, Q), \
+            (seed, op)
+    tbl.commit()
+    assert _res(lex.bm25_search_at_rest(tbl, Q, k=10)) == _fresh(tbl, Q)
