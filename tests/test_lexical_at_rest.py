@@ -770,6 +770,123 @@ def test_read_your_writes_pending_parity(spark, tdir):
                                         include_pending=True)) == _fresh(tbl, Q)
 
 
+def _hpairs(df):
+    return [(r["id"], r["rrf_score"]) for r in df.collect()]
+
+
+def test_hybrid_read_your_writes_pending_parity(spark, tdir):
+    """r13 verdict #1 — the last read-your-writes hole: hybrid fuses
+    BOTH legs over ONE staged-inclusive snapshot (the reference's
+    HybridSearch reads a single view that includes the memtable on both
+    legs, engine.go:1538-1634 + 833-921). At every staged state,
+    hybrid_search_at_rest(include_pending=True) must be bit-identical to
+    rrf_fuse of the plain vector + BM25 legs over
+    df(include_pending=True); the committed-view default is untouched;
+    and after commit the views converge."""
+    import numpy as np
+
+    from vecgo_spark.operators import hybrid as hybridmod
+    from vecgo_spark.operators import knn
+
+    rng = np.random.default_rng(19)
+    mk = lambda ids, boost=0.0: [
+        (int(i), (rng.standard_normal(4) + boost).tolist(),
+         f"alpha beta tok{i % 5} end{i % 7}") for i in ids]
+    tbl = VectorTable.create(spark, tdir, dim=4, metric="l2")
+    tbl.insert(spark.createDataFrame(
+        mk(range(1, 31)), "id long, vector array<double>, text string"))
+    tbl.commit()
+    tbl.build_lexical_index()
+    qv = [0.1, -0.2, 0.3, 0.0]
+    qt = "beta tok3"
+
+    def want_pending():
+        base = tbl.df(include_pending=True)
+        vec = knn.search(base, qv, k=max(2 * 6, 50), metric="l2",
+                         id_col="id", vector_col="vector")
+        lexr = bm25.bm25_search(base, qt, k=max(2 * 6, 50),
+                                id_col="id", text_col="text")
+        return _hpairs(hybridmod.rrf_fuse(
+            vec, lexr, k=6, vec_ascending=knn.metric_ascending("l2")))
+
+    committed = _hpairs(hybridmod.hybrid_search_at_rest(tbl, qv, qt, k=6))
+    # stage (NO commit): inserts near the query vector carrying the query
+    # terms, an upsert rewriting a committed doc, a staged delete
+    tbl.insert(spark.createDataFrame(
+        [(100 + j, [0.1, -0.2, 0.3, 0.0], "beta tok3 beta staged")
+         for j in range(3)], "id long, vector array<double>, text string"))
+    tbl.insert(spark.createDataFrame(
+        [(3, [0.1, -0.2, 0.3, 0.01], "beta tok3 rewritten")],
+        "id long, vector array<double>, text string"))
+    tbl.delete([10])
+    got = _hpairs(hybridmod.hybrid_search_at_rest(
+        tbl, qv, qt, k=6, include_pending=True))
+    assert got == want_pending() and got
+    assert {100, 101, 102} & {i for i, _ in got}  # staged rows fused in
+    # committed-view default unchanged by the staged batch
+    assert _hpairs(hybridmod.hybrid_search_at_rest(tbl, qv, qt, k=6)) \
+        == committed
+    # table front exposes the same flag
+    assert _hpairs(tbl.hybrid_search(qv, qt, k=6,
+                                     include_pending=True)) == got
+    # post-commit: both views converge
+    tbl.commit()
+    after = _hpairs(hybridmod.hybrid_search_at_rest(tbl, qv, qt, k=6))
+    assert _hpairs(hybridmod.hybrid_search_at_rest(
+        tbl, qv, qt, k=6, include_pending=True)) == after == want_pending()
+
+
+def test_hybrid_indexed_pending_parity(spark, tdir):
+    """The staged flag is honored by the indexed (nprobe) vector leg
+    too: with staged state, search_early_terminate cannot certify skips
+    from manifest stats, so the leg falls back to the plain probe set
+    over the pending-inclusive view — the fused result must equal
+    rrf_fuse(search(nprobe=, include_pending=True), staged-inclusive
+    BM25), and staged rows inside a probed cluster must surface."""
+    import numpy as np
+
+    from vecgo_spark.operators import hybrid as hybridmod
+    from vecgo_spark.operators import knn
+
+    rng = np.random.default_rng(23)
+    centers = np.zeros((4, 6))
+    for c in range(4):
+        centers[c, c] = 40.0
+    rows = [(i, (centers[i % 4] + rng.normal(0, 0.1, 6)).tolist(),
+             f"alpha beta tok{i % 5} end{i % 7}") for i in range(1, 81)]
+    tbl = VectorTable.create(spark, tdir, dim=6, metric="l2")
+    tbl.insert(spark.createDataFrame(
+        rows, "id long, vector array<double>, text string"))
+    tbl.commit()
+    tbl.compact(cluster_by=4)
+    tbl.build_lexical_index()
+    qv = centers[1].tolist()
+    # stage a row INSIDE the probed cluster carrying the query terms
+    tbl.insert(spark.createDataFrame(
+        [(500, (centers[1] + rng.normal(0, 0.05, 6)).tolist(),
+          "beta tok2 beta staged")],
+        "id long, vector array<double>, text string"))
+    vk = max(2 * 6, 50)
+    vec = tbl.search(qv, k=vk, nprobe=2, include_pending=True)
+    lexr = bm25.bm25_search(tbl.df(include_pending=True), "beta tok2",
+                            k=vk, id_col="id", text_col="text")
+    want = _hpairs(hybridmod.rrf_fuse(
+        vec, lexr, k=6, vec_ascending=knn.metric_ascending("l2")))
+    got = _hpairs(hybridmod.hybrid_search_at_rest(
+        tbl, qv, "beta tok2", k=6, nprobe=2, include_pending=True))
+    assert got == want and got
+    assert 500 in {i for i, _ in got}
+    # committed-view default: the staged row is invisible and the leg
+    # still runs the early-terminate path (no staged fallback)
+    com = hybridmod.hybrid_search_at_rest(tbl, qv, "beta tok2", k=6, nprobe=2)
+    assert 500 not in {i for i, _ in _hpairs(com)}
+    want_com = _hpairs(hybridmod.rrf_fuse(
+        tbl.search(qv, k=vk, nprobe=2),
+        lex.bm25_search_at_rest(tbl, "beta tok2", k=vk),
+        k=6, vec_ascending=knn.metric_ascending("l2")))
+    assert _hpairs(com) == want_com
+
+
 @pytest.mark.parametrize("seed", [11])
 def test_random_staged_interleaving_pending_parity(spark, tdir, seed):
     """Randomized model check for the read-your-writes leg: a random

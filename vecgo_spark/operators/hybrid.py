@@ -129,6 +129,7 @@ def hybrid_oracle_sql(
 def hybrid_search_at_rest(
     tbl, query_vector: Sequence[float], query_text: str, k: int = 10,
     rrf_k: int = DEFAULT_RRF_K, filter=None, nprobe: int | None = None,
+    include_pending: bool = False,
 ) -> DataFrame:
     """HybridSearch served from ONE VectorTable carrying both index
     families — the reference's actual serving path (engine.go:1538-1634:
@@ -137,12 +138,17 @@ def hybrid_search_at_rest(
     is the table's top-k over the live snapshot, and the fuse is the
     same 0-based-rank RRF.
 
-    COMMITTED-VIEW ONLY (documented stance): both legs read the
-    committed snapshot. The underlying families each support
-    include_pending (bm25_search_at_rest / graph search, r12 verdict
-    #2), but fusing a pending lexical leg with a committed vector leg —
-    or vice versa — would rank across two different worlds, so hybrid
-    exposes no pending flag until both legs thread it together.
+    include_pending=True is the writer's read-your-writes view, matching
+    the reference's one-snapshot hybrid: HybridSearch runs BOTH legs
+    over the same pinned snapshot that includes the memtable
+    (engine.go:1538-1634 calls Search and the lexical index over one
+    view; every insert is immediately visible to both,
+    engine.go:833-921). The ONE flag threads through BOTH legs — the
+    staged-inclusive vector top-k and bm25_search_at_rest's
+    pending-inclusive postings replay — so the fused ranks come from a
+    single world; results are bit-identical to rrf_fuse of the plain
+    vector + BM25 legs over df(include_pending=True). The committed-view
+    default is unchanged, and other readers still see committed-only.
 
     Vector leg economics (engine.go:1549: SearchIter rides the table's
     INDEXED path, never a corpus scan): with `nprobe` and the at-rest
@@ -159,13 +165,16 @@ def hybrid_search_at_rest(
     vector_k = max(2 * k, 50)  # engine.go:1545-1548
     if nprobe is not None:
         vec = tbl.search_early_terminate(
-            query_vector, k=vector_k, nprobe=nprobe, filter=filter)
+            query_vector, k=vector_k, nprobe=nprobe, filter=filter,
+            include_pending=include_pending)
     else:
         vec = knn.search(
-            tbl.df(), query_vector, k=vector_k, metric=tbl.metric, filter=filter,
+            tbl.df(include_pending=include_pending), query_vector,
+            k=vector_k, metric=tbl.metric, filter=filter,
             id_col=tbl.id_col, vector_col=tbl.vector_col)
     if tbl.id_col != "id":
         vec = vec.withColumnRenamed(tbl.id_col, "id")
-    lexr = lex.bm25_search_at_rest(tbl, query_text, k=vector_k)
+    lexr = lex.bm25_search_at_rest(tbl, query_text, k=vector_k,
+                                   include_pending=include_pending)
     return rrf_fuse(vec, lexr, k=k, rrf_k=rrf_k,
                     vec_ascending=knn.metric_ascending(tbl.metric), id_col="id")

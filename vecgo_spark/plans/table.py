@@ -1141,7 +1141,8 @@ class VectorTable:
 
     def hybrid_search(self, query_vector: Sequence[float], query_text: str,
                       k: int = 10, filter=None, text_col: str = "text",
-                      nprobe: int | None = None) -> DataFrame:
+                      nprobe: int | None = None,
+                      include_pending: bool = False) -> DataFrame:
         """DB.HybridSearch (engine.go:1538-1634): vector top-k + BM25 +
         RRF over this table. The lexical leg serves from the stored
         index when one exists (the persistent lexical.Index path); the
@@ -1149,19 +1150,23 @@ class VectorTable:
         With `nprobe` (requires the at-rest IVF layout + a covering
         lexical index) the vector leg is probe-pruned early-terminate
         search — the reference's indexed serving economics, engine.go:
-        1549: SearchIter never full-scans when an index exists."""
+        1549: SearchIter never full-scans when an index exists.
+        include_pending=True fuses BOTH legs over the writer's
+        staged-inclusive snapshot — the reference's one-snapshot hybrid
+        (both legs see the memtable, engine.go:833-921)."""
         from vecgo_spark.operators import hybrid as hybridmod
 
         if self._lexical_serves(text_col):
             return hybridmod.hybrid_search_at_rest(
                 self, query_vector, query_text, k=k, filter=filter,
-                nprobe=nprobe)
+                nprobe=nprobe, include_pending=include_pending)
         if nprobe is not None:
             raise ValueError(
                 "nprobe requires a lexical index covering text_col plus "
                 "the IVF layout; build/compact first")
         return hybridmod.hybrid_search(
-            self.df(), query_vector, query_text, k=k, metric=self.metric,
+            self.df(include_pending=include_pending), query_vector,
+            query_text, k=k, metric=self.metric,
             filter=filter, id_col=self.id_col, vector_col=self.vector_col,
             text_col=text_col)
 
@@ -1272,7 +1277,7 @@ class VectorTable:
 
     def search_early_terminate(
         self, query: Sequence[float], k: int = 10, nprobe: int = 1,
-        filter=None, **kw,
+        filter=None, include_pending: bool = False, **kw,
     ) -> DataFrame:
         """Bounded-probe ANN with SegmentPriority early termination
         (stats.go:643-677, the reference's probe order + stop rule):
@@ -1285,7 +1290,17 @@ class VectorTable:
         when the table has upserts (a stale same-id version inside the
         first segment could understate D_k), when the metric isn't l2
         (the triangle-inequality bound needs a metric space), or when
-        fewer than k rows surface in the nearest probe."""
+        fewer than k rows surface in the nearest probe.
+
+        include_pending=True with staged state also falls back to
+        search(nprobe=, include_pending=True): staged segments live
+        outside the manifest's stats universe, so the centroid/radius
+        lower bounds cannot certify a skip over them — the same
+        conservatism as the upsert fallback, and still bit-identical to
+        the plain probe set over the pending-inclusive view."""
+        if include_pending and (self._pending or self._pending_tombs):
+            return self.search(query, k=k, filter=filter, nprobe=nprobe,
+                               include_pending=True, **kw)
         (probes, segs), skipped = self._early_terminate_segments(
             list(query), k, nprobe, filter)
         fs = FilterSet([Filter(CLUSTER_COL, "in", probes)])
