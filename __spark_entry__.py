@@ -1981,6 +1981,91 @@ def _semdedup_table(spark: SparkSession, sf_dir: str):
     return tbl
 
 
+_SEMDEDUP_CHURN_TABLES: dict[str, str] = {}  # sf_dir → built scratch path
+SEM_CHURN_DELETED = [5, 19, 33]
+# float32-exact i/8 grids (the CHURN_VEC_UPSERT stance) so Spark's
+# array<float> storage and the DuckDB double literals agree bit-for-bit;
+# distinct per id so the two upserts land in different clusters
+SEM_CHURN_UPSERTS = {
+    12: [(((i * 3) % 17) - 8) / 8.0 for i in range(EMB_DIM)],
+    27: [(((i * 5) % 17) - 8) / 8.0 for i in range(EMB_DIM)],
+}
+
+
+def _churned_semdedup_table(spark: SparkSession, sf_dir: str):
+    """The SemDeDup artifact under CHURN — the serving state every other
+    at-rest family already proves in the driver window (r13 verdict #2:
+    bm25/ivf/point_get all have churned ⊕ twins; the headline family's
+    churn parity lived in pytest only): build the pair graph, then
+    upserts that MOVE rows (new vectors → new clusters), deletes, and a
+    refresh that indexes the upsert segment. Reads exercise the (id,
+    lsn) endpoint-visibility joins, the winning-LSN PK-frame filter,
+    the refresh-time dedupe anti-join, and the new-pair gemm against
+    live indexed rows — externally oracle-checked."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vecgo_spark.plans.table import VectorTable
+
+    if sf_dir in _SEMDEDUP_CHURN_TABLES:
+        return VectorTable.open(spark, _SEMDEDUP_CHURN_TABLES[sf_dir])
+    _t0_build = time.perf_counter()
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10,
+                          trainer="driver", max_train_rows=20_000,
+                          order_col="vec_id",
+                          cache_key=f"{sf_dir}:embeddings:ivf8")
+    tmp = tempfile.mkdtemp(prefix="vecgo_semdedup_churn_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    path = f"{tmp}/tbl"
+    tbl = VectorTable.create(spark, path, dim=EMB_DIM, metric="l2",
+                             id_col="vec_id", vector_col="embedding")
+    tbl.insert(emb.select("vec_id", "embedding"))
+    tbl.commit()
+    tbl.build_semdedup_index(model, threshold=0.3)
+    tbl.insert(spark.createDataFrame(
+        sorted(SEM_CHURN_UPSERTS.items()),
+        "vec_id long, embedding array<float>"))
+    tbl.commit()
+    tbl.delete(SEM_CHURN_DELETED)
+    tbl.commit()
+    tbl.refresh_semdedup_index()
+    _SEMDEDUP_CHURN_TABLES[sf_dir] = path
+    _BUILD_SECONDS["semdedup_churn"] = time.perf_counter() - _t0_build
+    print(f"[fixture-build] semdedup_churn: "
+          f"{_BUILD_SECONDS['semdedup_churn']:.2f}s", file=sys.stderr)
+    return tbl
+
+
+def _sem_churn_live_rel() -> str:
+    """DuckDB inline relation for the churned-semdedup LIVE snapshot:
+    the embeddings table with the upsert vectors swapped in and the
+    deleted ids removed — passed as emb_table to the shared
+    semantic_dedup_pairs_sql generator."""
+    cases = " ".join(
+        f"WHEN vec_id = {i} THEN ["
+        + ", ".join(repr(float(x)) for x in v) + "]"
+        for i, v in sorted(SEM_CHURN_UPSERTS.items()))
+    deleted = ", ".join(map(str, SEM_CHURN_DELETED))
+    return (f"(SELECT vec_id, CASE {cases} ELSE embedding END AS embedding "
+            f"FROM embeddings WHERE vec_id NOT IN ({deleted})) live")
+
+
+def _dedup_semantic_pairs_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs served from the STORED artifact under churn: the
+    stored pair list minus (id, lsn)-dead endpoints, plus the
+    refresh-gemm'd pairs of the upserted rows — bit-identical to fresh
+    recompute over the live snapshot, whose DuckDB twin applies the
+    same churn relationally to the embeddings table."""
+    from vecgo_spark.operators import semdedup_at_rest as sdr
+
+    dedup.release_caches()
+    return sdr.semdedup_pairs_at_rest(
+        _churned_semdedup_table(spark, sf_dir)).orderBy(
+        "cluster_id", "id_a", "id_b")
+
+
 def _dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) pairs served from the STORED
     artifact: within-cluster cosine pruning over the SAME deterministic
@@ -2565,20 +2650,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresh driver-green row from the previous round rotate to the tail;
     # scripts/verify_driver.py still checks all of them locally each round.
     return {
-        # -- r13 window: changed-code first (the SemDeDup at-rest
-        # -- artifact rides the two semantic queries; the read-your-writes
-        # -- pending leg touched the lexical/minhash stored read paths),
-        # -- then ALL 34 remaining r10-evidence queries (r12 verdict #4:
+        # -- r14 window: changed-code first (the churned SemDeDup
+        # -- artifact query is NEW this round; the hybrid at-rest family
+        # -- and early-terminate search gained the include_pending flag;
+        # -- the semantic pair family gained hot-cluster repair), then
+        # -- the ENTIRE remaining r11-evidence cohort (r13 verdict #6:
         # -- after this round the oldest driver evidence anywhere is
-        # -- r11), then the oldest r11 events cohort, then the canary
+        # -- r12), then the oldest r12 churn/MVCC block, then the canary
         # -- sentinels (one per historically-fragile family)
+        "dedup_semantic_pairs_churned": _dedup_semantic_pairs_churned,
         "dedup_semantic_pairs": _dedup_semantic_pairs,
         "dedup_semantic_clusters": _dedup_semantic_clusters,
+        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
+        "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
+        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
+        "hybrid_rrf": _hybrid_rrf,
+        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
+        "ann_ivf_early_terminate": _ann_ivf_early_terminate,
+        # ---- r11 evidence, rotation completed this round ----
+        "events_funnel_conversion": _events_funnel_conversion,
+        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
+        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
+        "tpch_q12_ship_priority": _tpch_q12,
+        "docs_token_budget_mixture": _docs_token_budget_mixture,
+        "knn_l2_filtered": _knn_l2_filtered,
+        "knn_l2_projected": _knn_l2_projected,
+        "knn_batch": _knn_batch,
+        "knn_threshold": _knn_threshold,
+        "point_get": _point_get,
+        "scan_filter": _scan_filter,
+        "scan_filter_in_ne": _scan_filter_in_ne,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "tpch_rollup": _tpch_rollup,
+        "topk_per_group": _topk_per_group,
+        "topk_per_group_salted": _topk_per_group_salted,
+        "text_stats": _text_stats,
+        "docs_quality_filter": _docs_quality_filter,
+        "doc_langid_ngram": _doc_langid_ngram,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q17_small_qty_revenue": _tpch_q17,
+        "tpch_q19_discounted_revenue": _tpch_q19,
+        "tpch_q22_idle_customers": _tpch_q22,
+        "doc_chunking_overlap": _doc_chunking_overlap,
+        "tpch_q7_nation_volume": _tpch_q7,
+        "tpch_q8_market_share": _tpch_q8,
+        "embedding_cluster_balance": _embedding_cluster_balance,
+        "knn_sq8_rerank": _knn_sq8_rerank,
+        "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
+        "docs_tfidf_keywords": _docs_tfidf_keywords,
+        # ---- oldest r12 evidence (the churn/MVCC block) ----
+        "dedup_clusters": _dedup_clusters,
+        "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
+        "point_get_churned": _point_get_churned,
+        "upsert_latest_wins": _upsert_latest_wins,
+        "tombstone_antijoin": _tombstone_antijoin,
+        # ---- canary sentinels ----
+        "events_tumbling_1h": _events_tumbling_1h,
+        "events_sessionization": _events_sessionization,
+        "ann_ivf_at_rest": _ann_ivf_at_rest,
+        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
+        # -------- driver window ends here (50 entries above) --------
+        # -------- tail: r13-fresh first (rotated out of the window),
+        # -------- then the remaining r12-evidence set --------
         "bm25_search_at_rest": _bm25_search_at_rest,
         "bm25_search_churned_at_rest": _bm25_search_churned_at_rest,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_minhash_incremental": _dedup_minhash_incremental,
-        # ---- r10 evidence, rotation completed this round ----
         "ann_ivf_batch_at_rest": _ann_ivf_batch_at_rest,
         "docs_dsir_weights": _docs_dsir_weights,
         "knn_l2": _knn("l2"),
@@ -2613,39 +2752,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_int4_adc": _knn_int4_adc,
         "knn_rabitq": _knn_rabitq,
         "ann_ivf_pq_rerank": _ann_ivf_pq_rerank,
-        # ---- oldest r11 evidence ----
         "events_asof_join": _events_asof_join,
         "events_json_props": _events_json_props,
         "events_value_quartiles": _events_value_quartiles,
         "events_retention_cohorts": _events_retention_cohorts,
         "events_anomaly_zscore": _events_anomaly_zscore,
         "events_sliding_1h30m": _events_sliding_1h30m,
-        # ---- canary sentinels ----
-        "events_tumbling_1h": _events_tumbling_1h,
-        "events_sessionization": _events_sessionization,
-        "ann_ivf_at_rest": _ann_ivf_at_rest,
-        "ann_ivf_opq_at_rest": _ann_ivf_opq_at_rest,
-        # -------- driver window ends here (50 entries above) --------
-        # -------- tail: r12-fresh first (rotated out of the window),
-        # -------- then the r11-evidence set --------
-        "hybrid_rrf_indexed_at_rest": _hybrid_rrf_indexed_at_rest,
-        "hybrid_rrf_filtered_at_rest": _hybrid_rrf_filtered_at_rest,
-        "dedup_clusters": _dedup_clusters,
-        "ann_ivf_churned_at_rest": _ann_ivf_churned_at_rest,
-        "point_get_churned": _point_get_churned,
-        "upsert_latest_wins": _upsert_latest_wins,
-        "tombstone_antijoin": _tombstone_antijoin,
+        # ---- r12-fresh driver evidence ----
         "time_travel_versions": _time_travel,
         "docs_exact_substring_spans": _docs_exact_substring_spans,
         "docs_exact_substring_dedup": _docs_exact_substring_dedup,
         "embedding_label_purity": _embedding_label_purity,
-        "ann_ivf_early_terminate": _ann_ivf_early_terminate,
         "knn_bq_hamming": _knn_bq_hamming,
         "knn_opq_adc": _knn_opq_adc,
         "ann_lsh": _ann_lsh,
         "ann_ivf_sq8_rerank": _ann_ivf_sq8_rerank,
         "bm25_search": _bm25_search,
-        "hybrid_rrf_filtered": _hybrid_rrf_filtered,
         "multimodal_features": _multimodal_features,
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprint,
@@ -2666,43 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": _knn_pq_adc,
         "ann_ivf": _ann_ivf,
         "ann_ivf_batch": _ann_ivf_batch,
-        "hybrid_rrf": _hybrid_rrf,
         "stats_numeric_profile": _stats_numeric,
         "dedup_simhash": _dedup_simhash,
-        # ---- r11-fresh driver evidence ----
-        "events_funnel_conversion": _events_funnel_conversion,
-        "ann_ivf_sq8_at_rest": _ann_ivf_sq8_at_rest,
-        "ann_ivf_pq_at_rest": _ann_ivf_pq_at_rest,
-        "hybrid_rrf_at_rest": _hybrid_rrf_at_rest,
-        "tpch_q12_ship_priority": _tpch_q12,
-        "docs_token_budget_mixture": _docs_token_budget_mixture,
-        "knn_l2_filtered": _knn_l2_filtered,
-        "knn_l2_projected": _knn_l2_projected,
-        "knn_batch": _knn_batch,
-        "knn_threshold": _knn_threshold,
-        "point_get": _point_get,
-        "scan_filter": _scan_filter,
-        "scan_filter_in_ne": _scan_filter_in_ne,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q6_forecast_revenue": _tpch_q6,
-        "tpch_rollup": _tpch_rollup,
-        "topk_per_group": _topk_per_group,
-        "topk_per_group_salted": _topk_per_group_salted,
-        "text_stats": _text_stats,
-        "docs_quality_filter": _docs_quality_filter,
-        "doc_langid_ngram": _doc_langid_ngram,
-        "tpch_q15_top_supplier": _tpch_q15,
-        "tpch_q17_small_qty_revenue": _tpch_q17,
-        "tpch_q19_discounted_revenue": _tpch_q19,
-        "tpch_q22_idle_customers": _tpch_q22,
-        "doc_chunking_overlap": _doc_chunking_overlap,
-        "tpch_q7_nation_volume": _tpch_q7,
-        "tpch_q8_market_share": _tpch_q8,
-        "embedding_cluster_balance": _embedding_cluster_balance,
-        "knn_sq8_rerank": _knn_sq8_rerank,
-        "docs_length_quantiles_by_source": _docs_length_quantiles_by_source,
-        "docs_tfidf_keywords": _docs_tfidf_keywords,
         # ---- rows-only (no oracle; recall pinned by tests) ----
         "ann_hnsw_batch": _ann_hnsw_batch,
         "ann_hnsw_at_rest": _ann_hnsw_at_rest,
@@ -3029,6 +3116,13 @@ def _ann_oracles() -> dict[str, str]:
         "embedding_label_purity": stats.cluster_label_purity_sql(ivf_m),
         "docs_tfidf_keywords": pipeline.tfidf_keywords_sql(n_docs=_docs_n, k=3),
         "dedup_semantic_pairs": dedup.semantic_dedup_pairs_sql(ivf_m, threshold=0.3)
+        + " ORDER BY cluster_id, id_a, id_b",
+        # churned twin: the same generated oracle over the live snapshot
+        # — upsert vectors swapped in (float32-exact literals), deletes
+        # removed — as an inline relation; the Spark side serves it from
+        # stored pairs + endpoint visibility + the refresh gemm
+        "dedup_semantic_pairs_churned": dedup.semantic_dedup_pairs_sql(
+            ivf_m, emb_table=_sem_churn_live_rel(), threshold=0.3)
         + " ORDER BY cluster_id, id_a, id_b",
         "dedup_semantic_clusters": dedup.semantic_dedup_sql(ivf_m, threshold=0.3),
         "ann_ivf": ann_ivf,

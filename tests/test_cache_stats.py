@@ -171,3 +171,47 @@ def test_table_scoped_model_caches(spark, tmp_path):
     assert "free" not in str(ta.table_cache_stats_detail())
     g = cache_stats.cache_stats_detail()["ivf_model"]
     assert g["misses"] >= 3  # a, b, and the free-standing corpus
+
+
+def test_cache_stats_persist_across_sessions(spark, tmp_path):
+    """r13 verdict #7: the per-table ledger survives the driver process
+    — commit() snapshots it into manifest meta, and a reopened table
+    warms from the snapshot, so table_cache_stats() reports LIFETIME
+    ratios the way Stats() reports lifetime row counts. The warm is a
+    no-op when the process already holds in-memory counters (no
+    double-count), and further serving accumulates on top."""
+    from vecgo_spark.plans import table as tmod
+
+    tmod.release_vis_caches()
+    path = str(tmp_path / "t")
+    t = VectorTable.create(spark, path, dim=2)
+    t.insert(_rows(spark, range(10)))
+    t.commit()
+    t.insert(_rows(spark, [1], tag="b"))  # upsert → churn
+    t.commit()
+    sub = [s for s in t.manifest.segments if s.lsn == 1]
+    t.df(segments=sub).count()  # miss (builds the winning-LSN frame)
+    t.df(segments=sub).count()  # hit
+    assert t.table_cache_stats() == (1, 1)
+    t.insert(_rows(spark, [20]))
+    t.commit()  # persists the (1, 1) ledger into manifest meta
+    assert t.manifest.meta["cache_stats"]["pk_index"] == [1, 1]
+    # same-process reopen: warm is a no-op (counters already live)
+    assert VectorTable.open(spark, path).table_cache_stats() == (1, 1)
+    # "new process": counters gone, loaded frames gone
+    cache_stats.reset()
+    tmod.release_vis_caches()
+    t2 = VectorTable.open(spark, path)
+    assert t2.table_cache_stats() == (1, 1)  # lifetime view restored
+    sub2 = [s for s in t2.manifest.segments if s.lsn == 1]
+    t2.df(segments=sub2).count()  # miss on top of the warmed baseline
+    assert t2.table_cache_stats() == (1, 2)
+    assert t2.table_cache_stats_detail()["pk_index"] == {
+        "hits": 1, "misses": 2}
+    t2.insert(_rows(spark, [21]))
+    t2.commit()
+    assert t2.manifest.meta["cache_stats"]["pk_index"] == [1, 2]
+    # a pinned (time-travel) open never warms — read-only history
+    cache_stats.reset()
+    VectorTable.open(spark, path, version=2)
+    assert cache_stats.cache_stats(scope=path) == (0, 0)

@@ -172,6 +172,81 @@ def test_hot_cluster_transitions(spark, tdir):
         _fresh_clusters(tbl, max_cluster=mc))
 
 
+def test_hot_cluster_repair_at_refresh(spark, tdir):
+    """r13 verdict nit #1 — hot_clusters must not be a one-way ratchet:
+    a cluster hot at build whose visible count later shrinks within the
+    cap takes the read-time recompute leg only UNTIL the next refresh,
+    which re-gemms exactly that cluster, stores its pairs, and delists
+    it — the read is plan-pinned gemm-free again, bit-parity all the
+    way."""
+    mc = 5
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    # cluster 0 gets 8 rows (hot at mc=5), cluster 1 gets 4
+    ids = [2 * i for i in range(1, 9)] + [2 * i + 1 for i in range(1, 5)]
+    tbl.insert(_rows(spark, ids))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH, max_cluster=mc)
+    assert tbl.manifest.meta["semdedup"]["hot_clusters"] == [0]
+    # deletes shrink cluster 0 below the cap → recompute leg (the
+    # pre-repair world: gemm on every read)
+    tbl.delete([2 * i for i in range(1, 5)])
+    tbl.commit()
+    pre = sdr.semdedup_pairs_at_rest(tbl)
+    assert _pairset(pre) == _pairset(_fresh_pairs(tbl, max_cluster=mc))
+    plan = pre._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # delisted-hot recompute leg
+    # the ingest-loop refresh repairs: new segment indexed AND cluster 0
+    # re-gemm'd + delisted
+    tbl.insert(_rows(spark, [101]))
+    tbl.commit()
+    tbl.refresh_semdedup_index()
+    assert tbl.manifest.meta["semdedup"]["hot_clusters"] == []
+    got = sdr.semdedup_pairs_at_rest(tbl)
+    assert _pairset(got) == _pairset(_fresh_pairs(tbl, max_cluster=mc))
+    assert [r for r in got.collect() if r["cluster_id"] == 0]  # repaired
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # stored serving restored
+    assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
+        _fresh_clusters(tbl, max_cluster=mc))
+    # a still-oversized cluster stays listed: grow cluster 1 past the cap
+    tbl.insert(_rows(spark, [2 * i + 1 for i in range(20, 26)]))
+    tbl.commit()
+    tbl.refresh_semdedup_index()
+    assert tbl.manifest.meta["semdedup"]["hot_clusters"] == [1]
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == _pairset(
+        _fresh_pairs(tbl, max_cluster=mc))
+
+
+def test_hot_cluster_repair_only_refresh(spark, tdir):
+    """Repair fires even when nothing new needs indexing: refresh on a
+    fully-indexed table with a repairable cluster publishes a
+    repair-only version (empty assigned dir + repaired -pairs sidecar),
+    delists the cluster, and restores gemm-free serving; with neither
+    new segments nor repairs, refresh stays a no-op."""
+    mc = 5
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    ids = [2 * i for i in range(1, 9)] + [2 * i + 1 for i in range(1, 5)]
+    tbl.insert(_rows(spark, ids))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH, max_cluster=mc)
+    v = tbl.manifest.version
+    assert tbl.refresh_semdedup_index() == v  # hot but NOT repairable
+    tbl.delete([2 * i for i in range(1, 5)])
+    tbl.commit()
+    v2 = tbl.refresh_semdedup_index()  # repair-only publish
+    assert v2 > tbl.manifest.version - 1 and tbl.manifest.version == v2
+    info = tbl.manifest.meta["semdedup"]
+    assert info["hot_clusters"] == []
+    assert len(info["paths"]) == 2
+    got = sdr.semdedup_pairs_at_rest(tbl)
+    assert _pairset(got) == _pairset(_fresh_pairs(tbl, max_cluster=mc))
+    assert [r for r in got.collect() if r["cluster_id"] == 0]
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    # nothing left to repair → back to a pure no-op
+    assert tbl.refresh_semdedup_index() == v2
+
+
 def test_vacuum_keeps_live_dirs_drops_stale(spark, tdir):
     tbl = VectorTable.create(spark, tdir, dim=4)
     tbl.insert(_rows(spark, range(1, 9)))
@@ -399,6 +474,47 @@ def test_random_lifecycle_parity(spark, tdir, seed):
             _fresh_pairs(tbl, max_cluster=mc)), (seed, ops)
         assert _pairset(sdr.semantic_dedup_at_rest(tbl)) == _pairset(
             _fresh_clusters(tbl, max_cluster=mc)), (seed, ops)
+
+
+def test_read_your_writes_pending_parity(spark, tdir):
+    """r13 verdict #3 — the include_pending option its sibling families
+    gained in r13, applied to semdedup: staged inserts (dirtying their
+    clusters through the delta leg), a staged cluster-moving upsert, and
+    a staged delete must make BOTH queries bit-identical to fresh
+    recompute over df(include_pending=True), while the committed-view
+    default stays untouched — and after commit the views converge."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    tbl.insert(_rows(spark, range(1, 11)))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    committed = _pairset(sdr.semdedup_pairs_at_rest(tbl))
+
+    def _fresh_pending(fn):
+        return fn(tbl.df(include_pending=True), _model(), id_col="id",
+                  vector_col="vector", threshold=TH)
+
+    # stage (NO commit): new near-dups, a cluster-moving upsert, a delete
+    tbl.insert(_rows(spark, range(11, 15)))
+    tbl.insert(_rows(spark, [5], flip=True))
+    tbl.delete([2])
+    got = sdr.semdedup_pairs_at_rest(tbl, include_pending=True)
+    assert _pairset(got) == _pairset(_fresh_pending(dedup.semantic_dedup_pairs))
+    gotc = sdr.semantic_dedup_at_rest(tbl, include_pending=True)
+    assert _pairset(gotc) == _pairset(_fresh_pending(dedup.semantic_dedup))
+    ids = {r["id"] for r in gotc.collect()}
+    assert {11, 12} <= ids and 2 not in ids      # staged rows in, delete out
+    # committed-view default unchanged by the staged batch
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == committed
+    # table fronts expose the same flag
+    assert _pairset(tbl.semantic_dedup_pairs(include_pending=True)) == \
+        _pairset(got)
+    assert _pairset(tbl.semantic_dedup(include_pending=True)) == _pairset(gotc)
+    # post-commit: both views converge and stay bit-identical to fresh
+    tbl.commit()
+    want = _pairset(_fresh_pairs(tbl))
+    assert _pairset(sdr.semdedup_pairs_at_rest(tbl)) == want
+    assert _pairset(sdr.semdedup_pairs_at_rest(
+        tbl, include_pending=True)) == want
 
 
 def test_partial_compaction_parity_and_refresh_reindexes(spark, tdir):

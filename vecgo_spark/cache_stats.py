@@ -84,6 +84,27 @@ def cache_stats_detail(scope: str | None = None) -> dict[str, dict[str, int]]:
                 for k, s in sorted(src.items())}
 
 
+def snapshot(scope: str) -> dict[str, list[int]]:
+    """Plain-data copy of one scope's ledger — the commit-time dump that
+    lets a table persist lifetime counters in its manifest meta (the
+    reference's CacheStats lives as long as the Engine instance; ours
+    would otherwise reset per driver process while Stats() reports
+    lifetime row counts)."""
+    with _LOCK:
+        return {k: list(s) for k, s in _SCOPED.get(scope, {}).items()}
+
+
+def warm(scope: str, snap: dict) -> None:
+    """Seed a scope's ledger from a persisted snapshot (table open).
+    No-op when the scope already has in-process counters — a reopen in
+    the same process must not double-count its own history."""
+    with _LOCK:
+        if scope in _SCOPED or not snap:
+            return
+        _SCOPED[scope] = {str(k): [int(s[0]), int(s[1])]
+                          for k, s in snap.items()}
+
+
 def reset() -> None:
     with _LOCK:
         _STATS.clear()

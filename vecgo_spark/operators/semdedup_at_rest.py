@@ -34,10 +34,12 @@ Artifacts per versioned dir (shared lifecycle with the minhash family):
             NEW pairs (>=1 endpoint in a new segment) gemm'd against all
             live indexed rows; fold at the max_dirs cap copies stored
             rows (assigned rows filtered to live segments; pair rows
-            verbatim — read-time visibility drops dead ones).
-            hot_clusters accumulates monotonically until a full rebuild:
-            a cluster that was ever skipped may be missing old pairs, so
-            it must keep taking the recompute leg while it stays listed.
+            verbatim — read-time visibility drops dead ones). Listed
+            hot clusters whose visible count is back within max_cluster
+            are REPAIRED: re-gemm'd over the visible snapshot, their
+            pairs stored, and the cluster delisted — a long-lived table
+            converges back to stored serving without a full rebuild
+            (a cluster stays listed only while it is missing pairs).
   read:     stored pairs of clusters that are neither hot NOW (visible
             counts — matching dedup._drop_hot semantics) nor DIRTY
             (containing unindexed row versions, or hot-at-build but not
@@ -124,7 +126,11 @@ def _pair_rows(tbl, model, threshold, max_cluster, segs, new_segs=None,
     build: every pair). Returns (pairs_df, hot_cluster_ids) where hot is
     judged on RAW row counts over `segs` (the artifact's conservative
     superset of dedup._drop_hot's visible counts — a raw-hot cluster is
-    recorded, never silently part-paired).
+    recorded, never silently part-paired). At refresh (new_segs given)
+    only raw-hot clusters that actually HAVE new rows are reported: a
+    hot cluster with zero new row versions loses no pairs to the skip,
+    so reporting it would re-list an already-repaired cluster forever
+    (the ratchet the repair step exists to break).
 
     Candidate generation is the same per-cluster gemm at cutoff =
     threshold - 1e-9 dedup.semantic_dedup_pairs runs; the candidates are
@@ -139,10 +145,14 @@ def _pair_rows(tbl, model, threshold, max_cluster, segs, new_segs=None,
             "_new", F.col("_seg").isin([s.path for s in new_segs]))
     pool = raw.where(F.col("v").isNotNull())
     sizes = pool.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n")).collect()  # ≤ nlist rows
-    hot = sorted(int(r["cluster_id"]) for r in sizes
-                 if max_cluster is not None and r["n"] > max_cluster)
-    excl = sorted(set(hot) | set(int(c) for c in skip_clusters))
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_new").cast("long")).alias("n_new")).collect()  # ≤ nlist
+    raw_hot = [r for r in sizes
+               if max_cluster is not None and r["n"] > max_cluster]
+    hot = sorted(int(r["cluster_id"]) for r in raw_hot
+                 if new_segs is None or r["n_new"] > 0)
+    excl = sorted({int(r["cluster_id"]) for r in raw_hot}
+                  | set(int(c) for c in skip_clusters))
     if excl:
         pool = pool.where(~F.col("cluster_id").isin(excl))
     cutoff = threshold - 1e-9
@@ -192,17 +202,24 @@ def _pair_rows(tbl, model, threshold, max_cluster, segs, new_segs=None,
     return out.select(*PAIR_COLS), hot
 
 
+ASSIGNED_SCHEMA = ("id long, _lsn long, _seg string, cluster_id int, "
+                   "cent_cos double")
+
+
 def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
                         max_cluster, pair_segs=None, new_segs=None,
                         skip_clusters=(), extra=None, copy_pairs=None,
                         dedupe_against=None, hot_out=None,
-                        counts_out=None) -> str:
+                        counts_out=None, extra_pairs=None) -> str:
     """Write one version's assigned-rows dir + -pairs sidecar. `segs`
-    feed the assigned rows (new segments at refresh); `pair_segs` is the
-    pairing pool (build: ==segs; refresh: live indexed ∪ new). `extra`
-    is the folded assigned rows; `copy_pairs` a DataFrame of stored pair
-    rows copied verbatim at fold (read-time visibility drops dead ones).
-    Appends the raw-hot cluster ids to `hot_out` when given."""
+    feed the assigned rows (new segments at refresh; may be empty for a
+    repair-only version); `pair_segs` is the pairing pool (build:
+    ==segs; refresh: live indexed ∪ new). `extra` is the folded assigned
+    rows; `copy_pairs` a DataFrame of stored pair rows copied verbatim
+    at fold (read-time visibility drops dead ones); `extra_pairs` extra
+    fresh pair rows (the hot-cluster repair leg) that go through the
+    same dedupe anti-join as the gemm'd ones. Appends the raw-hot
+    cluster ids to `hot_out` when given."""
     from vecgo_spark.plans.manifest import fs_exists, fs_rmtree
     from vecgo_spark.plans.table import INDEX_DIR
 
@@ -211,7 +228,10 @@ def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
     for p in (full, os.path.join(tbl.path, pairs_dir(rel))):
         if fs_exists(p):
             fs_rmtree(p)  # orphan of a failed earlier attempt
-    assigned = _raw_rows(tbl, segs, model, with_vector=False)
+    if segs:
+        assigned = _raw_rows(tbl, segs, model, with_vector=False)
+    else:
+        assigned = tbl.spark.createDataFrame([], ASSIGNED_SCHEMA)
     if extra is not None:
         assigned = assigned.unionByName(extra.select(*assigned.columns))
     assigned.write.mode("error").parquet(full)
@@ -230,11 +250,21 @@ def _write_semdedup_dir(tbl, segs, version: int, model, threshold,
                 else str(int(r["cluster_id"]))] = int(r["n"])
         for p in new_paths:  # zero-row segments still count as covered
             counts_out.setdefault(p, {})
-    pairs, hot = _pair_rows(tbl, model, threshold, max_cluster,
-                            pair_segs or segs, new_segs=new_segs,
-                            skip_clusters=skip_clusters)
+    if new_segs is not None and not new_segs and extra_pairs is not None:
+        # repair-only version: no new row versions exist, so the gemm
+        # over the pool would emit nothing — skip the job entirely
+        pairs = tbl.spark.createDataFrame(
+            [], "cluster_id int, id_a long, lsn_a long, id_b long, "
+                "lsn_b long, cos_sim double, drop_id long")
+        hot = []
+    else:
+        pairs, hot = _pair_rows(tbl, model, threshold, max_cluster,
+                                pair_segs or segs, new_segs=new_segs,
+                                skip_clusters=skip_clusters)
     if hot_out is not None:
         hot_out.extend(hot)
+    if extra_pairs is not None:
+        pairs = pairs.unionByName(extra_pairs.select(*PAIR_COLS))
     if dedupe_against is not None:
         # partial compaction rewrites rows PRESERVING (id, _lsn): the
         # tier segment is "new" at refresh, so its rows would regenerate
@@ -294,19 +324,82 @@ def build_semdedup_index(tbl, model, threshold: float = 0.95,
     return version
 
 
+def _repairable(tbl, info) -> set[int]:
+    """Hot-cluster repair candidates at refresh (r13 verdict nit #1 —
+    hot_clusters must not be a one-way ratchet): clusters ever listed as
+    hot whose VISIBLE row count has since dropped within max_cluster.
+    Re-gemming exactly those and delisting them converges a long-lived
+    refresh-heavy table back to stored serving without a full rebuild.
+    Costs one ≤nlist-row aggregate, at refresh time only."""
+    hot = set(int(c) for c in info.get("hot_clusters") or [])
+    mc = info.get("max_cluster")
+    if not hot or mc is None:
+        return set()
+    sizes = (_visible_assigned(tbl)
+             .where(F.col("cluster_id").isin(sorted(hot)))
+             .groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect())  # ≤ |hot| rows
+    vis = {int(r["cluster_id"]): int(r["n"]) for r in sizes
+           if r["cluster_id"] is not None}
+    return {c for c in hot if vis.get(c, 0) <= mc}
+
+
+def _repair_pairs(tbl, info, model, clusters) -> DataFrame:
+    """Exact pair rows for the delisted repair clusters: the SAME
+    recompute the read path would run (dedup.semantic_dedup_pairs over
+    the visible snapshot restricted to those clusters — bit-identical
+    cos_sim/drop_id by shared code), with each endpoint's winning _lsn
+    attached from the visible assigned rows so the stored pairs join
+    the (id, lsn) endpoint-visibility filter like every other pair.
+    Gemming only VISIBLE rows is sound: a row version invisible now can
+    never become visible later (tombstones and LSNs only grow), and
+    future new versions arrive in new segments whose pairs the next
+    refresh generates."""
+    from vecgo_spark.operators import dedup
+    from vecgo_spark.operators import ivf as ivfmod
+
+    emb = (tbl.df().select(tbl.id_col, tbl.vector_col)
+           .where(ivfmod.assign_expr(model, tbl.vector_col).cast("int")
+                  .isin(sorted(clusters))))
+    pairs = dedup.semantic_dedup_pairs(
+        emb, model, id_col=tbl.id_col, vector_col=tbl.vector_col,
+        threshold=info["threshold"], max_cluster=None)
+    vis = _visible_assigned(tbl).select("id", "_lsn")
+    return (
+        pairs
+        .join(vis.select(F.col("id").alias("id_a"),
+                         F.col("_lsn").alias("lsn_a")), "id_a")
+        .join(vis.select(F.col("id").alias("id_b"),
+                         F.col("_lsn").alias("lsn_b")), "id_b")
+        .select(*PAIR_COLS)
+    )
+
+
 def refresh_semdedup_index(tbl, max_dirs: int = 8) -> int:
     """Index segments committed after the last build/refresh: their
     assigned rows land in a new dir, and the NEW pairs (>=1 endpoint in
     a new segment, gemm'd against every live indexed row version) in its
     -pairs sidecar. Fold at the max_dirs cap (shared
-    graph_at_rest.refresh_family_dirs semantics); hot_clusters
-    accumulates — a cluster ever skipped keeps taking the read-time
-    recompute leg until a full rebuild resets the family."""
+    graph_at_rest.refresh_family_dirs semantics).
+
+    Hot-cluster repair rides every refresh (r13 verdict nit #1): listed
+    clusters whose visible count is back within max_cluster are
+    re-gemm'd over the visible snapshot, their pairs stored (the dedupe
+    anti-join drops any that survive from before the cluster went hot),
+    and the cluster is DELISTED — so reads serve it stored again
+    instead of recomputing it until a full rebuild. A still-oversized
+    cluster stays listed. When nothing new needs indexing but repairs
+    exist, a repair-only version is published (empty assigned dir +
+    the repaired -pairs sidecar)."""
     from vecgo_spark.operators.graph_at_rest import (blob_paths,
                                                      refresh_family_dirs)
 
-    info = tbl.manifest.meta.get(FAMILY) or {}
-    model = _model_from_info(info) if info else None
+    info = tbl.manifest.meta.get(FAMILY)
+    if info is None:
+        raise KeyError(f"table has no {FAMILY} index; build it first "
+                       "(refresh reuses the stored build params)")
+    model = _model_from_info(info)
+    repair = _repairable(tbl, info)
     hot: list[int] = []
     counts: dict[str, dict[str, int]] = {}
 
@@ -319,31 +412,90 @@ def refresh_semdedup_index(tbl, max_dirs: int = 8) -> int:
               for p in blob_paths(old)])
         # fold: superseded dirs orphan — copy their pairs verbatim
         copy_pairs = old_pairs if extra is not None else None
+        rep = _repair_pairs(tbl, old, model, repair) if repair else None
         return _write_semdedup_dir(
             tbl, new_segs, version, model, old["threshold"],
             old["max_cluster"], pair_segs=live_indexed + list(new_segs),
             new_segs=new_segs, skip_clusters=old.get("hot_clusters") or (),
             extra=extra, copy_pairs=copy_pairs, dedupe_against=old_pairs,
-            hot_out=hot, counts_out=counts)
+            hot_out=hot, counts_out=counts, extra_pairs=rep)
 
     def info_update(new_info, new_segs):
         new_info["hot_clusters"] = sorted(
-            set(new_info.get("hot_clusters") or []) | set(hot))
+            (set(new_info.get("hot_clusters") or []) | set(hot)) - repair)
         live = set(new_info["segments"])
         merged = {p: c for p, c in
                   (new_info.get("cluster_counts") or {}).items() if p in live}
         merged.update(counts)
         new_info["cluster_counts"] = merged
 
+    man = tbl.manifest
+    if all(s.path in set(info["segments"]) for s in man.segments):
+        # everything indexed: no-op unless repairs are due
+        if not repair:
+            tbl._check_writable()  # refresh_family_dirs' no-op contract
+            return man.version
+        return _publish_repair_only(tbl, info, model, repair, max_dirs,
+                                    write_dir, info_update)
     return refresh_family_dirs(tbl, FAMILY, write_dir, seg_col="_seg",
                                max_dirs=max_dirs, info_update=info_update)
 
 
-def _visible_assigned(tbl) -> DataFrame:
+def _publish_repair_only(tbl, info, model, repair, max_dirs, write_dir,
+                         info_update) -> int:
+    """Publish a repair-only version when every live segment is already
+    indexed: a dir with zero assigned rows whose -pairs sidecar carries
+    the repaired clusters' pairs. Mirrors refresh_family_dirs'
+    bookkeeping (fold at the cap, dead-segment pruning, byte
+    accounting) for the new_segs == [] case that helper treats as a
+    no-op."""
+    from vecgo_spark.operators.graph_at_rest import (blob_paths,
+                                                     record_dir_bytes)
+    from vecgo_spark.plans.manifest import Manifest, save_manifest
+
+    tbl._check_writable()
+    man = tbl.manifest
+    version = man.version + 1
+    live = {s.path for s in man.segments}
+    old_paths = blob_paths(info)
+    fold = len(old_paths) + 1 > max_dirs
+    extra = None
+    if fold:
+        live_indexed = sorted(set(info["segments"]) & live)
+        stored = tbl.spark.read.parquet(
+            *[os.path.join(tbl.path, p) for p in old_paths])
+        extra = stored.where(F.col("_seg").isin(live_indexed))
+    rel = write_dir([], version, extra)
+    new_info = dict(info)
+    new_info["paths"] = [rel] if fold else old_paths + [rel]
+    if fold:
+        new_info["path"] = rel
+    new_info["segments"] = [p for p in info["segments"] if p in live]
+    info_update(new_info, [])
+    record_dir_bytes(tbl, new_info)
+    new = Manifest(
+        version=version, lsn=man.lsn, next_id=man.next_id,
+        created_at=time.time(), segments=list(man.segments),
+        tombstone_files=list(man.tombstone_files),
+        meta={**man.meta, FAMILY: new_info},
+        tombstone_stats=dict(man.tombstone_stats),
+    )
+    save_manifest(tbl.path, new)
+    tbl.manifest = new
+    return version
+
+
+def _visible_assigned(tbl, include_pending: bool = False) -> DataFrame:
     """Assigned rows of the CURRENT live snapshot — stored legs ∪ a
     recompute delta leg for unindexed segments (flagged `_delta`), then
     EXACTLY df()'s visibility algebra (size-gated tombstone anti-join +
-    winning-LSN upsert filter via the table's cached PK-index frame)."""
+    winning-LSN upsert filter via the table's cached PK-index frame).
+
+    include_pending=True is the writer's read-your-writes view (the
+    lexical_at_rest._visible_rows recipe, r12 verdict #2): staged
+    segments ride the recompute delta leg (real written parquet, just
+    unpublished) and the tombstone/winning-LSN legs flip to the
+    pending-inclusive view exactly as df(include_pending=True) does."""
     from vecgo_spark.operators.graph_at_rest import blob_paths
 
     info = tbl.manifest.meta.get(FAMILY)
@@ -360,6 +512,8 @@ def _visible_assigned(tbl) -> DataFrame:
         legs.append(stored.where(F.col("_seg").isin(live_indexed))
                     .select(*cols).withColumn("_delta", F.lit(False)))
     delta = [s for s in man.segments if s.path not in set(info["segments"])]
+    if include_pending:
+        delta = delta + list(tbl._pending)
     if delta:
         legs.append(
             _raw_rows(tbl, delta, _model_from_info(info), with_vector=False)
@@ -371,11 +525,11 @@ def _visible_assigned(tbl) -> DataFrame:
     base = legs[0]
     for leg in legs[1:]:
         base = base.unionByName(leg)
-    tomb = tbl._tombstones()
+    tomb = tbl._tombstones(include_pending=include_pending)
     if tomb is not None:
         tmax = (tomb.groupBy(tbl.id_col).agg(F.max("_lsn").alias("_tomb_lsn"))
                 .withColumnRenamed(tbl.id_col, "id"))
-        if tbl.tomb_broadcastable():  # size-gated — table.tomb_broadcastable
+        if tbl.tomb_broadcastable(include_pending):  # size-gated
             tmax = F.broadcast(tmax)
         base = (
             base.join(tmax, "id", "left")
@@ -386,12 +540,15 @@ def _visible_assigned(tbl) -> DataFrame:
     if man.meta.get("has_upserts"):
         # winning LSN from the table's cached PK-index frame — the ONE
         # visibility mechanism every serving path consults (mvcc.go:125)
-        vmax = tbl._vis_vmax(list(man.segments), include_pending=False)
+        full = list(man.segments)
+        if include_pending:
+            full = full + list(tbl._pending)
+        vmax = tbl._vis_vmax(full, include_pending=include_pending)
         if vmax is not None:
             from vecgo_spark.plans.table import TOMB_BROADCAST_MAX_IDS
 
             vmax = vmax.withColumnRenamed(tbl.id_col, "id")
-            if sum(s.rows for s in man.segments) <= TOMB_BROADCAST_MAX_IDS:
+            if sum(s.rows for s in full) <= TOMB_BROADCAST_MAX_IDS:
                 vmax = F.broadcast(vmax)
             base = (base.join(vmax, "id", "left")
                     .where(F.col("_lsn") == F.col("_vis_lsn"))
@@ -399,14 +556,20 @@ def _visible_assigned(tbl) -> DataFrame:
     return base
 
 
-def semdedup_pairs_at_rest(tbl) -> DataFrame:
+def semdedup_pairs_at_rest(tbl, include_pending: bool = False) -> DataFrame:
     """(cluster_id, id_a, id_b, cos_sim, drop_id) for the live snapshot,
     bit-identical to dedup.semantic_dedup_pairs over tbl.df() — served
     from the stored pair list wherever the cluster is CLEAN; dirty
     clusters (unindexed row versions, or ever-skipped-as-hot but not hot
     on the visible counts) take a recompute leg restricted to exactly
     those clusters. Hot-NOW clusters (visible counts > max_cluster) are
-    dropped everywhere — dedup._drop_hot's semantics."""
+    dropped everywhere — dedup._drop_hot's semantics.
+
+    include_pending=True is the writer's read-your-writes view (the
+    sibling families' r13 option applied here): staged segments dirty
+    their clusters through the delta leg, staged deletes/upserts flip
+    the visibility legs — bit-identical to the plain recompute over
+    df(include_pending=True). Committed-view default unchanged."""
     from vecgo_spark.operators import dedup
     from vecgo_spark.operators.graph_at_rest import blob_paths
 
@@ -415,11 +578,12 @@ def semdedup_pairs_at_rest(tbl) -> DataFrame:
         raise KeyError("table has no semdedup index; build it first")
     model = _model_from_info(info)
     threshold, max_cluster = info["threshold"], info["max_cluster"]
-    A = _visible_assigned(tbl)
+    A = _visible_assigned(tbl, include_pending=include_pending)
     man = tbl.manifest
     counts = info.get("cluster_counts") or {}
     clean = (not man.tombstone_files and not tbl._pending_tombs
              and not man.meta.get("has_upserts")
+             and not (include_pending and tbl._pending)
              and all(s.path in counts for s in man.segments))
     if clean:
         # every raw row version of every (indexed, counted) segment is
@@ -475,9 +639,10 @@ def semdedup_pairs_at_rest(tbl) -> DataFrame:
     if recompute:
         from vecgo_spark.operators import ivf as ivfmod
 
-        emb = tbl.df().select(tbl.id_col, tbl.vector_col).where(
-            ivfmod.assign_expr(model, tbl.vector_col).cast("int")
-            .isin(sorted(recompute)))
+        emb = (tbl.df(include_pending=include_pending)
+               .select(tbl.id_col, tbl.vector_col)
+               .where(ivfmod.assign_expr(model, tbl.vector_col).cast("int")
+                      .isin(sorted(recompute))))
         # max_cluster=None: recompute clusters are non-hot by
         # construction (hot_now is excluded above), so _drop_hot would
         # be a no-op job — skip it
@@ -490,17 +655,19 @@ def semdedup_pairs_at_rest(tbl) -> DataFrame:
     return out
 
 
-def semantic_dedup_at_rest(tbl) -> DataFrame:
+def semantic_dedup_at_rest(tbl, include_pending: bool = False) -> DataFrame:
     """(id_col, group_id, cent_cos, keep) for the live snapshot —
     dedup.semantic_dedup served from the stored artifact: components
     over the at-rest pair list, the keep window over the stored (or
     delta-recomputed) cent_cos, rounded at round(·, 9) exactly like the
-    plain path."""
+    plain path. include_pending=True labels the writer's
+    staged-inclusive snapshot (both the pair graph and the keep window
+    see the same pending view)."""
     from vecgo_spark.operators import dedup
 
-    pairs = semdedup_pairs_at_rest(tbl)
+    pairs = semdedup_pairs_at_rest(tbl, include_pending=include_pending)
     comp = dedup.connected_components(pairs)
-    d = _visible_assigned(tbl).select(
+    d = _visible_assigned(tbl, include_pending=include_pending).select(
         "id", F.round("cent_cos", 9).alias("cent_cos"))
     g = (
         d.join(comp, "id", "left")

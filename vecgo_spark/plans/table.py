@@ -215,6 +215,10 @@ class VectorTable:
     ) -> "VectorTable":
         m = load_manifest(path, version=version, timestamp=timestamp)
         pinned = version is not None or timestamp is not None
+        if not pinned:
+            # seed the per-table cache ledger from the persisted
+            # snapshot (no-op if this process already served the table)
+            cache_stats.warm(path, m.meta.get("cache_stats") or {})
         return VectorTable(spark, path, m, writable=not pinned)
 
     @property
@@ -588,6 +592,14 @@ class VectorTable:
         if self._sel_ema is not None and self._sel_ema.persist:
             # opt-in FeedbackStore analog (see enable_adaptive_selectivity)
             meta["selectivity_ema"] = self._sel_ema.to_meta()
+        snap = cache_stats.snapshot(self.path)
+        if snap:
+            # lifetime per-table cache counters ride the manifest (the
+            # reference's CacheStats lives as long as its Engine; a
+            # reopened table warms from this so table_cache_stats()
+            # reports lifetime ratios the way Stats() reports lifetime
+            # rows) — estimates-grade meta, like the EMA above
+            meta["cache_stats"] = snap
         new = Manifest(
             version=m.version + 1,
             lsn=m.lsn + len(self._pending) + len(self._pending_tombs),
@@ -1002,18 +1014,22 @@ class VectorTable:
         self._obs("on_build", time.perf_counter() - t0, "semdedup-refresh")
         return v
 
-    def semantic_dedup_pairs(self) -> DataFrame:
-        """Stored-artifact SemDeDup pair list for the live snapshot."""
+    def semantic_dedup_pairs(self, include_pending: bool = False) -> DataFrame:
+        """Stored-artifact SemDeDup pair list for the live snapshot
+        (include_pending=True: the writer's staged-inclusive view)."""
         from vecgo_spark.operators import semdedup_at_rest as sdr
 
-        return sdr.semdedup_pairs_at_rest(self)
+        return sdr.semdedup_pairs_at_rest(self,
+                                          include_pending=include_pending)
 
-    def semantic_dedup(self) -> DataFrame:
+    def semantic_dedup(self, include_pending: bool = False) -> DataFrame:
         """Stored-artifact SemDeDup keep/drop labeling for the live
-        snapshot."""
+        snapshot (include_pending=True: the writer's staged-inclusive
+        view)."""
         from vecgo_spark.operators import semdedup_at_rest as sdr
 
-        return sdr.semantic_dedup_at_rest(self)
+        return sdr.semantic_dedup_at_rest(self,
+                                          include_pending=include_pending)
 
     def build_simhash_index(self, text_col: str = "text") -> int:
         """Persist per-segment SimHash signatures as a table artifact
