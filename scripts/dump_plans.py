@@ -457,6 +457,19 @@ COMMENTARY = {
         "same sequential-fold doubles the recompute emits "
         "(oracle-bit-exact)."
     ),
+    "dedup_semantic_pairs_churned": (
+        "The stored SemDeDup artifact under CHURN (upserts + deletes + "
+        "a refresh, r14): the serving plan is still stored-only — NO "
+        "applyInPandas gemm (the upsert rows' pairs were gemm'd once at "
+        "refresh and live in the -pairs sidecar) — with the (id, lsn) "
+        "endpoint-visibility joins now composing with the tombstone "
+        "anti-join and the winning-LSN filter served from the persisted "
+        "PK-index frame (InMemoryTableScan — the one visibility "
+        "mechanism every serving path consults). The corpus-sized "
+        "assigned frame streams through the statistics-broadcast pair "
+        "list exactly as in the clean plan; churn adds per-row "
+        "FILTERS, not exchanges of the corpus."
+    ),
     "tpch_q12_ship_priority": (
         "Q12 shape: the date + flag filter reaches the lineitem scan as "
         "PushedFilters; the orderkey equi-join is AQE-decided (orders "

@@ -517,6 +517,27 @@ def test_read_your_writes_pending_parity(spark, tdir):
         tbl, include_pending=True)) == want
 
 
+def test_dup_id_batch_parity(spark, tdir):
+    """r14 self-found: a batch carrying an id twice used to leave TWO
+    same-LSN raw rows, and the artifact's winning-LSN equality join
+    kept both — semantic_dedup_at_rest emitted 9 rows for an 8-id
+    corpus and TRIPLED the pair list (33 vs 12 on the probe). The
+    write-time collapse (one stored row per (id, lsn)) makes every
+    path agree by construction — pinned here at the site the bug was
+    found."""
+    tbl = VectorTable.create(spark, tdir, dim=4)
+    rows = [(i, _vec(i)) for i in range(1, 9)] + [(3, _vec(3))]  # 3 twice
+    tbl.insert(spark.createDataFrame(rows, "id long, vector array<float>"))
+    tbl.commit()
+    tbl.build_semdedup_index(_model(), threshold=TH)
+    got = sdr.semantic_dedup_at_rest(tbl)
+    assert got.count() == 8  # not 9: one assigned row per id
+    assert _pairset(got) == _pairset(_fresh_clusters(tbl))
+    gp = sdr.semdedup_pairs_at_rest(tbl)
+    assert _pairset(gp) == _pairset(_fresh_pairs(tbl))
+    assert gp.count() == gp.distinct().count()  # no duplicated pair rows
+
+
 def test_partial_compaction_parity_and_refresh_reindexes(spark, tdir):
     """maybe_compact replaces the picked segments with one tier segment:
     their stored assignment/pair rows drop out (dead _seg / dead row

@@ -359,19 +359,39 @@ def test_auto_ids_never_collide_with_explicit_ids(spark, tdir):
     assert min(i for i in ids if i not in (100, 101)) >= 102
 
 
-def test_duplicate_ids_in_one_batch_still_upsert(spark, tdir):
-    """[5,5,7,8] is 4 rows spanning 4 values — density alone would
-    'prove' freshness; the exact pass-2 ndv must catch the in-batch
-    duplicate so latest-LSN-wins dedup stays on."""
+def test_duplicate_ids_in_one_batch_collapse_at_write(spark, tdir):
+    """[5,5,7,8]: the reference's memtable keeps ONE row per id (every
+    Add overwrites, engine.go:833-921), and a Spark batch has no row
+    order — so the insert collapses the duplicate AT WRITE with a
+    deterministic content-hash tiebreak and rewrites the segment. The
+    stored segment then holds one row per (id, lsn): every serving path
+    (df, artifacts) agrees by construction (r14 self-found — the
+    semdedup artifact used to emit BOTH copies), the manifest row count
+    is the collapsed one, and a clean bulk load with an accidental dup
+    no longer pays the has_upserts visibility tax forever."""
     t = VectorTable.create(spark, tdir, dim=2)
     df = spark.createDataFrame(
         [(5, [1.0, 0.0]), (5, [2.0, 0.0]), (7, [3.0, 0.0]), (8, [4.0, 0.0])],
         "id long, vector array<float>")
     t.insert(df)
     t.commit()
-    assert t.manifest.meta.get("has_upserts") is True
-    assert t.count() == 3                      # 5 collapses to one row
+    # one stored row per id — the raw segment itself, not just the view
+    seg = t.manifest.segments[0]
+    raw = spark.read.parquet(f"{t.path}/{seg.path}")
+    assert raw.count() == 3 and seg.rows == 3
+    assert raw.where("id = 5").count() == 1
+    # ids provably fresh after the collapse → no upsert tax
+    assert not t.manifest.meta.get("has_upserts")
+    assert not t.manifest.meta.get("has_dup_ids")
+    assert t.count() == 3
     assert t.get(5).count() == 1
+    # deterministic winner: replaying the same batch on a fresh table
+    # stores the same vector for id 5
+    t2 = VectorTable.create(spark, str(tdir) + "2", dim=2)
+    t2.insert(df)
+    t2.commit()
+    assert (t.get(5).collect()[0]["vector"]
+            == t2.get(5).collect()[0]["vector"])
 
 
 def test_schema_null_array_and_any_columns_writable(spark, tdir):
@@ -685,9 +705,11 @@ def test_subset_scans_never_elect_stale_versions(spark, tdir):
 
 
 def test_subset_scan_collapses_same_lsn_duplicates(spark, tdir):
-    """In-batch duplicate ids share one LSN; the subset-scan visibility
-    path must still return exactly ONE row per id (the full-view window's
-    cardinality), including through a stats-pruned point filter."""
+    """In-batch duplicate ids collapse at segment write (r14), so every
+    read path — full view, stats-pruned subset scan, point get — sees
+    exactly ONE row per id without any visibility machinery. A LATER
+    cross-batch upsert still resolves through the winning-LSN join, and
+    the write-time collapse composes with it."""
     t = VectorTable.create(spark, tdir, dim=2)
     t.insert(spark.createDataFrame(
         [(5, [1.0, 0.0]), (5, [2.0, 0.0]), (7, [3.0, 0.0])],
@@ -696,9 +718,16 @@ def test_subset_scan_collapses_same_lsn_duplicates(spark, tdir):
     t.insert(spark.createDataFrame(  # second segment so pruning can drop it
         [(9, [4.0, 0.0])], "id long, vector array<float>"))
     t.commit()
-    assert t.manifest.meta.get("has_upserts") is True
+    assert not t.manifest.meta.get("has_upserts")  # collapse, not upsert tax
     assert t.df(FilterSet().eq("id", 5)).count() == 1
     assert t.get(5).count() == 1
+    # cross-batch upsert of the formerly-duplicated id: latest wins
+    t.insert(spark.createDataFrame(
+        [(5, [9.0, 9.0])], "id long, vector array<float>"))
+    t.commit()
+    assert t.manifest.meta.get("has_upserts") is True
+    got = t.get(5).collect()
+    assert len(got) == 1 and got[0]["vector"] == [9.0, 9.0]
 
 
 def test_clean_tables_skip_subset_visibility_join(spark, tdir):

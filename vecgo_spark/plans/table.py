@@ -339,17 +339,51 @@ class VectorTable:
         if rows is None:
             rows = written.count()
         if not assign_ids:
+            s_id = stats.get(self.id_col) or {}
+            if rows > 1 and s_id.get("ndv", rows) != rows:
+                # the batch itself carries an id twice. The reference's
+                # memtable keeps ONE row per id — every Add overwrites
+                # (engine.go:833-921) — and a Spark batch has no row
+                # order, so "last Add" is undefined: collapse to one row
+                # per id with a deterministic content-hash tiebreak and
+                # REWRITE the segment (only dup-carrying batches pay the
+                # second write). Every stored segment then holds one row
+                # per (id, lsn) and every serving path — plain df(),
+                # lexical/minhash/semdedup/graph artifacts — agrees by
+                # construction, instead of each replaying its own
+                # same-LSN tie-break (r14 self-found: the semdedup
+                # artifact emitted BOTH copies of a dup id and
+                # duplicated its pairs; a winning-LSN equality join
+                # cannot drop a tie).
+                w = Window.partitionBy(self.id_col).orderBy(
+                    F.xxhash64(*[F.col(c) for c in written.columns]).desc())
+                deduped = (written.withColumn("_rn", F.row_number().over(w))
+                           .where(F.col("_rn") == 1).drop("_rn"))
+                name = f"seg-{lsn:08d}-{uuid.uuid4().hex[:8]}"
+                old_full = full
+                rel = os.path.join(SEG_DIR, name)
+                full = os.path.join(self.path, rel)
+                deduped, stats_fin = self._observe_stats(deduped)
+                # the rewrite reads the first segment's files lazily
+                # during this write — drop them only after it lands
+                deduped.write.mode("error").parquet(full)
+                fs_rmtree(old_full)
+                written = self.spark.read.parquet(full)
+                stats = stats_fin(written)
+                rows = stats.pop("__rows", None)
+                if rows is None:
+                    rows = written.count()
+                s_id = stats.get(self.id_col) or {}
             if not self._ids_provably_fresh(stats, rows):
                 # explicit ids may collide with existing rows → upsert
                 # semantics (latest-LSN-wins dedup on read)
                 self.manifest.meta["has_upserts"] = True
-            s_id = stats.get(self.id_col) or {}
             if rows > 1 and (s_id.get("ndv") != rows
                              or s_id.get("null_count", 1) != 0):
-                # the batch itself may carry an id twice — the ONLY
-                # source of same-LSN duplicates (one insert = one LSN);
-                # subset reads then keep their tie-collapse window.
-                # assign_ids batches mint fresh unique ids → never set.
+                # safety net: NULL ids survive the collapse (ndv counts
+                # non-null), so subset reads keep their tie-collapse
+                # window for this segment's table. Unreachable for the
+                # plain dup-id case now that the rewrite collapses it.
                 self.manifest.meta["has_dup_ids"] = True
             # keep the auto-id counter ahead of every explicit id, or a
             # later assign_ids=True insert would mint a colliding id
