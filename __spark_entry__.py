@@ -40,9 +40,14 @@ QUERY_TEXT = "spark join window merge"  # vocabulary words (documents table)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
-    return [float(x) for x in row[0]]
+    """Driver-side parquet point read (predicate pushed to the reader).
+    A 1-row PK lookup must not pay a distributed-job round trip: the old
+    `emb.where(...).first()` cost a full Spark job (~0.15 s of scheduler
+    latency) in EVERY knn-family query build. Identical float32→float64
+    widening, so every embedded query literal is bit-unchanged."""
+    from vecgo_spark import oracle_artifacts
+
+    return oracle_artifacts.query_vector(sf_dir, vec_id=vec_id)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2516,9 +2521,17 @@ def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty-cents); output = suppliers ranked by #parts dominated. Plan:
     two-level agg — per (part, supplier) pair first, per-part totals via
     a window OVER THE PAIR AGG (tiny vs lineitem), names broadcast."""
+    # r14: ONE lineitem exchange — (part, supplier) cardinality ≈ row
+    # count at every sf (measured 591k pairs / 600k rows at sf0.1), so
+    # map-side partial aggregation buys nothing and the old plan paid
+    # two full-table shuffles (groupBy(pk,sk), then the window's
+    # re-shuffle by pk). Repartitioning by l_partkey FIRST satisfies
+    # both the pair agg's clustered distribution (subset of grouping
+    # keys) and the window's, so agg + window ride the same exchange.
     li = load_table(spark, sf_dir, "lineitem")
     qty_c = F.round(F.col("l_quantity") * 100).cast("long")
-    pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty_c).alias("qty_c"))
+    pair = (li.repartition("l_partkey")
+            .groupBy("l_partkey", "l_suppkey").agg(F.sum(qty_c).alias("qty_c")))
     w = Window.partitionBy("l_partkey")
     dom = (
         pair.withColumn("part_total_c", F.sum("qty_c").over(w))

@@ -314,12 +314,14 @@ def test_q11_scalar_subquery_broadcasts(spark, sf_dir):
 
 
 def test_q20_window_rides_pair_agg(spark, sf_dir):
-    """Per-part totals must be computed over the (part, supplier) PAIR
-    aggregate, not lineitem: exactly two partkey-prefixed exchanges (pair
-    rollup + window repartition) and no shuffled join."""
+    """Pair agg and per-part window must share ONE l_partkey exchange
+    (r14: pair cardinality ≈ row count, so the old partial-agg shuffle +
+    window re-shuffle moved the table twice for nothing — the explicit
+    l_partkey repartition satisfies both distributions), and no shuffled
+    join."""
     df = entry.queries()["tpch_q20_dominant_supplier"](spark, sf_dir)
     plan = spark_plan(df)
-    assert plan.count("hashpartitioning(l_partkey") == 2
+    assert plan.count("hashpartitioning(l_partkey") == 1
     assert "Window" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 

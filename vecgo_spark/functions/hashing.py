@@ -72,6 +72,15 @@ def stable_hash64_sql(expr: str, seed: int = 0) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
 
 
+def stable_hash64_expr_sql(expr: str, seed: int = 0) -> str:
+    """Spark-SQL-string twin of stable_hash64, for F.expr()-built
+    projections: parses to the identical md5→substring→conv→cast tree,
+    but costs ONE py4j call instead of ~6 per hash site (the minhash
+    band builders evaluate dozens of hash sites per query build)."""
+    return (f"CAST(conv(substring(md5(concat('{seed}:', {expr})), 1, 15),"
+            f" 16, 10) AS BIGINT)")
+
+
 def stable_hash64_py(s: str, seed: int = 0) -> int:
     """Python twin of stable_hash64 (same md5 → same 60-bit int), used
     where the driver must reproduce executor-side hashes (bloom probes,

@@ -41,7 +41,12 @@ def release_caches() -> None:
     while _CACHED:
         _CACHED.pop().unpersist()
 
-from vecgo_spark.functions.hashing import shingles_sql, stable_hash64, stable_hash64_sql
+from vecgo_spark.functions.hashing import (
+    shingles_sql,
+    stable_hash64,
+    stable_hash64_expr_sql,
+    stable_hash64_sql,
+)
 from vecgo_spark.functions.vector import cosine_similarity, double_matrix_expr
 from vecgo_spark.oracles import cosine_sql
 
@@ -163,8 +168,12 @@ def minhash_signatures(
     base = _doc_shingles(docs, id_col, text_col, n).select(
         "id", F.pmod(stable_hash64(F.col("shingle")), F.lit(MINHASH_P)).alias("h")
     )
+    # one-parse expr per permutation: the Column form costs ~6 py4j
+    # round trips per aggregate (~0.25 s of driver chatter per build for
+    # 16 hashes); the parsed tree is identical (L-suffixed BIGINT
+    # literals match F.lit's LongType)
     return base.groupBy("id").agg(*[
-        F.min((F.lit(a_params[i]) * F.col("h") + F.lit(b_params[i])) % F.lit(MINHASH_P))
+        F.expr(f"min(({a_params[i]}L * h + {b_params[i]}L) % {MINHASH_P}L)")
         .alias(f"m{i}")
         for i in range(num_hashes)
     ])
@@ -246,19 +255,17 @@ def minhash_lsh_pairs(
     mcols = [f"m{i}" for i in range(num_hashes)]
 
     def key_at(prefix: str, bidx: int):
-        cols = [f"{prefix}m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        return stable_hash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        # one-parse expr — the Column form costs ~12 py4j calls per site
+        return F.expr(_band_key_sql(prefix, bidx, rows_per_band))
 
     # one explode pass instead of a num_bands-way union: every consumer
     # of `banded` (hot-bucket agg + both self-join legs) re-evaluates it,
     # and the union form re-scanned the persisted signatures num_bands
     # times per evaluation — the explode form scans them once
-    band_structs = F.array(*[
-        F.struct(F.lit(bidx).alias("band"), key_at("", bidx).alias("key"))
-        for bidx in range(num_bands)
-    ])
     banded = (
-        sigs.select("id", *mcols, F.explode(band_structs).alias("_bk"))
+        sigs.select("id", *mcols,
+                    F.explode(F.expr(_band_structs_sql(
+                        num_hashes, num_bands))).alias("_bk"))
         .select("id", *mcols, F.col("_bk.band").alias("band"),
                 F.col("_bk.key").alias("key"))
     )
@@ -303,10 +310,7 @@ def minhash_lsh_pairs(
     earlier = F.lit(False)
     for bidx in range(num_bands - 1):
         earlier = earlier | ((F.col("a.band") > bidx) & alive_match(bidx))
-    match_count = sum(
-        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    match_count = _match_count_expr("a.", "b.", num_hashes)
     joined = (
         banded.alias("a")
         .join(banded.alias("b"),
@@ -392,6 +396,33 @@ def _check_sigs(sigs: DataFrame, num_hashes: int, what: str) -> None:
             f"with a different num_hashes?")
 
 
+def _match_count_expr(pa: str, pb: str, num_hashes: int):
+    """Signature agreement count as ONE parsed expr (Column-form builds
+    ~5 py4j calls per position). `0 +` head keeps the Python-sum() tree
+    shape; integer addition, value-identical."""
+    return F.expr("0 + " + " + ".join(
+        f"(CASE WHEN {pa}m{i} = {pb}m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)))
+
+
+def _band_key_sql(prefix: str, bidx: int, rows_per_band: int) -> str:
+    """Spark-SQL text of one band key: stable_hash64 of the comma-joined
+    signature slice — parses to the tree the Column form built."""
+    cols = [f"{prefix}m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+    joined = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+    return stable_hash64_expr_sql(f"concat_ws(',', {joined})")
+
+
+def _band_structs_sql(num_hashes: int, num_bands: int, prefix: str = "") -> str:
+    """array(named_struct('band', b, 'key', hash), ...) as ONE parsed
+    expr string (bare band literal parses as INT == F.lit's type)."""
+    rows_per_band = num_hashes // num_bands
+    return "array(" + ",".join(
+        f"named_struct('band', {bidx}, 'key', "
+        f"{_band_key_sql(prefix, bidx, rows_per_band)})"
+        for bidx in range(num_bands)) + ")"
+
+
 def _minhash_band_rows(sigs: DataFrame, num_hashes: int, num_bands: int,
                        id_alias: str) -> DataFrame:
     """(id_alias, m0..m{H-1}, band, key) — one explode pass over the
@@ -399,19 +430,12 @@ def _minhash_band_rows(sigs: DataFrame, num_hashes: int, num_bands: int,
     incremental variant)."""
     rows_per_band = num_hashes // num_bands
     mcols = [f"m{i}" for i in range(num_hashes)]
-
-    def key_at(bidx: int):
-        cols = [f"m{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        return stable_hash64(
-            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-
-    band_structs = F.array(*[
-        F.struct(F.lit(bidx).alias("band"), key_at(bidx).alias("key"))
-        for bidx in range(num_bands)
-    ])
+    # whole band array as ONE parsed expr string (the Column form costs
+    # ~60 py4j round trips per call — ~0.25 s of driver chatter)
     return (
         sigs.select(F.col("id").alias(id_alias), *mcols,
-                    F.explode(band_structs).alias("_bk"))
+                    F.explode(F.expr(_band_structs_sql(
+                        num_hashes, num_bands))).alias("_bk"))
         .select(id_alias, *mcols, F.col("_bk.band").alias("band"),
                 F.col("_bk.key").alias("key"))
     )
@@ -466,10 +490,7 @@ def minhash_dedup_incremental(
         # unhinted: the hot set is tiny on a clean corpus and linear in a
         # boilerplate-heavy one — AQE picks broadcast vs shuffle
         cb = cb.join(hot, ["band", "key"], "left_anti")
-    match_count = sum(
-        F.when(F.col(f"b.m{i}") == F.col(f"c.m{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    match_count = _match_count_expr("b.", "c.", num_hashes)
     cand = (
         bb.alias("b")
         .join(cb.alias("c"),
@@ -1195,7 +1216,7 @@ AUTO_LSH_ROWS = 10_000_000  # above this the O(n²) block matmul is refused
 
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vector_col: str = "embedding",
-    threshold: float = 0.95, candidates: str = "auto", n_blocks: int = 16,
+    threshold: float = 0.95, candidates: str = "auto", n_blocks: int | None = None,
     auto_lsh_rows: int = AUTO_LSH_ROWS, n_rows: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ threshold.
@@ -1229,6 +1250,7 @@ def embedding_neardup_pairs(
     this runs the same logical op in ~3 s.
     """
     cutoff = threshold - 1e-9
+    n = None
     if candidates == "auto":
         n = emb.count() if n_rows is None else int(n_rows)
         candidates = "lsh" if n > auto_lsh_rows else "block"
@@ -1242,6 +1264,18 @@ def embedding_neardup_pairs(
         else:
             _log.info("embedding_neardup auto strategy: %d rows -> block", n)
     if candidates == "block":
+        if n_blocks is None:
+            # scale-adaptive block count: target ~64k rows per block so
+            # per-task matrices stay bounded (2·rows·dim·8 B) while a
+            # small corpus doesn't shatter into B(B+1)/2 near-empty
+            # Python tasks (the fixed B=16 default cost 136 worker round
+            # trips for a 2k-row corpus — measured 2× the whole query's
+            # useful work). The pair SET is independent of blocking
+            # (upper-triangle / min-max normalization), so B is purely a
+            # scheduling choice. Unknown n (explicit "block", no count):
+            # keep the old default.
+            n_blocks = (max(1, min(64, -(-n // 65536))) if n is not None
+                        else 16)
         cand = _block_pair_candidates(emb, id_col, vector_col, cutoff, n_blocks)
     elif candidates == "lsh":
         cand = _lsh_candidates(emb, id_col, vector_col)

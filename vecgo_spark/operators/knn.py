@@ -228,8 +228,14 @@ def rerank(
     candidate lineage is evaluated exactly once instead of once per
     downstream consumer.
     """
+    from vecgo_spark.operators.util import isin_longs
+
     ids = [r[0] for r in candidates.select(id_col).distinct().collect()]
-    survivors = df.where(F.col(id_col).isin(ids))
+    try:
+        cond = isin_longs(id_col, ids)  # one-parse IN for integral ids
+    except (TypeError, ValueError):
+        cond = F.col(id_col).isin(ids)  # non-integral ids: literal path
+    survivors = df.where(cond)
     exact = survivors.select(
         F.col(id_col), score_expr(metric, vector_col, query).alias("score")
     )

@@ -191,12 +191,23 @@ def bloom_decontaminate(
     pow2 = long_array_expr([1 << b if b < 63 else -(1 << 63)
                             for b in range(64)])
 
-    csh = _doc_shingles(docs, id_col, text_col, n)
+    # r14: bind both literal arrays behind eval_once barrier columns so
+    # the plan references each ONCE — the 4 probes each inlined both
+    # arrays (CollapseProject), a 285 KB executed plan whose analysis/
+    # codegen cost ~0.4 s of build and ~0.3 s of exec per call at sf0.1
+    # (47 KB / both roughly halved with the barrier; bit-identical flags)
+    from vecgo_spark.functions.hashing import eval_once
+
+    csh = _doc_shingles(docs, id_col, text_col, n).select(
+        "id", "shingle",
+        eval_once(words_lit).alias("_bloom_w"),
+        eval_once(pow2).alias("_pow2"),
+    )
     probes = _bloom_positions(F.col("shingle"), m, k)
     hit = None
     for pos in probes:
-        word = F.get(words_lit, F.shiftright(pos, 6).cast("int"))
-        mask = F.get(pow2, F.pmod(pos, F.lit(64)).cast("int"))
+        word = F.get(F.col("_bloom_w"), F.shiftright(pos, 6).cast("int"))
+        mask = F.get(F.col("_pow2"), F.pmod(pos, F.lit(64)).cast("int"))
         one = word.bitwiseAND(mask) != F.lit(0).cast("bigint")
         hit = one if hit is None else (hit & one)
     return (

@@ -23,8 +23,6 @@ Determinism notes (oracle parity):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -308,21 +306,17 @@ def exact_percentiles(
     no driver collect of data rows; survives 100 TB because every window
     is per-partition and the offset table has one row per partition.
 
-    Two jobs (count, then selection) — the returned frame holds a
-    persisted intermediate; call .unpersist() on it via
+    ONE job over the data (the selection) — the target ranks are derived
+    IN-PLAN from the partition-count aggregate of the already-persisted
+    range frame, so there is no separate COUNT(*) pass over the input
+    (r14: that pass was a full extra corpus scan at any scale; the rank
+    arithmetic — (n−1)·p, floor/ceil, frac — is the same IEEE double op
+    sequence whether computed driver-side or in the plan). The returned
+    frame holds a persisted intermediate; call .unpersist() on it via
     ``exact_percentiles.last_cached`` if running in a long session.
     """
     d = df.select(F.col(value_col).cast("double").alias("v")).where(F.col("v").isNotNull())
-    n = d.count()
     spark = df.sparkSession
-    if n == 0:
-        return spark.createDataFrame([], "p double, value double")
-    rows = []
-    for p in ps:
-        rank = (n - 1) * float(p)
-        lo, hi = int(math.floor(rank)), int(math.ceil(rank))
-        rows.append((float(p), lo + 1, hi + 1, float(rank - lo)))
-    need = sorted({r for _, lo, hi, _ in rows for r in (lo, hi)})
 
     np_ = n_partitions or spark.sparkContext.defaultParallelism
     ranked = (
@@ -335,15 +329,32 @@ def exact_percentiles(
     offs = counts.withColumn(
         "off", F.coalesce(F.sum("cnt").over(w0), F.lit(0)).cast("long")
     ).select("pid", "off")
+    # target-rank table from the SAME tiny partition-count aggregate
+    # (one row; empty input → n = sum(∅) = NULL → zero target rows →
+    # empty result with the declared schema)
+    psdf = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    rank = (F.col("n") - F.lit(1)).cast("double") * F.col("p")
+    tdf = (
+        counts.agg(F.sum("cnt").cast("long").alias("n"))
+        .where(F.col("n").isNotNull())
+        .crossJoin(F.broadcast(psdf))
+        .select("p", rank.alias("rank"))
+        .select(
+            "p",
+            (F.floor("rank") + F.lit(1)).cast("long").alias("lo"),
+            (F.ceil("rank") + F.lit(1)).cast("long").alias("hi"),
+            (F.col("rank") - F.floor("rank").cast("double")).alias("frac"),
+        )
+    )
+    need = tdf.select(F.explode(F.array("lo", "hi")).alias("grank")).distinct()
     wp = Window.partitionBy("pid").orderBy("v")
     g = (
         ranked.withColumn("rn", F.row_number().over(wp))
         .join(F.broadcast(offs), "pid")
         .withColumn("grank", (F.col("off") + F.col("rn")).cast("long"))
-        .where(F.col("grank").isin([int(x) for x in need]))
+        .join(F.broadcast(need), "grank")
         .select("grank", "v")
     )
-    tdf = df.sparkSession.createDataFrame(rows, "p double, lo long, hi long, frac double")
     lo_v = g.select(F.col("grank").alias("lo"), F.col("v").alias("v_lo"))
     hi_v = g.select(F.col("grank").alias("hi"), F.col("v").alias("v_hi"))
     return (

@@ -2,7 +2,20 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def isin_longs(col_name: str, vals) -> Column:
+    """`col IN (v1, v2, ...)` over integral values as ONE parsed SQL
+    string. Column.isin() ships every element as its own py4j literal
+    call (~0.5 ms each — a 160-id rerank list costs ~0.1-0.4 s of pure
+    driver chatter per query build); F.expr hands Catalyst one string
+    that parses to the identical In(...) predicate JVM-side."""
+    vs = [int(v) for v in vals]
+    if not vs:
+        return F.lit(False)  # isin([]) semantics: nothing matches
+    return F.expr(f"`{col_name}` IN ({','.join(map(str, vs))})")
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

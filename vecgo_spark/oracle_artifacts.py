@@ -68,14 +68,15 @@ def training_sample(
 def query_vector(sf_dir: str, vec_id: int = 0, table: str = "embeddings",
                  vector_col: str = "embedding", id_col: str = "vec_id") -> list[float]:
     """The query vector as the oracle generator sees it (same float32→
-    float64 widening as the Spark collect in __spark_entry__._query_vector)."""
-    import pyarrow.compute as pc
+    float64 widening as a Spark collect of the row). The predicate is
+    passed to the parquet reader (row-group statistics pruning), so a
+    1-row lookup reads one row group, not the table."""
     import pyarrow.parquet as papq
 
     t = papq.read_table(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=[id_col, vector_col]
+        os.path.join(sf_dir, f"{table}.parquet"), columns=[vector_col],
+        filters=[(id_col, "==", vec_id)],
     )
-    t = t.filter(pc.equal(t.column(id_col), vec_id))
     return [float(x) for x in t.column(vector_col).to_pylist()[0]]
 
 
