@@ -2464,9 +2464,15 @@ def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     # two-level agg instead of two countDistincts: per (order, supplier)
     # first — no Expand node doubling the lineitem stream — then the tiny
-    # per-order rollup over already-deduped pairs
+    # per-order rollup over already-deduped pairs. r14: ONE lineitem
+    # exchange — (order, supplier) cardinality ≈ row count (the pair agg
+    # barely reduces), so partial aggregation bought nothing and the
+    # per-order rollup re-shuffled the stream; repartitioning by
+    # l_orderkey after the broadcast join satisfies both aggs' clustered
+    # distributions (same fix as tpch_q20, A/B-verified there).
     per_pair = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("any_late"))
     )
@@ -2636,12 +2642,17 @@ def _kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vecgo_spark.functions.hashing import eval_once, shingles
     from vecgo_spark.operators.bm25 import tokenize_expr
 
+    from vecgo_spark.operators.util import ensure_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
     # eval_once BEFORE shingling: a plain bound column is NOT enough —
     # CollapseProject merges the projections and inlines the tokenizer
     # into the shingle lambda (see hashing.eval_once for why the barrier
-    # is kept + tests/test_perf_plans.py for the plan pins)
-    sh = docs.select(
+    # is kept + tests/test_perf_plans.py for the plan pins).
+    # ensure_parallelism first (r14): the one-file source serialized the
+    # tokenize+shingle+hash AND the first partial agg through one task
+    # (measured 0.90 s → 0.58 s with the spread at sf0.1); no-op at scale
+    sh = ensure_parallelism(docs.select("source", "text")).select(
         "source", eval_once(tokenize_expr(F.col("text"))).alias("toks")
     ).select("source", F.explode(shingles(F.col("toks"), 3)).alias("shingle"))
     return pipeline.kmv_distinct(sh, "source", "shingle", k=64, prefilter_bits=2)

@@ -250,13 +250,15 @@ def test_retention_cohorts_single_user_exchange(spark, sf_dir):
 
 def test_q21_two_level_agg_no_self_join_no_expand(spark, sf_dir):
     """Q21's EXISTS/NOT-EXISTS self-join pair must stay collapsed into
-    the two-level (order,supplier)→order aggregation: two orderkey-
-    prefixed exchanges (pair dedup + rollup), NO lineitem×lineitem join,
-    and NO Expand (the countDistinct formulation would double the
+    the two-level (order,supplier)→order aggregation riding ONE
+    orderkey exchange (r14: pair cardinality ≈ row count, so the
+    up-front l_orderkey repartition serves pair dedup AND rollup — the
+    old plan re-shuffled the stream between them), NO lineitem×lineitem
+    join, and NO Expand (the countDistinct formulation would double the
     lineitem stream)."""
     df = entry.queries()["tpch_q21_waiting_supplier"](spark, sf_dir)
     plan = spark_plan(df)
-    assert plan.count("hashpartitioning(l_orderkey") == 2
+    assert plan.count("hashpartitioning(l_orderkey") == 1
     assert "Expand" not in plan
     # both remaining joins are broadcast; no shuffled join anywhere
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -128,13 +128,18 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     CollapseProject inlines the tokenizer into the transform lambda —
     O(tokens²) on engines without lambda-invariant hoisting, and a
     many-copies-bigger expression tree on Spark 4.1 (which hoists; see
-    hashing.eval_once for the round-7 measurement record)."""
+    hashing.eval_once for the round-7 measurement record).
+
+    r14: the (id, text) projection is spread first (ensure_parallelism —
+    a no-op when the scan already has enough splits): a single-file
+    source arrives as ONE partition, so the tokenize+shingle+hash stage
+    AND the first partial aggregation above it ran on one core."""
     from vecgo_spark.functions.hashing import eval_once
 
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.col("text")), r"[\x00-\x20]+"), lambda t: t != F.lit("")
     )
-    d = docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
+    d = _spread(docs, id_col, text_col).select("id", eval_once(toks).alias("toks"))
     win = F.size("toks") - (n - 1)
     sh = F.when(
         win >= 1,
@@ -576,13 +581,16 @@ def minhash_dedup_incremental_sql(
 def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, toks) — the lowercased whitespace token array that defines
     ExactSubstr positions AND the rewrite (one tokenizer, one frame, so
-    persisting it makes the whole spans+removal pipeline single-scan)."""
+    persisting it makes the whole spans+removal pipeline single-scan).
+    Spread first (see _doc_shingles) so the tokenizer and the window
+    hashing above it aren't serialized through a one-split source."""
     from vecgo_spark.functions.hashing import eval_once
 
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[\x00-\x20]+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.col("text")), r"[\x00-\x20]+"), lambda t: t != F.lit("")
     )
-    return docs.select(F.col(id_col).alias("id"), eval_once(toks).alias("toks"))
+    return _spread(docs, id_col, text_col).select(
+        "id", eval_once(toks).alias("toks"))
 
 
 def _doc_shingle_positions(tok_frame: DataFrame, n: int) -> DataFrame:

@@ -300,8 +300,8 @@ def batch_search_graphs_at_rest(
     live_indexed = sorted(set(info["segments"]) & current)
     legs = []
     if live_indexed:
-        blobs = spark.read.parquet(
-            *[os.path.join(tbl.path, p) for p in blob_paths(info)]
+        blobs = tbl._read_parquet_cached(
+            [os.path.join(tbl.path, p) for p in blob_paths(info)]
         ).where(F.col("seg").isin(live_indexed) & (F.length("blob") > 0))
 
         def probe(batches):
@@ -449,8 +449,8 @@ def search_graphs_at_rest(
     bq = spark.sparkContext.broadcast(q)
     legs = []
     if live_indexed:
-        blobs = spark.read.parquet(
-            *[os.path.join(tbl.path, p) for p in blob_paths(info)]
+        blobs = tbl._read_parquet_cached(
+            [os.path.join(tbl.path, p) for p in blob_paths(info)]
         ).where(F.col("seg").isin(live_indexed) & (F.length("blob") > 0))
 
         def probe(batches):

@@ -282,10 +282,19 @@ def batch_search(
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, qmat))
     # graph construction is the serial per-partition cost — spread a
-    # narrow input so builds run in parallel (util.ensure_parallelism)
-    from vecgo_spark.operators.util import ensure_parallelism
-
-    corpus = ensure_parallelism(corpus)
+    # narrow input so builds run in parallel. NOT util.ensure_parallelism
+    # (r14): its target changed to cores/4 for tokenize stages, but HERE
+    # the partition count determines which rows share a graph — i.e. the
+    # approximate RESULT ROWS — so the spread stays pinned at the
+    # original defaultParallelism target to keep this declared query's
+    # output bit-stable across rounds.
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_in = len(corpus.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file sources: assume narrow
+        n_in = 0
+    if n_in < target:
+        corpus = corpus.repartition(target)
     out_schema = "qid long, " + f"{id_col} long, score double"
 
     def part(batches):

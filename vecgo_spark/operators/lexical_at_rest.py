@@ -236,8 +236,8 @@ def _visible_rows(tbl, terms: list[str] | None, markers: bool,
 
     legs = []
     if live_indexed:
-        stored = tbl.spark.read.parquet(
-            *[os.path.join(tbl.path, p) for p in blob_paths(info)])
+        stored = tbl._read_parquet_cached(
+            [os.path.join(tbl.path, p) for p in blob_paths(info)])
         legs.append(pick(stored.where(F.col("_seg").isin(live_indexed))))
     delta = [s for s in man.segments if s.path not in set(info["segments"])]
     if include_pending:
@@ -476,7 +476,7 @@ def _stored_term_df(tbl, info, terms: list[str],
         return None
     live = {s.path for s in man.segments}
     rows = (
-        tbl.spark.read.parquet(*[os.path.join(tbl.path, r) for r in rels])
+        tbl._read_parquet_cached([os.path.join(tbl.path, r) for r in rels])
         .where(F.col("term").isin(terms) & F.col("_seg").isin(sorted(live)))
         .groupBy("term").agg(F.sum("df").alias("df"))
         .collect()

@@ -158,8 +158,8 @@ def stored_minhash_signatures(tbl, include_pending: bool = False) -> DataFrame:
     mcols = [f"m{i}" for i in range(info["num_hashes"])]
     legs = []
     if live_indexed:
-        stored = tbl.spark.read.parquet(
-            *[os.path.join(tbl.path, p) for p in blob_paths(info)])
+        stored = tbl._read_parquet_cached(
+            [os.path.join(tbl.path, p) for p in blob_paths(info)])
         legs.append(
             stored.where(F.col("_seg").isin(live_indexed))
             .select("id", "_lsn", *mcols))

@@ -696,9 +696,11 @@ def vocab_top_terms(
     Map-side partial agg + TakeOrdered; never a global sort of the
     vocabulary."""
     from vecgo_spark.operators.bm25 import tokenize_expr
+    from vecgo_spark.operators.util import ensure_parallelism
 
     return (
-        docs.select(F.explode(F.array_distinct(tokenize_expr(text_col))).alias("term"))
+        ensure_parallelism(docs.select(text_col))
+        .select(F.explode(F.array_distinct(tokenize_expr(text_col))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
@@ -748,8 +750,10 @@ def repetition_profile(
     from vecgo_spark.functions.hashing import eval_once
     from vecgo_spark.operators.bm25 import tokenize_expr
 
+    from vecgo_spark.operators.util import ensure_parallelism
+
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
-    stage1 = docs.select(
+    stage1 = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.size(lines).alias("_nl"),
         F.size(F.array_distinct(lines)).alias("_dl"),
@@ -914,7 +918,9 @@ def chunk_dedup(
     # eval_once: keep the token array an attribute so CollapseProject
     # can't inline the tokenizer into the per-chunk slice() (one
     # tokenizer copy per consumer otherwise; see hashing.eval_once)
-    toks = docs.select(
+    from vecgo_spark.operators.util import ensure_parallelism
+
+    toks = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         eval_once(tokenize_expr(F.col(text_col))).alias("toks"),
     ).withColumn("n_tokens", F.size("toks")).where(F.col("n_tokens") > 0)
@@ -1020,8 +1026,10 @@ def bigram_lm_score(
     # as simhash_pairs' persisted signatures).  Each call releases the
     # previous call's cache (bm25 stance), so a session scoring many
     # corpora holds at most one tokenized stream.
+    from vecgo_spark.operators.util import ensure_parallelism
+
     release_caches()
-    toks = docs.select(
+    toks = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), tokenize_expr(F.col(text_col)).alias("toks")
     ).persist()
     _CACHED.append(toks)
@@ -1433,10 +1441,13 @@ def tfidf_keywords(
     corpus_balance stance)."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
+    from vecgo_spark.operators.util import ensure_parallelism
+
     n_docs = docs.count()
     terms = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(tokenize_expr(text_col)).alias("term"))
+        ensure_parallelism(docs.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"),
+                F.explode(tokenize_expr(text_col)).alias("term"))
         .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))

@@ -507,8 +507,8 @@ def _visible_assigned(tbl, include_pending: bool = False) -> DataFrame:
     cols = ["id", "_lsn", "_seg", "cluster_id", "cent_cos"]
     legs = []
     if live_indexed:
-        stored = tbl.spark.read.parquet(
-            *[os.path.join(tbl.path, p) for p in blob_paths(info)])
+        stored = tbl._read_parquet_cached(
+            [os.path.join(tbl.path, p) for p in blob_paths(info)])
         legs.append(stored.where(F.col("_seg").isin(live_indexed))
                     .select(*cols).withColumn("_delta", F.lit(False)))
     delta = [s for s in man.segments if s.path not in set(info["segments"])]
@@ -612,8 +612,8 @@ def semdedup_pairs_at_rest(tbl, include_pending: bool = False) -> DataFrame:
     recompute = (dirty | (hot_build - hot_now)) - hot_now
     legs = []
     excl = sorted(hot_now | recompute)
-    stored = tbl.spark.read.parquet(
-        *[os.path.join(tbl.path, pairs_dir(p)) for p in blob_paths(info)])
+    stored = tbl._read_parquet_cached(
+        [os.path.join(tbl.path, pairs_dir(p)) for p in blob_paths(info)])
     if excl:
         stored = stored.where(~F.col("cluster_id").isin(excl))
     # endpoint visibility: a pair is live iff BOTH row versions are the

@@ -132,8 +132,8 @@ def stored_simhash_signatures(tbl) -> DataFrame:
     live_indexed = sorted(set(info["segments"]) & current)
     legs = []
     if live_indexed:
-        stored = tbl.spark.read.parquet(
-            *[os.path.join(tbl.path, p) for p in blob_paths(info)])
+        stored = tbl._read_parquet_cached(
+            [os.path.join(tbl.path, p) for p in blob_paths(info)])
         legs.append(
             stored.where(F.col("_seg").isin(live_indexed))
             .select("id", "_lsn", "simhash"))

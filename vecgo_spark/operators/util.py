@@ -22,11 +22,21 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster: a small parquet source
     arrives as 1-2 partitions, which would serialize any CPU-heavy
     per-partition stage (signature kernels, graph builds, regex
-    tokenizers); one tiny round-robin shuffle buys full parallelism. At
+    tokenizers); one tiny round-robin shuffle buys parallelism. At
     100 TB the input is already many partitions and this is a no-op.
     inputFiles() approximates scan width without df.rdd, which would
-    force a full RDD conversion of the plan just to read a count."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    force a full RDD conversion of the plan just to read a count.
+
+    Target = cores/4, not all cores (r14, measured): a spread stage
+    feeds several downstream stages, and per-stage task scheduling is
+    ~5-10 ms/task — shattering a few-MB source into one task per core
+    made EVERY downstream stage pay 32 launches for sub-100 ms of work
+    each (interleaved A/B across 9 tokenize-heavy queries: cores/4 ≈
+    cores/2 < {1 task, 1/core} — e.g. contamination 0.93 s @ cores/4 vs
+    1.89 s unspread vs 1.01 s @ 32; perplexity 1.26 vs 1.45 vs 1.63).
+    Guide §2.2's "fewer, larger partitions" at bench scale; scales with
+    the driver's core-count env, and real multi-split inputs skip it."""
+    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
     try:
         n_in = len(df.inputFiles())
     except Exception:  # noqa: BLE001 — non-file sources: assume narrow

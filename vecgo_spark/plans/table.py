@@ -174,6 +174,14 @@ class VectorTable:
         self._pending_tomb_stats: dict[str, Any] = {}
         self._observer = None
         self._sel_ema = None  # enable_adaptive_selectivity()
+        # (file-tuple) → reader DataFrame. Segment/tombstone files are
+        # write-once (uuid-named, never rewritten after publish), so the
+        # LAZY reader frame for a given file set is reusable across
+        # calls: spark.read.parquet costs ~80 ms of schema/footer work
+        # per call and serving paths build 2-3 of them per query. This
+        # caches plan METADATA only — every execution still scans the
+        # parquet files. Bounded; oldest evicted.
+        self._reader_cache: dict[tuple, DataFrame] = {}
 
     # ------------------------------------------------------------ lifecycle
 
@@ -653,11 +661,21 @@ class VectorTable:
 
     # --------------------------------------------------------------- read
 
+    def _read_parquet_cached(self, files: list[str]) -> DataFrame:
+        key = tuple(files)
+        df = self._reader_cache.get(key)
+        if df is None:
+            df = self.spark.read.parquet(*files)
+            if len(self._reader_cache) >= 64:
+                self._reader_cache.pop(next(iter(self._reader_cache)))
+            self._reader_cache[key] = df
+        return df
+
     def _segment_df(self, segments: list[SegmentMeta]) -> DataFrame | None:
         if not segments:
             return None
-        files = [os.path.join(self.path, s.path) for s in segments]
-        return self.spark.read.parquet(*files)
+        return self._read_parquet_cached(
+            [os.path.join(self.path, s.path) for s in segments])
 
     def _tombstones(self, include_pending: bool = False) -> DataFrame | None:
         tombs = list(self.manifest.tombstone_files)
@@ -665,8 +683,8 @@ class VectorTable:
             tombs += self._pending_tombs
         if not tombs:
             return None
-        files = [os.path.join(self.path, t) for t in tombs]
-        return self.spark.read.parquet(*files)
+        return self._read_parquet_cached(
+            [os.path.join(self.path, t) for t in tombs])
 
     def tomb_broadcastable(self, include_pending: bool = False) -> bool:
         """SIZE-GATED broadcast decision for the visibility anti-join.
