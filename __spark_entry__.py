@@ -2304,11 +2304,15 @@ def _docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist_grams=True → the corpus tokenizes ONCE: the c_raw count pass
     and the per-doc probe pass share the cached hashed-gram stream (two
     longs per gram), the same single-scan trade the exact-substring
-    pipeline makes (r10; release via pipeline.release_caches)."""
+    pipeline makes (r10; release via pipeline.release_caches).
+    r14: the target leg is the predicate form (target_pred) — the
+    English slice's counts come from a flag on the SAME gram stream, so
+    the slice is no longer tokenized a second time (bit-identical c_t;
+    see dsir_importance docstring)."""
     pipeline.release_caches()
     docs = load_table(spark, sf_dir, "documents")
-    return pipeline.dsir_importance(docs, docs.where(F.col("lang") == "en"),
-                                    n=2, persist_grams=True)
+    return pipeline.dsir_importance(docs, None, n=2, persist_grams=True,
+                                    target_pred=F.col("lang") == "en")
 
 
 def _sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:

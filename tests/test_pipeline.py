@@ -108,6 +108,28 @@ def test_exact_percentiles_empty(spark):
     assert exact_percentiles(df, "x", [0.5]).count() == 0
 
 
+def test_exact_percentiles_partition_count_sweep_exact(spark):
+    """r14: results must stay exact across partition counts from few to
+    far-more-than-needed, including duplicate-heavy data and lo/hi ranks
+    that straddle a partition boundary (many tiny range partitions make
+    boundary straddles near-certain) — the invariant any future
+    selection-plan change (e.g. a needed-pid filter) must preserve."""
+    import numpy as np
+
+    vals = [float(v) for v in ([5.0] * 40 + list(range(60)) + [42.0] * 17)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.01, 0.25, 0.5, 0.75, 0.999]
+    want = np.percentile(np.array(vals), [p * 100 for p in ps], method="linear")
+    for np_parts in (3, 16, 64):  # 64 partitions >> ~10 needed pids
+        got = {r["p"]: r["value"] for r in
+               exact_percentiles(df, "x", ps, n_partitions=np_parts).collect()}
+        for p, w in zip(ps, want):
+            assert got[p] == pytest.approx(float(w), abs=1e-9), (np_parts, p)
+        cached = getattr(exact_percentiles, "last_cached", None)
+        if cached is not None:
+            cached.unpersist()
+
+
 def test_range_search_matches_bruteforce(spark):
     rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(200)]
     df = spark.createDataFrame(rows, "id long, vector array<double>")
@@ -749,6 +771,31 @@ def test_dsir_persist_grams_identical_and_released(spark):
     assert pipeline._CACHED  # gram stream registered
     pipeline.release_caches()
     assert not pipeline._CACHED
+
+
+def test_dsir_target_pred_identical_single_stream(spark):
+    """r14: the predicate-target form (one flagged gram stream, no second
+    tokenize of the slice) must produce value-identical results to the
+    DataFrame-target form, with and without persist_grams, and reject
+    ambiguous target arguments."""
+    rows = [(i, f"tok{i % 5} tok{i % 3} tok{i % 7} common words here") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = F.col("doc_id") % 4 == 0
+    base = sorted(map(tuple, pipeline.dsir_importance(
+        docs, docs.where(pred), n=2, buckets=64).collect()))
+    got = sorted(map(tuple, pipeline.dsir_importance(
+        docs, None, n=2, buckets=64, target_pred=pred).collect()))
+    assert got == base
+    pipeline.release_caches()
+    got_p = sorted(map(tuple, pipeline.dsir_importance(
+        docs, None, n=2, buckets=64, persist_grams=True,
+        target_pred=pred).collect()))
+    assert got_p == base
+    pipeline.release_caches()
+    with pytest.raises(ValueError, match="exactly one"):
+        pipeline.dsir_importance(docs, docs.where(pred), target_pred=pred)
+    with pytest.raises(ValueError, match="exactly one"):
+        pipeline.dsir_importance(docs, None)
 
 
 def test_tfidf_keywords_python_model(spark):

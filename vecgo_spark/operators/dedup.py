@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
@@ -115,7 +115,10 @@ NUM_HASHES = 16
 NUM_BANDS = 4  # 4 rows per band
 
 
-def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _doc_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int,
+    flag: Column | None = None,
+) -> DataFrame:
     """(id, shingle) distinct — pure Column HOFs (split → sliding
     concat_ws windows → array_distinct → explode). JVM-side whole-stage
     codegen: ~5× the warm throughput of the Arrow/Python loop this
@@ -133,13 +136,31 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     r14: the (id, text) projection is spread first (ensure_parallelism —
     a no-op when the scan already has enough splits): a single-file
     source arrives as ONE partition, so the tokenize+shingle+hash stage
-    AND the first partial aggregation above it ran on one core."""
+    AND the first partial aggregation above it ran on one core.
+
+    ``flag`` (optional) is a per-row predicate Column over ``docs``
+    carried through as boolean ``_t`` — it lets a caller that needs both
+    an all-docs gram stream AND a filtered-subset stream (DSIR's raw vs
+    target legs) tokenize ONCE and filter the flag afterwards, instead
+    of paying a second tokenize pass over the subset. Per-row semantics
+    are unchanged: filtering ``_t`` after the explode yields exactly the
+    grams of ``docs.where(flag)``."""
     from vecgo_spark.functions.hashing import eval_once
 
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"[\x00-\x20]+"), lambda t: t != F.lit("")
     )
-    d = _spread(docs, id_col, text_col).select("id", eval_once(toks).alias("toks"))
+    if flag is None:
+        d = _spread(docs, id_col, text_col)
+        carry: list[str] = []
+    else:
+        from vecgo_spark.operators.util import ensure_parallelism
+
+        d = ensure_parallelism(docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+            flag.alias("_t")))
+        carry = ["_t"]
+    d = d.select("id", *carry, eval_once(toks).alias("toks"))
     win = F.size("toks") - (n - 1)
     sh = F.when(
         win >= 1,
@@ -148,7 +169,7 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
             lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return d.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return d.select("id", *carry, F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(

@@ -21,7 +21,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from vecgo_spark.functions.hashing import stable_hash64, stable_hash64_sql
@@ -396,12 +396,13 @@ DSIR_BUCKETS = 4096
 
 def dsir_importance(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     n: int = 2,
     buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_grams: bool = False,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023) over
     hashed n-gram features: per document, the log importance weight
@@ -427,7 +428,16 @@ def dsir_importance(
     Exactness: counts are exact integers, each bucket's log-ratio is a
     deterministic double, and the per-doc cross-row sum is round(·, 6) —
     reassociation error ~1e-12, far inside the rounding absorption (the
-    bigram-LM stance)."""
+    bigram-LM stance).
+
+    ``target_pred`` (r14, mutually exclusive with ``target``): when the
+    target domain is a predicate SLICE of ``docs`` — the common DSIR
+    deployment (select raw web docs that look like the curated slice) —
+    pass the predicate Column instead of a second DataFrame. The target
+    leg then filters a per-gram flag carried through the ONE gram stream
+    rather than tokenizing the slice a second time: c_t is bit-identical
+    (per-row gram sets don't depend on other rows) and a full
+    tokenize+shingle+hash pass over the slice disappears at any scale."""
 
     def grams(df: DataFrame) -> DataFrame:
         # distinct grams per doc (the _doc_shingles unit) — a presence
@@ -436,12 +446,26 @@ def dsir_importance(
         sh = _doc_shingles(df, id_col, text_col, n)
         return sh.select("id", F.pmod(stable_hash64("shingle"), F.lit(buckets)).alias("b"))
 
-    raw = grams(docs)
-    if persist_grams:
-        raw = raw.persist()
-        _CACHED.append(raw)
-    c_r = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    c_t = grams(target).groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "dsir_importance: pass exactly one of target / target_pred")
+    if target_pred is not None:
+        flagged = _doc_shingles(docs, id_col, text_col, n, flag=target_pred).select(
+            "id", F.pmod(stable_hash64("shingle"), F.lit(buckets)).alias("b"), "_t")
+        if persist_grams:
+            flagged = flagged.persist()
+            _CACHED.append(flagged)
+        raw = flagged.select("id", "b")
+        c_r = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+        c_t = (flagged.where(F.col("_t"))
+               .groupBy("b").agg(F.count(F.lit(1)).alias("c_t")))
+    else:
+        raw = grams(docs)
+        if persist_grams:
+            raw = raw.persist()
+            _CACHED.append(raw)
+        c_r = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+        c_t = grams(target).groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
     n_r = c_r.agg(F.sum("c_r").alias("n_r"))
     n_t = c_t.agg(F.sum("c_t").alias("n_t"))
     # dense B-row weight table: log p_t(b) − log p_r(b), add-one smoothed
@@ -999,9 +1023,11 @@ def bigram_lm_score(
     entropy oracle).
 
     Scale posture: one groupBy over bigram instances for C12 (map-side
-    combine), a projection of it for C1, joined back over the instance
-    stream, then one groupBy(id). Docs with <2 tokens have no bigrams
-    and drop out.  The count-table joins are NOT hint-forced broadcasts:
+    combine); C1 and the vocab size are attached at COUNT-TABLE scale
+    (a window over the c12 aggregate + a one-row broadcast) to form a
+    single (w1, w2, lw) weight table, so the instance stream pays ONE
+    join, then one groupBy(id). Docs with <2 tokens have no bigrams
+    and drop out.  The weight-table join is NOT a hint-forced broadcast:
     the bigram table grows with corpus vocabulary (unbounded at web
     scale — a hardcoded broadcast OOMs the driver there), so the default
     `broadcast_counts=None` leaves the strategy to Catalyst/AQE, which
@@ -1042,24 +1068,30 @@ def bigram_lm_score(
         )).alias("bg"),
     ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = toks.select(F.explode("toks").alias("t")).agg(
         F.countDistinct("t").alias("v"))
+    # r14: pre-combine the counts into ONE (w1, w2, lw) weight table so
+    # the bigram-INSTANCE stream is joined once, not twice. C1 = Σ c12
+    # per w1 comes from a window over the c12 aggregate (one
+    # count-table-sized exchange, replacing the groupBy + second
+    # instance join); per-instance lw is the identical double (same
+    # exact integer counts, same log2 expression), and the per-doc sum
+    # is round(·, 8) — the documented reassociation absorption.
+    c1 = F.sum("c12").over(Window.partitionBy("w1"))
     logp = F.log2((F.col("c12") + F.lit(1)).cast("double")
-                  / (F.col("c1") + F.col("v")).cast("double"))
-    if broadcast_counts is True:
-        c12, c1 = F.broadcast(c12), F.broadcast(c1)
-    elif broadcast_counts is False:
-        c12 = c12.hint("shuffle_merge")
-        c1 = c1.hint("shuffle_merge")
+                  / (c1 + F.col("v")).cast("double"))
     # vocab stays a hinted broadcast: it is ONE row by construction
+    w = (c12.crossJoin(F.broadcast(vocab))
+         .select("w1", "w2", logp.alias("lw")))
+    if broadcast_counts is True:
+        w = F.broadcast(w)
+    elif broadcast_counts is False:
+        w = w.hint("shuffle_merge")
     return (
-        bi.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .crossJoin(F.broadcast(vocab))
+        bi.join(w, ["w1", "w2"])
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.sum(logp).alias("s"))
+             F.sum("lw").alias("s"))
         .select("id", "n_bigrams",
                 F.round(-F.col("s") / F.col("n_bigrams").cast("double"), 8)
                 .alias("bits_per_token"))

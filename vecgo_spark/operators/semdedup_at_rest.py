@@ -600,14 +600,18 @@ def semdedup_pairs_at_rest(tbl, include_pending: bool = False) -> DataFrame:
                    if max_cluster is not None and n > max_cluster}
         dirty = set()
     else:
+        # ONE ≤ nlist-row aggregate job gives both classifications
+        # (r14: this was two separate jobs — a sizes collect plus a
+        # dirty-clusters distinct — each a full pass over the
+        # visibility-joined frame)
         sizes = A.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias("n")).collect()  # ≤ nlist rows
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("_delta").cast("int")).alias("d")).collect()
         hot_now = {int(r["cluster_id"]) for r in sizes
                    if r["cluster_id"] is not None
                    and max_cluster is not None and r["n"] > max_cluster}
-        dirty = {int(r["cluster_id"]) for r in A.where(F.col("_delta"))
-                 .select("cluster_id").distinct().collect()
-                 if r["cluster_id"] is not None}
+        dirty = {int(r["cluster_id"]) for r in sizes
+                 if r["cluster_id"] is not None and r["d"] == 1}
     hot_build = set(int(c) for c in info.get("hot_clusters") or [])
     recompute = (dirty | (hot_build - hot_now)) - hot_now
     legs = []
@@ -625,6 +629,15 @@ def semdedup_pairs_at_rest(tbl, include_pending: bool = False) -> DataFrame:
     # test SF but degrades to shuffling the corpus twice at 100 TB.
     # Oversized pair lists (low thresholds) fall back to SMJ by the same
     # statistics — never a forced broadcast of an unbounded frame.
+    # (r14, measured and REJECTED: a single-pass variant — explode both
+    # endpoints of the pair list, one inner join against A, group by the
+    # full (id_a, lsn_a, id_b, lsn_b) row key having both endpoints
+    # matched — streams A once instead of twice, but its extra
+    # matched-endpoint aggregate exchange cost MORE than the saved
+    # stream at every fixture state incl. churned: interleaved A/B
+    # pairs 0.32→0.46 s, clusters 0.77→1.15 s, churned 0.83→0.95/0.99 s.
+    # Revisit only behind a state-conditioned branch if A's recompute
+    # cost ever dominates serving.)
     vis = A.select("id", "_lsn")
     stored = (
         stored.join(vis.select(F.col("id").alias("id_a"),

@@ -306,6 +306,16 @@ def exact_percentiles(
     no driver collect of data rows; survives 100 TB because every window
     is per-partition and the offset table has one row per partition.
 
+    (r14, measured and REJECTED: filtering the windowed frame to only
+    the ≤2·|ps| partitions that contain a target rank — derived in-plan
+    from the count aggregate — is the right sort-work bound at scale,
+    but the extra broadcast dependency chain (counts → needed-pid
+    nested-loop join → probe) serialized job legs that previously
+    pipelined and cost +10-60% at bench SF in three consecutive
+    interleaved A/B rounds (1.82→2.98, 1.51→1.94, 1.49→1.67 s).
+    Revisit if the per-partition sort ever dominates: the correct form
+    needs the pid set known before the job, not as a broadcast leg.)
+
     ONE job over the data (the selection) — the target ranks are derived
     IN-PLAN from the partition-count aggregate of the already-persisted
     range frame, so there is no separate COUNT(*) pass over the input
