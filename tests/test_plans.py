@@ -490,3 +490,46 @@ def test_simhash_stored_pairs_no_tokenizer(spark, tmp_path):
     assert "split(" not in plan
     assert "text#" not in plan
     assert "Python" not in plan
+
+
+def test_load_table_reader_cache_identity_and_laziness(spark, sf_dir):
+    """r14: load_table memoizes the LAZY reader per (session, dir, table)
+    — repeat builds must not re-pay parquet schema/footer resolution —
+    while staying plan-metadata-only: the cached frame re-executes
+    against the files every action, and the events normalization is
+    cached post-transform (ts stays a session TIMESTAMP)."""
+    a = load_table(spark, sf_dir, "documents")
+    b = load_table(spark, sf_dir, "documents")
+    assert a is b  # cache hit: the identical lazy plan object
+    assert load_table(spark, sf_dir, "orders") is not a
+    ev1 = load_table(spark, sf_dir, "events")
+    ev2 = load_table(spark, sf_dir, "events")
+    assert ev1 is ev2
+    assert dict(ev1.dtypes)["ts"] == "timestamp"
+    # the cached object is unexecuted: every action still runs the scan
+    assert a.count() == b.count() > 0
+
+
+def test_vector_table_reader_cache_shared_across_opens(spark, tmp_path):
+    """r14: the segment reader cache is module-level (applicationId +
+    write-once file set), so re-OPENING a table — what serving entry
+    points do per query — reuses the resolved reader instead of paying
+    schema/footer resolution again; a commit that adds a segment changes
+    the file set and therefore misses to a fresh reader."""
+    from vecgo_spark.plans.table import VectorTable
+
+    t = VectorTable.create(spark, str(tmp_path / "trdrcache"), dim=None)
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string"))
+    t.commit()
+    t1 = VectorTable.open(spark, str(tmp_path / "trdrcache"))
+    t2 = VectorTable.open(spark, str(tmp_path / "trdrcache"))
+    d1 = t1._segment_df(list(t1.manifest.segments))
+    d2 = t2._segment_df(list(t2.manifest.segments))
+    assert d1 is d2  # shared across instances of the same session
+    t2w = VectorTable.open(spark, str(tmp_path / "trdrcache"))
+    t2w.insert(spark.createDataFrame([(3, "c")], "id long, text string"))
+    t2w.commit()
+    t3 = VectorTable.open(spark, str(tmp_path / "trdrcache"))
+    d3 = t3._segment_df(list(t3.manifest.segments))
+    assert d3 is not d1  # new file set → new reader
+    assert d3.count() == 3  # and it reads the new segment's rows

@@ -160,6 +160,11 @@ def _widens_to(src: str, dst: str) -> bool:
     return False
 
 
+# (applicationId, *files) → lazy reader DataFrame, shared across
+# VectorTable instances — see _read_parquet_cached for the contract.
+_READER_CACHE: dict[tuple, DataFrame] = {}
+
+
 class VectorTable:
     """A versioned vector collection. One instance == one pinned snapshot
     plus (for the latest version) write ability."""
@@ -174,14 +179,11 @@ class VectorTable:
         self._pending_tomb_stats: dict[str, Any] = {}
         self._observer = None
         self._sel_ema = None  # enable_adaptive_selectivity()
-        # (file-tuple) → reader DataFrame. Segment/tombstone files are
-        # write-once (uuid-named, never rewritten after publish), so the
-        # LAZY reader frame for a given file set is reusable across
-        # calls: spark.read.parquet costs ~80 ms of schema/footer work
-        # per call and serving paths build 2-3 of them per query. This
-        # caches plan METADATA only — every execution still scans the
-        # parquet files. Bounded; oldest evicted.
-        self._reader_cache: dict[tuple, DataFrame] = {}
+        # key prefix for the MODULE-LEVEL reader cache (see
+        # _READER_CACHE): computed once per open — applicationId scopes
+        # entries to a live SparkContext, so a stopped/restarted session
+        # can never serve another session's JVM-side plan objects.
+        self._reader_key = spark.sparkContext.applicationId
 
     # ------------------------------------------------------------ lifecycle
 
@@ -662,13 +664,23 @@ class VectorTable:
     # --------------------------------------------------------------- read
 
     def _read_parquet_cached(self, files: list[str]) -> DataFrame:
-        key = tuple(files)
-        df = self._reader_cache.get(key)
+        # Module-level (r14): the cache was per-VectorTable-instance, but
+        # serving entry points re-OPEN the table per query (one pinned
+        # snapshot per instance — the honest serving model), so every
+        # query paid the ~80 ms spark.read.parquet schema/footer
+        # resolution again for the same write-once file set. Keyed by
+        # (applicationId, file tuple): segment/tombstone/blob files are
+        # uuid-named and never rewritten after publish, so the LAZY
+        # reader frame is identical for every instance of a live
+        # session. Plan METADATA only — every execution still scans the
+        # parquet files. Bounded; oldest evicted.
+        key = (self._reader_key, *files)
+        df = _READER_CACHE.get(key)
         if df is None:
             df = self.spark.read.parquet(*files)
-            if len(self._reader_cache) >= 64:
-                self._reader_cache.pop(next(iter(self._reader_cache)))
-            self._reader_cache[key] = df
+            if len(_READER_CACHE) >= 256:
+                _READER_CACHE.pop(next(iter(_READER_CACHE)))
+            _READER_CACHE[key] = df
         return df
 
     def _segment_df(self, segments: list[SegmentMeta]) -> DataFrame | None:
