@@ -30,8 +30,17 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vecgo_spark.functions.vector import _dlit_sql
+
 K1 = 1.2
 B = 0.75
+
+
+def _sql_str(s: str) -> str:
+    """One SQL string literal. Backslash-escaped (Spark's default,
+    non-ANSI-escape string parsing) so arbitrary token bytes — quotes
+    and backslashes included — round-trip to the identical string."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 # cached frames from the LAST query (tokenize is the expensive stage and
 # is shared between the stats agg and the scoring pass of one query).
@@ -146,21 +155,22 @@ def bm25_score(
     src = _spread_src(docs)
     toks = src.select(F.col(id_col).alias("id"), tokenize_expr(text_col).alias("toks"))
 
-    def _eq(term: str):
-        # NOTE: a `lambda x, t=t:` default-arg closure would make F.filter
-        # treat the lambda as its (element, index) two-arg form
-        return lambda x: x == F.lit(term)
-
-    per = _cache(toks.select(
+    # r14: the per-term tf columns, the df aggregates and the score fold
+    # below are each built as ONE parsed SQL string (the isin_longs /
+    # double_array_expr discipline): the Column-op form paid ~15 py4j
+    # round-trips per query term per build (~0.3-0.4 s for a 5-term
+    # query), while F.expr parses to the IDENTICAL trees JVM-side.
+    per = _cache(toks.selectExpr(
         "id",
-        F.size("toks").alias("dl"),
-        *[F.size(F.filter("toks", _eq(t))).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        "size(toks) AS dl",
+        *[f"size(filter(toks, x -> x = {_sql_str(t)})) AS tf_{i}"
+          for i, t in enumerate(terms)],
     ))
 
     row = per.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("total"),
-        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        *[F.expr(f"sum(CAST((tf_{i} > 0) AS BIGINT)) AS df_{i}")
           for i in range(len(terms))],
     ).first()
     n_docs = int(row["n"])
@@ -173,19 +183,24 @@ def bm25_score(
         return spark.createDataFrame([], "id long, score double")
     n = float(n_docs)
 
-    score = F.lit(0.0)
+    # same left-fold as the Column form: ((0.0 + c_0) + c_1) + ... with
+    # every double literal in IEEE shortest-round-trip form (_dlit_sql),
+    # so the per-row sum is the identical op sequence bit-for-bit
+    parts = []
     for i, t in enumerate(terms):
         df_t = int(row[f"df_{i}"] or 0)
         idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
-        tf = F.col(f"tf_{i}").cast("double")
-        dl = F.col("dl").cast("double")
-        contrib = F.lit(float(qterms[t])) * (
-            F.lit(idf)
-            * ((tf * F.lit(K1 + 1.0)) / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / avg_dl) * dl))
+        contrib = (
+            f"{_dlit_sql(float(qterms[t]))} * ({_dlit_sql(idf)} * "
+            f"((CAST(tf_{i} AS DOUBLE) * {_dlit_sql(K1 + 1.0)}) / "
+            f"(CAST(tf_{i} AS DOUBLE) + {_dlit_sql(K1 * (1.0 - B))} + "
+            f"{_dlit_sql(K1 * B / avg_dl)} * CAST(dl AS DOUBLE))))"
         )
-        score = score + F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(F.lit(0.0))
+        parts.append(f"CASE WHEN tf_{i} > 0 THEN {contrib} ELSE 0.0D END")
+    score_sql = " + ".join(["0.0D", *parts])
 
-    return per.select("id", score.alias("score")).where(F.col("score") > 0.0)
+    return (per.selectExpr("id", f"({score_sql}) AS score")
+            .where(F.col("score") > 0.0))
 
 
 def bm25_search(

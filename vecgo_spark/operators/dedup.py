@@ -144,12 +144,14 @@ def _doc_shingles(
     target legs) tokenize ONCE and filter the flag afterwards, instead
     of paying a second tokenize pass over the subset. Per-row semantics
     are unchanged: filtering ``_t`` after the explode yields exactly the
-    grams of ``docs.where(flag)``."""
-    from vecgo_spark.functions.hashing import eval_once
+    grams of ``docs.where(flag)``.
 
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"[\x00-\x20]+"), lambda t: t != F.lit("")
-    )
+    r14 (2nd batch): both projections are single-parse selectExpr
+    strings — proven `sameSemantics` with the Column-HOF form they
+    replace (the CASE WHEN spark_partition_id() ≥ 0 text IS the
+    eval_once barrier) — because the Column form cost ~30 py4j
+    round-trips per call and this runs 1-2× in every shingle-family
+    query build."""
     if flag is None:
         d = _spread(docs, id_col, text_col)
         carry: list[str] = []
@@ -160,16 +162,18 @@ def _doc_shingles(
             F.col(id_col).alias("id"), F.col(text_col).alias("text"),
             flag.alias("_t")))
         carry = ["_t"]
-    d = d.select("id", *carry, eval_once(toks).alias("toks"))
-    win = F.size("toks") - (n - 1)
-    sh = F.when(
-        win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(win, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select("id", *carry, F.explode(F.array_distinct(sh)).alias("shingle"))
+    d = d.selectExpr(
+        "id", *carry,
+        "CASE WHEN (spark_partition_id() >= 0) THEN "
+        "filter(split(lower(text), '[\\\\x00-\\\\x20]+'), t -> t != '') "
+        "END AS toks")
+    w = f"(size(toks) - {n - 1})"
+    sh = (f"CASE WHEN {w} >= 1 THEN "
+          f"transform(sequence(1, greatest({w}, 1)), "
+          f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+          f"ELSE CAST(array() AS ARRAY<STRING>) END")
+    return d.selectExpr(
+        "id", *carry, f"explode(array_distinct({sh})) AS shingle")
 
 
 def minhash_signatures(
