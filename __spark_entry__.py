@@ -558,7 +558,8 @@ def _knn_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantizer.go:26-160)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    params = sqz.train_scalar(emb, "embedding", levels=255)
+    params = sqz.train_scalar(emb, "embedding", levels=255,
+                               cache_key=f"{sf_dir}:embeddings")
     scored = emb.select(
         "vec_id",
         sqz.adc_sq_l2(params, q, sqz.encode(params, "embedding")).alias("score"),
@@ -572,7 +573,8 @@ def _knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank pass search.go:913-965)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    params = sqz.train_scalar(emb, "embedding", levels=255)
+    params = sqz.train_scalar(emb, "embedding", levels=255,
+                               cache_key=f"{sf_dir}:embeddings")
     coarse = (
         emb.select("vec_id", sqz.adc_sq_l2(params, q, sqz.encode(params, "embedding")).alias("score"))
         .orderBy(F.col("score").asc(), F.col("vec_id").asc())
@@ -585,7 +587,8 @@ def _knn_int4_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT4 (4-bit) quantized scan (int4.go:11-120)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    params = sqz.train_scalar(emb, "embedding", levels=15)
+    params = sqz.train_scalar(emb, "embedding", levels=15,
+                               cache_key=f"{sf_dir}:embeddings")
     scored = emb.select(
         "vec_id",
         sqz.adc_sq_l2(params, q, sqz.encode(params, "embedding")).alias("score"),
@@ -637,7 +640,15 @@ def _knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ: 8 sub-codebooks × 256 centroids, ADC table scoring + exact
     rerank (pq.go:20-500). Training is deterministic (ORDER BY id sample +
     seeded Lloyd's), so the DuckDB oracle re-trains the identical codebooks
-    and runs encode+ADC+top-k with bit-equal fold arithmetic."""
+    and runs encode+ADC+top-k with bit-equal fold arithmetic.
+
+    (r14, measured and REJECTED for the whole ADC/rerank family:
+    ensure_parallelism on the embeddings source before the coarse scan —
+    the tokenize-family spread — LOSES here: interleaved best-of-5
+    pq 0.60→0.72 s, sq8 0.47→0.53 s; the repartition shuffle of raw
+    vectors costs more than the single-task ADC compute it parallelizes
+    at bench scale. Rows proven identical both ways. At real scale the
+    source has many splits and the question is moot.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     pq = pqz.train_pq(emb, "embedding", m=8, k=256, iters=8, max_train_rows=20_000,
@@ -787,7 +798,8 @@ def _ann_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = ivf.train_ivf(emb, "embedding", nlist=8, max_iter=10, trainer="driver",
                           max_train_rows=20_000, order_col="vec_id",
                           cache_key=f"{sf_dir}:embeddings:ivf8")
-    params = sqz.train_scalar(emb, "embedding", levels=255)
+    params = sqz.train_scalar(emb, "embedding", levels=255,
+                               cache_key=f"{sf_dir}:embeddings")
     pruned = ivf.assign(emb, model, "embedding").where(
         F.col("cluster_id").isin(ivf.probe_clusters(model, q, 3))
     )
@@ -1502,7 +1514,19 @@ def _docs_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """r14: n_rows comes from the parquet footer (the oracle-harness
+    pattern) — the operator's auto strategy pick needed only a row
+    count, yet computing it as emb.count() ran a full extra Spark job
+    per build; the source here is the raw immutable table, so the
+    footer number IS the exact count."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(
+        _os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    return dedup.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_rows=n)
 
 
 # (session-id, sf_dir) → persisted (doc, canonical).  Keyed by session

@@ -46,8 +46,25 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42, metric: str = "cos
 
 
 def bucket_expr(model: LSHPlanes, vector_col: Column | str) -> Column:
-    """INT bucket id: bit i (MSB-first) set iff ⟨plane_i, v⟩ > 0."""
-    v = (F.col(vector_col) if isinstance(vector_col, str) else vector_col).cast("array<double>")
+    """INT bucket id: bit i (MSB-first) set iff ⟨plane_i, v⟩ > 0.
+
+    Built as ONE parsed SQL string when the input is a column name
+    (r14, `sameSemantics`-proven vs the Column-op loop it replaces):
+    the per-plane zip_with/aggregate Column construction cost ~10 py4j
+    round-trips per plane per query build."""
+    if isinstance(vector_col, str):
+        from vecgo_spark.functions.vector import _dlit_sql
+
+        v = f"CAST(`{vector_col}` AS ARRAY<DOUBLE>)"
+        parts = ["0"]
+        for i, plane in enumerate(model.planes):
+            arr = "array(" + ",".join(_dlit_sql(float(x)) for x in plane) + ")"
+            d = (f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+                 f"0.0D, (acc, x) -> acc + x)")
+            w = 1 << (model.n_planes - 1 - i)
+            parts.append(f"CASE WHEN {d} > 0.0D THEN {w} ELSE 0 END")
+        return F.expr("CAST((" + " + ".join(parts) + ") AS INT)")
+    v = vector_col.cast("array<double>")
     out = F.lit(0)
     for i, plane in enumerate(model.planes):
         lit_p = vfn.double_array_expr(plane)
@@ -114,6 +131,10 @@ def search(
     bucket_col: str = "lsh_bucket",
 ) -> DataFrame:
     probes = probe_buckets(model, query, multiprobe)
-    pruned = df_assigned.where(F.col(bucket_col).isin(probes))
+    # one parsed IN list (r14): multiprobe=2 over 10 planes is 56
+    # bucket ids — per-element isin literals cost ~0.5 ms each
+    from vecgo_spark.operators.util import isin_longs
+
+    pruned = df_assigned.where(isin_longs(bucket_col, probes))
     return knn.search(pruned, list(query), k=k, metric=model.metric, filter=filter,
                       id_col=id_col, vector_col=vector_col)

@@ -1469,22 +1469,27 @@ def tfidf_keywords(
     vocabulary-sized df aggregate joined back on term (AQE-decided; a
     stopword's join fan-out is linear in its occurrences), and a per-doc
     rank window bounded by the doc's distinct-term count — WindowGroupLimit
-    keeps it map-side.  N is one driver count (O(1) result, the
-    corpus_balance stance)."""
+    keeps it map-side.  N rides the plan as a one-row count aggregate of
+    the source crossed onto the vocabulary-sized df table (r14: it was a
+    separate driver-side docs.count() — an extra serialized job at bench
+    SF and an extra full pass at any scale; count→double is exact, ln()
+    sees the identical operand, and the rounded score is bit-unchanged —
+    the stats_percentiles in-plan-targets recipe)."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
     from vecgo_spark.operators.util import ensure_parallelism
 
-    n_docs = docs.count()
+    n_tbl = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     terms = (
         ensure_parallelism(docs.select(id_col, text_col))
         .select(F.col(id_col).alias("id"),
                 F.explode(tokenize_expr(text_col)).alias("term"))
         .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    dfreq = (terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+             .crossJoin(F.broadcast(n_tbl)))
     score = F.round(
-        F.ln(F.lit(float(n_docs)) / F.col("doc_freq").cast("double"))
+        F.ln(F.col("_n") / F.col("doc_freq").cast("double"))
         * F.col("tf").cast("double"), 6)
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (

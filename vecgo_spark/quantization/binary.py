@@ -66,8 +66,11 @@ def pack_bits(vector_col: Column | str, dim: int, threshold: float = 0.0) -> Col
     v = (F.col(vector_col) if isinstance(vector_col, str) else vector_col).cast("array<double>")
     thr = F.lit(float(threshold))
     # MSB-first weights 2^31..2^0 as a literal array (shiftleft takes only
-    # int literals, not Columns)
-    weights = F.array(*[F.lit(1 << (WORD_BITS - 1 - j)).cast("bigint") for j in range(WORD_BITS)])
+    # int literals, not Columns); ONE parsed SQL string (r14) — the
+    # per-element F.lit form cost ~64 py4j round-trips per query build
+    from vecgo_spark.functions.vector import long_array_expr
+
+    weights = long_array_expr([1 << (WORD_BITS - 1 - j) for j in range(WORD_BITS)])
 
     def word(w: Column) -> Column:
         def term(acc: Column, j: Column) -> Column:

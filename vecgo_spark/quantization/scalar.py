@@ -44,12 +44,35 @@ class ScalarParams:
         return tuple(mx - mn for mn, mx in zip(self.mins, self.maxs))
 
 
+# trained-params cache — the train_ivf/train_pq amortization (r13)
+# applied to the remaining per-query trainer (r14): the reference trains
+# quantizers at segment build (quantizer.go via compaction), NOT per
+# query, yet every SQ8/INT4 query build re-ran the O(corpus·dim)
+# min/max reduce. Keyed by caller corpus key + hyperparameters; bounded.
+_PARAMS_CACHE: dict[str, "ScalarParams"] = {}
+PARAMS_CACHE_CAP = 128
+
+
 def train_scalar(
-    df: DataFrame, vector_col: str, levels: int = 255, sample_fraction: float | None = None
+    df: DataFrame, vector_col: str, levels: int = 255,
+    sample_fraction: float | None = None,
+    cache_key: str | None = None, scope: str | None = None,
 ) -> ScalarParams:
     """Per-dim min/max via one distributed reduce (Train,
     quantizer.go:129-160 / int4.go:29-64). min/max of float32 widened to
-    double is exact, so the trained params are engine-independent."""
+    double is exact, so the trained params are engine-independent.
+
+    `cache_key` / `scope`: identical contract to train_ivf/train_pq —
+    hyperparameters ride the key, lookups land in the CacheStats ledger
+    (per-table when the caller is a table)."""
+    if cache_key is not None:
+        from vecgo_spark import cache_stats
+
+        cache_key = f"{cache_key}|sq:l{levels}:f{sample_fraction}"
+        cache_stats.record("sq_params", cache_key in _PARAMS_CACHE,
+                           scope=scope)
+        if cache_key in _PARAMS_CACHE:
+            return _PARAMS_CACHE[cache_key]
     src = df.sample(sample_fraction, seed=42) if sample_fraction else df
     rows = (
         src.select(F.posexplode(F.col(vector_col).cast("array<double>")).alias("dim", "x"))
@@ -63,7 +86,12 @@ def train_scalar(
     if levels == 255:
         # constant-dim rule, quantizer.go:168-171
         maxs = [mn + 1e-6 if mx == mn else mx for mn, mx in zip(mins, maxs)]
-    return ScalarParams(mins=tuple(mins), maxs=tuple(maxs), levels=levels)
+    out = ScalarParams(mins=tuple(mins), maxs=tuple(maxs), levels=levels)
+    if cache_key is not None:
+        while len(_PARAMS_CACHE) >= PARAMS_CACHE_CAP:
+            _PARAMS_CACHE.pop(next(iter(_PARAMS_CACHE)))
+        _PARAMS_CACHE[cache_key] = out
+    return out
 
 
 def _lit_arr(vals) -> Column:
