@@ -1513,6 +1513,36 @@ def _docs_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_windows=True)
 
 
+def _footer_minmax(sf_dir: str, table: str, col: str) -> tuple[float, float] | None:
+    """Exact (min, max) of a raw numeric column from the parquet FOOTER —
+    zero data passes (the _embedding_neardup n_rows pattern). Returns
+    None when any row group lacks min/max stats; callers fall back to
+    the sampling path. Bounds feed exact_percentiles(bounds=), whose
+    results are bounds-independent (weakly monotone bucket id) — footer
+    accuracy only buys partition balance."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(_os.path.join(sf_dir, f"{table}.parquet")).metadata
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        st = None
+        for ci in range(row_group.num_columns):
+            c = row_group.column(ci)
+            if c.path_in_schema == col:
+                st = c.statistics
+                break
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return (float(lo), float(hi))
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: n_rows comes from the parquet footer (the oracle-harness
     pattern) — the operator's auto strategy pick needed only a row
@@ -1648,11 +1678,16 @@ def _docs_length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     (the bigram_lm_score pattern): releasing after building would
     unpersist the not-yet-materialized frame this plan depends on — the
     persist exists because spark_partition_id() is non-deterministic
-    across re-executions (r8 review fix)."""
+    across re-executions (r8 review fix).
+
+    r14: footer min/max bounds swap the range shuffle for a deterministic
+    bucket key — no sample pass, no persist (the release_caches() entry
+    call stays for the fallback path)."""
     stats.release_caches()
     return stats.grouped_percentiles(
         load_table(spark, sf_dir, "documents"), "source", "n_chars",
-        [0.25, 0.5, 0.9, 0.99])
+        [0.25, 0.5, 0.9, 0.99],
+        bounds=_footer_minmax(sf_dir, "documents", "n_chars"))
 
 
 def _docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2252,10 +2287,15 @@ def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-7 percentiles of o_totalprice via distributed selection
-    (range repartition + bounded per-partition windows; stats.py
-    exact_percentiles) — the exact twin of approx_percentile at rest."""
+    (bounded per-bucket windows; stats.py exact_percentiles) — the exact
+    twin of approx_percentile at rest. r14: the bucket key comes from the
+    parquet footer min/max (zero-pass exact bounds on the raw column), so
+    the plan pays neither repartitionByRange's sample scan nor the
+    persist the nondeterministic spark_partition_id key required."""
     orders = load_table(spark, sf_dir, "orders")
-    return stats.exact_percentiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+    return stats.exact_percentiles(
+        orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99],
+        bounds=_footer_minmax(sf_dir, "orders", "o_totalprice"))
 
 
 def _knn_range(spark: SparkSession, sf_dir: str) -> DataFrame:

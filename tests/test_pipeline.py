@@ -106,6 +106,47 @@ def test_exact_percentiles_vs_numpy(spark):
 def test_exact_percentiles_empty(spark):
     df = spark.createDataFrame([], "x double")
     assert exact_percentiles(df, "x", [0.5]).count() == 0
+    assert exact_percentiles(df, "x", [0.5], bounds=(0.0, 1.0)).count() == 0
+
+
+def test_exact_percentiles_bounds_path(spark):
+    """r14 bounds= path: a known (lo, hi) swaps the range shuffle for a
+    deterministic equi-width bucket key — results must be IDENTICAL to
+    the sampling path for exact, loose, and flat-out WRONG bounds (the
+    bucket id is weakly monotone in v, so bounds affect only balance),
+    and the plan must contain neither rangepartitioning nor a persisted
+    InMemoryTableScan."""
+    import numpy as np
+
+    vals = [float(v) for v in ([5.0] * 40 + list(range(60)) + [42.0] * 17)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.01, 0.25, 0.5, 0.75, 0.999]
+    want = np.percentile(np.array(vals), [p * 100 for p in ps], method="linear")
+    for bounds in [(0.0, 59.0), (-100.0, 1000.0), (20.0, 30.0), (59.0, 59.0)]:
+        out = exact_percentiles(df, "x", ps, n_partitions=4, bounds=bounds)
+        got = {r["p"]: r["value"] for r in out.collect()}
+        for p, w in zip(ps, want):
+            assert got[p] == pytest.approx(float(w), abs=1e-9), (bounds, p)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    assert "InMemoryTableScan" not in plan
+
+
+def test_grouped_percentiles_bounds_path(spark):
+    """Grouped twin of the bounds-path invariant: global bounds, per-group
+    exactness, identical to the sampling path even with wrong bounds."""
+    from vecgo_spark.operators.stats import grouped_percentiles, release_caches
+
+    rows = [("a", float(i % 37)) for i in range(300)] + \
+           [("b", float(i)) for i in range(50)] + [("c", 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.25, 0.5, 0.9]
+    ref = sorted(map(tuple, grouped_percentiles(df, "g", "x", ps, n_partitions=4).collect()))
+    release_caches()
+    for bounds in [(0.0, 49.0), (5.0, 12.0)]:
+        got = sorted(map(tuple, grouped_percentiles(
+            df, "g", "x", ps, n_partitions=4, bounds=bounds).collect()))
+        assert got == ref, bounds
 
 
 def test_exact_percentiles_partition_count_sweep_exact(spark):

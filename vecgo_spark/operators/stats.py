@@ -291,8 +291,25 @@ def vector_profile_sql(table: str, seg_expr: str, vector_col: str) -> str:
 
 # --------------------------------------------------- exact percentiles
 
+def _bucket_col(lo: float, hi: float, nb: int) -> Column:
+    """Deterministic equi-width bucket id for v in [lo, hi], WEAKLY
+    MONOTONE in v for every input (clamped to [0, nb-1]; NaN → last
+    bucket, matching Spark's NaN-sorts-largest ordering) — so the global
+    ranks derived from (bucket asc, v asc) are correct for ANY bounds;
+    bounds accuracy affects only partition balance, never results.
+    Monotonicity holds in IEEE double: x−c, x·c and x/c (c>0) are
+    order-preserving, floor/least/greatest preserve weak order."""
+    span = hi - lo
+    if not (span > 0):
+        return F.lit(0)
+    raw = F.floor((F.col("v") - F.lit(float(lo))) / F.lit(float(span)) * F.lit(float(nb)))
+    clamped = F.least(F.lit(nb - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
+    return F.when(F.isnan("v"), F.lit(nb - 1).cast("long")).otherwise(clamped)
+
+
 def exact_percentiles(
-    df: DataFrame, value_col: str, ps: list[float], n_partitions: int | None = None
+    df: DataFrame, value_col: str, ps: list[float], n_partitions: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact linear-interpolated percentiles (type-7 / quantile_cont
     semantics: rank = (n-1)·p, value = v_lo + (v_hi − v_lo)·frac) via
@@ -324,17 +341,38 @@ def exact_percentiles(
     sequence whether computed driver-side or in the plan). The returned
     frame holds a persisted intermediate; call .unpersist() on it via
     ``exact_percentiles.last_cached`` if running in a long session.
+
+    r14 ``bounds=(lo, hi)``: when the caller knows the value range (e.g.
+    exact parquet footer min/max of a raw column — zero data passes),
+    the range shuffle is replaced by a DETERMINISTIC equi-width bucket
+    key: no repartitionByRange SAMPLE pass (that pass scans the whole
+    input at any scale), and — because the key is deterministic across
+    re-executions, unlike spark_partition_id() — NO persist of the
+    shuffled frame. Results are bit-identical for ANY bounds (the bucket
+    id is weakly monotone in v, see _bucket_col); bad bounds only
+    unbalance partitions. Buckets = 32× parallelism (guide §2.5: many
+    more key values than partitions so the hash spreads), so a skewed
+    distribution costs imbalance bounded by span/nb, and the per-bucket
+    window sort spills gracefully if one bucket is hot.
     """
     d = df.select(F.col(value_col).cast("double").alias("v")).where(F.col("v").isNotNull())
     spark = df.sparkSession
 
     np_ = n_partitions or spark.sparkContext.defaultParallelism
-    ranked = (
-        d.repartitionByRange(np_, "v").withColumn("pid", F.spark_partition_id()).persist()
-    )
-    exact_percentiles.last_cached = ranked
-    _CACHED.append(ranked)
-    counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    if bounds is not None:
+        nb = max(64, 32 * np_)
+        keyed = d.withColumn("pid", _bucket_col(float(bounds[0]), float(bounds[1]), nb))
+        ranked = keyed
+        # tiny (≤nb rows) pre-aggregated count table — partial map-side
+        # aggregation means this second scan shuffles bucket counts only
+        counts = keyed.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    else:
+        ranked = (
+            d.repartitionByRange(np_, "v").withColumn("pid", F.spark_partition_id()).persist()
+        )
+        exact_percentiles.last_cached = ranked
+        _CACHED.append(ranked)
+        counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w0 = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn(
         "off", F.coalesce(F.sum("cnt").over(w0), F.lit(0)).cast("long")
@@ -401,6 +439,7 @@ def exact_percentiles_sql(table: str, value_col: str, ps: list[float]) -> str:
 def grouped_percentiles(
     df: DataFrame, group_col: str, value_col: str, ps: list[float],
     n_partitions: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """PER-GROUP exact linear-interpolated percentiles (type-7 /
     quantile_cont: rank = (n_g−1)·p per group) — the per-source length
@@ -422,19 +461,30 @@ def grouped_percentiles(
     The range-partitioned frame is persisted (spark_partition_id() is
     non-deterministic across re-executions) and registered for
     release_caches().  Output: (group_col, p, value), exact to the
-    DuckDB quantile formula (same IEEE op order)."""
+    DuckDB quantile formula (same IEEE op order).
+
+    r14 ``bounds=(lo, hi)``: same contract as exact_percentiles(bounds=)
+    — a GLOBAL value range (e.g. parquet footer min/max) swaps the range
+    shuffle for a deterministic equi-width bucket key: no sample pass,
+    no persist (the key is stable across re-executions). Per-group
+    correctness is bounds-independent (weakly monotone bucket id); the
+    global bounds only set bucket balance within each group."""
     d = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("v"),
     ).where(F.col("v").isNotNull())
     spark = df.sparkSession
     np_ = n_partitions or spark.sparkContext.defaultParallelism
-    ranked = (
-        d.repartitionByRange(np_, "grp", "v")
-        .withColumn("pid", F.spark_partition_id()).persist()
-    )
-    grouped_percentiles.last_cached = ranked
-    _CACHED.append(ranked)
+    if bounds is not None:
+        nb = max(64, 32 * np_)
+        ranked = d.withColumn("pid", _bucket_col(float(bounds[0]), float(bounds[1]), nb))
+    else:
+        ranked = (
+            d.repartitionByRange(np_, "grp", "v")
+            .withColumn("pid", F.spark_partition_id()).persist()
+        )
+        grouped_percentiles.last_cached = ranked
+        _CACHED.append(ranked)
     counts = ranked.groupBy("pid", "grp").agg(F.count(F.lit(1)).alias("cnt"))
     w0 = (
         Window.partitionBy("grp").orderBy("pid")
