@@ -1157,34 +1157,41 @@ def _block_pair_candidates(
     """Exact candidate superset, fully distributed: hash vectors into
     n_blocks blocks, co-group every block pair (i ≤ j), and run one numpy
     matmul per pair inside applyInPandas. No corpus rows ever touch the
-    driver. Shuffle volume = (n_blocks+1)× the table; per-task memory =
+    driver. Shuffle volume = n_blocks× the table; per-task memory =
     2·n/n_blocks rows; total compute O(n²) split over B(B+1)/2 tasks —
     the inherent cost of *exact* all-pairs (the approximate scale path is
     candidates="lsh")."""
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "blk_a int, blk_b int",
-    )
+    # r14: block-pair membership is computed IN-PLAN (one transform +
+    # explode over sequence(0, B-1)) instead of two broadcast joins
+    # against a (blk_a, blk_b) pairs table unioned together — one scan
+    # of the corpus instead of two, zero broadcast exchanges, and B
+    # (not B+1) shuffled copies per row: row blk meets block k in pair
+    # (min(blk,k), max(blk,k)) as side 0 when k ≥ blk else side 1, so
+    # the diagonal group carries ONE copy and emit mirrors it (the pair
+    # set is unchanged — pinned by the sweep test).
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vector_col).alias("v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    a_side = v.join(F.broadcast(pairs), v["blk"] == pairs["blk_a"]).select(
-        "blk_a", "blk_b", F.lit(0).alias("side"), "id", "v"
-    )
-    b_side = v.join(F.broadcast(pairs), v["blk"] == pairs["blk_b"]).select(
-        "blk_a", "blk_b", F.lit(1).alias("side"), "id", "v"
+    ks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    memb = F.transform(ks, lambda k: F.struct(
+        F.least(F.col("blk"), k).cast("int").alias("blk_a"),
+        F.greatest(F.col("blk"), k).cast("int").alias("blk_b"),
+        F.when(k >= F.col("blk"), F.lit(0)).otherwise(F.lit(1)).cast("int").alias("side"),
+    ))
+    flat = v.select("id", "v", F.explode(memb).alias("m")).select(
+        F.col("m.blk_a").alias("blk_a"), F.col("m.blk_b").alias("blk_b"),
+        F.col("m.side").alias("side"), "id", "v",
     )
 
     def emit(key, pdf):
         blk_a, blk_b = key
         xa = pdf[pdf["side"] == 0]
-        xb = pdf[pdf["side"] == 1]
+        xb = xa if blk_a == blk_b else pdf[pdf["side"] == 1]
         if len(xa) == 0 or len(xb) == 0:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
@@ -1207,8 +1214,7 @@ def _block_pair_candidates(
         return pd.DataFrame({"id_a": ia, "id_b": ib})
 
     return (
-        a_side.unionByName(b_side)
-        .groupBy("blk_a", "blk_b")
+        flat.groupBy("blk_a", "blk_b")
         .applyInPandas(emit, "id_a long, id_b long")
     )
 
