@@ -1480,14 +1480,23 @@ def tfidf_keywords(
     from vecgo_spark.operators.util import ensure_parallelism
 
     n_tbl = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # r14: the spread is keyed by doc id, so the tf groupBy AND the rank
+    # window below both ride the ONE spread exchange (HashPartitioning(id)
+    # satisfies both clusterings) — the stream previously paid three
+    # exchanges: round-robin spread, (id,term) agg, window-by-id. The df
+    # table is explicitly broadcast (guide §3.1: vocabulary-sized, orders
+    # of magnitude below the doc-term stream the planner was picking as
+    # the build side at small estimates), so the joined stream keeps its
+    # id partitioning into the window.
     terms = (
-        ensure_parallelism(docs.select(id_col, text_col))
+        ensure_parallelism(docs.select(id_col, text_col), key=id_col)
         .select(F.col(id_col).alias("id"),
                 F.explode(tokenize_expr(text_col)).alias("term"))
         .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = (terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-             .crossJoin(F.broadcast(n_tbl)))
+    dfreq = F.broadcast(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(n_tbl)))
     score = F.round(
         F.ln(F.col("_n") / F.col("doc_freq").cast("double"))
         * F.col("tf").cast("double"), 6)

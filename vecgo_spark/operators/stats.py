@@ -100,11 +100,25 @@ def histogram(
     per-bin-min/max histogram, stats_collector.go:446-529; reference uses
     log scale, `linear` provided for oracle-exact comparison).
 
-    Bin bounds come from the segment's own min/max (one window pass, no
-    second scan)."""
+    Bin bounds come from the segment's own min/max, computed as a
+    manifest-sized aggregate (O(#segments) rows) broadcast back onto the
+    rows. r14: this replaces a Window.partitionBy(seg) min/max — the
+    window shuffled EVERY row into #segments partitions (guide §2.5: a
+    handful of segment values means a handful of tasks own the whole
+    table — skew by construction at any scale) and sorted them; the agg
+    form shuffles only the map-side partial (lo, hi) rows and keeps the
+    binning pass embarrassingly parallel. Two column-pruned scans replace
+    one full-row shuffle+sort; lo/hi are the exact same min/max values,
+    so every bin id and the final aggregate are bit-identical."""
     x = F.col(col).cast("double")
-    w = Window.partitionBy(seg_col)
-    lo, hi = F.min(x).over(w), F.max(x).over(w)
+    d = df.where(x.isNotNull())
+    b = (
+        d.groupBy(F.col(seg_col).alias("_bseg"))
+        .agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+    )
+    # eqNullSafe: a NULL segment is a window partition of its own — the
+    # join must keep those rows exactly as the window form did
+    lo, hi = F.col("_lo"), F.col("_hi")
     span = hi - lo
     if scale == "log":
         pos = F.ln(x - lo + F.lit(1.0)) / F.ln(span + F.lit(1.0))
@@ -117,7 +131,7 @@ def histogram(
         .cast("int")
     )
     return (
-        df.where(x.isNotNull())
+        d.join(F.broadcast(b), F.col(seg_col).eqNullSafe(F.col("_bseg")))
         .withColumn("bin", bin_idx)
         .groupBy(seg_col, "bin")
         .agg(

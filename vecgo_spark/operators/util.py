@@ -18,7 +18,7 @@ def isin_longs(col_name: str, vals) -> Column:
     return F.expr(f"`{col_name}` IN ({','.join(map(str, vs))})")
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     """Spread a narrow input across the cluster: a small parquet source
     arrives as 1-2 partitions, which would serialize any CPU-heavy
     per-partition stage (signature kernels, graph builds, regex
@@ -35,10 +35,22 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     cores/2 < {1 task, 1/core} — e.g. contamination 0.93 s @ cores/4 vs
     1.89 s unspread vs 1.01 s @ 32; perplexity 1.26 vs 1.45 vs 1.63).
     Guide §2.2's "fewer, larger partitions" at bench scale; scales with
-    the driver's core-count env, and real multi-split inputs skip it."""
+    the driver's core-count env, and real multi-split inputs skip it.
+
+    key= (r14): spread by HASH of that column instead of round-robin.
+    When every downstream keyed operator (groupBy, window) clusters on
+    the same column, the spread exchange satisfies their distributions
+    too (HashPartitioning([key]) satisfies ClusteredDistribution of any
+    superset, and alias-aware projection/Generate preserve it), so the
+    whole per-key pipeline rides ONE exchange instead of spread + agg +
+    window each paying their own (guide §2.4 "share one exchange").
+    Needs many more distinct keys than partitions to spread evenly
+    (guide §2.5) — doc ids over cores/4 qualify everywhere it's used."""
     target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
     try:
         n_in = len(df.inputFiles())
     except Exception:  # noqa: BLE001 — non-file sources: assume narrow
         n_in = 0
-    return df.repartition(target) if n_in < target else df
+    if n_in >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
