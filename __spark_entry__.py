@@ -1647,19 +1647,30 @@ def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-priority checking (TPC-H Q4 shape): EXISTS → LEFT SEMI join
-    with a non-equi correlation (l_shipdate > o_orderdate — the testdata
-    carries no commit/receipt dates), then a small groupBy. The semi join
-    never widens rows and stops probing an order at its first match."""
+    """Order-priority checking (TPC-H Q4 shape): EXISTS with a non-equi
+    correlation (l_shipdate > o_orderdate — the testdata carries no
+    commit/receipt dates), then a small groupBy.
+
+    r14: EXISTS(l_shipdate > o_orderdate) ⟺ per-order MAX(l_shipdate) >
+    o_orderdate, so lineitem is aggregated to one (orderkey,
+    max_shipdate) row per order BEFORE any join (guide §2.3 "aggregate
+    before you shuffle" — map-side partial max folds the 4-7 lines per
+    order first). The previous LEFT SEMI built a broadcast hash relation
+    over the WHOLE lineitem pair stream (driver collects 600 k rows at
+    bench sf; falls to a full-stream SMJ past the broadcast threshold);
+    now the shuffled/broadcast side is order-unique and 4-7× narrower,
+    and at scale the agg's orderkey partitioning feeds the join
+    exchange-free. Counts are exact integers — same EXISTS set."""
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    shipped_late = orders.join(
-        li,
-        (orders["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] > orders["o_orderdate"]),
-        "left_semi",
+    li_max = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_max_ship"))
+    )
+    shipped_late = (
+        orders.join(li_max, orders["o_orderkey"] == li_max["l_orderkey"])
+        .where(F.col("_max_ship") > F.col("o_orderdate"))
     )
     return (
         shipped_late.groupBy("o_orderpriority")

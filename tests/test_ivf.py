@@ -113,6 +113,19 @@ def test_probe_expr_matches_driver_probes(clustered):
     assert row["p"] == ivf.probe_clusters(model, x[5].tolist(), 3)
 
 
+def test_single_parse_exprs_same_semantics(clustered):
+    """The r14 single-parse SQL fast paths of assign_expr/probe_expr
+    (string column name) must be plan-identical to the Column-HOF form
+    (Column input) — sameSemantics, not just value parity."""
+    df, assigned, model, x = clustered
+    a = df.select(ivf.assign_expr(model, "vector").alias("c"))
+    b = df.select(ivf.assign_expr(model, F.col("vector")).alias("c"))
+    assert a.sameSemantics(b)
+    pa = df.select(ivf.probe_expr(model, "vector", 3).alias("p"))
+    pb = df.select(ivf.probe_expr(model, F.col("vector"), 3).alias("p"))
+    assert pa.sameSemantics(pb)
+
+
 def test_assignment_is_argmin(clustered):
     df, assigned, model, x = clustered
     got = {r["id"]: r["cluster_id"] for r in assigned.select("id", "cluster_id").collect()}

@@ -119,13 +119,38 @@ def train_ivf(
     return out
 
 
+def _cents_sql(model: IVFModel) -> str:
+    """The k×d centroid table as ONE SQL ARRAY<ARRAY<DOUBLE>> literal
+    (IEEE shortest-round-trip doubles — parses bit-identical to the
+    F.lit form; see functions.vector.double_array_expr)."""
+    from vecgo_spark.functions.vector import _dlit_sql
+
+    return ("array(" + ",".join(
+        "array(" + ",".join(_dlit_sql(float(x)) for x in row) + ")"
+        for row in model.centroids) + ")")
+
+
 def assign_expr(model: IVFModel, vector_col: Column | str) -> Column:
     """cluster_id = argmin_c ||v - centroid_c||² as a native expression.
 
     Ties break to the lowest cluster id (array_position finds the first
     match) — deterministic, mirroring the reference's sequential argmin.
-    """
-    v = (F.col(vector_col) if isinstance(vector_col, str) else vector_col).cast("array<double>")
+
+    r14: for a plain column NAME the whole argmin is ONE parsed SQL
+    string (sameSemantics-proven equal to the Column-HOF form, pinned in
+    test_ivf) — the HOF/lambda Column construction cost ~15 py4j round
+    trips plus a schema re-analysis of the k×d literal per build
+    (cProfile: 0.25-0.31 s of every IVF-family query build). Column
+    inputs keep the tree form."""
+    if isinstance(vector_col, str):
+        cents = _cents_sql(model)
+        v = f"CAST(`{vector_col}` AS ARRAY<DOUBLE>)"
+        dists = (f"transform({cents}, c -> aggregate("
+                 f"zip_with({v}, c, (x, y) -> (x - y) * (x - y)), "
+                 f"0.0D, (acc, x) -> acc + x))")
+        return F.expr(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
+    v = vector_col.cast("array<double>")
     cents = double_matrix_expr(model.centroids)
     dists = F.transform(
         cents,
@@ -157,8 +182,21 @@ def probe_expr(model: IVFModel, qvector_col: Column | str, nprobe: int) -> Colum
     """ARRAY<INT> of the nprobe nearest cluster ids for a query VECTOR
     COLUMN — fully native (distances to centroid literals → array_sort of
     (dist, cid) structs → slice). Lets probe selection run for millions of
-    queries without a driver round-trip."""
-    v = (F.col(qvector_col) if isinstance(qvector_col, str) else qvector_col).cast("array<double>")
+    queries without a driver round-trip.
+
+    r14: plain column names take the single-parse SQL path like
+    assign_expr (sameSemantics-proven, pinned in test_ivf)."""
+    if isinstance(qvector_col, str):
+        cents = _cents_sql(model)
+        v = f"CAST(`{qvector_col}` AS ARRAY<DOUBLE>)"
+        scored = (f"transform({cents}, (c, i) -> named_struct("
+                  f"'d', aggregate(zip_with({v}, c, (x, y) -> (x - y) * (x - y)), "
+                  f"0.0D, (acc, x) -> acc + x), "
+                  f"'cid', CAST(i AS INT)))")
+        return F.expr(
+            f"transform(slice(array_sort({scored}), 1, {max(1, int(nprobe))}), "
+            f"s -> s.cid)")
+    v = qvector_col.cast("array<double>")
     cents = double_matrix_expr(model.centroids)
     scored = F.transform(
         cents,
