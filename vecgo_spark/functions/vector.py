@@ -51,13 +51,19 @@ def double_array_expr(vals: Sequence[float]) -> Column:
     return F.expr("array(" + ",".join(_dlit_sql(float(x)) for x in vals) + ")")
 
 
+def _dmatrix_sql(rows) -> str:
+    """The ARRAY<ARRAY<DOUBLE>> literal as raw SQL text — shared by
+    double_matrix_expr and callers that splice the matrix into a larger
+    single-parse SQL string (ivf._cents_sql)."""
+    return ("array(" + ",".join(
+        "array(" + ",".join(_dlit_sql(float(x)) for x in row) + ")"
+        for row in rows) + ")")
+
+
 def double_matrix_expr(rows) -> Column:
     """An ARRAY<ARRAY<DOUBLE>> literal (centroid tables, ADC lookup
     tables) via ONE parsed SQL string — see double_array_expr."""
-    return F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(_dlit_sql(float(x)) for x in row) + ")"
-            for row in rows) + ")")
+    return F.expr(_dmatrix_sql(rows))
 
 
 def long_array_expr(vals) -> Column:

@@ -123,11 +123,18 @@ def _cents_sql(model: IVFModel) -> str:
     """The k×d centroid table as ONE SQL ARRAY<ARRAY<DOUBLE>> literal
     (IEEE shortest-round-trip doubles — parses bit-identical to the
     F.lit form; see functions.vector.double_array_expr)."""
-    from vecgo_spark.functions.vector import _dlit_sql
+    from vecgo_spark.functions.vector import _dmatrix_sql
 
-    return ("array(" + ",".join(
-        "array(" + ",".join(_dlit_sql(float(x)) for x in row) + ")"
-        for row in model.centroids) + ")")
+    return _dmatrix_sql(model.centroids)
+
+
+def _plain_ident(name: str) -> bool:
+    """True when `name` is a plain identifier the single-parse SQL fast
+    path can backtick-quote safely. A name with a dot would change
+    meaning (F.col("a.b") resolves a nested field; `a.b` a literal
+    top-level column) and an embedded backtick breaks the parse — those
+    fall through to the Column-tree form (r14 ADVICE)."""
+    return name.isidentifier()
 
 
 def assign_expr(model: IVFModel, vector_col: Column | str) -> Column:
@@ -141,7 +148,11 @@ def assign_expr(model: IVFModel, vector_col: Column | str) -> Column:
     test_ivf) — the HOF/lambda Column construction cost ~15 py4j round
     trips plus a schema re-analysis of the k×d literal per build
     (cProfile: 0.25-0.31 s of every IVF-family query build). Column
-    inputs keep the tree form."""
+    inputs — and names that are not plain identifiers (dots resolve
+    differently under backticks, embedded backticks break the parse) —
+    keep the tree form."""
+    if isinstance(vector_col, str) and not _plain_ident(vector_col):
+        vector_col = F.col(vector_col)
     if isinstance(vector_col, str):
         cents = _cents_sql(model)
         v = f"CAST(`{vector_col}` AS ARRAY<DOUBLE>)"
@@ -185,7 +196,10 @@ def probe_expr(model: IVFModel, qvector_col: Column | str, nprobe: int) -> Colum
     queries without a driver round-trip.
 
     r14: plain column names take the single-parse SQL path like
-    assign_expr (sameSemantics-proven, pinned in test_ivf)."""
+    assign_expr (sameSemantics-proven, pinned in test_ivf); non-plain
+    names (dots/backticks) fall through to the Column form."""
+    if isinstance(qvector_col, str) and not _plain_ident(qvector_col):
+        qvector_col = F.col(qvector_col)
     if isinstance(qvector_col, str):
         cents = _cents_sql(model)
         v = f"CAST(`{qvector_col}` AS ARRAY<DOUBLE>)"

@@ -1454,9 +1454,16 @@ def weighted_sample_sql(
 
 # -------------------------------------------------- TF-IDF keywords
 
+# Source-size gate for the vocabulary broadcast hint (see tfidf_keywords
+# docstring): the vocab (distinct terms + two longs each) is strictly
+# smaller than the tokenized corpus text, so a source estimated under
+# this cap keeps the hint; larger sources leave the join AQE-decided.
+_TFIDF_BCAST_SRC_CAP = 2 * 1024**3
+
 
 def tfidf_keywords(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF keywords per document — the per-doc topical signature
     a pipeline uses for topic balancing, near-dup triage and index
@@ -1466,15 +1473,28 @@ def tfidf_keywords(
     stance applied to the sort key); ties break on term asc.
 
     Scale posture: one (doc, term) groupBy for tf (map-side combine), a
-    vocabulary-sized df aggregate joined back on term (AQE-decided; a
-    stopword's join fan-out is linear in its occurrences), and a per-doc
-    rank window bounded by the doc's distinct-term count — WindowGroupLimit
-    keeps it map-side.  N rides the plan as a one-row count aggregate of
-    the source crossed onto the vocabulary-sized df table (r14: it was a
-    separate driver-side docs.count() — an extra serialized job at bench
-    SF and an extra full pass at any scale; count→double is exact, ln()
-    sees the identical operand, and the rounded score is bit-unchanged —
-    the stats_percentiles in-plan-targets recipe)."""
+    df aggregate joined back on term (a stopword's join fan-out is
+    linear in its occurrences), and a per-doc rank window bounded by the
+    doc's distinct-term count — WindowGroupLimit keeps it map-side.  N
+    rides the plan as a one-row count aggregate of the source crossed
+    onto the vocabulary-sized df table (r14: it was a separate
+    driver-side docs.count() — an extra serialized job at bench SF and
+    an extra full pass at any scale; count→double is exact, ln() sees
+    the identical operand, and the rounded score is bit-unchanged — the
+    stats_percentiles in-plan-targets recipe).
+
+    broadcast_vocab (r15, closes the r14 ADVICE medium): the df table's
+    cardinality is the corpus VOCABULARY — unbounded at 100 TB (typos,
+    ids, multilingual tokens grow with corpus size), so an unconditional
+    broadcast hint risks the 8 GB relation cap / a driver OOM where an
+    AQE-decided join degrades gracefully to SMJ. None (default) gates
+    the hint on the optimizer's size estimate for the SOURCE: a corpus
+    under _TFIDF_BCAST_SRC_CAP bytes cannot produce an oversized vocab
+    (the vocab is strictly smaller than its corpus text), so the hint —
+    which fixes the planner's build-side mistake at small estimates,
+    measured r14: BuildLeft corpus broadcast → BuildRight vocab, 1.44 →
+    0.79 s — stays; above the cap the join is left AQE-decided.
+    True/False force the hint on/off."""
     from vecgo_spark.operators.bm25 import tokenize_expr
 
     from vecgo_spark.operators.util import ensure_parallelism
@@ -1484,19 +1504,28 @@ def tfidf_keywords(
     # window below both ride the ONE spread exchange (HashPartitioning(id)
     # satisfies both clusterings) — the stream previously paid three
     # exchanges: round-robin spread, (id,term) agg, window-by-id. The df
-    # table is explicitly broadcast (guide §3.1: vocabulary-sized, orders
-    # of magnitude below the doc-term stream the planner was picking as
-    # the build side at small estimates), so the joined stream keeps its
-    # id partitioning into the window.
+    # table is broadcast under the source-size gate below (guide §3.1:
+    # vocabulary-sized, orders of magnitude below the doc-term stream the
+    # planner was picking as the build side at small estimates), so the
+    # joined stream keeps its id partitioning into the window.
     terms = (
         ensure_parallelism(docs.select(id_col, text_col), key=id_col)
         .select(F.col(id_col).alias("id"),
                 F.explode(tokenize_expr(text_col)).alias("term"))
         .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = F.broadcast(
+    dfreq = (
         terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
         .crossJoin(F.broadcast(n_tbl)))
+    if broadcast_vocab is None:
+        try:
+            src_bytes = int(docs._jdf.queryExecution()
+                            .optimizedPlan().stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 — no estimate: assume unbounded
+            src_bytes = _TFIDF_BCAST_SRC_CAP + 1
+        broadcast_vocab = src_bytes <= _TFIDF_BCAST_SRC_CAP
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
     score = F.round(
         F.ln(F.col("_n") / F.col("doc_freq").cast("double"))
         * F.col("tf").cast("double"), 6)

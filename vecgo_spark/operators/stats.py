@@ -111,14 +111,24 @@ def histogram(
     one full-row shuffle+sort; lo/hi are the exact same min/max values,
     so every bin id and the final aggregate are bit-identical."""
     x = F.col(col).cast("double")
-    d = df.where(x.isNotNull())
+    # project early (guide §2.3): only (seg, value) flow into the join —
+    # and the helper names are collision-proofed against the two USER
+    # columns that remain in the stream (r14 ADVICE: a user table already
+    # carrying _bseg/_lo/_hi made the join condition ambiguous where the
+    # window form worked)
+    cols = [seg_col] if seg_col == col else [seg_col, col]
+    d = df.where(x.isNotNull()).select(*cols)
+    tag = ""
+    while any(f"_{nm}{tag}" in cols for nm in ("bseg", "lo", "hi")):
+        tag += "_"
+    nseg, nlo, nhi = f"_bseg{tag}", f"_lo{tag}", f"_hi{tag}"
     b = (
-        d.groupBy(F.col(seg_col).alias("_bseg"))
-        .agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+        d.groupBy(F.col(seg_col).alias(nseg))
+        .agg(F.min(x).alias(nlo), F.max(x).alias(nhi))
     )
     # eqNullSafe: a NULL segment is a window partition of its own — the
     # join must keep those rows exactly as the window form did
-    lo, hi = F.col("_lo"), F.col("_hi")
+    lo, hi = F.col(nlo), F.col(nhi)
     span = hi - lo
     if scale == "log":
         pos = F.ln(x - lo + F.lit(1.0)) / F.ln(span + F.lit(1.0))
@@ -131,7 +141,7 @@ def histogram(
         .cast("int")
     )
     return (
-        d.join(F.broadcast(b), F.col(seg_col).eqNullSafe(F.col("_bseg")))
+        d.join(F.broadcast(b), F.col(seg_col).eqNullSafe(F.col(nseg)))
         .withColumn("bin", bin_idx)
         .groupBy(seg_col, "bin")
         .agg(
