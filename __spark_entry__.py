@@ -334,7 +334,15 @@ def _bm25_search_churned_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cache-hit latency read as engine serve time). bench.py times these
 # queries' first-ever warm-up execution and reports it as
 # cold_serve_secs alongside the steady-state number.
-CACHE_WARM_QUERIES = ("bm25_search_churned_at_rest",)
+# r15 (closes the r14 verdict's disclosure gap): dedup_clusters and
+# dedup_keep_best_quality serve from the session-persisted _cluster_map —
+# the actual clustering runs in their first-ever execution, so they carry
+# the same cold_serve_secs stamp bm25_search_churned_at_rest got in r12.
+CACHE_WARM_QUERIES = (
+    "bm25_search_churned_at_rest",
+    "dedup_clusters",
+    "dedup_keep_best_quality",
+)
 
 
 _CHURN_PK_TABLES: dict[str, str] = {}  # sf_dir → built scratch-table path

@@ -203,6 +203,18 @@ def main() -> None:
     build = dict(getattr(entrymod, "_BUILD_SECONDS", {}))
     if build:
         out["fixture_build_secs"] = {k: round(v, 2) for k, v in build.items()}
+    # engine-cache disclosure (r14 verdict): per-cache hit/miss counters
+    # over the whole run (warm-up + both timed passes), so a reader can
+    # see how much trained-model / visibility work the timed passes
+    # amortized through the session caches. Side-channel only — the v2
+    # metric semantics are unchanged.
+    try:
+        from vecgo_spark import cache_stats as _cs
+        detail = _cs.cache_stats_detail()
+        if detail:
+            out["engine_cache_stats"] = detail
+    except Exception:
+        pass  # disclosure must never sink the run
     payload = json.dumps(out)
     # The driver's stdout capture has head-truncated this line three
     # rounds running (BENCH_r04..r06 all "parsed": null), so the JSON is
