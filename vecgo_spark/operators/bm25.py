@@ -167,6 +167,14 @@ def bm25_score(
           for i, t in enumerate(terms)],
     ))
 
+    # r15 measured-and-REJECTED: riding this stats row in-plan as a
+    # one-row broadcast aggregate (crossJoin(F.broadcast(agg)), the tfidf
+    # in-plan-N recipe) removes the .first() driver job but AQE then
+    # materializes the broadcast-fed chain stage-by-stage — 6-8 jobs at
+    # exec where this form pays 4 at build + 1 at exec. Interleaved A/B
+    # (3 reps, B on the FASTER host): bm25_search 0.311->0.368 s (+18%),
+    # hybrid_rrf +4%. The .first() is one bounded row over the persisted
+    # frame; keep it.
     row = per.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("total"),

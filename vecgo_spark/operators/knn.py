@@ -230,7 +230,11 @@ def rerank(
     """
     from vecgo_spark.operators.util import isin_longs
 
-    ids = [r[0] for r in candidates.select(id_col).distinct().collect()]
+    # dedupe DRIVER-side: the collect is bounded (k·refine ids) either
+    # way, and a .distinct() before it adds a full shuffle — under AQE a
+    # whole extra job per serve (r15 job-count profile: graph at-rest
+    # builds paid 3 jobs, 2 of them the distinct's stage materialization)
+    ids = sorted({r[0] for r in candidates.select(id_col).collect()})
     try:
         cond = isin_longs(id_col, ids)  # one-parse IN for integral ids
     except (TypeError, ValueError):
