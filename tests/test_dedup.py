@@ -42,6 +42,44 @@ def test_ngram_jaccard_exact_values(spark, docs):
     assert abs(pairs[(1, 3)] - 11.0 / 13.0) < 1e-12
 
 
+def test_ngram_jaccard_length_prefilter_is_exact(spark):
+    """The r15 length prefilter (drop join rows whose size ratio already
+    fails the threshold) must be invisible in the result: pairs from the
+    filtered plan equal brute-force Jaccard over the same shingle sets —
+    including boundary pairs whose ratio lands exactly ON the threshold."""
+    # doc sizes engineered around threshold 0.5: (10, 20) shingles is the
+    # exact ratio boundary (min/max == 0.5), (4, 20) far below, (18, 20)
+    # well above; texts share a long common prefix so intersections vary
+    common = " ".join(f"w{i}" for i in range(22))       # 20 shingles (n=3)
+    rows = [
+        (1, common),                                     # 20 shingles
+        (2, " ".join(f"w{i}" for i in range(20))),       # 18 — ratio 0.9
+        (3, " ".join(f"w{i}" for i in range(12))),       # 10 — ratio 0.5
+        (4, " ".join(f"w{i}" for i in range(6))),        # 4  — ratio 0.2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    # brute force over the same distinct-shingle sets
+    import itertools
+    sets = {}
+    for i, text in rows:
+        toks = text.split()
+        sets[i] = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+    # the boundary pair (doc 3 vs doc 1: sizes 10/20, subset) must survive
+    assert (1, 3) in got and abs(got[(1, 3)] - 10.0 / 20.0) < 1e-12
+
+
 def test_simhash_near_dup_closer_than_unrelated(spark, docs):
     sigs = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")

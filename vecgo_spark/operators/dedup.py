@@ -53,11 +53,21 @@ from vecgo_spark.oracles import cosine_sql
 
 def _spread(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, text) spread across the cluster before the signature stages
-    (see util.ensure_parallelism)."""
+    (see util.ensure_parallelism).
+
+    r15: spread by HASH OF id, not round-robin — every consumer that
+    groups or windows by doc id downstream (simhash's groupBy, the
+    exact-substring per-doc windows, minhash signature aggregation) then
+    rides THIS exchange instead of paying its own (guide §2.4; the r14
+    tfidf keyed-spread recipe), and a keyed repartition skips the local
+    sort round-robin pays (sortBeforeRepartition, guide §2.5). Doc ids
+    ≫ partitions, so the spread stays even; per-doc results are
+    partition-independent, so declared outputs are bit-unchanged."""
     from vecgo_spark.operators.util import ensure_parallelism
 
     return ensure_parallelism(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        key="id")
 
 
 def _drop_hot(
@@ -1097,7 +1107,21 @@ def ngram_jaccard_pairs(
     The self-join carries the 60-bit stable hash of each shingle, not the
     string — an 8-byte shuffle key (the standard hashed-shingle practice;
     a collision merges two shingles identically on both engines, so the
-    oracle stays exact and the Jaccard perturbation is ~n²/2^60)."""
+    oracle stays exact and the Jaccard perturbation is ~n²/2^60).
+
+    r15 — LENGTH PREFILTER on the pair stream (the AllPairs/PPJoin size
+    bound, guide §2.3 "shuffle fewer bytes"): jaccard ≤ min(|A|,|B|) /
+    max(|A|,|B|) (attained when the smaller set is contained in the
+    larger), and the division below is the IDENTICAL double op the final
+    predicate computes over a numerator that can only be smaller — so a
+    join row whose size ratio already fails the threshold can never
+    survive, and dropping it at the join condition is exact, not
+    approximate. Set sizes ride the stream via one join against the
+    doc-count-sized sizes table (broadcast at bench scale; AQE degrades
+    it gracefully at 100 TB, where the quadratic pair-stream reduction
+    is worth a keyed stream pass) and are carried THROUGH the pair
+    aggregate (max of a per-id constant), which also retires the two
+    sizes joins the aggregated pair table used to pay."""
     # persisted: both sides of the shingle self-join + the sizes agg
     sh = (
         _doc_shingles(docs, id_col, text_col, n)
@@ -1106,17 +1130,28 @@ def ngram_jaccard_pairs(
     )
     sh = _drop_hot(sh, ["shingle"], max_shingle_df, "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # persisted too: both self-join sides read the size-attached stream
+    # from cache, so the hot-shingle anti-join and the sizes aggregate
+    # evaluate ONCE instead of once per side
+    shz = sh.join(sizes, "id").persist()
+    ratio = (
+        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+        / F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        shz.alias("a")
+        .join(shz.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.id") < F.col("b.id"))
+              & (ratio >= F.lit(float(threshold))))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.max(F.col("a.sz")).alias("sza"),
+             F.max(F.col("b.sz")).alias("szb"))
     )
     jac = F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
     return (
-        inter.join(sizes.withColumnRenamed("sz", "sza").withColumnRenamed("id", "id_a"), "id_a")
-        .join(sizes.withColumnRenamed("sz", "szb").withColumnRenamed("id", "id_b"), "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
