@@ -191,6 +191,16 @@ def bloom_decontaminate(
     pow2 = long_array_expr([1 << b if b < 63 else -(1 << 63)
                             for b in range(64)])
 
+    # r15 measured-and-REJECTED (VERDICT r14 Next #6): riding the two
+    # arrays on a one-row BROADCAST relation (crossJoin(F.broadcast(
+    # createDataFrame([...])))) shrinks the executed plan 46->12 KB and
+    # the oracle stays MATCH, but the interleaved A/B showed +33%
+    # (0.839->1.119 s best-of): the broadcast build job + BNLJ column
+    # reads cost more than the literal's analysis/codegen, which codegen
+    # treats as constants (plans/r15/docs_bloom_decontam_rejected_
+    # broadcast.txt is the rejected plan). Same lesson as the bm25
+    # in-plan-stats rejection: at per-query serve latency, a bounded
+    # plan literal beats an extra broadcast exchange.
     # r14: bind both literal arrays behind eval_once barrier columns so
     # the plan references each ONCE — the 4 probes each inlined both
     # arrays (CollapseProject), a 285 KB executed plan whose analysis/

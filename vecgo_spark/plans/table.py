@@ -1956,7 +1956,13 @@ class VectorTable:
         else:
             from vecgo_spark.quantization import pq as pqz
 
-            score = pqz.adc_score(books, q, F.col(PQCODE_COL))
+            # r15: the EXPRESSION form, not the pandas UDF — stored codes
+            # mean this is the plan's only Python node, and the per-query
+            # ArrowEvalPython round-trip floor (~0.15-0.3 s measured on a
+            # no-op pandas UDF) dwarfs the one-time parse of the m×k table
+            # literal. Same adc_table values, same left fold over the m
+            # terms → bit-identical scores (guide §4.1: prefer built-ins).
+            score = pqz.adc_score_expr(books, q, F.col(PQCODE_COL))
         # nulls_last: rows with NULL vectors (allowed by the fused dim
         # check) carry NULL codes → NULL ADC scores, which must never
         # occupy the top-k ahead of real matches (Spark default is
